@@ -1,13 +1,360 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dist.{Binning, Bins}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.4 (the declared query
+  * inventory) and §7 (build plan). Every oracle SQL string below is written
+  * so that DuckDB computes the *identical* floating-point expression tree the
+  * Spark plan computes (same operand order, same casts); all aggregations are
+  * either pure counts, exact integer sums, or exact-decimal sums, so results
+  * are bit-deterministic under any partitioning. */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as LONG (legacy conf) and rebuild a proper
+    * TimestampType column (µs precision — sub-µs is irrelevant at hour
+    * granularity and the truncation is deterministic). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Binning.histogram(t(spark, "/root/testdata/sf0.001", "lineitem"), "l_extendedprice")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------- reference core (SURVEY.md §2.4 table 1)
+    "minmax_extendedprice" -> ((s, d) =>
+      Binning.minMax(t(s, d, "lineitem"), Seq("l_extendedprice"))),
+    "hist_eqwidth10_extendedprice" -> ((s, d) =>
+      Binning.histogram(t(s, d, "lineitem"), "l_extendedprice")),
+    "hist_explicit_bins_quantity" -> ((s, d) =>
+      Binning.histogram(t(s, d, "lineitem"), "l_quantity",
+        Bins.Edges(Seq(1, 2, 5, 10, 25, 49, 50)))),
+    "hist_range_acctbal" -> ((s, d) =>
+      Binning.histogram(t(s, d, "customer"), "c_acctbal", Bins.Count(10), Some((0.0, 5000.0)))),
+    "hist_multicol_acctbal" -> ((s, d) =>
+      Binning.histogramMany(Seq(
+        (t(s, d, "customer"), "c_acctbal", "customer"),
+        (t(s, d, "supplier"), "s_acctbal", "supplier")))),
+    "hist_singleton_constant" -> ((s, d) =>
+      Binning.histogram(t(s, d, "lineitem").where(col("l_linenumber") === 1), "l_linenumber")),
+    "hist_nulls_value" -> ((s, d) =>
+      Binning.histogram(events(s, d), "value")),
+    "bin_labels_extendedprice" -> ((s, d) =>
+      Binning.withLabels(Binning.histogram(t(s, d, "lineitem"), "l_extendedprice"))
+        .select("bin_id", "bin_label", "cnt")),
+    "density_points_value" -> ((s, d) =>
+      Binning.densityPoints(Binning.histogram(events(s, d), "value"))),
+    "hist_by_group_events" -> ((s, d) =>
+      Binning.histogramByGroup(events(s, d), "value", "event_type")),
+
+    // -------- LLM-pipeline extensions: dedup
+    "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
+    "dedup_ngram_jaccard_documents" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8)),
+    "dedup_near_minhash" -> ((s, d) =>
+      Dedup.minHashNearDup(t(s, d, "documents"), threshold = 0.8)),
+    "dedup_simhash_documents" -> ((s, d) =>
+      Dedup.simHashNearDup(t(s, d, "documents"), maxHamming = 3)),
+
+    // -------- text analysis
+    "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
+    "top20_tokens" -> ((s, d) => TextAnalysis.topTokens(t(s, d, "documents"))),
+    "token_count_documents" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
+    "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
+    "lang_id_documents" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "fingerprint_documents" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+
+    // -------- events / windows
+    "events_hourly_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_value"))
+        .orderBy("hour_ms", "event_type")),
+
+    // -------- similarity search
+    "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 10)),
+    "ann_brute_topk_embeddings" -> ((s, d) =>
+      Similarity.annBruteTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
+    "ann_lsh_topk_embeddings" -> ((s, d) =>
+      Similarity.lshAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
+
+    // -------- multimodal (stubbed decode, real binary plumbing)
+    "mm_features_documents" -> ((s, d) =>
+      Multimodal.documentFeatures(s, t(s, d, "documents")).toDF()
+        .select("doc_id", "n_bytes", "width", "height", "channels")
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared token expression (DuckDB) matching TextAnalysis.tokens. */
+  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** Equal-width histogram oracle: identical arithmetic to Binning — bins by
+    * least(floor((x-lo)/((hi-lo)/n)), n-1), dense spine, closed last bucket.
+    * `rangeSql` is either "min(x)..max(x) from data" or literal bounds. */
+  private def eqWidthSql(table: String, colName: String, n: Int,
+                         range: Option[(Double, Double)],
+                         finalSelect: String): String = {
+    val b = range match {
+      case Some((lo, hi)) =>
+        s"SELECT CAST($lo AS DOUBLE) AS lo, CAST($hi AS DOUBLE) AS hi"
+      case None => "SELECT min(x) AS lo, max(x) AS hi FROM src"
+    }
+    s"""WITH src AS (
+       |  SELECT CAST($colName AS DOUBLE) AS x FROM $table
+       |  WHERE $colName IS NOT NULL AND NOT isnan(CAST($colName AS DOUBLE))),
+       |b AS ($b),
+       |cnts AS (
+       |  SELECT CAST(least(floor((x - lo) / ((hi - lo) / $n)), $n - 1) AS INTEGER) AS bin_id,
+       |         count(*) AS cnt
+       |  FROM src, b WHERE x >= lo AND x <= hi GROUP BY 1),
+       |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range($n)),
+       |h AS (
+       |  SELECT s.bin_id,
+       |         s.bin_id * ((b.hi - b.lo) / $n) + b.lo AS bin_lo,
+       |         CASE WHEN s.bin_id = $n - 1 THEN b.hi
+       |              ELSE (s.bin_id + 1) * ((b.hi - b.lo) / $n) + b.lo END AS bin_hi,
+       |         CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       |  FROM spine s CROSS JOIN b LEFT JOIN cnts c ON s.bin_id = c.bin_id)
+       |$finalSelect""".stripMargin
+  }
+
+  private val histSelect = "SELECT bin_id, bin_lo, bin_hi, cnt FROM h ORDER BY bin_id"
+
+  /** Norm + dot expressions for the embeddings oracle: explicit 1-based index
+    * fold with float→double casts, matching Similarity.dot/norm exactly. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def normSql(v: String) =
+    s"sqrt(${dotSql(v, v)})"
+
+  def oracleSql: Map[String, String] = Map(
+    "minmax_extendedprice" ->
+      """SELECT min(CAST(l_extendedprice AS DOUBLE)) AS l_extendedprice_min,
+        |       max(CAST(l_extendedprice AS DOUBLE)) AS l_extendedprice_max
+        |FROM lineitem""".stripMargin,
+
+    "hist_eqwidth10_extendedprice" ->
+      eqWidthSql("lineitem", "l_extendedprice", 10, None, histSelect),
+
+    "hist_explicit_bins_quantity" -> {
+      val es = Seq(1.0, 2.0, 5.0, 10.0, 25.0, 49.0, 50.0)
+      val n = es.size - 1
+      val caseBin = (1 until n).map(i => s"WHEN x < ${es(i)} THEN ${i - 1}")
+        .mkString("CASE ", " ", s" ELSE ${n - 1} END")
+      val caseLo = (0 until n).map(i => s"WHEN $i THEN CAST(${es(i)} AS DOUBLE)")
+        .mkString("CASE bin_id ", " ", " END")
+      val caseHi = (0 until n).map(i => s"WHEN $i THEN CAST(${es(i + 1)} AS DOUBLE)")
+        .mkString("CASE bin_id ", " ", " END")
+      s"""WITH src AS (
+         |  SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+         |    AND l_quantity >= ${es.head} AND l_quantity <= ${es.last}),
+         |cnts AS (SELECT CAST($caseBin AS INTEGER) AS bin_id, count(*) AS cnt FROM src GROUP BY 1),
+         |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range($n)),
+         |edges AS (SELECT bin_id, $caseLo AS bin_lo, $caseHi AS bin_hi FROM spine)
+         |SELECT e.bin_id, e.bin_lo, e.bin_hi, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+         |FROM edges e LEFT JOIN cnts c USING (bin_id) ORDER BY e.bin_id""".stripMargin
+    },
+
+    "hist_range_acctbal" ->
+      eqWidthSql("customer", "c_acctbal", 10, Some((0.0, 5000.0)), histSelect),
+
+    "hist_multicol_acctbal" ->
+      """WITH src AS (
+        |  SELECT CAST(c_acctbal AS DOUBLE) AS x, 'customer' AS series FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND NOT isnan(CAST(c_acctbal AS DOUBLE))
+        |  UNION ALL
+        |  SELECT CAST(s_acctbal AS DOUBLE), 'supplier' FROM supplier
+        |  WHERE s_acctbal IS NOT NULL AND NOT isnan(CAST(s_acctbal AS DOUBLE))),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        |cnts AS (
+        |  SELECT CAST(least(floor((x - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) FILTER (series = 'customer') AS customer_cnt,
+        |         count(*) FILTER (series = 'supplier') AS supplier_cnt
+        |  FROM src, b WHERE x >= lo AND x <= hi GROUP BY 1),
+        |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range(10))
+        |SELECT s.bin_id,
+        |       s.bin_id * ((b.hi - b.lo) / 10) + b.lo AS bin_lo,
+        |       CASE WHEN s.bin_id = 9 THEN b.hi
+        |            ELSE (s.bin_id + 1) * ((b.hi - b.lo) / 10) + b.lo END AS bin_hi,
+        |       CAST(coalesce(c.customer_cnt, 0) AS BIGINT) AS customer_cnt,
+        |       CAST(coalesce(c.supplier_cnt, 0) AS BIGINT) AS supplier_cnt
+        |FROM spine s CROSS JOIN b LEFT JOIN cnts c ON s.bin_id = c.bin_id
+        |ORDER BY s.bin_id""".stripMargin,
+
+    "hist_singleton_constant" ->
+      """WITH src AS (
+        |  SELECT CAST(l_linenumber AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_linenumber IS NOT NULL)
+        |SELECT CAST(0 AS INTEGER) AS bin_id, min(x) AS bin_lo, max(x) AS bin_hi,
+        |       count(*) AS cnt
+        |FROM src""".stripMargin,
+
+    "hist_nulls_value" ->
+      eqWidthSql("events", "value", 10, None, histSelect),
+
+    "bin_labels_extendedprice" ->
+      eqWidthSql("lineitem", "l_extendedprice", 10, None,
+        "SELECT bin_id, printf('%.2f - %.2f', bin_lo, bin_hi) AS bin_label, cnt FROM h ORDER BY bin_id"),
+
+    "density_points_value" ->
+      eqWidthSql("events", "value", 10, None,
+        "SELECT bin_id, (bin_lo + bin_hi) / 2 AS bin_center, cnt FROM h ORDER BY bin_id"),
+
+    "hist_by_group_events" ->
+      """WITH src AS (
+        |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        |cnts AS (
+        |  SELECT grp, CAST(least(floor((x - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt
+        |  FROM src, b WHERE x >= lo AND x <= hi GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.grp, CAST(r.range AS INTEGER) AS bin_id
+        |  FROM (SELECT DISTINCT event_type AS grp FROM events WHERE event_type IS NOT NULL) g
+        |  CROSS JOIN range(10) r)
+        |SELECT s.grp AS event_type, s.bin_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id
+        |ORDER BY s.grp, s.bin_id""".stripMargin,
+
+    "dedup_exact_documents" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+        |       count(*) - count(DISTINCT text) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_ngram_jaccard_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats_documents" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "top20_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "token_count_documents" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score_documents" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_chars,
+         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio,
+         |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio
+         |  FROM base)
+         |SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio, alpha_ratio,
+         |  (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |   + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |   + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |  AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "lang_id_documents" -> {
+      val langs = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val scoreDefs = langs.map { case (lg, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / greatest(len(toks), 1) AS s_$lg"
+      }.mkString(",\n    ")
+      val gr = langs.map { case (lg, _) => s"s_$lg" }.mkString("greatest(", ", ", ")")
+      val caseChain = langs.map { case (lg, _) => s"WHEN s_$lg = m THEN '$lg'" }.mkString(" ")
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |    $scoreDefs
+         |  FROM tt),
+         |mx AS (SELECT *, $gr AS m FROM sc)
+         |SELECT doc_id,
+         |       CASE WHEN m <= 0 THEN 'und' $caseChain END AS pred_lang,
+         |       m AS lang_score
+         |FROM mx ORDER BY doc_id""".stripMargin
+    },
+
+    "fingerprint_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(toks, tk -> 31 * length(tk) + ascii(tk)),
+         |                        (acc, c) -> (acc * 131 + c) % 1000000007) END AS fingerprint
+         |FROM tt ORDER BY doc_id""".stripMargin,
+
+    "events_hourly_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cosine_topk_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+         |FROM e a JOIN e b ON a.id < b.id
+         |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
+
+    "ann_brute_topk_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nid,
+         |         round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.id <> c.id WHERE q.id < 10),
+         |r AS (SELECT qid, nid, sim,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "mm_features_documents" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width,
+        |       CAST(64 + (octet_length(encode(text)) // 7) % 336 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings:
+    // intentionally oracle-less (seeded-hash / approximate semantics; the
+    // driver records a rows-only check) — verified by ScalaTest properties
+    // against exact implementations instead.
+  )
 }

@@ -1,0 +1,263 @@
+package graft.dist
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bin specification: either a bin count (edges derived from data min/max or
+  * an explicit range) or an explicit, validated boundary list.
+  *
+  * Semantics reproduce PySpark's `RDD.histogram`
+  * (pyspark/core/rdd.py:2214-2366), which is the engine the reference library
+  * (Bergvca/pyspark_dist_explore, pyspark_dist_explore.py ~L100-160) delegates
+  * all bucketing math to. See SURVEY.md §2.3 for the line-exact rule table.
+  */
+sealed trait Bins
+object Bins {
+  /** n equal-width bins over [min, max] (or an explicit range). */
+  final case class Count(n: Int) extends Bins { require(n >= 1, "bins must be >= 1") }
+  /** Explicit boundaries: n+1 edges for n bins. Validated per rdd.py:2315-2326. */
+  final case class Edges(edges: Seq[Double]) extends Bins
+}
+
+/** Distributed histogram core.
+  *
+  * Design (SURVEY.md §3/§4): everything stays in the DataFrame world — the
+  * scan is vectorized parquet, the null/range filter and the bin expression
+  * are codegen'd `Column`s, counting is one `groupBy(bin_id).count()` (hash
+  * aggregate, partial+final, shuffle of at most n_bins × n_series rows), and
+  * the dense-bin fill is a broadcast join against a tiny spine. Two Spark
+  * jobs total regardless of series count: one combined min/max agg, one
+  * counting job. This shape is scale-invariant: at 100 TB the scan dominates
+  * and both passes are embarrassingly parallel with O(n_bins) shuffle.
+  */
+object Binning {
+
+  /** Output schema of every histogram: (bin_id INT, bin_lo DOUBLE,
+    * bin_hi DOUBLE, cnt BIGINT), dense (zero-count bins present), sorted. */
+  val schemaDoc: String = "(bin_id INT, bin_lo DOUBLE, bin_hi DOUBLE, cnt BIGINT)"
+
+  /** Equal-width edges: `[i*inc + lo for i in 0 until n] :+ hi` — the last
+    * edge is the exact max, absorbing float error (rdd.py:2311-2312). The
+    * integer-width nicety (rdd.py:2306-2309) is automatic in IEEE doubles:
+    * when (hi-lo) is an integer divisible by n, (hi-lo)/n is exact. */
+  def equalWidthEdges(lo: Double, hi: Double, n: Int): Vector[Double] = {
+    require(n >= 1, "bins must be >= 1")
+    require(!lo.isNaN && !hi.isNaN && lo <= hi, s"invalid range [$lo, $hi]")
+    if (lo == hi || n == 1) Vector(lo, hi)
+    else {
+      val inc = (hi - lo) / n
+      (0 until n).map(i => i * inc + lo).toVector :+ hi
+    }
+  }
+
+  /** Boundary validation per rdd.py:2315-2326: at least 2 edges, strictly
+    * increasing (sorted, no duplicates), no NaN. */
+  def validateEdges(edges: Seq[Double]): Unit = {
+    require(edges.size >= 2, "buckets should have more than one value")
+    require(!edges.exists(_.isNaN), "can not have NaN in buckets")
+    require(edges.sliding(2).forall(p => p(0) < p(1)),
+      "buckets should be sorted and should not contain duplicated values")
+  }
+
+  /** Even-width detection tolerance per rdd.py:2340-2342. */
+  def isEvenWidth(edges: Seq[Double]): Boolean = {
+    val steps = edges.sliding(2).map(p => p(1) - p(0)).toVector
+    steps.max - steps.min < 1e-10
+  }
+
+  /** Bin-id expression for a value column against fixed edges.
+    *
+    * Even widths (rdd.py:2352-2354 fast path):
+    *   `least(floor((x - lo) / step), n-1)` — the `least` clamp folds the
+    *   overflow slot for x == max into the last bucket, reproducing the
+    *   closed last bucket `[e_{n-1}, e_n]` (rdd.py:2218-2222, 2358-2360).
+    * Uneven widths (rdd.py:2355-2356 bisect path):
+    *   `bisect_right(edges, x) - 1` as a CASE chain, ELSE = last bucket.
+    * Caller must already have filtered to non-null, non-NaN, in-range values
+    * (rdd.py:2350-2351: out-of-range and null/NaN are silently dropped).
+    */
+  def binId(x: Column, edges: Seq[Double]): Column = {
+    val n = edges.size - 1
+    if (n == 1) lit(0)
+    else if (isEvenWidth(edges)) {
+      val lo = edges.head
+      val step = (edges.last - edges.head) / n
+      least(floor((x - lit(lo)) / lit(step)), lit(n - 1)).cast("int")
+    } else {
+      var c = when(x < edges(1), 0)
+      for (i <- 2 until n) c = c.when(x < edges(i), i - 1)
+      c.otherwise(n - 1).cast("int")
+    }
+  }
+
+  /** Null/NaN/range filter (rdd.py:2275-2282, 2350-2351). */
+  private def cleaned(df: DataFrame, colName: String): DataFrame =
+    df.select(col(colName).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")))
+
+  /** bin_lo / bin_hi expressions for even-width bins, written so the exact
+    * same arithmetic is expressible in the DuckDB oracle (bit-identical
+    * doubles): lo_i = i*step + lo; hi_i = hi for the last bin else
+    * (i+1)*step + lo. */
+  private def evenEdgeCols(binId: Column, lo: Double, hi: Double, n: Int): (Column, Column) = {
+    val step = (hi - lo) / n
+    val binLo = binId * lit(step) + lit(lo)
+    val binHi = when(binId === lit(n - 1), lit(hi)).otherwise((binId + lit(1)) * lit(step) + lit(lo))
+    (binLo.as("bin_lo"), binHi.as("bin_hi"))
+  }
+
+  /** Dense spine of bin ids 0..n-1 (tiny; the post-agg join against it is a
+    * broadcast over at most n rows — never a scale concern). */
+  private def spine(df: DataFrame, n: Int): DataFrame =
+    df.sparkSession.range(n).select(col("id").cast("int").as("bin_id"))
+
+  /** Histogram of one numeric column. Returns a dense, sorted DataFrame
+    * `(bin_id, bin_lo, bin_hi, cnt)`.
+    *
+    * `range` overrides the data-derived min/max (reference `range=` kwarg);
+    * explicit `Bins.Edges` ignores `range` (edges win). Degenerate min==max
+    * (or n==1) yields the single closed bucket `[v, v]` (rdd.py:2295-2296).
+    * Empty input with derived range raises (rdd.py:2290-2292).
+    */
+  def histogram(df: DataFrame, colName: String, bins: Bins = Bins.Count(10),
+                range: Option[(Double, Double)] = None): DataFrame = {
+    val clean = cleaned(df, colName)
+    bins match {
+      case Bins.Edges(es) =>
+        validateEdges(es)
+        histogramWithEdges(clean, es.toVector)
+      case Bins.Count(n) =>
+        val (lo, hi) = range.getOrElse(minMaxOf(clean))
+        require(lo <= hi, s"invalid range [$lo, $hi]")
+        if (lo == hi || n == 1) singleBucket(clean, lo, hi)
+        else evenHistogram(clean, lo, hi, n)
+    }
+  }
+
+  /** One combined min/max job (SURVEY.md §3 design target: the reference ran
+    * 2 collect jobs per series; we run 1 total). */
+  private[dist] def minMaxOf(clean: DataFrame): (Double, Double) = {
+    val r = clean.agg(min("x"), max("x")).head()
+    if (r.isNullAt(0))
+      throw new IllegalArgumentException("can not generate buckets from empty RDD") // rdd.py:2290-2292
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  private def evenHistogram(clean: DataFrame, lo: Double, hi: Double, n: Int): DataFrame = {
+    val inRange = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
+    val counts = inRange
+      .groupBy(binId(col("x"), equalWidthEdges(lo, hi, n)).as("bin_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val (binLo, binHi) = evenEdgeCols(col("bin_id"), lo, hi, n)
+    spine(clean, n).join(counts, Seq("bin_id"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(col("bin_id"), binLo, binHi, col("cnt"))
+      .orderBy("bin_id")
+  }
+
+  private def histogramWithEdges(clean: DataFrame, es: Vector[Double]): DataFrame = {
+    val n = es.size - 1
+    val inRange = clean.where(col("x") >= lit(es.head) && col("x") <= lit(es.last))
+    val counts = inRange
+      .groupBy(binId(col("x"), es).as("bin_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val loArr = typedLit(es.dropRight(1))
+    val hiArr = typedLit(es.drop(1))
+    spine(clean, n).join(counts, Seq("bin_id"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(col("bin_id"),
+        element_at(loArr, col("bin_id") + 1).as("bin_lo"),
+        element_at(hiArr, col("bin_id") + 1).as("bin_hi"),
+        col("cnt"))
+      .orderBy("bin_id")
+  }
+
+  /** Degenerate single bucket [lo, hi] counting all in-range values
+    * (rdd.py:2295-2296). */
+  private def singleBucket(clean: DataFrame, lo: Double, hi: Double): DataFrame =
+    clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(0).cast("int").as("bin_id"), lit(lo).as("bin_lo"), lit(hi).as("bin_hi"), col("cnt"))
+
+  /** Multi-series histogram with a SHARED range across all series — the
+    * reference's only cross-series interaction (global min of mins / max of
+    * maxes unless `range=` given; pyspark_dist_explore.py ~L100-118).
+    *
+    * One tagged union → one min/max agg job → one counting job with
+    * `pivot(series)` (explicit value list for deterministic column order).
+    * Output: (bin_id, bin_lo, bin_hi, <label>_cnt ...), dense, sorted.
+    */
+  def histogramMany(series: Seq[(DataFrame, String, String)], n: Int = 10,
+                    range: Option[(Double, Double)] = None): DataFrame = {
+    require(series.nonEmpty, "at least one series required")
+    val labels = dedupeLabels(series.map(_._3))
+    val tagged = series.zip(labels).map { case ((df, c, _), lbl) =>
+      df.select(col(c).cast("double").as("x"), lit(lbl).as("series"))
+    }.reduce(_ unionByName _)
+    val clean = tagged.where(col("x").isNotNull && !isnan(col("x")))
+    val (lo, hi) = range.getOrElse(minMaxOf(clean))
+    val es = equalWidthEdges(lo, hi, n)
+    val nb = es.size - 1
+    val inRange = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
+    val counts = inRange
+      .groupBy(binId(col("x"), es).as("bin_id"))
+      .pivot("series", labels)
+      .count()
+    val cntCols = labels.map(l => coalesce(col(s"`$l`"), lit(0L)).as(s"${l}_cnt"))
+    val (binLo, binHi) = evenEdgeCols(col("bin_id"), lo, hi, nb)
+    spine(clean, nb).join(counts, Seq("bin_id"), "left")
+      .select(Seq(col("bin_id"), binLo, binHi) ++ cntCols: _*)
+      .orderBy("bin_id")
+  }
+
+  /** Duplicate series names get " (k)" suffixes, mirroring the reference's
+    * add_column de-dupe (pyspark_dist_explore.py ~L80-90). */
+  private[dist] def dedupeLabels(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { nm =>
+      val k = seen.getOrElse(nm, 0)
+      seen(nm) = k + 1
+      if (k == 0) nm else s"$nm ($k)"
+    }
+  }
+
+  /** Grouped histogram: shared global range over the whole column, counts per
+    * (group, bin). Dense over distinct-groups × bins. */
+  def histogramByGroup(df: DataFrame, valueCol: String, groupCol: String, n: Int = 10,
+                       range: Option[(Double, Double)] = None): DataFrame = {
+    val clean = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")))
+    val (lo, hi) = range.getOrElse(minMaxOf(clean))
+    val es = equalWidthEdges(lo, hi, n)
+    val nb = es.size - 1
+    val counts = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
+      .groupBy(col("grp"), binId(col("x"), es).as("bin_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val grpSpine = df.select(col(groupCol).as("grp")).where(col("grp").isNotNull).distinct()
+      .crossJoin(spine(df, nb))
+    grpSpine.join(counts, Seq("grp", "bin_id"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumnRenamed("grp", groupCol)
+      .orderBy(groupCol, "bin_id")
+  }
+
+  /** `to_pandas(kind='hist')` label: `"%.2f - %.2f"` over the bin edges
+    * (pyspark_dist_explore.py ~L210). Input: any histogram result. */
+  def withLabels(hist: DataFrame): DataFrame =
+    hist.withColumn("bin_label", format_string("%.2f - %.2f", col("bin_lo"), col("bin_hi")))
+
+  /** `to_pandas(kind='density')` points: bin centers = (e_i + e_{i+1}) / 2
+    * (pyspark_dist_explore.py ~L200-230). */
+  def densityPoints(hist: DataFrame): DataFrame =
+    hist.select(col("bin_id"), ((col("bin_lo") + col("bin_hi")) / 2).as("bin_center"), col("cnt"))
+      .orderBy("bin_id")
+
+  /** One-job min/max over several columns of one frame (combined agg) —
+    * the reference ran 2 collect jobs PER series (SURVEY.md §3 step 2). */
+  def minMax(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}_min"),
+      max(col(c).cast("double")).as(s"${c}_max")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.dist
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stateful multi-series histogram builder — the Scala equivalent of the
+  * reference's `Histogram` class (pyspark_dist_explore.py ~L55-320):
+  * accumulate series, resolve one shared range, materialize once.
+  *
+  * API mapping (reference → here):
+  *   - `Histogram(x, bins, range)`    → `new Histogram(bins, range).addData(...)`
+  *   - `add_data` / `add_column`      → `addData` / `addColumn` (multi-column
+  *     frames split into one series per column, ~L60-92)
+  *   - `build()` (idempotent, ~L95)   → `build()` (cached)
+  *   - `to_pandas('hist')`            → `toHistDF` (wide counts + labels)
+  *   - `to_pandas('density')`         → `toDensityDF` (bin centers × counts)
+  *   - `plot_hist` / `plot_density`   → out of engine scope (matplotlib
+  *     presentation; the contract ends at the DataFrame — SURVEY.md §1)
+  *
+  * The free functions `hist` / `distplot` / `pandasHistogram` in
+  * [[DistExplore]] mirror the reference's module-level entry points.
+  */
+class Histogram(bins: Bins = Bins.Count(10), range: Option[(Double, Double)] = None) {
+  private val series = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, String, String)]
+  private var built: Option[DataFrame] = None
+
+  /** Register every column of `df` as a series (reference add_data). */
+  def addData(df: DataFrame): this.type = {
+    df.columns.foreach(c => addColumn(df, c))
+    this
+  }
+
+  def addData(dfs: Seq[DataFrame]): this.type = { dfs.foreach(addData); this }
+
+  /** Register one column as a series (reference add_column); duplicate names
+    * are de-duplicated with " (k)" suffixes at build time. */
+  def addColumn(df: DataFrame, colName: String): this.type = {
+    require(df.columns.contains(colName), s"no column $colName")
+    series += ((df, colName, colName))
+    built = None
+    this
+  }
+
+  def addColumn(df: DataFrame, colName: String, label: String): this.type = {
+    series += ((df, colName, label))
+    built = None
+    this
+  }
+
+  /** Idempotent materialization (reference build(), ~L95-120). */
+  def build(): DataFrame = built.getOrElse {
+    val b = bins match {
+      case Bins.Count(n) => Binning.histogramMany(series.toSeq, n, range)
+      case Bins.Edges(es) =>
+        // Explicit edges bypass the min/max jobs entirely (~L104); per-series
+        // counts are still one union + one counting job.
+        Binning.validateEdges(es)
+        val labels = Binning.dedupeLabels(series.map(_._3).toSeq)
+        val tagged = series.toSeq.zip(labels).map { case ((df, c, _), lbl) =>
+          df.select(col(c).cast("double").as("x"), lit(lbl).as("series"))
+        }.reduce(_ unionByName _)
+        val clean = tagged.where(col("x").isNotNull && !isnan(col("x")) &&
+          col("x") >= lit(es.head) && col("x") <= lit(es.last))
+        val counts = clean
+          .groupBy(Binning.binId(col("x"), es).as("bin_id"))
+          .pivot("series", labels)
+          .count()
+        val esV = es.toVector
+        val spine = series.head._1.sparkSession.range(es.size - 1)
+          .select(col("id").cast("int").as("bin_id"))
+        val cntCols = labels.map(l => coalesce(col(s"`$l`"), lit(0L)).as(s"${l}_cnt"))
+        spine.join(counts, Seq("bin_id"), "left")
+          .select(Seq(col("bin_id"),
+            element_at(typedLit(esV.dropRight(1)), col("bin_id") + 1).as("bin_lo"),
+            element_at(typedLit(esV.drop(1)), col("bin_id") + 1).as("bin_hi")) ++ cntCols: _*)
+          .orderBy("bin_id")
+    }
+    built = Some(b)
+    b
+  }
+
+  /** Wide histogram table with formatted bin labels (to_pandas('hist')). */
+  def toHistDF: DataFrame = {
+    val b = build()
+    b.withColumn("bin_label", format_string("%.2f - %.2f", col("bin_lo"), col("bin_hi")))
+  }
+
+  /** Density table: bin centers × per-series counts (to_pandas('density')). */
+  def toDensityDF: DataFrame = {
+    val b = build()
+    val cnts = b.columns.filter(_.endsWith("_cnt")).map(col)
+    b.select(Seq(col("bin_id"), ((col("bin_lo") + col("bin_hi")) / 2).as("bin_center")) ++ cnts: _*)
+  }
+}
+
+/** Module-level entry points mirroring the reference's public functions
+  * (`hist`, `distplot`, `pandas_histogram` — pyspark_dist_explore.py
+  * ~L15-52). Each returns a DataFrame (the engine contract); the reference's
+  * matplotlib rendering is presentation-layer and intentionally absent. */
+object DistExplore {
+  /** reference `pandas_histogram(x, bins, range)` — wide labeled counts. */
+  def pandasHistogram(dfs: Seq[DataFrame], bins: Bins = Bins.Count(10),
+                      range: Option[(Double, Double)] = None): DataFrame =
+    new Histogram(bins, range).addData(dfs).toHistDF
+
+  /** reference `hist(ax, x, **kw)` minus the Axes — aligned histogram table. */
+  def hist(dfs: Seq[DataFrame], bins: Bins = Bins.Count(10),
+           range: Option[(Double, Double)] = None): DataFrame =
+    new Histogram(bins, range).addData(dfs).build()
+
+  /** reference `distplot(ax, x, **kw)` minus the Axes — density points. */
+  def distplot(dfs: Seq[DataFrame], bins: Bins = Bins.Count(10),
+               range: Option[(Double, Double)] = None): DataFrame =
+    new Histogram(bins, range).addData(dfs).toDensityDF
+}

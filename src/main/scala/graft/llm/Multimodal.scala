@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque bytes + typed metadata. The engine treats
+  * image/audio/video as `binary` columns; decode happens per-partition in
+  * executor code (the Scala analogue of `mapInPandas` batch UDFs). */
+case class MediaRecord(doc_id: Long, media: Array[Byte], kind: String)
+
+/** Extracted features. With real codec libraries, width/height/channels come
+  * from the decoded image header; here the decode step is STUBBED (see
+  * [[Multimodal.decodeStub]]) with a deterministic fake so the Spark-side
+  * plumbing — schema, partitioning, batch iteration — is real and testable. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                         channels: Int, byte_sum: Long)
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Pattern: keep media as opaque `BinaryType` columns next to typed metadata;
+  * never parse bytes in driver code; run decode/feature-extraction inside
+  * `mapPartitions` so each task streams its partition's records through the
+  * (native) decoder exactly once. Partitioning guidance at scale: media rows
+  * are large, so size `spark.sql.files.maxPartitionBytes` down (e.g. 64 MB)
+  * and avoid wide shuffles of the binary column — extract features first,
+  * drop the bytes, then shuffle the small feature rows.
+  */
+object Multimodal {
+
+  /** Attach a fake media column (UTF-8 bytes of the text) to a documents
+    * frame — the container has no real image/audio assets, so the bytes are
+    * a deterministic stand-in with real BinaryType schema. */
+  def withFakeMedia(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), encode(col(textCol), "UTF-8").as("media"), lit("image").as("kind"))
+
+  /** STUB decoder — a real deployment would call an image codec here
+    * (`??? -> javax.imageio / ffmpeg bindings`, absent in this container).
+    * The fake derives plausible dimensions deterministically from the byte
+    * length, and byte_sum actually reads every byte so the per-partition
+    * data path is exercised end-to-end. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.media.length
+    MediaFeatures(r.doc_id, n, 64 + n % 576, 64 + (n / 7) % 336, 3,
+      r.media.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+  }
+
+  /** Feature extraction as a per-partition batch pass (mapPartitions — the
+    * Scala analogue of mapInPandas: one iterator per partition, streaming,
+    * no per-row task overhead beyond the lambda). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** End-to-end: documents → fake media → per-partition decode → features. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(withFakeMedia(docs).as[MediaRecord])
+  }
+}

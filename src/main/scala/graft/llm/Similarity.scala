@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Three tiers, in increasing scale:
+  *   1. [[cosineTopK]] — exact all-pairs top-k. O(n²) pair space; correctness
+  *      baseline and the verifier for the approximate tiers.
+  *   2. [[annBruteTopK]] — exact per-query top-k via a windowed rank over the
+  *      pair scores (still brute-force, but embarrassingly parallel and the
+  *      right shape when the query set is small).
+  *   3. [[lshAnnTopK]] — random-hyperplane LSH bucketing: vectors only meet
+  *      inside matching sign-buckets, turning O(n²) into per-bucket joins.
+  *      Approximate; recall is property-tested against tier 1. At 100 TB this
+  *      (or IVF with learned centroids) is the only viable shape, with
+  *      multi-probe to recover recall.
+  *
+  * All dot products run as `aggregate`/`zip_with` HOF expressions in doubles
+  * (float→double widening is exact, and float×float in double is exact), with
+  * a deterministic left-to-right fold — bit-reproducible across runs and
+  * engines, which the oracle comparison relies on.
+  */
+object Similarity {
+
+  /** Deterministic left-fold dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (same fold discipline). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity rounded to 9 dp. Rounding makes cross-engine
+    * comparison robust to sub-ulp differences while keeping 9 significant
+    * decimals of ranking resolution. */
+  def cosine9(dotCol: Column, normA: Column, normB: Column): Column =
+    round(dotCol / (normA * normB), 9)
+
+  /** Exact top-k most-similar pairs (id_a < id_b) by cosine.
+    * Norms are computed once per vector BEFORE the pair join (n, not n²,
+    * norm evaluations). The join is a broadcast nested-loop at small n; the
+    * final top-k is a TakeOrdered, not a full sort. */
+  def cosineTopK(emb: DataFrame, k: Int = 10,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = e.toDF("id_a", "va", "na")
+    val b = e.toDF("id_b", "vb", "nb")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Exact per-query top-k neighbors for a set of query ids: rank all
+    * candidates per query with a window, keep rank <= k. Deterministic
+    * ordering: (sim desc, neighbor id asc). */
+  def annBruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val q = e.where(col("id").isInCollection(queryIds)).toDF("qid", "qv", "qn")
+    val cand = e.toDF("nid", "nv", "nn")
+    val scored = q.join(cand, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nBits` × `dim` matrix with
+    * entries in {-1, +1} derived from a seeded generator. Sign-bit buckets
+    * from ±1 planes are the classic SRP-LSH (Charikar '02). */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Bucket id: sign bits of `nBits` random-hyperplane projections. */
+  def srpBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(zip_with(vec, typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Approximate per-query top-k: candidates restricted to the query's SRP
+    * bucket (plus all 1-bit-flip neighbor buckets — multiprobe — to recover
+    * recall), then exact cosine within candidates.
+    *
+    * Scale shape: bucketing is map-only; the candidate join shuffles on
+    * bucket id, so total work is Σ_bucket |Q_b|·|C_b| instead of |Q|·|C|. */
+  def lshAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5, nBits: Int = 8,
+                 dim: Int = 64, seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), srpBucket(col(vecCol), nBits, dim, seed).as("bkt"))
+    // multiprobe: each query probes its own bucket and every 1-bit flip
+    val probes = explode(array(
+      col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
+    val q = e.where(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), probes.as("bkt"))
+    val cand = e.toDF("nid", "nv", "nn", "bkt")
+    val scored = q.join(cand, Seq("bkt")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * statistics, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All operators are pure `Column` expression trees (whole-stage codegen, no
+  * UDFs) so they vectorize over the parquet scan and scale linearly: no
+  * shuffle except the final aggregation where one exists, and every
+  * aggregation is partial+final (map-side combine). At 100 TB the scan
+  * dominates; nothing here adds a second pass over the data.
+  */
+object TextAnalysis {
+
+  /** Tokenization used across the engine: lowercase, split on runs of
+    * non-alphabetic characters, drop empties. Deliberately regex-minimal so
+    * the DuckDB oracle (`regexp_split_to_array`) has identical semantics. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
+
+  /** Top-k tokens by frequency, ties broken by token ascending.
+    * Scale: explode + groupBy(token) hash-agg with map-side combine; the
+    * token key space is bounded by vocabulary, so the shuffle is tiny
+    * relative to the scan. Top-k is a TakeOrdered (no global sort). */
+  def topTokens(docs: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-language corpus stats: doc count, mean char length, distinct
+    * sources. The mean is computed as exact integer sum ÷ count (one double
+    * division at the end) so the result is bit-deterministic under any
+    * partitioning — double summation would be order-sensitive. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+      count_distinct(col("source")).as("n_sources")
+    ).orderBy("lang")
+
+  /** Per-document token counts: whitespace tokens plus a BPE-ish sub-token
+    * count (alpha runs, digit runs, and isolated symbols counted separately —
+    * a cheap proxy for byte-pair-encoded token counts). Pure expressions. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col(textCol))).cast("bigint").as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).cast("bigint").as("n_distinct_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)")).cast("bigint").as("n_bpeish_tokens")
+    ).orderBy("doc_id")
+
+  /** Common English stopwords that appear in the synthetic corpus; used for
+    * stopword-ratio quality signals. */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** Per-document quality signals: char/token counts, mean token length,
+    * stopword ratio, alpha ratio, plus a composite [0,1] score. All
+    * arithmetic is per-row (no aggregation) so results are bit-deterministic
+    * and the whole thing is one codegen stage over the scan. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("bigint")
+    val nChars = length(col(textCol)).cast("bigint")
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-z]", "")).cast("bigint")
+    val sw = typedLit(stopwords)
+    val nStop = size(filter(t, tk => array_contains(sw, tk))).cast("bigint")
+    // greatest(..., 1) denominators keep empty docs total (score 0, no NaN)
+    val meanTokLen = nAlpha.cast("double") / greatest(nTok, lit(1L))
+    val stopRatio = nStop.cast("double") / greatest(nTok, lit(1L))
+    val alphaRatio = nAlpha.cast("double") / greatest(nChars, lit(1L))
+    // Composite: reward in-range token counts and healthy stopword presence.
+    val score =
+      when(nTok >= 5 && nTok <= 1000, lit(0.4)).otherwise(lit(0.0)) +
+      when(meanTokLen >= 2.0 && meanTokLen <= 12.0, lit(0.3)).otherwise(lit(0.0)) +
+      when(stopRatio >= 0.01 && stopRatio <= 0.6, lit(0.3)).otherwise(lit(0.0))
+    docs.select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
+      meanTokLen.as("mean_token_len"), stopRatio.as("stopword_ratio"),
+      alphaRatio.as("alpha_ratio"), score.as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Tiny per-language marker lexicons for the language-ID heuristic. The
+    * real-world version would use character n-gram profiles; the heuristic
+    * shape (per-language evidence scores → argmax) is the same. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he")
+  )
+
+  /** Heuristic language ID: per-language marker-token hit ratio → argmax
+    * (ties broken by language code ascending, 'und' when no evidence).
+    * One pass, pure expressions; scales as a map-only stage. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nLangs = langMarkers.size
+    // argmax via descending sort of (score, tie, lang) structs; `tie` encodes
+    // the INVERSE alphabetical index, so equal scores resolve to the
+    // alphabetically-first language (matching the oracle's asc CASE chain).
+    val scored = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map { case ((lg, markers), idx) =>
+      val m = typedLit(markers)
+      val score = size(filter(t, tk => array_contains(m, tk))).cast("double") /
+        greatest(size(t), lit(1))
+      struct(score.as("score"), lit(nLangs - 1 - idx).as("tie"), lit(lg).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    docs.select(col("doc_id"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
+      best.getField("score").as("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash over the
+    * token stream, `acc = (acc*131 + 31*len(tok) + ascii(tok[0])) mod 1e9+7`.
+    * Pure integer arithmetic (no overflow: acc < 2^30, *131 + 2^14 < 2^38),
+    * sequential left fold — reproducible in any engine, used for cheap
+    * exact-dup detection and content addressing. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val code = (tk: Column) => lit(31L) * length(tk) + ascii(tk)
+    val fp = aggregate(tokens(col(textCol)), lit(0L),
+      (acc, tk) => pmod(acc * lit(131L) + code(tk), lit(1000000007L)))
+    docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+  }
+}
