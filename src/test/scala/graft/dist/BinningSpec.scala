@@ -1,0 +1,128 @@
+package graft.dist
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit matrix for SURVEY.md §2.3 — one case per verified rdd.py rule.
+  * The range51 cases are the RDD.histogram doctest values (rdd.py:2257-2268),
+  * the de-facto executable spec. */
+class BinningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def range51 = (0 to 50).map(_.toDouble).toDF("v")
+
+  private def counts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.orderBy("bin_id").select("cnt").as[Long].collect().toSeq
+
+  test("rdd.py doctest: 0..50 with 2 equal-width bins -> [25, 26]") {
+    val h = Binning.histogram(range51, "v", Bins.Count(2))
+    assert(counts(h) == Seq(25L, 26L))
+    val edges = h.select("bin_lo", "bin_hi").as[(Double, Double)].collect()
+    assert(edges.toSeq == Seq((0.0, 25.0), (25.0, 50.0)))
+  }
+
+  test("rdd.py doctest: 0..50 with explicit [0,5,25,50] -> [5,20,26]") {
+    val h = Binning.histogram(range51, "v", Bins.Edges(Seq(0, 5, 25, 50)))
+    assert(counts(h) == Seq(5L, 20L, 26L))
+  }
+
+  test("closed last bucket: x == max lands in the last bin") {
+    val df = Seq(0.0, 10.0).toDF("v")
+    val h = Binning.histogram(df, "v", Bins.Count(5))
+    assert(counts(h) == Seq(1L, 0L, 0L, 0L, 1L))
+  }
+
+  test("null and NaN silently dropped") {
+    val df = Seq[java.lang.Double](1.0, null, Double.NaN, 2.0, null, 3.0).toDF("v")
+    val h = Binning.histogram(df, "v", Bins.Count(2))
+    assert(counts(h).sum == 3L)
+  }
+
+  test("out-of-range values silently dropped; range bounds inclusive") {
+    val df = Seq(-5.0, 0.0, 2.5, 5.0, 7.5).toDF("v")
+    val h = Binning.histogram(df, "v", Bins.Count(2), range = Some((0.0, 5.0)))
+    // -5 and 7.5 dropped; 0 -> bin0, 2.5 -> bin1 boundary [2.5,5], 5 -> closed last
+    assert(counts(h) == Seq(1L, 2L))
+  }
+
+  test("degenerate min == max: single bucket [v, v] counting all rows") {
+    val df = Seq.fill(7)(42.0).toDF("v")
+    val h = Binning.histogram(df, "v", Bins.Count(10))
+    val rows = h.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getInt(0) == 0 && rows(0).getDouble(1) == 42.0 &&
+      rows(0).getDouble(2) == 42.0 && rows(0).getLong(3) == 7L)
+  }
+
+  test("integer-width nicety: edges stay integral when divisible") {
+    assert(Binning.equalWidthEdges(0, 100, 4) == Vector(0.0, 25.0, 50.0, 75.0, 100.0))
+  }
+
+  test("uneven boundaries use bisect semantics incl. boundary-equal values") {
+    val df = Seq(1.0, 2.0, 4.9, 5.0, 10.0, 24.9, 25.0, 49.0, 49.5, 50.0).toDF("v")
+    val h = Binning.histogram(df, "v", Bins.Edges(Seq(1, 2, 5, 10, 25, 49, 50)))
+    // [1,2): {1}; [2,5): {2,4.9}; [5,10): {5}; [10,25): {10,24.9}; [25,49): {25}; [49,50]: {49,49.5,50}
+    assert(counts(h) == Seq(1L, 2L, 1L, 2L, 1L, 3L))
+  }
+
+  test("edge validation: unsorted, duplicated, NaN, too-short all rejected") {
+    intercept[IllegalArgumentException](Binning.validateEdges(Seq(1.0)))
+    intercept[IllegalArgumentException](Binning.validateEdges(Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](Binning.validateEdges(Seq(1.0, 1.0, 2.0)))
+    intercept[IllegalArgumentException](Binning.validateEdges(Seq(1.0, Double.NaN)))
+  }
+
+  test("empty input with derived range raises (rdd.py:2290-2292)") {
+    val df = Seq.empty[Double].toDF("v")
+    intercept[IllegalArgumentException](Binning.histogram(df, "v", Bins.Count(3)).collect())
+  }
+
+  test("empty input with explicit edges yields dense zeros") {
+    val df = Seq.empty[Double].toDF("v")
+    val h = Binning.histogram(df, "v", Bins.Edges(Seq(0, 1, 2)))
+    assert(counts(h) == Seq(0L, 0L))
+  }
+
+  test("multi-series shared range + deterministic pivot columns") {
+    val a = Seq(0.0, 1.0, 2.0).toDF("x") // min 0
+    val b = Seq(8.0, 9.0, 10.0).toDF("y") // max 10
+    val h = Binning.histogramMany(Seq((a, "x", "a"), (b, "y", "b")), n = 5)
+    assert(h.columns.toSeq == Seq("bin_id", "bin_lo", "bin_hi", "a_cnt", "b_cnt"))
+    val rows = h.orderBy("bin_id").select("a_cnt", "b_cnt").as[(Long, Long)].collect().toSeq
+    // shared range [0,10], width 2: a -> bins 0,0,1 ; b -> bins 4,4,4(closed)
+    assert(rows == Seq((2L, 0L), (1L, 0L), (0L, 0L), (0L, 0L), (0L, 3L)))
+  }
+
+  test("duplicate series names get ' (k)' suffixes") {
+    assert(Binning.dedupeLabels(Seq("v", "v", "w", "v")) == Seq("v", "v (1)", "w", "v (2)"))
+  }
+
+  test("grouped histogram is dense per group with shared range") {
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 5.0)).toDF("g", "v")
+    val h = Binning.histogramByGroup(df, "v", "g", n = 2)
+    val rows = h.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // shared range [0,10], width 5: 5.0 -> floor(5/5) = bin 1 (rdd.py division path)
+    assert(rows == Seq(("a", 0, 1L), ("a", 1, 1L), ("b", 0, 0L), ("b", 1, 1L)))
+  }
+
+  test("labels format %.2f - %.2f") {
+    val df = Seq(0.0, 10.0).toDF("v")
+    val h = Binning.withLabels(Binning.histogram(df, "v", Bins.Count(2)))
+    val labels = h.orderBy("bin_id").select("bin_label").as[String].collect().toSeq
+    assert(labels == Seq("0.00 - 5.00", "5.00 - 10.00"))
+  }
+
+  test("density points are bin centers") {
+    val df = Seq(0.0, 10.0).toDF("v")
+    val d = Binning.densityPoints(Binning.histogram(df, "v", Bins.Count(2)))
+    val centers = d.orderBy("bin_id").select("bin_center").as[Double].collect().toSeq
+    assert(centers == Seq(2.5, 7.5))
+  }
+
+  test("minMax emits one row of per-column min/max") {
+    val df = Seq((1.0, 10.0), (3.0, 5.0)).toDF("p", "q")
+    val r = Binning.minMax(df, Seq("p", "q")).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 3.0 &&
+      r.getDouble(2) == 5.0 && r.getDouble(3) == 10.0)
+  }
+}

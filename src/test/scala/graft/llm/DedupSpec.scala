@@ -1,0 +1,80 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docsMini (FIXTURES.md §B): 2 exact dups (1&2), 1 near-dup pair (0&3)
+  private def docsMini = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (1L, "pack my box with five dozen liquor jugs", "s1"),
+    (2L, "pack my box with five dozen liquor jugs", "s2"),
+    (3L, "the quick brown fox jumps over the lazy cat", "s2"),
+    (4L, "completely different text about spark engines", "s1"),
+    (5L, "short", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactStats counts duplicates per source") {
+    val r = Dedup.exactStats(docsMini).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(r == Seq(("s1", 3L, 3L, 0L), ("s2", 3L, 3L, 0L)))
+  }
+
+  test("dropExactDups keeps min doc_id per text group") {
+    val kept = Dedup.dropExactDups(docsMini).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 3L, 4L, 5L)) // doc 2 dropped (dup of 1)
+  }
+
+  test("shingles: distinct 3-gram windows; short docs yield empty set") {
+    val sh = docsMini.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(sh(0)._2.contains("the quick brown") && sh(0)._2.contains("the lazy dog"))
+    assert(sh(0)._2.size == 7) // 9 tokens -> 7 windows, all distinct
+    assert(sh(5)._2.isEmpty) // "short" has 1 token < w
+  }
+
+  test("ngramJaccardPairs finds the near-dup and exact-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docsMini, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 3L), (1L, 2L)))
+    val j03 = pairs.find(p => p._1 == 0L).get._3
+    assert(j03 == 6.0 / 8.0) // 7 shingles each, 6 shared
+    assert(pairs.find(p => p._1 == 1L).get._3 == 1.0) // exact dup
+  }
+
+  test("minHashNearDup recovers the same pairs as exact Jaccard (recall on planted dups)") {
+    val exact = Dedup.ngramJaccardPairs(docsMini, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minHashNearDup(docsMini, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == exact) // verification step makes precision exact; recall on these sims ~1
+  }
+
+  test("minHash signature is deterministic and length-k") {
+    val sig = docsMini.where($"doc_id" === 0)
+      .select(Dedup.minHashSignature(Dedup.shingles(col("text")), k = 16).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(sig.size == 16)
+    val sig2 = docsMini.where($"doc_id" === 0)
+      .select(Dedup.minHashSignature(Dedup.shingles(col("text")), k = 16).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(sig == sig2)
+  }
+
+  test("simHash: identical texts -> identical hash; near-dups -> small hamming") {
+    val sigs = docsMini.select($"doc_id", Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val hd03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    val hd04 = java.lang.Long.bitCount(sigs(0L) ^ sigs(4L))
+    assert(hd03 < hd04, s"near-dup hamming $hd03 should be < unrelated $hd04")
+  }
+
+  test("simHashNearDup finds exact dups at hamming 0") {
+    val pairs = Dedup.simHashNearDup(docsMini, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+}

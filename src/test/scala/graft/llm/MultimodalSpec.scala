@@ -1,0 +1,26 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary plumbing: text -> BinaryType media -> per-partition feature extraction") {
+    val docs = Seq((0L, "abc"), (1L, "yz")).toDF("doc_id", "text")
+    val media = Multimodal.withFakeMedia(docs)
+    assert(media.schema("media").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.documentFeatures(spark, docs).collect().sortBy(_.doc_id)
+    assert(feats(0) == MediaFeatures(0L, 3, 64 + 3, 64 + 0, 3, 'a'.toInt + 'b'.toInt + 'c'.toInt))
+    assert(feats(1) == MediaFeatures(1L, 2, 64 + 2, 64 + 0, 3, 'y'.toInt + 'z'.toInt))
+  }
+
+  test("feature extraction runs distributed (per-partition, not driver)") {
+    val docs = spark.range(100).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT)) AS text")
+      .repartition(8)
+    val feats = Multimodal.documentFeatures(spark, docs.toDF())
+    assert(feats.rdd.getNumPartitions == 8)
+    assert(feats.count() == 100)
+    val f50 = feats.filter(_.doc_id == 50L).collect()(0)
+    assert(f50.n_bytes == 50 && f50.byte_sum == 50L * 'x'.toInt)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // vecsMini (FIXTURES.md §B): parallel pair (0,1), orthogonal pair (0,2),
+  // anti-parallel (0,3), plus an in-between (4)
+  private def vecsMini = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Seq(1.0f, 1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: parallel = 1, orthogonal = 0, anti-parallel = -1") {
+    val top = Similarity.cosineTopK(vecsMini, k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(top((0L, 1L)) == 1.0)
+    assert(top((0L, 2L)) == 0.0)
+    assert(top((0L, 3L)) == -1.0)
+    assert(top((0L, 4L)) == math.rint(math.sqrt(0.5) * 1e9) / 1e9 ||
+      math.abs(top((0L, 4L)) - math.sqrt(0.5)) < 1e-9)
+  }
+
+  test("cosineTopK orders by sim desc then ids, respects k") {
+    val top = Similarity.cosineTopK(vecsMini, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top.head == ((0L, 1L))) // the parallel pair wins
+    assert(top.size == 3)
+  }
+
+  test("annBruteTopK ranks neighbors per query deterministically") {
+    val r = Similarity.annBruteTopK(vecsMini, queryIds = Seq(0L), k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 1, 1L), (0L, 2, 4L))) // 1.0 then 0.707
+  }
+
+  test("lshAnnTopK achieves high recall vs brute force on clustered vectors") {
+    // LSH preserves *high* similarity; plant 20 clusters of 5 near-identical
+    // vectors (the realistic near-dup-embedding shape) and check the true
+    // neighbors (same cluster, cosine ~0.99) survive the bucketing.
+    val rnd = new scala.util.Random(123)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 5L, 10L, 15L, 20L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshAnnTopK(vecs, qs, k = 4, nBits = 6, dim = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("dot/norm folds are deterministic left-to-right") {
+    val df = Seq((Seq(0.1f, 0.2f, 0.3f), Seq(0.4f, 0.5f, 0.6f))).toDF("a", "b")
+    val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].collect()(0)
+    val expected = ((0.0 + 0.1f.toDouble * 0.4f.toDouble) + 0.2f.toDouble * 0.5f.toDouble) + 0.3f.toDouble * 0.6f.toDouble
+    assert(d == expected)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "The quick brown fox and the lazy dog", "en", "s1", 37L),
+    (1L, "the the the spark spark engine", "en", "s1", 30L),
+    (2L, "der hund und die katze und der vogel", "de", "s2", 37L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tokens lowercases and splits on non-alpha runs") {
+    val t = Seq(Tuple1("Héllo, WORLD!! 42 foo_bar")).toDF("text")
+      .select(TextAnalysis.tokens(col("text"))).as[Seq[String]].collect()(0)
+    assert(t == Seq("h", "llo", "world", "foo", "bar")) // non-[a-z] splits, digits drop
+  }
+
+  test("topTokens counts with multiplicity, ties broken by token asc") {
+    val top = TextAnalysis.topTokens(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.head == (("the", 5L))) // 2 (doc0, lowercased "The"+"the") + 3 (doc1)
+    assert(top(1) == (("der", 2L))) // count-2 tie (der/spark/und) broken by token asc
+  }
+
+  test("textStats aggregates per lang with exact mean") {
+    val r = TextAnalysis.textStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(r == Seq(("de", 1L, 37.0, 1L), ("en", 2L, 33.5, 1L)))
+  }
+
+  test("tokenCounts: whitespace vs distinct vs bpe-ish") {
+    val r = TextAnalysis.tokenCounts(Seq((0L, "ab ab cd42 cd")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(r.getLong(1) == 4L) // ab ab cd cd
+    assert(r.getLong(2) == 2L) // ab cd
+    assert(r.getLong(3) == 5L) // ab ab cd 42 cd
+  }
+
+  test("qualityScore: healthy doc scores 1.0, degenerate doc lower") {
+    val r = TextAnalysis.qualityScore(Seq(
+      (0L, "the quick brown fox jumps over a lazy dog today"),
+      (1L, "zz")).toDF("doc_id", "text"))
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(r(0L) == 1.0)
+    assert(r(1L) < 0.5)
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    val r = TextAnalysis.langId(docs.unionByName(
+        Seq((3L, "xyz qrs tuv", "??", "s3", 11L)).toDF("doc_id", "text", "lang", "source", "n_chars")))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(r(0L) == "en")
+    assert(r(2L) == "de")
+    assert(r(3L) == "und")
+  }
+
+  test("fingerprint matches the hand-computed rolling hash and is order-sensitive") {
+    def fp(toks: Seq[String]): Long =
+      toks.foldLeft(0L)((acc, tk) => (acc * 131L + 31L * tk.length + tk.head.toInt) % 1000000007L)
+    val r = TextAnalysis.fingerprint(Seq(
+      (0L, "alpha beta gamma"), (1L, "beta alpha gamma")).toDF("doc_id", "text"))
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(r(0L) == fp(Seq("alpha", "beta", "gamma")))
+    assert(r(1L) == fp(Seq("beta", "alpha", "gamma")))
+    assert(r(0L) != r(1L))
+  }
+}
