@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Type-check helper: argument must be array<elementType>. */
+private[functions] object ArgCheck {
+  def arrayOf(e: Expression, et: DataType, who: String): TypeCheckResult = e.dataType match {
+    case ArrayType(t, _) if t == et => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$who expects array<${et.simpleString}>, got ${other.simpleString}")
+  }
+}
+
+/** Custom Catalyst expressions for the engine's numeric hot paths.
+  *
+  * These exist because the HOF formulation (`aggregate(zip_with(...))`)
+  * allocates an intermediate array per row-pair — fatal inside an O(n²)
+  * similarity join. Each expression below is a tight primitive loop with
+  * whole-stage codegen (`doGenCode`), no allocation, and an interpreted
+  * `nullSafeEval` fallback — the (b) tier of the custom-operator preference
+  * order (compose built-ins > custom Expression > custom plan > RDD).
+  */
+
+/** Dot product of two `array<float>` columns, accumulated in double with a
+  * deterministic left-to-right fold. float→double widening is exact and each
+  * float×float product is exactly representable in double, so results are
+  * bit-identical to the equivalent `aggregate(zip_with(...))` HOF chain (and
+  * to the DuckDB oracle's explicit fold). */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ArgCheck.arrayOf(left, FloatType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ArgCheck.arrayOf(right, FloatType, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over an `array<long>` of element hashes: for each of k
+  * seeded affine permutations h_i(x) = (a_i·(x mod P) + b_i) mod P over
+  * P = 2^31−1, the minimum across elements. Output `array<long>` of length k.
+  * One tight k×n loop, no per-permutation allocation. */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.arrayOf(child, LongType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private val P = 2147483647L // 2^31 - 1, prime
+  // deterministic permutation parameters (same derivation as Dedup.perms)
+  private lazy val (aArr, bArr) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(k)(1L + rnd.nextLong().abs % (P - 1)), Array.fill(k)(rnd.nextLong().abs % P))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var m = Long.MaxValue
+      val a = aArr(i); val b = bArr(i)
+      var j = 0
+      while (j < n) {
+        val base = {
+          val r = hs.getLong(j) % P
+          if (r < 0) r + P else r
+        }
+        val v = (a * base + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = if (n == 0) 0L else m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val base = ctx.freshName("base")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $sig = new long[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $base = $hs.getLong($j) % ${P}L;
+         |    if ($base < 0) $base += ${P}L;
+         |    long $v = ($aRef[$i] * $base + $bRef[$i]) % ${P}L;
+         |    if ($v < $m) $m = $v;
+         |  }
+         |  $sig[$i] = ($n == 0) ? 0L : $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** SimHash packing over an `array<long>` of element hashes: for each of the
+  * 64 bits, sum +1/−1 by that bit across elements; the sign vector packs
+  * into one long. Tight 64×n loop on a stack counter array. */
+case class SimHashPack(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.arrayOf(child, LongType, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_pack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
+      val j = ctx.freshName("j"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $hs.numElements();
+         |int[] $counts = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $hs.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] > 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPack =
+    copy(child = newChild)
+}
+
+/** Column-API facade for the custom expressions. */
+object functions {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  /** Σ a_i·b_i over two array<float> columns, double accumulator. */
+  def float_dot(a: Column, b: Column): Column = c(FloatDot(e(a), e(b)))
+
+  /** L2 norm of an array<float> column. */
+  def float_norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(float_dot(a, a))
+
+  /** k-wide MinHash signature of an array<long> hash column. */
+  def minhash_sig(hashes: Column, k: Int, seed: Long = 42L): Column =
+    c(MinHashSig(e(hashes), k, seed))
+
+  /** 64-bit SimHash of an array<long> hash column. */
+  def simhash_pack(hashes: Column): Column = c(SimHashPack(e(hashes)))
+}

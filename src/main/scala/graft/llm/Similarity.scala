@@ -24,15 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-fold dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Deterministic left-fold dot product of two float-array columns —
+    * a codegen'd primitive loop ([[graft.functions.FloatDot]]); bit-identical
+    * to the `aggregate(zip_with(...))` HOF formulation but with no per-row
+    * array allocation, which matters inside the O(n²) pair join. */
+  def dot(a: Column, b: Column): Column = graft.functions.functions.float_dot(a, b)
 
   /** L2 norm (same fold discipline). */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = graft.functions.functions.float_norm(a)
 
   /** Cosine similarity rounded to 9 dp. Rounding makes cross-engine
     * comparison robust to sub-ulp differences while keeping 9 significant

@@ -45,12 +45,14 @@ object TextAnalysis {
     * count (alpha runs, digit runs, and isolated symbols counted separately —
     * a cheap proxy for byte-pair-encoded token counts). Pure expressions. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      size(tokens(col(textCol))).cast("bigint").as("n_tokens"),
-      size(array_distinct(tokens(col(textCol)))).cast("bigint").as("n_distinct_tokens"),
-      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)")).cast("bigint").as("n_bpeish_tokens")
-    ).orderBy("doc_id")
+    docs.select(col("doc_id"), tokens(col(textCol)).as("toks"),
+        size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)")).cast("bigint").as("n_bpeish_tokens"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("bigint").as("n_distinct_tokens"),
+        col("n_bpeish_tokens"))
+      .orderBy("doc_id")
 
   /** Common English stopwords that appear in the synthetic corpus; used for
     * stopword-ratio quality signals. */
@@ -61,7 +63,9 @@ object TextAnalysis {
     * arithmetic is per-row (no aggregation) so results are bit-deterministic
     * and the whole thing is one codegen stage over the scan. */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    // tokenize once into an attribute (see langId note on re-inlining)
+    val docsT = docs.select(col("doc_id"), col(textCol), tokens(col(textCol)).as("toks"))
+    val t = col("toks")
     val nTok = size(t).cast("bigint")
     val nChars = length(col(textCol)).cast("bigint")
     val nAlpha = length(regexp_replace(col(textCol), "[^a-z]", "")).cast("bigint")
@@ -76,7 +80,7 @@ object TextAnalysis {
       when(nTok >= 5 && nTok <= 1000, lit(0.4)).otherwise(lit(0.0)) +
       when(meanTokLen >= 2.0 && meanTokLen <= 12.0, lit(0.3)).otherwise(lit(0.0)) +
       when(stopRatio >= 0.01 && stopRatio <= 0.6, lit(0.3)).otherwise(lit(0.0))
-    docs.select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
+    docsT.select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
       meanTokLen.as("mean_token_len"), stopRatio.as("stopword_ratio"),
       alphaRatio.as("alpha_ratio"), score.as("quality_score"))
       .orderBy("doc_id")
@@ -97,7 +101,11 @@ object TextAnalysis {
     * (ties broken by language code ascending, 'und' when no evidence).
     * One pass, pure expressions; scales as a map-only stage. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    // Tokenize once into an attribute: the per-language scores each reference
+    // the token array, and an inlined tokens() expression would re-run the
+    // regex split per language.
+    val toksDf = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val t = col("toks")
     val nLangs = langMarkers.size
     // argmax via descending sort of (score, tie, lang) structs; `tie` encodes
     // the INVERSE alphabetical index, so equal scores resolve to the
@@ -109,7 +117,7 @@ object TextAnalysis {
       struct(score.as("score"), lit(nLangs - 1 - idx).as("tie"), lit(lg).as("lang"))
     }
     val best = sort_array(array(scored: _*), asc = false).getItem(0)
-    docs.select(col("doc_id"),
+    toksDf.select(col("doc_id"),
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
       best.getField("score").as("lang_score"))
       .orderBy("doc_id")

@@ -53,14 +53,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minHash signature is deterministic and length-k") {
-    val sig = docsMini.where($"doc_id" === 0)
-      .select(Dedup.minHashSignature(Dedup.shingles(col("text")), k = 16).as("s"))
+    def sig() = docsMini.where($"doc_id" === 0)
+      .select(Dedup.minHashSignature(Dedup.shingleHashes(col("text")), k = 16).as("s"))
       .as[Seq[Long]].collect()(0)
-    assert(sig.size == 16)
-    val sig2 = docsMini.where($"doc_id" === 0)
-      .select(Dedup.minHashSignature(Dedup.shingles(col("text")), k = 16).as("s"))
-      .as[Seq[Long]].collect()(0)
-    assert(sig == sig2)
+    val s1 = sig()
+    assert(s1.size == 16)
+    assert(s1 == sig())
+    // interpreted eval must agree with codegen (same expression, eval'd row)
+    val hashes = docsMini.where($"doc_id" === 0)
+      .select(Dedup.shingleHashes(col("text"))).as[Seq[Long]].collect()(0)
+    val viaEval = graft.functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(hashes,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), 16, 42L)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    assert(viaEval == s1)
   }
 
   test("simHash: identical texts -> identical hash; near-dups -> small hamming") {
