@@ -90,6 +90,8 @@ object SparkEntry {
       Similarity.annBruteTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
     "ann_lsh_topk_embeddings" -> ((s, d) =>
       Similarity.lshAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
+    "emb_cosine_neardup" -> ((s, d) =>
+      Similarity.embCosineNearDup(t(s, d, "embeddings"), threshold = 0.5)),
 
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>
@@ -333,6 +335,14 @@ object SparkEntry {
          |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
          |FROM e a JOIN e b ON a.id < b.id
          |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
+
+    "emb_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk_embeddings" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),

@@ -73,6 +73,24 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold), exact.
+    * The embedding-space sibling of Dedup's text near-dup operators: norms
+    * precompute per vector, pairs materialize through the join, FloatDot
+    * scores them in codegen. Exact and oracle-checkable at test scale; the
+    * 100 TB path replaces the all-pairs join with SRP-LSH bucketing
+    * ([[srpBucket]]) so only same-bucket (± multiprobe) vectors ever meet. */
+  def embCosineNearDup(emb: DataFrame, threshold: Double = 0.9,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = e.toDF("id_a", "va", "na")
+    val b = e.toDF("id_b", "vb", "nb")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim` matrix with
     * entries in {-1, +1} derived from a seeded generator. Sign-bit buckets
     * from ±1 planes are the classic SRP-LSH (Charikar '02). */

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row for the typed streaming operators. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Emitted per closed session by [[EventStreams.sessionize]]. */
+case class SessionSummary(user_id: Long, n_events: Long, start: java.sql.Timestamp,
+                          end: java.sql.Timestamp, total_value: Double)
+
+private case class SessionState(nEvents: Long, startMs: Long, endMs: Long, totalValue: Double)
+
+/** Structured Streaming operators over the events stream — the streaming
+  * siblings of the batch window queries in SparkEntry. The reference library
+  * is strictly batch (SURVEY.md §2.2); these exist because a Spark-native
+  * engine gets streaming semantics (watermarks, state stores, exactly-once
+  * sinks) from the same declarative plans.
+  *
+  * Scale notes: every operator here is keyed-state over a shuffled key
+  * (window × type, doc hash, user), so it scales horizontally with executors;
+  * watermarks bound state size, which is what makes unbounded streams safe.
+  */
+object EventStreams {
+
+  /** Streaming hourly tumbling counts + mean value per event type, with a
+    * watermark bounding late data and state. Batch equivalent:
+    * SparkEntry "events_hourly_tumbling". */
+  def hourlyTumbling(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("avg_value"))
+
+  /** Streaming exact dedup: first occurrence of each key wins; watermark
+    * expires the seen-set state. This is the streaming face of
+    * Dedup.dropExactDups (built-in stateful dropDuplicates — no custom
+    * state needed, per the compose-built-ins-first rule). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Per-user sessionization with custom state (flatMapGroupsWithState):
+    * events within `gapMinutes` of each other (event time) belong to one
+    * session; a session closes either when a later event breaks the gap or
+    * when the WATERMARK passes session end + gap (event-time timeout), and
+    * emits one summary row. The custom-state tier exists for semantics
+    * built-ins can't express — session windows with per-group lifecycle.
+    *
+    * Event-time (not processing-time) timeouts on purpose: state lifecycle
+    * follows the data's own clock, replays deterministically from a
+    * checkpoint, and the microbatch loop stays quiescent between arrivals
+    * (a processing-time timeout forces continuous empty batches). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          def summary(s: SessionState) = SessionSummary(userId, s.nEvents,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.totalValue)
+          if (state.hasTimedOut) {
+            val closed = summary(state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val evs = it.toSeq
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val sorted = evs.sortBy(_.ts.getTime)
+              val prev = state.getOption
+              val first = sorted.head.ts.getTime
+              val last = sorted.last.ts.getTime
+              val merged = prev match {
+                case Some(p) if first - p.endMs <= gapMs =>
+                  SessionState(p.nEvents + evs.size, p.startMs, math.max(p.endMs, last),
+                    p.totalValue + evs.map(_.value).sum)
+                case _ =>
+                  SessionState(evs.size.toLong, first, last, evs.map(_.value).sum)
+              }
+              state.update(merged)
+              // close when the watermark passes session end + gap
+              state.setTimeoutTimestamp(math.max(
+                merged.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+              // emit closed previous session if this batch's events broke the gap
+              prev match {
+                case Some(p) if first - p.endMs > gapMs => Iterator(summary(p))
+                case _ => Iterator.empty
+              }
+            }
+          }
+      }
+  }
+}

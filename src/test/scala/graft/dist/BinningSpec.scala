@@ -119,6 +119,14 @@ class BinningSpec extends SparkSpec {
     assert(centers == Seq(2.5, 7.5))
   }
 
+  test("implicit syntax: df.histogram / df.minMax / df.densityPoints") {
+    val df = Seq(0.0, 5.0, 10.0).toDF("v")
+    assert(counts(df.histogram("v", bins = 2)) == Seq(1L, 2L))
+    assert(counts(df.histogram("v", edges = Seq(0.0, 1.0, 10.0))) == Seq(1L, 2L))
+    assert(df.minMax("v").collect()(0).getDouble(0) == 0.0)
+    assert(df.densityPoints("v", bins = 2).count() == 2)
+  }
+
   test("minMax emits one row of per-column min/max") {
     val df = Seq((1.0, 10.0), (3.0, 5.0)).toDF("p", "q")
     val r = Binning.minMax(df, Seq("p", "q")).collect()(0)

@@ -59,6 +59,13 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("embCosineNearDup returns only pairs above the threshold") {
+    val pairs = Similarity.embCosineNearDup(vecsMini, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((0L, 1L, 1.0), (0L, 4L, 0.707106781),
+      (1L, 4L, 0.707106781), (2L, 4L, 0.707106781)))
+  }
+
   test("dot/norm folds are deterministic left-to-right") {
     val df = Seq((Seq(0.1f, 0.2f, 0.3f), Seq(0.4f, 0.5f, 0.6f))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].collect()(0)

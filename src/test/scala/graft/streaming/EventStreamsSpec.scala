@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming hourly tumbling window aggregates per (hour, type)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourlyTumbling(in.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 10:55:00"), 2, "click", 4.0),
+        Event(3, ts("2024-01-01 11:05:00"), 1, "view", 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT hour, event_type, n_events, avg_value FROM hourly ORDER BY hour, event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(rows == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence per key within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0), // dup event_id
+        Event(2, ts("2024-01-01 10:00:02"), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup").as[Long].collect()(0) == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap breaks and emits its summary") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      // new batch 2h later -> previous session must close and be emitted
+      in.addData(Event(3, ts("2024-01-01 12:30:00"), 7, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, total_value FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -20,7 +20,7 @@ for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
 for name in sorted(oracle):
-    files = glob.glob(f"{out}/{name}/*.parquet")
+    files = glob.glob(f"{out}/{name}.parquet/*.parquet")
     if not files:
         fails.append((name, "no spark result"))
         continue
@@ -58,6 +58,7 @@ for name in sorted(oracle):
 for name, msg in fails:
     print(f"FAIL  {name}: {msg}")
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
-no_oracle = [d.split('/')[-1] for d in glob.glob(f"{out}/*") if d.split('/')[-1] not in oracle and not d.endswith('.json')]
+no_oracle = [d.split('/')[-1].removesuffix('.parquet') for d in glob.glob(f"{out}/*.parquet")
+             if d.split('/')[-1].removesuffix('.parquet') not in oracle]
 print("rows-only (no oracle):", sorted(no_oracle))
 sys.exit(1 if fails else 0)
