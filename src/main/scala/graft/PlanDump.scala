@@ -19,9 +19,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (sys.env.contains("GRAFT_EXCLUDE_INFER"))
-      spark.conf.set("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    graft.dist.Binning.tuneSession(spark)
     val todo = if (name == "all") SparkEntry.queries.toSeq.sortBy(_._1)
                else Seq(name -> SparkEntry.queries(name))
     todo.foreach { case (n, fn) =>

@@ -75,24 +75,36 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-duplicate pairs (similarity >= threshold).
     *
-    * Shape: explode hashed shingles → self-join on the 8-byte hash →
-    * count intersections → |A∪B| = |A|+|B|−|A∩B|. The set sizes ride along
-    * with each exploded row, so the size-ratio prefilter
-    * (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) prunes pairs *inside the join* and the
-    * Jaccard computes straight out of the aggregate — no post-joins.
+    * Shape: explode hashed shingles → `groupBy(hash) → collect_list((id, n))`
+    * → expression-level pair expansion inside each bucket → count
+    * intersections → |A∪B| = |A|+|B|−|A∩B|. One shuffle of slim
+    * (id, n, hash) rows; the expensive tokenize+shingle pipeline appears
+    * exactly ONCE in the plan (a hash self-join recomputes it per side —
+    * observed 2 scans × ~4 inlined chain evaluations each). The size-ratio
+    * prefilter (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|), applied with an ulp
+    * cushion so float rounding can't drop threshold-boundary pairs) prunes
+    * pairs inside the bucket lambda before they ever materialize.
     * Exact and oracle-checkable; for 100 TB use [[minHashNearDup]] (this
     * operator is the verifier shape for its candidates). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingleDF(docs, idCol, textCol, w)
     val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
-    ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("a.n") * lit(threshold) <= col("b.n") &&
-          col("b.n") * lit(threshold) <= col("a.n"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+    val buckets = ex.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("n"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    val eps = lit(1e-9)
+    val pairs = buckets.select(explode(flatten(transform(col("ms"), a =>
+        transform(
+          filter(col("ms"), b => a.getField("id") < b.getField("id") &&
+            a.getField("n") * lit(threshold) <= b.getField("n") + eps &&
+            b.getField("n") * lit(threshold) <= a.getField("n") + eps),
+          b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("n").as("n_a"), b.getField("n").as("n_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    pairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)

@@ -84,10 +84,14 @@ object Similarity {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = e.toDF("id_a", "va", "na")
     val b = e.toDF("id_b", "vb", "nb")
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
-      .where(col("sim") >= threshold)
+    val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
+    // Threshold goes INTO the join condition, cheap id test FIRST: pairs never
+    // materialize below the threshold, and the dot product short-circuits away
+    // for the id_a >= id_b half of the pair space. (A trailing .where() gets
+    // pushed into the condition anyway — but AND-ed ahead of the id test, so
+    // the n²-cost dot would run before the 50%-selective id filter.)
+    a.join(b, col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
       .orderBy("id_a", "id_b")
   }
 
