@@ -140,7 +140,13 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text", w: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // The shingle frame is referenced 3x in this plan (signature pipeline +
+    // both sides of the verification join); persist so the tokenize+shingle
+    // pass over the corpus runs once, not three times. MEMORY_AND_DISK spills
+    // rather than OOMs; at 100 TB this materialization is the same "stage
+    // artifact" a production near-dup pipeline writes between phases.
     val sh = shingleDF(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), minHashSignature(col("sh"), k, seed).as("sig"))
     val bandStructs = (0 until bands).map(bIdx =>
       struct(lit(bIdx).as("band"), xxhash64(slice(col("sig"), bIdx * r + 1, r)).as("bh")))

@@ -45,7 +45,7 @@ object Similarity {
     * final top-k is a TakeOrdered, not a full sort. */
   def cosineTopK(emb: DataFrame, k: Int = 10,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = e.toDF("id_a", "va", "na")
     val b = e.toDF("id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
@@ -61,6 +61,9 @@ object Similarity {
   def annBruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // No spread() here: the q-side filter must push down to the scan, and
+    // |Q|×n pair work is too small to amortize an extra exchange (measured
+    // 30% slower with a repartition in front).
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val q = e.where(col("id").isInCollection(queryIds)).toDF("qid", "qv", "qn")
     val cand = e.toDF("nid", "nv", "nn")
@@ -81,7 +84,7 @@ object Similarity {
     * ([[srpBucket]]) so only same-bucket (± multiprobe) vectors ever meet. */
   def embCosineNearDup(emb: DataFrame, threshold: Double = 0.9,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = e.toDF("id_a", "va", "na")
     val b = e.toDF("id_b", "vb", "nb")
     val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
@@ -123,6 +126,7 @@ object Similarity {
                  dim: Int = 64, seed: Long = 42L,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // No spread() (see annBruteTopK): bucketed candidate work is far below n².
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), srpBucket(col(vecCol), nBits, dim, seed).as("bkt"))
     // multiprobe: each query probes its own bucket and every 1-bit flip
