@@ -61,6 +61,8 @@ object SparkEntry {
 
     // -------- LLM-pipeline extensions: dedup
     "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
+    "dedup_drop_exact_documents" -> ((s, d) =>
+      Dedup.dropExactDups(t(s, d, "documents")).select("doc_id").orderBy("doc_id")),
     "dedup_ngram_jaccard_documents" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8)),
     "dedup_near_minhash" -> ((s, d) =>
@@ -90,6 +92,8 @@ object SparkEntry {
       Similarity.annBruteTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
     "ann_lsh_topk_embeddings" -> ((s, d) =>
       Similarity.lshAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
+    "ann_ivf_topk_embeddings" -> ((s, d) =>
+      Similarity.ivfAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
     "emb_cosine_neardup" -> ((s, d) =>
       Similarity.embCosineNearDup(t(s, d, "embeddings"), threshold = 0.5)),
 
@@ -240,6 +244,12 @@ object SparkEntry {
         |       count(*) - count(DISTINCT text) AS n_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // dropExactDups keeps the min doc_id per xxhash64(text) group; grouping
+    // by the text itself is equivalent (a 64-bit collision on this corpus
+    // would fail the compare and is ~2^-64-improbable).
+    "dedup_drop_exact_documents" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard_documents" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (
@@ -362,9 +372,9 @@ object SparkEntry {
         |       CAST(64 + (octet_length(encode(text)) // 7) % 336 AS INTEGER) AS height,
         |       CAST(3 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin
-    // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings:
-    // intentionally oracle-less (seeded-hash / approximate semantics; the
-    // driver records a rows-only check) — verified by ScalaTest properties
-    // against exact implementations instead.
+    // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings,
+    // ann_ivf_topk_embeddings: intentionally oracle-less (seeded-hash /
+    // approximate semantics; the driver records a rows-only check) —
+    // verified by ScalaTest properties against exact implementations instead.
   )
 }

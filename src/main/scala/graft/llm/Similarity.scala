@@ -98,6 +98,54 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors: a coarse quantizer of
+    * `nCentroids` centroid vectors partitions the corpus into cells; each
+    * vector is assigned to its nearest centroid, and a query scores exact
+    * cosine only against the cells of its `nprobe` nearest centroids.
+    *
+    * Centroids are chosen deterministically from the corpus (every
+    * ⌈n/C⌉-th vector by id — a stand-in for the k-means training step a real
+    * deployment would run offline; the IVF *serving* shape is identical).
+    * They are collected to the driver — C is small by construction — so both
+    * the assignment and the query-side probe list are pure expression-level
+    * argmax over a literal centroid matrix: map-only, no shuffle, exactly the
+    * shape that scales (the only shuffle is the equi-join on cell id).
+    * Approximate; recall is property-tested against [[annBruteTopK]]. */
+  def ivfAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                 nCentroids: Int = 16, nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val n = e.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents: Array[(Int, Seq[Float], Double)] = e
+      .where(pmod(col("id"), lit(stride)) === 0).orderBy("id").limit(nCentroids)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1), r.getDouble(2))
+      }
+    // per-centroid cosine as expressions over the literal matrix
+    def centSims(v: Column, nrm: Column): Seq[Column] = cents.toIndexedSeq.map {
+      case (cid, cv, cn) =>
+        struct((dot(v, typedLit(cv)) / (nrm * lit(cn))).as("sim"), lit(cid).as("cid"))
+    }
+    def nearest(v: Column, nrm: Column, take: Int): Column =
+      slice(sort_array(array(centSims(v, nrm): _*), asc = false), 1, take)
+    val assigned = e.select(col("id"), col("v"), col("nrm"),
+      nearest(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
+    val q = assigned.where(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(nearest(col("v"), col("nrm"), nprobe), s => s.getField("cid"))).as("cid"))
+    val cand = assigned.toDF("nid", "nv", "nn", "cid")
+    val scored = q.join(cand, Seq("cid")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim` matrix with
     * entries in {-1, +1} derived from a seeded generator. Sign-bit buckets
     * from ±1 planes are the classic SRP-LSH (Charikar '02). */

@@ -38,6 +38,20 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Streaming histogram: the reference's core operator (fixed-boundary
+    * binning, graft.dist.Binning.binId — identical closed-last-bucket
+    * semantics) over an unbounded stream, complete-mode counts per bin.
+    * The same declarative binning expression serves batch and stream —
+    * that is the point of building the engine Spark-native. */
+  def histogramStream(events: DataFrame, valueCol: String, edges: Seq[Double]): DataFrame = {
+    graft.dist.Binning.validateEdges(edges)
+    val x = col(valueCol).cast("double")
+    events
+      .where(x.isNotNull && !isnan(x) && x >= lit(edges.head) && x <= lit(edges.last))
+      .groupBy(graft.dist.Binning.binId(x, edges).as("bin_id"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact dedup: first occurrence of each key wins; watermark
     * expires the seen-set state. This is the streaming face of
     * Dedup.dropExactDups (built-in stateful dropDuplicates — no custom

@@ -59,6 +59,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("ivfAnnTopK achieves high recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(321)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 5L, 10L, 15L, 20L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfAnnTopK(vecs, qs, k = 4, nCentroids = 10, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("embCosineNearDup returns only pairs above the threshold") {
     val pairs = Similarity.embCosineNearDup(vecsMini, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -28,6 +28,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram bins with closed last bucket, complete mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.histogramStream(in.toDF(), "value", Seq(0.0, 5.0, 10.0))
+      .writeStream.format("memory").queryName("histstream").outputMode("complete").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 0.0),
+        Event(2, ts("2024-01-01 10:00:01"), 1, "a", 4.9),
+        Event(3, ts("2024-01-01 10:00:02"), 1, "a", 5.0),
+        Event(4, ts("2024-01-01 10:00:03"), 1, "a", 10.0),  // closed last bucket
+        Event(5, ts("2024-01-01 10:00:04"), 1, "a", 11.0))  // out of range
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT bin_id, cnt FROM histstream ORDER BY bin_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(rows == Seq((0, 2L), (1, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
