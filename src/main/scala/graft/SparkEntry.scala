@@ -101,7 +101,12 @@ object SparkEntry {
     "mm_features_documents" -> ((s, d) =>
       Multimodal.documentFeatures(s, t(s, d, "documents")).toDF()
         .select("doc_id", "n_bytes", "width", "height", "channels")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "mm_frames_documents" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.withFakeMedia(t(s, d, "documents")),
+          frameBytes = 128, stride = 2)
+        .select("doc_id", "frame_idx", "n_bytes")
+        .orderBy("doc_id", "frame_idx"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -371,7 +376,19 @@ object SparkEntry {
         |       CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width,
         |       CAST(64 + (octet_length(encode(text)) // 7) % 336 AS INTEGER) AS height,
         |       CAST(3 AS INTEGER) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame sizes are pure arithmetic over the payload length (DuckDB cannot
+    // substring BLOBs); frame BYTES are asserted in MultimodalSpec instead.
+    "mm_frames_documents" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        |           WHERE octet_length(encode(text)) > 0),
+        |e AS (SELECT doc_id, len,
+        |             unnest(generate_series(0, CAST(floor((len-1)/128.0) AS BIGINT), 2)) AS i
+        |      FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(least(128, len - i*128) AS INTEGER) AS n_bytes
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin
     // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings,
     // ann_ivf_topk_embeddings: intentionally oracle-less (seeded-hash /
     // approximate semantics; the driver records a rows-only check) —

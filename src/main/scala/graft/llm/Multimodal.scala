@@ -57,4 +57,24 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(withFakeMedia(docs).as[MediaRecord])
   }
+
+  /** Frame sampling for video-like binary payloads: split the byte stream
+    * into `frameBytes`-sized frames and keep every `stride`-th, as
+    * (id, frame_idx, frame, n_bytes) rows.
+    *
+    * Pure expressions — `Column.substr` on BinaryType + posexplode; no UDF,
+    * fully codegen'd. Scale shape: map-only row expansion; extract per-frame
+    * features and DROP the byte column before any join/shuffle, so the heavy
+    * binary never crosses an exchange. Empty payloads yield zero frames. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 1024, stride: Int = 2,
+                   idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    val len = length(col(binCol))
+    val lastIdx = floor((len - lit(1)).cast("double") / frameBytes).cast("int")
+    val idxs = sequence(lit(0), lastIdx, lit(stride))
+    media.where(len > 0)
+      .select(col(idCol), col(binCol),
+        posexplode(transform(idxs, i => col(binCol).substr(i * frameBytes + 1, lit(frameBytes)))))
+      .select(col(idCol), (col("pos") * stride).as("frame_idx"), col("col").as("frame"),
+        length(col("col")).as("n_bytes"))
+  }
 }

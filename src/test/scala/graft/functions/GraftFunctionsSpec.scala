@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API expressions") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT float_dot(a, b) AS d FROM vecs").as[Double].collect()(0)
+    assert(sql == 11.0)
+
+    Seq(Seq(7L, 8L, 9L)).toDF("hs").createOrReplaceTempView("hs")
+    val viaSql = spark.sql("SELECT minhash_sig(hs, 8, 42) AS s, simhash_pack(hs) AS p FROM hs")
+      .collect()(0)
+    val viaCol = Seq(Seq(7L, 8L, 9L)).toDF("hs")
+      .select(functions.minhash_sig(col("hs"), 8, 42L).as("s"),
+        functions.simhash_pack(col("hs")).as("p"))
+      .collect()(0)
+    assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+  }
+
+  test("session extension class injects the same functions") {
+    // A fresh session built through the extensions path; the shared test
+    // session already covers the imperative path above.
+    val ext = new GraftExtensions()
+    val builder = new org.apache.spark.sql.SparkSessionExtensions
+    ext.apply(builder) // must not throw; descriptors are well-formed
+    assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
+      Seq("float_dot", "minhash_sig", "simhash_pack"))
+  }
+}

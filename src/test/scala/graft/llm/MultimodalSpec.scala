@@ -14,6 +14,19 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1) == MediaFeatures(1L, 2, 64 + 2, 64 + 0, 3, 'y'.toInt + 'z'.toInt))
   }
 
+  test("sampleFrames splits bytes into strided frames that reassemble the payload") {
+    // 10-byte payload, 4-byte frames, stride 2 -> original frame indices 0, 2
+    val docs = Seq((7L, "abcdefghij"), (8L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.withFakeMedia(docs),
+        frameBytes = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2)), r.getInt(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // frame 0 = bytes 0-3, frame 2 = bytes 8-9 (truncated tail); frame 1 skipped
+    assert(frames == Seq((7L, 0, "abcd", 4), (7L, 2, "ij", 2)))
+    // empty payload yields no frames
+    assert(!frames.exists(_._1 == 8L))
+  }
+
   test("feature extraction runs distributed (per-partition, not driver)") {
     val docs = spark.range(100).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT)) AS text")
       .repartition(8)
