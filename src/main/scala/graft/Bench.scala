@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // env knob for A/B runs; AQE stays on by default (its runtime
+      // coalescing/skew handling is the 100 TB posture)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dist.Binning.tuneSession(spark)

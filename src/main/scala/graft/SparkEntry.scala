@@ -38,6 +38,8 @@ object SparkEntry {
       Binning.minMax(t(s, d, "lineitem"), Seq("l_extendedprice"))),
     "hist_eqwidth10_extendedprice" -> ((s, d) =>
       Binning.histogram(t(s, d, "lineitem"), "l_extendedprice")),
+    "hist_onepass_extendedprice" -> ((s, d) =>
+      Binning.histogramOnePass(t(s, d, "lineitem"), "l_extendedprice")),
     "hist_explicit_bins_quantity" -> ((s, d) =>
       Binning.histogram(t(s, d, "lineitem"), "l_quantity",
         Bins.Edges(Seq(1, 2, 5, 10, 25, 49, 50)))),
@@ -160,6 +162,11 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "hist_eqwidth10_extendedprice" ->
+      eqWidthSql("lineitem", "l_extendedprice", 10, None, histSelect),
+
+    // same contract as hist_eqwidth10 — the one-pass typed aggregate must be
+    // indistinguishable from the groupBy formulation
+    "hist_onepass_extendedprice" ->
       eqWidthSql("lineitem", "l_extendedprice", 10, None, histSelect),
 
     "hist_explicit_bins_quantity" -> {

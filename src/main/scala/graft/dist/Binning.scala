@@ -190,6 +190,36 @@ object Binning {
       .agg(count(lit(1)).as("cnt"))
       .select(lit(0).cast("int").as("bin_id"), lit(lo).as("bin_lo"), lit(hi).as("bin_hi"), col("cnt"))
 
+  /** Single-pass histogram: identical output contract to [[histogram]], but
+    * counting runs as one [[graft.functions.HistogramAgg]] typed aggregate —
+    * a dense per-partition count vector merged element-wise (the
+    * rdd.py:2347-2366 distributed shape inside Tungsten). No per-row shuffle,
+    * no spine join: the shuffle carries ONE n_bins-long vector per partition,
+    * the minimum possible traffic. Data-derived ranges still take the
+    * min/max pre-pass (unavoidable; SURVEY.md §4). */
+  def histogramOnePass(df: DataFrame, colName: String, bins: Bins = Bins.Count(10),
+                       range: Option[(Double, Double)] = None): DataFrame = {
+    val clean = cleaned(df, colName)
+    val es: Vector[Double] = bins match {
+      case Bins.Edges(e) => validateEdges(e); e.toVector
+      case Bins.Count(n) =>
+        val (lo, hi) = range.getOrElse(minMaxOf(clean))
+        require(lo <= hi, s"invalid range [$lo, $hi]")
+        equalWidthEdges(lo, hi, n)
+    }
+    if (es.head == es.last) return singleBucket(clean, es.head, es.last) // min==max degenerate
+    // range predicate stays in the plan for parquet pushdown; the aggregate
+    // re-checks (and drops) out-of-range values regardless
+    val inRange = clean.where(col("x") >= lit(es.head) && col("x") <= lit(es.last))
+    inRange.agg(graft.functions.HistogramAgg.hist_counts(col("x"), es).as("cnts"))
+      .select(posexplode(col("cnts")).as(Seq("bin_id", "cnt")))
+      .select(col("bin_id").cast("int").as("bin_id"),
+        element_at(typedLit(es.dropRight(1)), col("bin_id") + 1).as("bin_lo"),
+        element_at(typedLit(es.drop(1)), col("bin_id") + 1).as("bin_hi"),
+        col("cnt"))
+      .orderBy("bin_id")
+  }
+
   /** Multi-series histogram with a SHARED range across all series — the
     * reference's only cross-series interaction (global min of mins / max of
     * maxes unless `range=` given; pyspark_dist_explore.py ~L100-118).

@@ -53,6 +53,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "simhash_pack(hashes) takes 1 argument")
         SimHashPack(args(0))
+      }),
+    (FunctionIdentifier("hist_counts"),
+      info("hist_counts",
+        "hist_counts(x, array<double> edges) - aggregate: dense bucket counts for fixed boundaries"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "hist_counts(x, edges) takes 2 arguments")
+        val edges = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"hist_counts edges must be a foldable array<double> literal, got $other")
+        }
+        graft.dist.Binning.validateEdges(edges)
+        HistogramAgg(args(0), edges)
       })
   )
 

@@ -119,6 +119,31 @@ class BinningSpec extends SparkSpec {
     assert(centers == Seq(2.5, 7.5))
   }
 
+  test("histogramOnePass matches histogram on even, uneven, and degenerate bins") {
+    val df = Seq(0.0, 1.5, 2.5, 5.0, 7.5, 10.0, Double.NaN, -1.0, 11.0).toDF("v")
+    def rows(h: org.apache.spark.sql.DataFrame) =
+      h.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    // even width (derived range includes the out-of-range values? no — filter drops none here,
+    // range is data-derived over non-NaN values: [-1, 11])
+    assert(rows(Binning.histogramOnePass(df, "v", Bins.Count(4))) ==
+      rows(Binning.histogram(df, "v", Bins.Count(4))))
+    // explicit range excludes out-of-range values
+    assert(rows(Binning.histogramOnePass(df, "v", Bins.Count(4), Some((0.0, 10.0)))) ==
+      rows(Binning.histogram(df, "v", Bins.Count(4), Some((0.0, 10.0)))))
+    // uneven boundaries (bisect path), out-of-range dropped
+    assert(rows(Binning.histogramOnePass(df, "v", Bins.Edges(Seq(0.0, 1.0, 5.0, 10.0)))) ==
+      rows(Binning.histogram(df, "v", Bins.Edges(Seq(0.0, 1.0, 5.0, 10.0)))))
+    // degenerate min==max single bucket
+    val const = Seq(3.0, 3.0, 3.0).toDF("v")
+    assert(rows(Binning.histogramOnePass(const, "v", Bins.Count(5))) ==
+      rows(Binning.histogram(const, "v", Bins.Count(5))))
+    // boundary values land per bisect_right: x==edge goes to the right bucket,
+    // last bucket closed
+    val edges = Seq(0.0, 5.0, 10.0)
+    val b = Seq(0.0, 5.0, 10.0).toDF("v")
+    assert(rows(Binning.histogramOnePass(b, "v", Bins.Edges(edges))).map(_._4) == Seq(1L, 2L))
+  }
+
   test("implicit syntax: df.histogram / df.minMax / df.densityPoints") {
     val df = Seq(0.0, 5.0, 10.0).toDF("v")
     assert(counts(df.histogram("v", bins = 2)) == Seq(1L, 2L))
