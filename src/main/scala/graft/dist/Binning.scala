@@ -263,7 +263,13 @@ object Binning {
   }
 
   /** Grouped histogram: shared global range over the whole column, counts per
-    * (group, bin). Dense over distinct-groups × bins. */
+    * (group, bin). Dense over distinct-groups × bins.
+    *
+    * Counting is one [[graft.functions.HistogramAgg]] vector per group — the
+    * shuffle carries n_groups fixed-width count vectors instead of
+    * n_groups × n_bins rows, and dense bins come free from the buffer (a
+    * group with zero in-range rows is back-filled with a literal zero
+    * vector), so no bins-spine cross join is needed. */
   def histogramByGroup(df: DataFrame, valueCol: String, groupCol: String, n: Int = 10,
                        range: Option[(Double, Double)] = None): DataFrame = {
     val clean = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
@@ -271,14 +277,23 @@ object Binning {
     val (lo, hi) = range.getOrElse(minMaxOf(clean))
     val es = equalWidthEdges(lo, hi, n)
     val nb = es.size - 1
+    if (lo == hi) { // degenerate: fall back to the row formulation
+      val counts = clean.where(col("x") === lit(lo))
+        .groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+        .select(col("grp"), lit(0).cast("int").as("bin_id"), col("cnt"))
+      return df.select(col(groupCol).as("grp")).where(col("grp").isNotNull).distinct()
+        .join(counts, Seq("grp"), "left").na.fill(0L, Seq("cnt"))
+        .select(col("grp").as(groupCol), coalesce(col("bin_id"), lit(0)).as("bin_id"), col("cnt"))
+        .orderBy(groupCol, "bin_id")
+    }
     val counts = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
-      .groupBy(col("grp"), binId(col("x"), es).as("bin_id"))
-      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.HistogramAgg.hist_counts(col("x"), es).as("cnts"))
     val grpSpine = df.select(col(groupCol).as("grp")).where(col("grp").isNotNull).distinct()
-      .crossJoin(spine(df, nb))
-    grpSpine.join(counts, Seq("grp", "bin_id"), "left")
-      .na.fill(0L, Seq("cnt"))
-      .withColumnRenamed("grp", groupCol)
+    grpSpine.join(counts, Seq("grp"), "left")
+      .withColumn("cnts", coalesce(col("cnts"), typedLit(Vector.fill(nb)(0L))))
+      .select(col("grp"), posexplode(col("cnts")).as(Seq("bin_id", "cnt")))
+      .select(col("grp").as(groupCol), col("bin_id").cast("int").as("bin_id"), col("cnt"))
       .orderBy(groupCol, "bin_id")
   }
 
