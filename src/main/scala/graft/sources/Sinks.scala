@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink-side scale tooling.
+  *
+  * The reference library has no sources or sinks of its own (it is handed
+  * DataFrames and returns pandas/matplotlib objects); this module carries the
+  * sink half of the engine's 100 TB posture: persistent layouts that make
+  * *future* queries cheap. Bucketing is the canonical example — pay one
+  * shuffle at write time, then every equi-join/aggregation on the bucket key
+  * reads co-located data and runs exchange-free. */
+object Sinks {
+
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table. Subsequent
+    * equi-joins or aggregations on `key` between tables bucketed the same
+    * way execute WITHOUT a shuffle (verified by plan inspection in
+    * SinksSpec): the scan itself satisfies the join's required distribution,
+    * which at 100 TB removes the dominant cost of repeated fact-fact joins.
+    * `buckets` should be sized so one bucket ≈ one comfortable task
+    * (hundreds of MB), and must match on both join sides. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Write partitioned by a low-cardinality column — partition pruning turns
+    * predicates on `partitionCol` into directory pruning at scan time. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Read back a saved bucketed table. */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -123,8 +123,7 @@ class BinningSpec extends SparkSpec {
     val df = Seq(0.0, 1.5, 2.5, 5.0, 7.5, 10.0, Double.NaN, -1.0, 11.0).toDF("v")
     def rows(h: org.apache.spark.sql.DataFrame) =
       h.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
-    // even width (derived range includes the out-of-range values? no — filter drops none here,
-    // range is data-derived over non-NaN values: [-1, 11])
+    // even width, data-derived range over non-NaN values: [-1, 11]
     assert(rows(Binning.histogramOnePass(df, "v", Bins.Count(4))) ==
       rows(Binning.histogram(df, "v", Bins.Count(4))))
     // explicit range excludes out-of-range values

@@ -63,6 +63,21 @@ class HistogramPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: one-pass aggregate == groupBy formulation == rdd.py oracle") {
+    val edges = Seq(-50.0, -10.0, 0.0, 1.0, 25.0, 80.0)
+    for (((vs, n), i) <- samples(Gen.zip(valuesGen, nBinsGen), 20).zipWithIndex) {
+      val df = vs.toDF("v")
+      val viaAgg = Binning.histogramOnePass(df, "v", Bins.Count(n))
+        .orderBy("bin_id").select("cnt").as[Long].collect().toSeq
+      val viaGroupBy = Binning.histogram(df, "v", Bins.Count(n))
+        .orderBy("bin_id").select("cnt").as[Long].collect().toSeq
+      assert(viaAgg == viaGroupBy, s"case $i derived: n=$n values=$vs")
+      val unevenAgg = Binning.histogramOnePass(df, "v", Bins.Edges(edges))
+        .orderBy("bin_id").select("cnt").as[Long].collect().toSeq
+      assert(unevenAgg == oracleCounts(vs, edges), s"case $i uneven: values=$vs")
+    }
+  }
+
   test("property: sum of counts == number of in-range non-null rows") {
     for ((vs, n) <- samples(Gen.zip(valuesGen, nBinsGen), 20)) {
       val total = Binning.histogram(vs.toDF("v"), "v", Bins.Count(n))

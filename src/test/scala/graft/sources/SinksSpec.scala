@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("equi-join between same-bucketed tables runs without a shuffle") {
+    val left = (0L until 100L).map(i => (i, s"l$i")).toDF("id", "l")
+    val right = (0L until 100L).map(i => (i, s"r$i")).toDF("id", "r")
+    Sinks.writeBucketed(left, "graft_bucketed_l", "id", 4)
+    Sinks.writeBucketed(right, "graft_bucketed_r", "id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join
+      val joined = Sinks.table(spark, "graft_bucketed_l")
+        .join(Sinks.table(spark, "graft_bucketed_r"), "id")
+      assert(joined.count() == 100)
+      joined.collect() // materialize so the adaptive plan is final
+      val exec = joined.queryExecution.executedPlan
+      val shuffles = collectWithSubqueries(exec) { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected exchange-free co-located join, got:\n$exec")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_r")
+    }
+  }
+
+  test("partitioned write prunes directories on the partition predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    Sinks.writePartitioned(df, dir, "lang")
+    val back = spark.read.parquet(dir).where($"lang" === "en")
+    assert(back.count() == 2)
+    // layout proof: hive-style partition directories exist, and the scan
+    // carries the predicate as a partition filter (directory pruning)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en"))
+    val planStr = back.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("lang"), planStr)
+  }
+}
