@@ -88,6 +88,20 @@ object SparkEntry {
           (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_value"))
         .orderBy("hour_ms", "event_type")),
 
+    "events_sliding_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"), col("event_type"), col("n_events"))
+        .orderBy("win_start_ms", "event_type")),
+    "events_session_windows" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_ms")),
+
     // -------- similarity search
     "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 10)),
     "ann_brute_topk_embeddings" -> ((s, d) =>
@@ -350,6 +364,31 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sliding 1h/30m: every event lands in exactly two 30-min-aligned windows
+    "events_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s,
+        |         event_type
+        |  FROM events)
+        |SELECT epoch_ms(s) AS win_start_ms, event_type, count(*) AS n_events
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session windows = gaps-and-islands over per-user ordered events
+    "events_session_windows" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM l)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start_ms""".stripMargin,
 
     "cosine_topk_embeddings" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings)
