@@ -67,7 +67,9 @@ object Similarity {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val q = e.where(col("id").isInCollection(queryIds)).toDF("qid", "qv", "qn")
     val cand = e.toDF("nid", "nv", "nn")
-    val scored = q.join(cand, col("qid") =!= col("nid"))
+    // broadcast the QUERY side: candidates are the at-scale side (the whole
+    // corpus streams); without the hint Spark picks BuildRight = candidates
+    val scored = broadcast(q).join(cand, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
@@ -136,7 +138,7 @@ object Similarity {
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(nearest(col("v"), col("nrm"), nprobe), s => s.getField("cid"))).as("cid"))
     val cand = assigned.toDF("nid", "nv", "nn", "cid")
-    val scored = q.join(cand, Seq("cid")).where(col("qid") =!= col("nid"))
+    val scored = broadcast(q).join(cand, Seq("cid")).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
       .dropDuplicates("qid", "nid")
@@ -183,7 +185,7 @@ object Similarity {
     val q = e.where(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), probes.as("bkt"))
     val cand = e.toDF("nid", "nv", "nn", "bkt")
-    val scored = q.join(cand, Seq("bkt")).where(col("qid") =!= col("nid"))
+    val scored = broadcast(q).join(cand, Seq("bkt")).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
       .dropDuplicates("qid", "nid")
