@@ -62,6 +62,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: readStream over parquet drives the same operators") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+      Event(2, ts("2024-01-01 10:55:00"), 2, "click", 4.0))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(
+      Seq.empty[Event].toDF().schema).parquet(dir)
+    assert(in.isStreaming)
+    val q = EventStreams.hourlyTumbling(in)
+      .writeStream.format("memory").queryName("filehourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events, avg_value FROM filehourly")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap breaks and emits its summary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
