@@ -49,6 +49,8 @@ object SparkEntry {
       Binning.histogramMany(Seq(
         (t(s, d, "customer"), "c_acctbal", "customer"),
         (t(s, d, "supplier"), "s_acctbal", "supplier")))),
+    "hist_samescan_lineitem" -> ((s, d) =>
+      Binning.histogramColumns(t(s, d, "lineitem"), Seq("l_quantity", "l_discount"))),
     "hist_singleton_constant" -> ((s, d) =>
       Binning.histogram(t(s, d, "lineitem").where(col("l_linenumber") === 1), "l_linenumber")),
     "hist_nulls_value" -> ((s, d) =>
@@ -227,6 +229,34 @@ object SparkEntry {
         |       CAST(coalesce(c.customer_cnt, 0) AS BIGINT) AS customer_cnt,
         |       CAST(coalesce(c.supplier_cnt, 0) AS BIGINT) AS supplier_cnt
         |FROM spine s CROSS JOIN b LEFT JOIN cnts c ON s.bin_id = c.bin_id
+        |ORDER BY s.bin_id""".stripMargin,
+
+    // shared range = min of column mins .. max of column maxes, one scan
+    "hist_samescan_lineitem" ->
+      """WITH b AS (
+        |  SELECT least(min(CAST(l_quantity AS DOUBLE)), min(CAST(l_discount AS DOUBLE))) AS lo,
+        |         greatest(max(CAST(l_quantity AS DOUBLE)), max(CAST(l_discount AS DOUBLE))) AS hi
+        |  FROM lineitem),
+        |src AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS dd FROM lineitem),
+        |cnts AS (
+        |  SELECT CAST(least(floor((q - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt
+        |  FROM src, b WHERE q IS NOT NULL AND NOT isnan(q) AND q >= lo AND q <= hi GROUP BY 1),
+        |cnts2 AS (
+        |  SELECT CAST(least(floor((dd - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt
+        |  FROM src, b WHERE dd IS NOT NULL AND NOT isnan(dd) AND dd >= lo AND dd <= hi GROUP BY 1),
+        |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range(10))
+        |SELECT s.bin_id,
+        |       s.bin_id * ((b.hi - b.lo) / 10) + b.lo AS bin_lo,
+        |       CASE WHEN s.bin_id = 9 THEN b.hi
+        |            ELSE (s.bin_id + 1) * ((b.hi - b.lo) / 10) + b.lo END AS bin_hi,
+        |       CAST(coalesce(c1.cnt, 0) AS BIGINT) AS l_quantity_cnt,
+        |       CAST(coalesce(c2.cnt, 0) AS BIGINT) AS l_discount_cnt
+        |FROM spine s CROSS JOIN b
+        |LEFT JOIN cnts c1 ON s.bin_id = c1.bin_id
+        |LEFT JOIN cnts2 c2 ON s.bin_id = c2.bin_id
         |ORDER BY s.bin_id""".stripMargin,
 
     "hist_singleton_constant" ->

@@ -251,6 +251,51 @@ object Binning {
       .orderBy("bin_id")
   }
 
+  /** Multi-column histogram over ONE frame in ONE scan: the reference's
+    * `add_data(multi_col_df)` splits into per-column series with a SHARED
+    * range; here all N columns ride a single pass — one combined min/max agg
+    * (shared lo/hi = min of mins / max of maxes), then one aggregate
+    * producing a dense [[graft.functions.HistogramAgg]] count vector per
+    * column. Two jobs total for any N (SURVEY.md §3 target), N× fewer scans
+    * than the union formulation. Output: (bin_id, bin_lo, bin_hi,
+    * <col>_cnt ...), dense, sorted. */
+  def histogramColumns(df: DataFrame, cols: Seq[String], n: Int = 10,
+                       range: Option[(Double, Double)] = None): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val xs = cols.map(c => col(c).cast("double"))
+    val (lo, hi) = range.getOrElse {
+      // NaN excluded from range resolution (rdd.py:2275-2282); min/max skip
+      // nulls, and NaN would otherwise poison max (NaN sorts greatest)
+      val nanFree = xs.map(x => when(!isnan(x), x))
+      val r = df.agg(least(nanFree.map(min): _*).as("lo"), greatest(nanFree.map(max): _*).as("hi")).head()
+      if (r.isNullAt(0))
+        throw new IllegalArgumentException("can not generate buckets from empty RDD")
+      (r.getDouble(0), r.getDouble(1))
+    }
+    require(lo <= hi, s"invalid range [$lo, $hi]")
+    val es = equalWidthEdges(lo, hi, n)
+    val nb = es.size - 1
+    if (lo == hi) { // degenerate: one closed bucket [v, v] per column
+      val aggs = cols.zip(xs).map { case (c, x) =>
+        count(when(!isnan(x) && x === lit(lo), 1)).as(s"${c}_cnt")
+      }
+      return df.agg(aggs.head, aggs.tail: _*)
+        .select(Seq(lit(0).cast("int").as("bin_id"), lit(lo).as("bin_lo"), lit(hi).as("bin_hi")) ++
+          cols.map(c => col(s"${c}_cnt")): _*)
+    }
+    val aggs = cols.zip(xs).map { case (c, x) =>
+      // null/NaN/out-of-range drops happen inside the aggregate (rdd.py:2350)
+      graft.functions.HistogramAgg.hist_counts(x, es).as(s"__cnts_$c")
+    }
+    val (binLo, binHi) = evenEdgeCols(col("bin_id"), lo, hi, nb)
+    val cntCols = cols.map(c => col("col").getField(s"__cnts_$c").as(s"${c}_cnt"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(arrays_zip(cols.map(c => col(s"__cnts_$c")): _*)))
+      .select(Seq(col("pos").cast("int").as("bin_id")) ++ cntCols: _*)
+      .select(Seq(col("bin_id"), binLo, binHi) ++ cols.map(c => col(s"${c}_cnt")): _*)
+      .orderBy("bin_id")
+  }
+
   /** Duplicate series names get " (k)" suffixes, mirroring the reference's
     * add_column de-dupe (pyspark_dist_explore.py ~L80-90). */
   private[dist] def dedupeLabels(names: Seq[String]): Seq[String] = {

@@ -143,6 +143,19 @@ class BinningSpec extends SparkSpec {
     assert(rows(Binning.histogramOnePass(b, "v", Bins.Edges(edges))).map(_._4) == Seq(1L, 2L))
   }
 
+  test("histogramColumns: one scan, shared range, per-column counts") {
+    val df = Seq((0.0, 5.0), (2.0, 10.0), (4.0, Double.NaN), (6.0, 3.0))
+      .toDF("p", "q")
+    // shared range = [0, 10]; NaN dropped from q
+    val h = Binning.histogramColumns(df, Seq("p", "q"), n = 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(h == Seq((0, 0.0, 5.0, 3L, 1L), (1, 5.0, 10.0, 1L, 2L)))
+    // must agree with independent per-column histograms at the shared range
+    val p = counts(Binning.histogram(df, "p", Bins.Count(2), Some((0.0, 10.0))))
+    val q = counts(Binning.histogram(df, "q", Bins.Count(2), Some((0.0, 10.0))))
+    assert(h.map(_._4) == p && h.map(_._5) == q)
+  }
+
   test("implicit syntax: df.histogram / df.minMax / df.densityPoints") {
     val df = Seq(0.0, 5.0, 10.0).toDF("v")
     assert(counts(df.histogram("v", bins = 2)) == Seq(1L, 2L))
