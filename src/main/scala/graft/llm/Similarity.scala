@@ -150,19 +150,21 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim` matrix with
     * entries in {-1, +1} derived from a seeded generator. Sign-bit buckets
-    * from ±1 planes are the classic SRP-LSH (Charikar '02). */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    * from ±1 planes are the classic SRP-LSH (Charikar '02). Weights are
+    * float: ±1 is exact in binary32, so [[FloatDot]] projections are
+    * bit-identical to the double-HOF formulation. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
-  /** Bucket id: sign bits of `nBits` random-hyperplane projections. */
+  /** Bucket id: sign bits of `nBits` random-hyperplane projections, each a
+    * codegen'd [[graft.functions.FloatDot]] loop (an `aggregate(zip_with)`
+    * HOF here would run interpreted with a per-row array allocation). */
   def srpBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nBits, dim, seed)
     planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(zip_with(vec, typedLit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(dot(vec, typedLit(p)) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
