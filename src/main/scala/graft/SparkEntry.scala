@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
     "dedup_drop_exact_documents" -> ((s, d) =>
       Dedup.dropExactDups(t(s, d, "documents")).select("doc_id").orderBy("doc_id")),
+    "dedup_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(t(s, d, "documents"))),
     "dedup_ngram_jaccard_documents" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8)),
     "dedup_near_minhash" -> ((s, d) =>
@@ -322,6 +323,26 @@ object SparkEntry {
          |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clean_corpus" ->
+      s"""WITH exact AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |tt AS (SELECT doc_id, $toksSql AS toks FROM exact),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT DISTINCT id_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+         |SELECT doc_id FROM exact
+         |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_stats_documents" ->
       """SELECT lang, count(*) AS n_docs,

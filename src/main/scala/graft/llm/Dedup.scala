@@ -111,6 +111,26 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** End-to-end corpus cleaning: exact dedup (min doc_id per text survives)
+    * followed by near-duplicate removal (for each near-dup pair among the
+    * survivors, the higher id drops). Returns the surviving doc ids —
+    * the operator a training-data pipeline actually runs.
+    *
+    * Greedy pair-drop, not connected components: for a chain a~b, b~c
+    * (a!~c) both b and c drop. That is the standard bias — over-dropping
+    * borderline chain members costs little corpus, while a components pass
+    * would need an iterative join (GraphX/Pregel territory) for marginal
+    * retention. Exact Jaccard verification keeps this oracle-checkable;
+    * swap [[ngramJaccardPairs]] for [[minHashNearDup]] at 100 TB — same
+    * output columns, LSH-bounded pair space. */
+  def cleanCorpus(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exact = dropExactDups(docs, textCol, idCol)
+    val nearPairs = ngramJaccardPairs(exact, threshold, w, idCol, textCol)
+    exact.join(nearPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select(idCol).orderBy(idCol)
+  }
+
   /** MinHash signatures: k minimums of seeded affine permutations of the
     * shingle hashes, as one codegen'd k×n loop
     * ([[graft.functions.MinHashSig]]). Signature width is constant (k longs)

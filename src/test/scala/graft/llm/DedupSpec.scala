@@ -27,6 +27,16 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(0L, 1L, 3L, 4L, 5L)) // doc 2 dropped (dup of 1)
   }
 
+  test("cleanCorpus drops exact dups then near-dups, keeps the rest") {
+    // doc 2 = exact dup of 1; docs 0~3 have Jaccard 6/8 = 0.75
+    val kept = Dedup.cleanCorpus(docsMini, threshold = 0.7)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(0L, 1L, 4L, 5L)) // 2 exact-dropped, 3 near-dropped
+    val keptStrict = Dedup.cleanCorpus(docsMini, threshold = 0.8)
+      .as[Long].collect().toSeq
+    assert(keptStrict == Seq(0L, 1L, 3L, 4L, 5L)) // 0.75 < 0.8 -> 3 survives
+  }
+
   test("shingles: distinct 3-gram windows; short docs yield empty set") {
     val sh = docsMini.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .orderBy("doc_id").as[(Long, Seq[String])].collect()
