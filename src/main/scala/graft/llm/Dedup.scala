@@ -125,7 +125,10 @@ object Dedup {
     * output columns, LSH-bounded pair space. */
   def cleanCorpus(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exact = dropExactDups(docs, textCol, idCol)
+    // `exact` feeds both the shingle pipeline and the final anti-join; the
+    // window recomputes per branch, which measured CHEAPER than persisting
+    // the text-bearing rows (cache serialization outweighs the recompute)
+    val exact = dropExactDups(docs, textCol, idCol).select(idCol, textCol)
     val nearPairs = ngramJaccardPairs(exact, threshold, w, idCol, textCol)
     exact.join(nearPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
       .select(idCol).orderBy(idCol)
