@@ -32,6 +32,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(counts == Seq(2L, 2L)) // 11.0 dropped, 10.0 in closed last bucket
   }
 
+  test("hist_counts works per-group in SQL (grouped histogram surface)") {
+    GraftFunctions.register(spark)
+    Seq(("a", 1.0), ("a", 9.0), ("b", 4.0)).toDF("g", "v").createOrReplaceTempView("gv")
+    val rows = spark.sql(
+      "SELECT g, hist_counts(v, array(0.0D, 5.0D, 10.0D)) AS c FROM gv GROUP BY g ORDER BY g")
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(rows == Seq(("a", Seq(1L, 1L)), ("b", Seq(1L, 0L))))
+  }
+
   test("session extension class injects the same functions") {
     // A fresh session built through the extensions path; the shared test
     // session already covers the imperative path above.

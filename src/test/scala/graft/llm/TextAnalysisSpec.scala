@@ -57,6 +57,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) == "und")
   }
 
+  test("empty and punctuation-only docs degrade gracefully across operators") {
+    val edge = Seq((0L, ""), (1L, "!!! ??? 123"), (2L, "ok text here")).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(edge).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tc.take(2) == Seq((0L, 0L), (1L, 0L))) // zero tokens, no NaN/negatives
+    val lid = TextAnalysis.langId(edge).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lid(0)._2 == "und" && lid(1)._2 == "und")
+    val qs = TextAnalysis.qualityScore(edge).collect()
+      .map(r => (r.getLong(0), r.getDouble(6))).toMap
+    assert(qs(0L) == 0.0) // empty doc: no band passes
+    val fp = TextAnalysis.fingerprint(edge).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(0L) == 0L && fp(1L) == 0L) // empty token stream -> fold seed
+  }
+
   test("fingerprint matches the hand-computed rolling hash and is order-sensitive") {
     def fp(toks: Seq[String]): Long =
       toks.foldLeft(0L)((acc, tk) => (acc * 131L + 31L * tk.length + tk.head.toInt) % 1000000007L)
