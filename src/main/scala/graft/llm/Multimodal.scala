@@ -58,6 +58,22 @@ object Multimodal {
     extractFeatures(withFakeMedia(docs).as[MediaRecord])
   }
 
+  /** STUB resize — a real deployment decodes, resamples, and re-encodes
+    * (`??? -> imaging codec`, absent in this container); the fake keeps the
+    * contract honest: output byte budget is exactly `w*h*3` (3 bytes/pixel),
+    * derived deterministically by truncating or zero-padding the payload,
+    * and the per-partition batch shape is identical to the real thing. */
+  def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord =
+    MediaRecord(r.doc_id, java.util.Arrays.copyOf(r.media, w * h * 3), r.kind)
+
+  /** Resize as a per-partition batch pass (see [[extractFeatures]]): media
+    * bytes never hit the driver, and downstream operators see the same
+    * (doc_id, media, kind) schema with the new byte budget. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
   /** Frame sampling for video-like binary payloads: split the byte stream
     * into `frameBytes`-sized frames and keep every `stride`-th, as
     * (id, frame_idx, frame, n_bytes) rows.

@@ -27,6 +27,17 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 8L))
   }
 
+  test("resize produces the exact w*h*3 byte budget, preserving prefix") {
+    val docs = Seq((3L, "abcdefgh")).toDF("doc_id", "text")
+    val media = Multimodal.withFakeMedia(docs).as[MediaRecord](
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val out = Multimodal.resize(media, w = 2, h = 1).collect()(0)
+    assert(out.media.length == 2 * 1 * 3)
+    assert(new String(out.media) == "abcdef") // truncation keeps the prefix
+    val up = Multimodal.resize(media, w = 2, h = 2).collect()(0)
+    assert(up.media.length == 12 && up.media.drop(8).forall(_ == 0)) // zero-pad
+  }
+
   test("feature extraction runs distributed (per-partition, not driver)") {
     val docs = spark.range(100).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT)) AS text")
       .repartition(8)
