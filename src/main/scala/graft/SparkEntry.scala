@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_drop_exact_documents" -> ((s, d) =>
       Dedup.dropExactDups(t(s, d, "documents")).select("doc_id").orderBy("doc_id")),
     "dedup_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(t(s, d, "documents"))),
+    "dedup_clean_corpus_minhash" -> ((s, d) => Dedup.cleanCorpusMinHash(t(s, d, "documents"))),
     "dedup_ngram_jaccard_documents" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8)),
     "dedup_near_minhash" -> ((s, d) =>

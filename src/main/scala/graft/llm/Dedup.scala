@@ -134,6 +134,19 @@ object Dedup {
       .select(idCol).orderBy(idCol)
   }
 
+  /** [[cleanCorpus]] with the LSH-bounded pair space — the 100 TB variant:
+    * near-dup pairs come from [[minHashNearDup]] (fixed-width signatures,
+    * per-band bucket joins) instead of the exact all-shared-shingle join.
+    * Same output columns; both ends verify pairs with exact Jaccard, so on
+    * corpora where LSH recall is ~1 the two variants agree. */
+  def cleanCorpusMinHash(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exact = dropExactDups(docs, textCol, idCol).select(idCol, textCol)
+    val nearPairs = minHashNearDup(exact, threshold, idCol = idCol, textCol = textCol, w = w)
+    exact.join(nearPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select(idCol).orderBy(idCol)
+  }
+
   /** MinHash signatures: k minimums of seeded affine permutations of the
     * shingle hashes, as one codegen'd k×n loop
     * ([[graft.functions.MinHashSig]]). Signature width is constant (k longs)

@@ -37,6 +37,12 @@ class DedupSpec extends SparkSpec {
     assert(keptStrict == Seq(0L, 1L, 3L, 4L, 5L)) // 0.75 < 0.8 -> 3 survives
   }
 
+  test("cleanCorpusMinHash agrees with the exact variant on planted dups") {
+    val exactKept = Dedup.cleanCorpus(docsMini, threshold = 0.7).as[Long].collect().toSeq
+    val lshKept = Dedup.cleanCorpusMinHash(docsMini, threshold = 0.7).as[Long].collect().toSeq
+    assert(lshKept == exactKept)
+  }
+
   test("shingles: distinct 3-gram windows; short docs yield empty set") {
     val sh = docsMini.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .orderBy("doc_id").as[(Long, Seq[String])].collect()
