@@ -38,14 +38,20 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Distinct n-grams over a token-array column, each gram mapped through
+    * `f` — single source of the shingle rule shared by [[shingles]],
+    * [[shingleHashes]], and [[shingleDF]]. */
+  private def gramSet(toks: Column, w: Int, f: Column => Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - lit(w - 1)),
+      i => f(array_join(slice(toks, i, lit(w)), " "))))
+
   /** Distinct token n-gram (shingle) set per document, as an array column.
     * w=3 word shingles are the classic near-dup unit (Broder '97). Documents
     * shorter than w tokens yield an empty set. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
-    val grams = transform(sequence(lit(1), size(toks) - lit(w - 1)),
-      i => array_join(slice(toks, i, lit(w)), " "))
-    when(size(toks) >= w, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    when(size(toks) >= w, gramSet(toks, w, identity))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct 64-bit shingle hashes. All join/signature machinery downstream
@@ -54,9 +60,8 @@ object Dedup {
     * any near-dup pipeline's noise floor. */
   def shingleHashes(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
-    val grams = transform(sequence(lit(1), size(toks) - lit(w - 1)),
-      i => xxhash64(array_join(slice(toks, i, lit(w)), " ")))
-    when(size(toks) >= w, array_distinct(grams)).otherwise(array().cast("array<bigint>"))
+    when(size(toks) >= w, gramSet(toks, w, xxhash64(_)))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** (id, sh: array<long>) — distinct hashed shingles per doc, built in two
@@ -69,9 +74,7 @@ object Dedup {
   private[llm] def shingleDF(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= w)
-      .select(col("id"), array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - lit(w - 1)),
-          i => xxhash64(array_join(slice(col("toks"), i, lit(w)), " ")))).as("sh"))
+      .select(col("id"), gramSet(col("toks"), w, xxhash64(_)).as("sh"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (similarity >= threshold).
     *
@@ -181,6 +184,10 @@ object Dedup {
     // pass over the corpus runs once, not three times. MEMORY_AND_DISK spills
     // rather than OOMs; at 100 TB this materialization is the same "stage
     // artifact" a production near-dup pipeline writes between phases.
+    // LIFECYCLE: the cache lives until session cleanup — callers invoking
+    // this repeatedly in one long session should spark.catalog.clearCache()
+    // (or unpersist via the storage UI) between corpora; an in-operator
+    // unpersist would defeat the reuse the persist exists for.
     val sh = shingleDF(docs, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), minHashSignature(col("sh"), k, seed).as("sig"))

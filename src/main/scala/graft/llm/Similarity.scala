@@ -118,10 +118,12 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-    val n = e.count()
-    val stride = math.max(1L, n / nCentroids)
+    // Deterministic pseudo-random centroid sample: order by a hash of the id
+    // (id tiebreak) and take the first C. Id-distribution-agnostic (a modulo
+    // scheme returns ZERO centroids when no id hits the stride) and one
+    // TakeOrdered job — no separate count. */
     val cents: Array[(Int, Seq[Float], Double)] = e
-      .where(pmod(col("id"), lit(stride)) === 0).orderBy("id").limit(nCentroids)
+      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
       .collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](1), r.getDouble(2))
       }

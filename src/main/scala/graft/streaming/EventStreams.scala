@@ -90,26 +90,34 @@ object EventStreams {
             val evs = it.toSeq
             if (evs.isEmpty) Iterator.empty
             else {
+              // Fold events in event-time order, splitting on every gap —
+              // including gaps INSIDE this batch (a replay/catch-up batch can
+              // carry hours of history) — so results match the batch
+              // session_window semantics. Late events that still land inside
+              // the open session extend its start (math.min), matching what
+              // the batch equivalent computes over the full data.
               val sorted = evs.sortBy(_.ts.getTime)
-              val prev = state.getOption
-              val first = sorted.head.ts.getTime
-              val last = sorted.last.ts.getTime
-              val merged = prev match {
-                case Some(p) if first - p.endMs <= gapMs =>
-                  SessionState(p.nEvents + evs.size, p.startMs, math.max(p.endMs, last),
-                    p.totalValue + evs.map(_.value).sum)
-                case _ =>
-                  SessionState(evs.size.toLong, first, last, evs.map(_.value).sum)
+              val closed = scala.collection.mutable.Buffer.empty[SessionSummary]
+              var cur = state.getOption
+              for (ev <- sorted) {
+                val t = ev.ts.getTime
+                cur = cur match {
+                  case Some(s) if t - s.endMs <= gapMs =>
+                    Some(SessionState(s.nEvents + 1, math.min(s.startMs, t),
+                      math.max(s.endMs, t), s.totalValue + ev.value))
+                  case Some(s) =>
+                    closed += summary(s)
+                    Some(SessionState(1L, t, t, ev.value))
+                  case None =>
+                    Some(SessionState(1L, t, t, ev.value))
+                }
               }
-              state.update(merged)
+              val open = cur.get
+              state.update(open)
               // close when the watermark passes session end + gap
               state.setTimeoutTimestamp(math.max(
-                merged.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-              // emit closed previous session if this batch's events broke the gap
-              prev match {
-                case Some(p) if first - p.endMs > gapMs => Iterator(summary(p))
-                case _ => Iterator.empty
-              }
+                open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+              closed.iterator
             }
           }
       }

@@ -81,6 +81,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize splits sessions on gaps INSIDE one microbatch (replay shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_replay").outputMode("append").start()
+    try {
+      // one batch carrying hours of history: two full sessions + one open
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 9, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 9, "view", 2.0),
+        Event(3, ts("2024-01-01 12:00:00"), 9, "click", 4.0),
+        Event(4, ts("2024-01-01 15:00:00"), 9, "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_events, total_value FROM sessions_replay ORDER BY start")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((2L, 3.0), (1L, 4.0))) // 15:00 session still open
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap breaks and emits its summary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
