@@ -229,15 +229,27 @@ object Binning {
     * Output: (bin_id, bin_lo, bin_hi, <label>_cnt ...), dense, sorted.
     */
   def histogramMany(series: Seq[(DataFrame, String, String)], n: Int = 10,
-                    range: Option[(Double, Double)] = None): DataFrame = {
+                    range: Option[(Double, Double)] = None): DataFrame =
+    histogramManyBins(series, Bins.Count(n), range)
+
+  /** [[histogramMany]] generalized to any [[Bins]] spec (explicit edges skip
+    * the min/max job entirely, mirroring the reference's `bins=list`). */
+  def histogramManyBins(series: Seq[(DataFrame, String, String)], bins: Bins,
+                        range: Option[(Double, Double)] = None): DataFrame = {
     require(series.nonEmpty, "at least one series required")
     val labels = dedupeLabels(series.map(_._3))
     val tagged = series.zip(labels).map { case ((df, c, _), lbl) =>
       df.select(col(c).cast("double").as("x"), lit(lbl).as("series"))
     }.reduce(_ unionByName _)
     val clean = tagged.where(col("x").isNotNull && !isnan(col("x")))
-    val (lo, hi) = range.getOrElse(minMaxOf(clean))
-    val es = equalWidthEdges(lo, hi, n)
+    val es: Vector[Double] = bins match {
+      case Bins.Edges(e) => validateEdges(e); e.toVector
+      case Bins.Count(nn) =>
+        val (lo, hi) = range.getOrElse(minMaxOf(clean))
+        require(lo <= hi, s"invalid range [$lo, $hi]")
+        equalWidthEdges(lo, hi, nn)
+    }
+    val (lo, hi) = (es.head, es.last)
     val nb = es.size - 1
     val inRange = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
     val counts = inRange
@@ -245,7 +257,14 @@ object Binning {
       .pivot("series", labels)
       .count()
     val cntCols = labels.map(l => coalesce(col(s"`$l`"), lit(0L)).as(s"${l}_cnt"))
-    val (binLo, binHi) = evenEdgeCols(col("bin_id"), lo, hi, nb)
+    // user-supplied edges are echoed back verbatim (element_at literals);
+    // derived edges keep the oracle-parity even-width arithmetic
+    val (binLo, binHi) = bins match {
+      case Bins.Edges(_) =>
+        (element_at(typedLit(es.dropRight(1)), col("bin_id") + 1).as("bin_lo"),
+          element_at(typedLit(es.drop(1)), col("bin_id") + 1).as("bin_hi"))
+      case _ => evenEdgeCols(col("bin_id"), lo, hi, nb)
+    }
     spine(clean, nb).join(counts, Seq("bin_id"), "left")
       .select(Seq(col("bin_id"), binLo, binHi) ++ cntCols: _*)
       .orderBy("bin_id")

@@ -47,34 +47,11 @@ class Histogram(bins: Bins = Bins.Count(10), range: Option[(Double, Double)] = N
     this
   }
 
-  /** Idempotent materialization (reference build(), ~L95-120). */
+  /** Idempotent materialization (reference build(), ~L95-120). Explicit
+    * edges bypass the min/max jobs entirely (~L104); either way, one union +
+    * one counting job for all series ([[Binning.histogramManyBins]]). */
   def build(): DataFrame = built.getOrElse {
-    val b = bins match {
-      case Bins.Count(n) => Binning.histogramMany(series.toSeq, n, range)
-      case Bins.Edges(es) =>
-        // Explicit edges bypass the min/max jobs entirely (~L104); per-series
-        // counts are still one union + one counting job.
-        Binning.validateEdges(es)
-        val labels = Binning.dedupeLabels(series.map(_._3).toSeq)
-        val tagged = series.toSeq.zip(labels).map { case ((df, c, _), lbl) =>
-          df.select(col(c).cast("double").as("x"), lit(lbl).as("series"))
-        }.reduce(_ unionByName _)
-        val clean = tagged.where(col("x").isNotNull && !isnan(col("x")) &&
-          col("x") >= lit(es.head) && col("x") <= lit(es.last))
-        val counts = clean
-          .groupBy(Binning.binId(col("x"), es).as("bin_id"))
-          .pivot("series", labels)
-          .count()
-        val esV = es.toVector
-        val spine = series.head._1.sparkSession.range(es.size - 1)
-          .select(col("id").cast("int").as("bin_id"))
-        val cntCols = labels.map(l => coalesce(col(s"`$l`"), lit(0L)).as(s"${l}_cnt"))
-        spine.join(counts, Seq("bin_id"), "left")
-          .select(Seq(col("bin_id"),
-            element_at(typedLit(esV.dropRight(1)), col("bin_id") + 1).as("bin_lo"),
-            element_at(typedLit(esV.drop(1)), col("bin_id") + 1).as("bin_hi")) ++ cntCols: _*)
-          .orderBy("bin_id")
-    }
+    val b = Binning.histogramManyBins(series.toSeq, bins, range)
     built = Some(b)
     b
   }
