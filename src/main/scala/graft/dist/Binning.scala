@@ -284,9 +284,14 @@ object Binning {
     val xs = cols.map(c => col(c).cast("double"))
     val (lo, hi) = range.getOrElse {
       // NaN excluded from range resolution (rdd.py:2275-2282); min/max skip
-      // nulls, and NaN would otherwise poison max (NaN sorts greatest)
+      // nulls, and NaN would otherwise poison max (NaN sorts greatest).
+      // least/greatest need >= 2 args — pass through for a single column.
       val nanFree = xs.map(x => when(!isnan(x), x))
-      val r = df.agg(least(nanFree.map(min): _*).as("lo"), greatest(nanFree.map(max): _*).as("hi")).head()
+      val mins = nanFree.map(min)
+      val maxs = nanFree.map(max)
+      val loC = if (mins.size == 1) mins.head else least(mins: _*)
+      val hiC = if (maxs.size == 1) maxs.head else greatest(maxs: _*)
+      val r = df.agg(loC.as("lo"), hiC.as("hi")).head()
       if (r.isNullAt(0))
         throw new IllegalArgumentException("can not generate buckets from empty RDD")
       (r.getDouble(0), r.getDouble(1))
@@ -318,11 +323,16 @@ object Binning {
   /** Duplicate series names get " (k)" suffixes, mirroring the reference's
     * add_column de-dupe (pyspark_dist_explore.py ~L80-90). */
   private[dist] def dedupeLabels(names: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // re-check each candidate against everything issued so far: a naive
+    // per-name counter can emit a suffix colliding with a USER-SUPPLIED
+    // label (e.g. "a", "a (1)", "a" -> two "a (1)" pivot columns)
+    val seen = scala.collection.mutable.Set.empty[String]
     names.map { nm =>
-      val k = seen.getOrElse(nm, 0)
-      seen(nm) = k + 1
-      if (k == 0) nm else s"$nm ($k)"
+      var cand = nm
+      var k = 1
+      while (seen(cand)) { cand = s"$nm ($k)"; k += 1 }
+      seen += cand
+      cand
     }
   }
 

@@ -42,6 +42,7 @@ class Histogram(bins: Bins = Bins.Count(10), range: Option[(Double, Double)] = N
   }
 
   def addColumn(df: DataFrame, colName: String, label: String): this.type = {
+    require(df.columns.contains(colName), s"no column $colName")
     series += ((df, colName, label))
     built = None
     this

@@ -77,49 +77,40 @@ object EventStreams {
     val gapMs = gapMinutes * 60000L
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[Seq[SessionState], SessionSummary](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, it, state: GroupState[SessionState]) =>
+        case (userId, it, state: GroupState[Seq[SessionState]]) =>
           def summary(s: SessionState) = SessionSummary(userId, s.nEvents,
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.totalValue)
-          if (state.hasTimedOut) {
-            val closed = summary(state.get)
-            state.remove()
-            Iterator(closed)
-          } else {
-            val evs = it.toSeq
-            if (evs.isEmpty) Iterator.empty
-            else {
-              // Fold events in event-time order, splitting on every gap —
-              // including gaps INSIDE this batch (a replay/catch-up batch can
-              // carry hours of history) — so results match the batch
-              // session_window semantics. Late events that still land inside
-              // the open session extend its start (math.min), matching what
-              // the batch equivalent computes over the full data.
-              val sorted = evs.sortBy(_.ts.getTime)
-              val closed = scala.collection.mutable.Buffer.empty[SessionSummary]
-              var cur = state.getOption
-              for (ev <- sorted) {
-                val t = ev.ts.getTime
-                cur = cur match {
-                  case Some(s) if t - s.endMs <= gapMs =>
-                    Some(SessionState(s.nEvents + 1, math.min(s.startMs, t),
-                      math.max(s.endMs, t), s.totalValue + ev.value))
-                  case Some(s) =>
-                    closed += summary(s)
-                    Some(SessionState(1L, t, t, ev.value))
-                  case None =>
-                    Some(SessionState(1L, t, t, ev.value))
-                }
-              }
-              val open = cur.get
-              state.update(open)
-              // close when the watermark passes session end + gap
-              state.setTimeoutTimestamp(math.max(
-                open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-              closed.iterator
+          // State = the user's DISJOINT session set (the same shape Spark's
+          // session_window state store keeps). Each event merges every
+          // session it touches within the gap ON EITHER SIDE — so a late
+          // (within-watermark) event can extend a session backwards, bridge
+          // two sessions into one, or open its own — and NOTHING is emitted
+          // until the watermark passes a session's end + gap, at which point
+          // no in-order event can reach it anymore. Emitting eagerly on an
+          // intra-batch gap (the previous design) finalized sessions that a
+          // late event could still legally join.
+          var sessions: Seq[SessionState] = state.getOption.getOrElse(Nil)
+          for (ev <- it.toSeq.sortBy(_.ts.getTime)) {
+            val t = ev.ts.getTime
+            val (touching, rest) = sessions.partition(
+              s => t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+            val merged = touching.foldLeft(SessionState(1L, t, t, ev.value)) { (acc, s) =>
+              SessionState(acc.nEvents + s.nEvents, math.min(acc.startMs, s.startMs),
+                math.max(acc.endMs, s.endMs), acc.totalValue + s.totalValue)
             }
+            sessions = merged +: rest
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (done, live) = sessions.partition(_.endMs + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(live)
+            // wake when the watermark passes the earliest live session's close
+            state.setTimeoutTimestamp(math.max(live.map(_.endMs + gapMs).min, wm + 1))
+          }
+          done.sortBy(_.startMs).map(summary).iterator
       }
   }
 }

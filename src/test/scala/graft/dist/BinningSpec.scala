@@ -143,6 +143,14 @@ class BinningSpec extends SparkSpec {
     assert(rows(Binning.histogramOnePass(b, "v", Bins.Edges(edges))).map(_._4) == Seq(1L, 2L))
   }
 
+  test("histogramColumns works for a single column and colliding labels dedupe safely") {
+    val one = Binning.histogramColumns(Seq(0.0, 10.0).toDF("v"), Seq("v"), n = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toSeq
+    assert(one == Seq((0, 1L), (1, 1L)))
+    // "a", "a (1)", "a" must yield three distinct labels, not two "a (1)"s
+    assert(Binning.dedupeLabels(Seq("a", "a (1)", "a")).distinct.size == 3)
+  }
+
   test("histogramColumns: one scan, shared range, per-column counts") {
     val df = Seq((0.0, 5.0), (2.0, 10.0), (4.0, Double.NaN), (6.0, 3.0))
       .toDF("p", "q")

@@ -101,6 +101,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize holds closed sessions for late events that re-open them") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // watermark delay 1h > gap 30m: a late event may legally bridge a gap
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sessions_late").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0),
+        Event(2, ts("2024-01-01 10:31:00"), 5, "view", 2.0)) // gap broken intra-batch
+      q.processAllAvailable()
+      // late bridging event: within watermark, joins BOTH fragments
+      in.addData(Event(3, ts("2024-01-01 10:15:00"), 5, "click", 4.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past everything for user 5
+      in.addData(Event(4, ts("2024-01-02 12:00:00"), 6, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, total_value FROM sessions_late WHERE user_id = 5")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((5L, 3L, 7.0))) // ONE session of 3, not fragments
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap breaks and emits its summary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
