@@ -86,6 +86,34 @@ class HistogramPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: histogramColumns == per-column histograms at the shared range") {
+    for ((vsA, vsB) <- samples(Gen.zip(valuesGen, valuesGen), 10)) {
+      val n = math.max(vsA.size, vsB.size)
+      val df = vsA.padTo(n, Double.NaN).zip(vsB.padTo(n, Double.NaN)).toDF("a", "b")
+      val lo = math.min(vsA.min, vsB.min); val hi = math.max(vsA.max, vsB.max)
+      val multi = Binning.histogramColumns(df, Seq("a", "b"), n = 6)
+        .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+      val ha = Binning.histogram(df, "a", Bins.Count(6), Some((lo, hi)))
+        .select("cnt").as[Long].collect().toSeq
+      val hb = Binning.histogram(df, "b", Bins.Count(6), Some((lo, hi)))
+        .select("cnt").as[Long].collect().toSeq
+      assert(multi.map(_._1) == ha && multi.map(_._2) == hb)
+    }
+  }
+
+  test("property: saltedJoin equals plain join on random skewed data") {
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 3L)), Gen.choose(1, 6))
+    for ((keys, salts) <- samples(gen, 8)) {
+      val big = keys.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "payload")
+      val small = (0L to 3L).map(k => (k, s"d$k")).toDF("k", "dim")
+      val plain = big.join(small, Seq("k")).select("k", "payload", "dim")
+        .collect().map(_.toSeq).toSet
+      val salted = Joins.saltedJoin(big, small, Seq("k"), salts)
+        .select("k", "payload", "dim").collect().map(_.toSeq).toSet
+      assert(salted == plain, s"salts=$salts keys=$keys")
+    }
+  }
+
   test("property: counts invariant under repartition/permutation") {
     val rnd = new scala.util.Random(7)
     for (vs <- samples(valuesGen, 10) if vs.distinct.size > 1) {
