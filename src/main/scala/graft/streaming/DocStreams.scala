@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming faces of the document/text operators — the ingest half of a
+  * training-data pipeline: documents arrive as a stream (with an ingest
+  * timestamp), get exact-deduped on content hash within a watermark, and
+  * feed the same expression-tree text analytics the batch operators use.
+  * Everything here is the identical Column logic as graft.llm.TextAnalysis /
+  * Dedup — the point of the Spark-native design is that batch and streaming
+  * share one declarative core. */
+object DocStreams {
+
+  /** Streaming exact dedup on the 64-bit content hash: first arrival wins,
+    * watermark bounds the seen-set state (the streaming face of
+    * Dedup.dropExactDups). `tsCol` is the ingest timestamp. */
+  def dedupExactStream(docs: DataFrame, textCol: String = "text",
+                       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
+  /** Streaming vocabulary counts: running top tokens in complete mode
+    * (the streaming face of TextAnalysis.topTokens; the sink applies the
+    * ordering/limit — complete-mode aggregations cannot sort upstream). */
+  def tokenCountsStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.llm.TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Streaming per-language document counts over tumbling ingest windows —
+    * corpus-composition monitoring for an ingest pipeline. */
+  def langMixStream(docs: DataFrame, langCol: String = "lang", tsCol: String = "ts",
+                    window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(langCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("win_start"), col(langCol), col("n_docs"))
+}
