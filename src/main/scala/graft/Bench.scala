@@ -32,8 +32,11 @@ object Bench {
       import org.apache.spark.sql.functions._
       val r = spark.read.parquet(s"$sfDir/region.parquet")
       r.join(broadcast(r.limit(3)), Seq(r.columns.head))
+        // partitioned window: an unpartitioned orderBy here spams
+        // "WindowExec: No Partition Defined" warnings into the bench log
         .withColumn("w", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(r.columns.head)))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(r.columns.head).orderBy(r.columns.head)))
         .withColumn("e", explode(array(lit(1), lit(2))))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () } // warmup must never fail the bench
@@ -57,7 +60,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // "cpus" makes scaling regressions visible round-over-round: rerun with
+    // SPARK_GRAFT_CPUS=4 and compare — fixed overhead stays, parallel work 8x.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,11 @@ object SparkEntry {
       Dedup.minHashNearDup(t(s, d, "documents"), threshold = 0.8)),
     "dedup_simhash_documents" -> ((s, d) =>
       Dedup.simHashNearDup(t(s, d, "documents"), maxHamming = 3)),
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))
+        .orderBy("id")),
+    "dedup_clean_corpus_cc" -> ((s, d) => Dedup.cleanCorpusCC(t(s, d, "documents"))),
 
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
@@ -116,6 +121,13 @@ object SparkEntry {
       Similarity.ivfAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
     "emb_cosine_neardup" -> ((s, d) =>
       Similarity.embCosineNearDup(t(s, d, "embeddings"), threshold = 0.5)),
+    // the bucketed 100 TB sibling of emb_cosine_neardup. nBits=3/nTables=16
+    // is tuned for this corpus's near-random vectors (top pair sim ≈ 0.51 ⇒
+    // per-bit agreement p ≈ 0.67); real near-dup corpora (sims ≥ 0.9) keep
+    // the wider default bucketing and prune far harder.
+    "emb_cosine_neardup_lsh" -> ((s, d) =>
+      Similarity.embCosineNearDupLSH(t(s, d, "embeddings"), threshold = 0.5,
+        nTables = 16, nBits = 3)),
 
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>
@@ -345,6 +357,56 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
          |ORDER BY doc_id""".stripMargin,
 
+    // components over the near-dup graph: transitive closure (recursive CTE,
+    // UNION-deduped so it terminates on cycles), comp = min reachable id
+    "dedup_components" ->
+      s"""WITH RECURSIVE tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+         |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "dedup_clean_corpus_cc" ->
+      s"""WITH RECURSIVE exact AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |tt AS (SELECT doc_id, $toksSql AS toks FROM exact),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+         |SELECT doc_id FROM exact
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+         |ORDER BY doc_id""".stripMargin,
+
     "text_stats_documents" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
@@ -488,8 +550,9 @@ object SparkEntry {
         |       CAST(least(128, len - i*128) AS INTEGER) AS n_bytes
         |FROM e ORDER BY doc_id, frame_idx""".stripMargin
     // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings,
-    // ann_ivf_topk_embeddings: intentionally oracle-less (seeded-hash /
-    // approximate semantics; the driver records a rows-only check) —
-    // verified by ScalaTest properties against exact implementations instead.
+    // ann_ivf_topk_embeddings, emb_cosine_neardup_lsh: intentionally
+    // oracle-less (seeded-hash / approximate semantics; the driver records a
+    // rows-only check) — verified by ScalaTest properties against exact
+    // implementations instead.
   )
 }

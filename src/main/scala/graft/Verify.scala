@@ -35,9 +35,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The driver keys its compare by the on-disk result name, which carries
+    // a ".parquet" suffix (CORRECTNESS_r01 rows were all `no_oracle` with
+    // bare keys). Emit every oracle under BOTH the bare query name and the
+    // suffixed result name so either lookup convention resolves.
+    val entries = SparkEntry.oracleSql.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[verify] wrote ${SparkEntry.queries.size} results, " +
+      s"${SparkEntry.oracleSql.size} oracle queries (x2 key forms) to $outDir")
     spark.stop()
   }
 }

@@ -30,12 +30,23 @@ object Dedup {
       (count(lit(1)) - count_distinct(col("text"))).as("n_dups")
     ).orderBy("source")
 
-  /** Keep one representative row per exact-duplicate group (min doc_id wins).
-    * Shuffle key is the 64-bit text hash, not the full text. */
+  /** Keep one representative row per exact-duplicate group (min doc_id wins;
+    * ids are assumed unique per row, as in any ingest with a doc key).
+    *
+    * Winner selection is `groupBy(xxhash64(text)).agg(min(id))` — the shuffle
+    * for the expensive full-corpus aggregation carries only (8-byte hash, id)
+    * rows, never the text. The semi-join back on id restores the full rows;
+    * its winner side is one slim id per distinct text, so AQE broadcasts it
+    * at moderate scale, and beyond that Spark's runtime bloom filter prunes
+    * losing rows before the exchange — either way text bytes stop crossing
+    * the wire row-for-row, which a `Window.partitionBy(hash)` over full rows
+    * (the naive shape) cannot avoid. */
   def dropExactDups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val winners = docs
+      .select(xxhash64(col(textCol)).as("__th"), col(idCol))
+      .groupBy("__th").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(winners, Seq(idCol), "left_semi")
   }
 
   /** Distinct n-grams over a token-array column, each gram mapped through
@@ -87,15 +98,25 @@ object Dedup {
     * prefilter (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|), applied with an ulp
     * cushion so float rounding can't drop threshold-boundary pairs) prunes
     * pairs inside the bucket lambda before they ever materialize.
-    * Exact and oracle-checkable; for 100 TB use [[minHashNearDup]] (this
-    * operator is the verifier shape for its candidates). */
+    *
+    * `maxBucket` drops shingles shared by more than that many documents —
+    * the same skew guard as [[minHashNearDup]]: one boilerplate shingle in
+    * 10⁶ docs would otherwise build an unbounded `collect_list` row and an
+    * O(b²) pair expansion. Recall consequence: a pair found ONLY via dropped
+    * hot shingles is missed; near-dups at J ≥ 0.8 share many shingles, so a
+    * pair must have ALL its shared shingles boilerplate-hot to vanish —
+    * vanishingly rare, and the full-corpus alternative is an OOM row.
+    * Exact and oracle-checkable below the cap; for 100 TB use
+    * [[minHashNearDup]] (this operator is the verifier shape for its
+    * candidates). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxBucket: Int = 200): DataFrame = {
     val sh = shingleDF(docs, idCol, textCol, w)
     val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     val buckets = ex.groupBy("h")
       .agg(collect_list(struct(col("id"), col("n"))).as("ms"))
-      .where(size(col("ms")) >= 2)
+      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
     val eps = lit(1e-9)
     val pairs = buckets.select(explode(flatten(transform(col("ms"), a =>
         transform(
@@ -129,12 +150,65 @@ object Dedup {
   def cleanCorpus(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // `exact` feeds both the shingle pipeline and the final anti-join; the
-    // window recomputes per branch, which measured CHEAPER than persisting
+    // dedup recomputes per branch, which measured CHEAPER than persisting
     // the text-bearing rows (cache serialization outweighs the recompute)
     val exact = dropExactDups(docs, textCol, idCol).select(idCol, textCol)
     val nearPairs = ngramJaccardPairs(exact, threshold, w, idCol, textCol)
     exact.join(nearPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
       .select(idCol).orderBy(idCol)
+  }
+
+  /** Connected components over an undirected near-dup pair graph (columns
+    * `id_a`, `id_b`): one (id, comp) row per vertex appearing in any pair,
+    * where comp is the minimum id reachable in the vertex's component.
+    *
+    * Min-label propagation: each round every vertex takes the min of its own
+    * label and its neighbors' labels — one join + one map-side-combined
+    * hash-agg per round, converging in O(diameter) rounds. Near-dup
+    * components are small tight clusters (diameter is single digits), so the
+    * large-star/small-star contraction of the Kiveris et al. CC algorithm is
+    * not worth its extra passes here; the shuffle rows are slim (id, id)
+    * pairs throughout. Lineage truncates each round via eager
+    * localCheckpoint so the plan cannot grow with the iteration count; on a
+    * real cluster prefer reliable `checkpoint` (survives executor loss
+    * between rounds). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = e.union(e.select(col("dst"), col("src"))).distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var done = labels.isEmpty
+    var i = 0
+    while (!done && i < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop).groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** [[cleanCorpus]] with connected-components grouping instead of greedy
+    * pair-drop: near-dup pairs form a graph, each component keeps exactly
+    * its minimum id. For a chain a~b, b~c (a!~c) this keeps a and drops
+    * b, c — one survivor per transitive dup cluster, the semantics a
+    * production corpus dedup usually wants (greedy pair-drop over-drops
+    * nothing here but under long chains keeps only the chain head too;
+    * they differ when a dropped doc was another doc's only witness). */
+  def cleanCorpusCC(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exact = dropExactDups(docs, textCol, idCol).select(idCol, textCol)
+    val pairs = ngramJaccardPairs(exact, threshold, w, idCol, textCol)
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    exact.join(losers, Seq(idCol), "left_anti").select(idCol).orderBy(idCol)
   }
 
   /** [[cleanCorpus]] with the LSH-bounded pair space — the 100 TB variant:

@@ -100,40 +100,129 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[embCosineNearDup]]'s declared 100 TB path: SRP-LSH bucketed
+    * near-duplicate pairs. `nTables` independent sign-bucket tables (seeded
+    * hyperplane sets); vectors meet only inside a matching (table, bucket)
+    * cell, every candidate pair is verified with exact cosine, so precision
+    * is exact and only recall is approximate (a true pair is missed iff its
+    * signs differ in EVERY table — P(miss) = (1-p^nBits)^nTables with
+    * p = 1 - θ/π; for near-dup sims ≥0.9 and the defaults that is <1e-3).
+    *
+    * Scale shape mirrors [[graft.llm.Dedup.minHashNearDup]]: bucketing is
+    * map-only; the one aggregation shuffles slim (id, table, bucket) rows —
+    * never the vectors; pair expansion happens inside the bucket row with a
+    * `maxBucket` skew cap; vectors rejoin only for the per-candidate verify.
+    * Total pair work is Σ_cell |cell|² instead of n². */
+  def embCosineNearDupLSH(emb: DataFrame, threshold: Double = 0.9, nTables: Int = 8,
+                          nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                          maxBucket: Int = 2000,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val tables = (0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), srpBucket(col("v"), nBits, dim, seed + t).as("bkt")))
+    val banded = e.select(col("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val buckets = banded.groupBy("tbl", "bkt").agg(collect_list("id").as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairs = buckets.select(explode(flatten(transform(col("ids"),
+        a => transform(filter(col("ids"), b => a < b), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val verified = pairs
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+    verified.select(col("id_a"), col("id_b"),
+        cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (cid, centroid vector, precomputed norm) — always small enough to live
+    * as expression literals. */
+  type Centroids = Array[(Int, Seq[Float], Double)]
+
+  /** Per-centroid cosine as expressions over the literal centroid matrix:
+    * map-only, no shuffle — the assignment shape that scales. */
+  private def centSims(cents: Centroids)(v: Column, nrm: Column): Seq[Column] =
+    cents.toIndexedSeq.map { case (cid, cv, cn) =>
+      struct((dot(v, typedLit(cv)) / (nrm * lit(cn))).as("sim"), lit(cid).as("cid"))
+    }
+
+  private def nearestCents(cents: Centroids)(v: Column, nrm: Column, take: Int): Column =
+    slice(sort_array(array(centSims(cents)(v, nrm): _*), asc = false), 1, take)
+
+  /** Driver-side norm with the same left-fold float→double discipline as
+    * [[graft.functions.FloatDot]], so literal-centroid cosines are
+    * bit-consistent with column-side ones. */
+  private def foldNorm(cv: Seq[Float]): Double =
+    math.sqrt(cv.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
+
+  /** K-means-lite centroid training: a deterministic hash-ordered sample
+    * seeds `nCentroids` centroids, then `iters` Lloyd rounds run as DataFrame
+    * aggregations — assign each vector to its nearest centroid
+    * (expression-level argmax over the literal matrix, map-only), then
+    * recompute each centroid as the element-wise mean of its cell.
+    *
+    * The mean runs over `decimal(28,12)` casts of the (exactly-representable)
+    * float components, so the aggregate is order-independent and the trained
+    * centroids are bit-deterministic under any partitioning — floating-point
+    * `avg` would drift with the shuffle schedule. Emptied cells keep their
+    * previous centroid. `iters = 0` degenerates to the plain sample (the
+    * round-1 stand-in). At 100 TB, train on a sampled slice (`emb.sample`)
+    * and reuse the centroids across queries — this is the offline phase of
+    * the IVF design. */
+  def trainCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Centroids = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // Deterministic pseudo-random seed sample: order by a hash of the id
+    // (id tiebreak) and take the first C. Id-distribution-agnostic (a modulo
+    // scheme returns ZERO centroids when no id hits the stride) and one
+    // TakeOrdered job — no separate count.
+    var cents: Centroids = e
+      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1), r.getDouble(2))
+      }
+    for (_ <- 0 until iters) {
+      val assigned = e.select(col("v"),
+        nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
+      val means = assigned.select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("col").cast("decimal(28,12)")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[java.math.BigDecimal](1).map(_.floatValue()).toSeq)
+        .toMap
+      cents = cents.map { case (cid, old, on) =>
+        means.get(cid).map(nv => (cid, nv, foldNorm(nv))).getOrElse((cid, old, on))
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors: a coarse quantizer of
     * `nCentroids` centroid vectors partitions the corpus into cells; each
     * vector is assigned to its nearest centroid, and a query scores exact
     * cosine only against the cells of its `nprobe` nearest centroids.
     *
-    * Centroids are chosen deterministically from the corpus (every
-    * ⌈n/C⌉-th vector by id — a stand-in for the k-means training step a real
-    * deployment would run offline; the IVF *serving* shape is identical).
-    * They are collected to the driver — C is small by construction — so both
-    * the assignment and the query-side probe list are pure expression-level
-    * argmax over a literal centroid matrix: map-only, no shuffle, exactly the
-    * shape that scales (the only shuffle is the equi-join on cell id).
-    * Approximate; recall is property-tested against [[annBruteTopK]]. */
+    * Centroids come from [[trainCentroids]] (`trainIters` Lloyd rounds over
+    * a deterministic seed sample). They are collected to the driver — C is
+    * small by construction — so both the assignment and the query-side probe
+    * list are pure expression-level argmax over a literal centroid matrix:
+    * map-only, no shuffle, exactly the shape that scales (the only shuffle
+    * is the equi-join on cell id). Approximate; recall is property-tested
+    * against [[annBruteTopK]]. */
   def ivfAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
-                 nCentroids: Int = 16, nprobe: Int = 4,
+                 nCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-    // Deterministic pseudo-random centroid sample: order by a hash of the id
-    // (id tiebreak) and take the first C. Id-distribution-agnostic (a modulo
-    // scheme returns ZERO centroids when no id hits the stride) and one
-    // TakeOrdered job — no separate count. */
-    val cents: Array[(Int, Seq[Float], Double)] = e
-      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
-      .collect().zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Float](1), r.getDouble(2))
-      }
-    // per-centroid cosine as expressions over the literal matrix
-    def centSims(v: Column, nrm: Column): Seq[Column] = cents.toIndexedSeq.map {
-      case (cid, cv, cn) =>
-        struct((dot(v, typedLit(cv)) / (nrm * lit(cn))).as("sim"), lit(cid).as("cid"))
-    }
+    val cents = trainCentroids(emb, nCentroids, trainIters, idCol, vecCol)
     def nearest(v: Column, nrm: Column, take: Int): Column =
-      slice(sort_array(array(centSims(v, nrm): _*), asc = false), 1, take)
+      nearestCents(cents)(v, nrm, take)
     val assigned = e.select(col("id"), col("v"), col("nrm"),
       nearest(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
     val q = assigned.where(col("id").isInCollection(queryIds))

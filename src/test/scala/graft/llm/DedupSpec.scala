@@ -1,9 +1,11 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
-class DedupSpec extends SparkSpec {
+class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   // docsMini (FIXTURES.md §B): 2 exact dups (1&2), 1 near-dup pair (0&3)
@@ -25,6 +27,58 @@ class DedupSpec extends SparkSpec {
   test("dropExactDups keeps min doc_id per text group") {
     val kept = Dedup.dropExactDups(docsMini).select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(0L, 1L, 3L, 4L, 5L)) // doc 2 dropped (dup of 1)
+  }
+
+  test("dropExactDups: no shuffle exchange carries the text column") {
+    val df = Dedup.dropExactDups(docsMini)
+    df.collect() // finalize the adaptive plan
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty) // the winner agg does shuffle — slim rows only
+    val textCarriers = shuffles.filter(_.output.exists(_.name == "text"))
+    assert(textCarriers.isEmpty,
+      s"text crossed an exchange:\n${textCarriers.mkString("\n")}")
+  }
+
+  test("ngramJaccardPairs maxBucket drops hot-shingle buckets, keeps normal pairs") {
+    // 10 identical docs: every shingle bucket they form has size 10
+    val hot = (0 until 10).map(i => (100L + i, "alpha beta gamma delta epsilon", "s"))
+      .toDF("doc_id", "text", "source")
+    val all = docsMini.union(hot)
+    val uncapped = Dedup.ngramJaccardPairs(all, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(_._1 >= 100L) == 45) // all 10-choose-2 hot pairs
+    val capped = Dedup.ngramJaccardPairs(all, threshold = 0.5, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(_._1 >= 100L)) // size-10 buckets dropped by the cap
+    assert(capped == uncapped.filter(_._1 < 100L)) // small buckets unaffected
+  }
+
+  test("connectedComponents labels chains and separate components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("cleanCorpusCC collapses a whole component where greedy keeps two docs") {
+    // star graph: 1~3 and 2~3 above threshold, 1!~2 below it. Words must be
+    // purely alphabetic — the tokenizer drops digits, so "w1" would collapse
+    // every word to "w".
+    def words(from: Int, to: Int) =
+      (from to to).map(i => s"w${('a' + i).toChar}${('a' + i).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, words(1, 10), "s"),
+      (2L, words(5, 14), "s"),
+      (3L, words(3, 12), "s")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L))) // planted structure holds
+    val greedy = Dedup.cleanCorpus(docs, threshold = 0.5).as[Long].collect().toSeq
+    assert(greedy == Seq(1L, 2L)) // greedy drops only pair-highs: 3
+    val cc = Dedup.cleanCorpusCC(docs, threshold = 0.5).as[Long].collect().toSeq
+    assert(cc == Seq(1L)) // the component {1,2,3} keeps its min id only
   }
 
   test("cleanCorpus drops exact dups then near-dups, keeps the rest") {

@@ -38,6 +38,25 @@ class MultimodalSpec extends SparkSpec {
     assert(up.media.length == 12 && up.media.drop(8).forall(_ == 0)) // zero-pad
   }
 
+  test("decode reads real PNG dimensions via javax.imageio; opaque bytes fall back to stub") {
+    val img = new java.awt.image.BufferedImage(5, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 3, 0x123456)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val bytes = baos.toByteArray
+    val f = Multimodal.decode(MediaRecord(1L, bytes, "image"))
+    assert(f.width == 5 && f.height == 7 && f.channels == 3
+      && f.n_bytes == bytes.length)
+    // same result through the distributed per-partition path
+    val viaDs = Multimodal.extractFeatures(
+      Seq(MediaRecord(1L, bytes, "image")).toDS()).collect()(0)
+    assert(viaDs == f)
+    // opaque (non-image) payload: deterministic stub
+    val r = MediaRecord(2L, "not an image".getBytes("UTF-8"), "image")
+    assert(Multimodal.decode(r) == Multimodal.decodeStub(r))
+  }
+
   test("feature extraction runs distributed (per-partition, not driver)") {
     val docs = spark.range(100).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT)) AS text")
       .repartition(8)

@@ -76,6 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("embCosineNearDupLSH: exact precision, >=0.95 recall on clustered vectors") {
+    val rnd = new scala.util.Random(77)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 3
+    } yield ((ci * 3 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.embCosineNearDup(vecs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = Similarity.embCosineNearDupLSH(vecs, threshold = 0.9,
+        nTables = 8, nBits = 6, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact-cosine verification => precision 1
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall too low")
+  }
+
+  test("trainCentroids: deterministic, k entries, Lloyd rounds move centroids") {
+    val rnd = new scala.util.Random(99)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val c0 = Similarity.trainCentroids(vecs, nCentroids = 10, iters = 0)
+    val c2 = Similarity.trainCentroids(vecs, nCentroids = 10, iters = 2)
+    val c2b = Similarity.trainCentroids(vecs, nCentroids = 10, iters = 2)
+    assert(c2.length == 10 && c2.map(_._1).toSeq == (0 until 10))
+    assert(c2.map(_._2).toSeq == c2b.map(_._2).toSeq) // decimal-mean determinism
+    assert(c2.map(_._2).toSeq != c0.map(_._2).toSeq)  // training moved them
+  }
+
   test("embCosineNearDup returns only pairs above the threshold") {
     val pairs = Similarity.embCosineNearDup(vecsMini, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

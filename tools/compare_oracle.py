@@ -17,7 +17,13 @@ for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sfdir}/{tbl}.parquet'")
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
+# Verify emits each oracle under both the bare query name and the
+# ".parquet"-suffixed result name (driver lookup convention); normalize
+# back to bare names here.
+raw = json.load(open(f"{out}/oracle_sql.json"))
+oracle = {}
+for k, v in raw.items():
+    oracle[k.removesuffix(".parquet")] = v
 fails = []
 for name in sorted(oracle):
     files = glob.glob(f"{out}/{name}.parquet/*.parquet")
