@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dist.{Binning, Bins}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.4 (the declared query
   * inventory) and §7 (build plan). Every oracle SQL string below is written
@@ -88,6 +88,19 @@ object SparkEntry {
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "lang_id_documents" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "fingerprint_documents" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    "chunk_documents" -> ((s, d) =>
+      TextAnalysis.chunkDocs(t(s, d, "documents"), chunkTokens = 50, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")),
+    "scrub_documents" -> ((s, d) => TextAnalysis.scrubText(t(s, d, "documents"))),
+
+    // -------- deterministic sampling (corpus curation)
+    "sample_hash_documents" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "documents"), pct = 10)
+        .select("doc_id").orderBy("doc_id")),
+    "sample_stratified_documents" -> ((s, d) =>
+      Sampling.stratifiedSample(t(s, d, "documents"), "lang",
+          Map("en" -> 50, "de" -> 20), defaultPct = 10)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     // -------- events / windows
     "events_hourly_tumbling" -> ((s, d) =>
@@ -465,6 +478,41 @@ object SparkEntry {
          |       m AS lang_score
          |FROM mx ORDER BY doc_id""".stripMargin
     },
+
+    // chunking: window starts 1, 1+stride, … ≤ greatest(n-overlap, 1);
+    // chunk_idx recovers from the start offset; DuckDB list slice [s:e] is
+    // inclusive and truncates at the end like Spark's slice(arr, s, len)
+    "chunk_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nz AS (SELECT doc_id, toks, len(toks) AS n FROM tt WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, toks,
+         |              unnest(generate_series(1, greatest(n - 10, 1), 40)) AS st
+         |       FROM nz)
+         |SELECT doc_id, CAST((st - 1) // 40 AS INTEGER) AS chunk_idx,
+         |       array_to_string(toks[st:st+49], ' ') AS chunk_text,
+         |       CAST(len(toks[st:st+49]) AS BIGINT) AS n_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "scrub_documents" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.urlRe}')) AS BIGINT) AS n_urls,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |                 '${TextAnalysis.urlRe}', '<URL>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Knuth multiplicative hash bucket — pure int64 arithmetic, so the
+    // sample membership is engine-independent and exactly checkable
+    "sample_hash_documents" ->
+      """SELECT doc_id FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified_documents" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
 
     "fingerprint_documents" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents)

@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Random `df.sample()` is the wrong tool for corpus curation: it is not
+  * reproducible across runs/engines, not stable under re-partitioning, and
+  * not invertible (you cannot later ask "was doc X in the sample?"). These
+  * operators hash the document KEY instead, so membership is a pure function
+  * of the id — re-runs, backfills, and cross-engine audits all agree, and
+  * the sample is a consistent subset as the corpus grows (a doc never flips
+  * in or out when unrelated docs arrive). Everything is map-only: sampling
+  * at 100 TB is a scan with a cheap predicate, no shuffle at all.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash of a non-negative int64 key, mod 2^32.
+    * Chosen over xxhash64 ONLY because every SQL engine can evaluate it
+    * exactly (pure int64 arithmetic, no overflow for keys < ~3.4e9), which
+    * makes the sample membership DuckDB-oracle-checkable bit-for-bit. For
+    * key spaces beyond 2^31 use [[hashSample64]] (same semantics, Spark's
+    * xxhash64, not cross-engine checkable). */
+  def knuthBucket(key: Column, buckets: Int = 100): Column =
+    (key * lit(2654435761L)) % lit(4294967296L) % lit(buckets)
+
+  /** Keep `pct`% of rows, deterministically by key hash. */
+  def hashSample(df: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be 0..100")
+    df.where(knuthBucket(col(idCol)) < pct)
+  }
+
+  /** [[hashSample]] on xxhash64 — the full-width key-space variant for
+    * production ids (no cross-engine oracle; property-tested instead). */
+  def hashSample64(df: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be 0..100")
+    df.where(pmod(xxhash64(col(idCol)), lit(100)) < pct)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep-percentages with a
+    * default for unlisted strata — the "rebalance the language/source mix"
+    * operator of a corpus pipeline. One CASE expression over the stratum
+    * column; still map-only, still reproducible. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       pctByStratum: Map[String, Int], defaultPct: Int = 0,
+                       idCol: String = "doc_id"): DataFrame = {
+    require((defaultPct +: pctByStratum.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "percentages must be 0..100")
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.where(knuthBucket(col(idCol)) < pct)
+  }
+}

@@ -123,6 +123,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of `chunkTokens` tokens advancing by `chunkTokens - overlap`
+    * (the standard overlapping-chunk shape for LLM context packing), as
+    * (doc_id, chunk_idx, chunk_text, n_tokens) rows.
+    *
+    * Pure expressions — `sequence` of window starts → `transform`/`slice` →
+    * posexplode; map-only row expansion, no UDF, no shuffle. The final
+    * (possibly short) window always reaches the last token; empty docs yield
+    * zero chunks. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 50, overlap: Int = 10,
+                textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toksDf = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val nTok = size(col("toks"))
+    // window starts 1, 1+stride, …; the upper bound nTok-overlap guarantees
+    // the last window contributes at least one NEW token beyond the overlap
+    val starts = sequence(lit(1), greatest(nTok - lit(overlap), lit(1)), lit(stride))
+    toksDf.where(nTok > 0)
+      .select(col("doc_id"),
+        posexplode(transform(starts, s => slice(col("toks"), s, lit(chunkTokens)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("bigint").as("n_tokens"))
+  }
+
+  /** PII-ish scrubbing: redact email addresses and URLs, report per-doc hit
+    * counts. Regexes are deliberately written in the common subset of Java
+    * regex (Spark) and RE2 (DuckDB) so the operator is oracle-checkable.
+    * Map-only; at 100 TB this is a pure scan stage. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ \\t\\n]+"
+
+  def scrubText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // regexp_count with lit() patterns, NOT expr(): a pattern embedded in a
+    // SQL string literal would have its backslash escapes re-processed by
+    // the SQL parser ('\.' silently becomes '.').
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(emailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col(textCol), lit(urlRe)).cast("bigint").as("n_urls"),
+      regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        urlRe, "<URL>").as("clean_text"))
+      .orderBy("doc_id")
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, `acc = (acc*131 + 31*len(tok) + ascii(tok[0])) mod 1e9+7`.
     * Pure integer arithmetic (no overflow: acc < 2^30, *131 + 2^14 < 2^38),

@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.range(10000).selectExpr(
+    "id AS doc_id",
+    "CASE WHEN id % 5 = 0 THEN 'en' WHEN id % 5 = 1 THEN 'de' ELSE 'fr' END AS lang")
+
+  test("hashSample is deterministic, key-stable, and close to the target fraction") {
+    val s1 = Sampling.hashSample(corpus.toDF(), 10).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(corpus.toDF(), 10).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // pure function of the key
+    assert(math.abs(s1.size - 1000) < 150, s"got ${s1.size} of 10000 at 10%")
+    // consistent subset: a 5% sample is contained in the 10% sample
+    val s5 = Sampling.hashSample(corpus.toDF(), 5).select("doc_id").as[Long].collect().toSet
+    assert(s5.subsetOf(s1))
+    // growing the corpus never flips membership of existing keys
+    val sHalf = Sampling.hashSample(corpus.where($"doc_id" < 5000).toDF(), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sHalf == s1.filter(_ < 5000))
+  }
+
+  test("hashSample64 is deterministic and close to the target fraction") {
+    val s1 = Sampling.hashSample64(corpus.toDF(), 20).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample64(corpus.toDF(), 20).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 2000) < 200, s"got ${s1.size} of 10000 at 20%")
+  }
+
+  test("stratifiedSample applies per-stratum fractions with a default") {
+    val out = Sampling.stratifiedSample(corpus.toDF(), "lang",
+      Map("en" -> 50, "de" -> 0), defaultPct = 10)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("de")) // 0% stratum fully dropped
+    assert(math.abs(byLang("en") - 1000) < 150, s"en=${byLang("en")} of 2000 at 50%")
+    assert(math.abs(byLang("fr") - 600) < 120, s"fr=${byLang("fr")} of 6000 at 10%")
+    // stratified membership agrees with plain hashSample at the same pct
+    val en50 = Sampling.hashSample(corpus.where($"lang" === "en").toDF(), 50)
+      .select("doc_id").as[Long].collect().toSet
+    val enStrat = out.where($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    assert(enStrat == en50)
+  }
+
+  test("sampling is map-only: no exchange in the plan") {
+    val df = Sampling.hashSample(corpus.toDF(), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

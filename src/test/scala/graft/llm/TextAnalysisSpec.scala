@@ -70,6 +70,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0L) == 0L && fp(1L) == 0L) // empty token stream -> fold seed
   }
 
+  test("chunkDocs windows the token stream with overlap; tail reaches the last token") {
+    // 12 tokens, chunk 5, overlap 2 -> stride 3, starts 1,4,7,10
+    val letters = ('a' to 'l').map(c => s"$c$c").mkString(" ")
+    val d = Seq((0L, letters), (1L, "one two"), (2L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(d, chunkTokens = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(chunks.filter(_._1 == 0L).map(_._2) == Seq(0, 1, 2, 3))
+    assert(chunks.head._3 == "aa bb cc dd ee")
+    assert(chunks(3) == ((0L, 3, "jj kk ll", 3L))) // short tail, reaches token 12
+    assert(chunks.filter(_._1 == 1L) == Seq((1L, 0, "one two", 2L))) // doc shorter than a chunk
+    assert(!chunks.exists(_._1 == 2L)) // empty doc: no chunks
+  }
+
+  test("scrubText redacts emails and urls and counts hits") {
+    val d = Seq(
+      (0L, "mail me at jo.doe+x@foo-bar.example.com or visit https://x.example/path?q=1 now"),
+      (1L, "no pii here")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubText(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    assert(r(0) == ((0L, 1L, 1L, "mail me at <EMAIL> or visit <URL> now")))
+    assert(r(1) == ((1L, 0L, 0L, "no pii here")))
+  }
+
   test("fingerprint matches the hand-computed rolling hash and is order-sensitive") {
     def fp(toks: Seq[String]): Long =
       toks.foldLeft(0L)((acc, tk) => (acc * 131L + 31L * tk.length + tk.head.toInt) % 1000000007L)
