@@ -92,6 +92,20 @@ object SparkEntry {
       TextAnalysis.chunkDocs(t(s, d, "documents"), chunkTokens = 50, overlap = 10)
         .orderBy("doc_id", "chunk_idx")),
     "scrub_documents" -> ((s, d) => TextAnalysis.scrubText(t(s, d, "documents"))),
+    "repetition_documents" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"), n = 2)),
+    "top20_bigrams" -> ((s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), n = 2, k = 20)),
+    // the dist tier over an llm-tier derived column: histogram of per-doc
+    // token counts (the corpus length profile a curation pass starts from)
+    "hist_doclen_documents" -> ((s, d) =>
+      Binning.histogram(
+        t(s, d, "documents").select(
+          size(TextAnalysis.tokens(col("text"))).cast("double").as("doclen")),
+        "doclen")),
+    // eval split = doc_id < 50 (deterministic); train = the rest
+    "decontaminate_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
+    }),
 
     // -------- deterministic sampling (corpus curation)
     "sample_hash_documents" -> ((s, d) =>
@@ -123,6 +137,23 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("session_window.start")).as("session_start_ms"),
           col("n_events"))
         .orderBy("user_id", "session_start_ms")),
+
+    // as-of join: each click matched to the user's latest view at-or-before
+    // it — the time-series join Spark lacks natively (Joins.asOfJoin:
+    // union-window, one shuffle on user_id, no pair explosion)
+    "events_asof_click_view" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.dist.Joins.asOfJoin(clicks, views, Seq("user_id"), "ts",
+          rightPayload = Seq("view_id", "view_value"), tieBreak = Some("view_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("r_view_id").as("view_id"), col("r_view_value").as("view_value"))
+        .orderBy("event_id")
+    }),
 
     // -------- similarity search
     "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 10)),
@@ -514,6 +545,47 @@ object SparkEntry {
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
 
+    // token bigrams: DuckDB list slice [s:s+1] is 2 elements (inclusive);
+    // docs with < 2 tokens contribute nothing (generate_series(1,0) = empty)
+    "repetition_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ng AS (SELECT doc_id,
+         |              unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                                    s -> array_to_string(toks[s:s+1], ' '))) AS ngram
+         |       FROM tt WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, ngram, count(*) AS cnt FROM ng GROUP BY doc_id, ngram)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+         |       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_ngram_frac,
+         |       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         |         / CAST(sum(cnt) AS DOUBLE) AS dup_ngram_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "top20_bigrams" ->
+      s"""WITH tt AS (SELECT $toksSql AS toks FROM documents),
+         |ng AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                                    s -> array_to_string(toks[s:s+1], ' '))) AS ngram
+         |       FROM tt WHERE len(toks) >= 2)
+         |SELECT ngram, count(*) AS cnt FROM ng
+         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "hist_doclen_documents" ->
+      eqWidthSql(s"(SELECT CAST(len($toksSql) AS DOUBLE) AS doclen FROM documents)",
+        "doclen", 10, None, histSelect),
+
+    // 8-gram overlap vs the doc_id<50 eval split; train side list_distinct
+    // mirrors Spark's array_distinct (count = distinct matched eval grams)
+    "decontaminate_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 7),
+         |                              s -> array_to_string(toks[s:s+7], ' '))) AS ngram
+         |       FROM tt WHERE doc_id < 50 AND len(toks) >= 8),
+         |tr AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |                             s -> array_to_string(toks[s:s+7], ' ')))) AS ngram
+         |       FROM tt WHERE doc_id >= 50 AND len(toks) >= 8)
+         |SELECT tr.doc_id, count(*) AS n_eval_ngrams
+         |FROM tr JOIN ev USING (ngram)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
     "fingerprint_documents" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,
@@ -552,6 +624,26 @@ object SparkEntry {
         |  FROM l)
         |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start_ms""".stripMargin,
+
+    // mirrors the union-window as-of plan op-for-op (tie-safe, unlike native
+    // ASOF on duplicate right timestamps): right rows sort before left at
+    // equal ts, so ts-equality matches; the payload struct carries view
+    // (id, value) from ONE row
+    "events_asof_click_view" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id,
+        |         NULL::BIGINT AS view_id, NULL::DOUBLE AS view_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, event_id, value
+        |  FROM events WHERE event_type = 'view'
+        |), w AS (
+        |  SELECT *, last_value(CASE WHEN side = 0 THEN struct_pack(v := view_id, x := view_value) END IGNORE NULLS)
+        |            OVER (PARTITION BY user_id ORDER BY ts, side, view_id NULLS LAST
+        |                  ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM u)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, m.v AS view_id, m.x AS view_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "cosine_topk_embeddings" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings)

@@ -1,6 +1,7 @@
 package graft.dist
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-side scale tooling: explicit skew handling.
@@ -29,5 +30,47 @@ object Joins {
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, keys :+ "__salt").drop("__salt")
+  }
+
+  /** As-of join: each left row is matched to the LATEST right row with
+    * `right.ts <= left.ts` in the same key group (the time-series join Spark
+    * has no native operator for — quotes-to-trades, sensor-to-event, …).
+    *
+    * Implementation is the union-window technique, not a range join: tag the
+    * sides, union them, sort each key group by `(ts, side, tie)` with right
+    * rows first at equal ts (so equality matches), and carry the right
+    * payload forward with `last(payload_struct, ignoreNulls)` over an
+    * unbounded-preceding row frame. The payload rides in ONE struct so all
+    * its fields come from the SAME right row (per-column `last` could mix
+    * rows when payload fields are null).
+    *
+    * Scale: one shuffle of both inputs on `keys` + a sort — the cost of a
+    * sort-merge join, with no candidate-pair explosion (a naive
+    * `ts BETWEEN`-style range join is O(left×right) per key). Rows stream
+    * through the running window in sorted order, so memory per task is O(1)
+    * beyond the sort. `tieBreak` (a right-side column) makes the choice
+    * among equal-ts right rows deterministic; pass it whenever right ts
+    * values can collide within a key. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+               rightPayload: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+    val leftRest = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++ leftRest.map(col) ++
+        Seq(lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__pay"),
+          lit(null).cast("long").as("__tie")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(payloadStruct.as("__pay"),
+          tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tie")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
+        rightPayload.map(c => col(s"__match.$c").as(s"r_$c")): _*)
   }
 }

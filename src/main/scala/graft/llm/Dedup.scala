@@ -318,4 +318,28 @@ object Dedup {
     pairs.where(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
+
+  /** Benchmark decontamination: flag training documents sharing at least one
+    * token `n`-gram with any eval document, reporting how many DISTINCT eval
+    * n-grams each contaminated doc contains. The standard pre-training
+    * hygiene pass (e.g. 8–13-gram overlap against held-out eval sets).
+    *
+    * Scale: the eval n-gram set is distinct-ed and BROADCAST (eval suites are
+    * tiny next to a training corpus), so the training side is one map-only
+    * explode + broadcast-hash semi-join — no shuffle of training data at all;
+    * the only exchange is the final per-doc count over matched (doc, ngram)
+    * pairs. N-grams compare as strings here for oracle checkability; at
+    * 100 TB hash them to 8-byte keys first (cf. [[shingleHashes]]). */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n)).as("ngram"))
+      .distinct()
+    train.select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngram"))
+      .join(broadcast(evalGrams), Seq("ngram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_ngrams"))
+      .orderBy("doc_id")
+  }
 }

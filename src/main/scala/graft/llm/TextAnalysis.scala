@@ -167,6 +167,46 @@ object TextAnalysis {
         urlRe, "<URL>").as("clean_text"))
       .orderBy("doc_id")
 
+  /** Space-joined token n-grams as an array column; fewer than `n` tokens
+    * yields an empty array. (Guarded: Spark's `sequence(1, 0)` counts DOWN,
+    * so the unguarded transform would fabricate windows on short docs.) */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        s => array_join(slice(toks, s, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition signals (the Gopher-paper quality filters,
+    * token-n-gram form): per document, the share of n-gram occurrences taken
+    * by the single most frequent n-gram (`top_ngram_frac`) and the share
+    * belonging to n-grams occurring more than once (`dup_ngram_frac`).
+    * High values flag boilerplate/spam for corpus filtering.
+    *
+    * Shape: explode n-grams → hash-agg on (doc_id, ngram) → hash-agg on
+    * doc_id — both aggregations map-side-combined, key space bounded by the
+    * corpus's n-gram vocabulary, so the shuffles stay small relative to the
+    * scan. Fractions are exact-integer max/sums with ONE final double
+    * division (bit-deterministic under any partitioning). Docs with fewer
+    * than `n` tokens have no n-grams and are absent from the output. */
+  def repetition(docs: DataFrame, n: Int = 2, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(tokenNgrams(tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("doc_id", "ngram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_ngrams"),
+        (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("top_ngram_frac"),
+        (sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).cast("double")
+          / sum(col("cnt")).cast("double")).as("dup_ngram_frac"))
+      .orderBy("doc_id")
+
+  /** Corpus-level top-k token n-grams by occurrence count, ties broken by
+    * n-gram ascending. Same scale shape as [[topTokens]]: the shuffle key is
+    * the n-gram vocabulary, top-k is a TakeOrdered (no global sort). */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokenNgrams(tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, `acc = (acc*131 + 31*len(tok) + ascii(tok[0])) mod 1e9+7`.
     * Pure integer arithmetic (no overflow: acc < 2^30, *131 + 2^14 < 2^38),

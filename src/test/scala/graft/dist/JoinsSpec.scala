@@ -39,4 +39,41 @@ class JoinsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("asOfJoin matches the latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), // 5 precedes any right row
+      (2L, 10L, "d")                                 // key 2 has no right rows at all
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 8L, 100L, 1.5), (1L, 10L, 101L, 2.5), (1L, 15L, 102L, 3.5)
+    ).toDF("k", "ts", "rid", "rv")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "ts",
+        rightPayload = Seq("rid", "rv"), tieBreak = Some("rid"))
+      .select("k", "ts", "tag", "r_rid", "r_rv").orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 5L, "c", -1L, -1.0),    // before first right row: no match
+      (1L, 10L, "a", 101L, 2.5),   // ts-equality matches (right sorts first)
+      (1L, 20L, "b", 102L, 3.5),   // latest at-or-before wins
+      (2L, 10L, "d", -1L, -1.0)))  // key absent on the right: no match
+  }
+
+  test("asOfJoin tie-break picks the max tie column among equal right ts; payload fields come from one row") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 7L, 0.7), (1L, 10L, 9L, 0.9), (1L, 10L, 8L, 0.8))
+      .toDF("k", "ts", "rid", "rv")
+    val r = Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("rid", "rv"), Some("rid"))
+      .select("r_rid", "r_rv").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 9L && r(0).getDouble(1) == 0.9)
+  }
+
+  test("asOfJoin plans a single shuffle (one Exchange over the union)") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 8L, 100L)).toDF("k", "ts", "rid")
+    val plan = Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
 }

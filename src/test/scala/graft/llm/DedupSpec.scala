@@ -153,4 +153,24 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)))
   }
+
+  test("decontaminate flags train docs sharing an n-gram with the eval set, counting distinct hits") {
+    val eval = Seq((0L, "alpha beta gamma delta"), (1L, "one two three four")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x alpha beta gamma delta y"),          // contains eval 4-gram once
+      (11L, "one two three four one two three four"), // same eval 4-gram twice -> counts ONCE (distinct)
+      (12L, "alpha beta gamma delta one two three four"), // two different eval 4-grams
+      (13L, "totally clean document here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, eval, n = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((10L, 1L), (11L, 1L), (12L, 2L))) // 13 absent: clean
+  }
+
+  test("decontaminate broadcasts the eval n-gram set (no shuffle of the train side)") {
+    val eval = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((10L, "x alpha beta gamma delta y")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(train, eval, n = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

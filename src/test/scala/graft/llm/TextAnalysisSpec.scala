@@ -94,6 +94,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1) == ((1L, 0L, 0L, "no pii here")))
   }
 
+  test("repetition computes top/dup bigram fractions from hand-counted n-grams") {
+    // doc 10: bigrams of "a b a b a b c" = [ab, ba, ab, ba, ab, bc] -> 6 total,
+    // top "ab"=3 (3/6), dup = ab(3)+ba(2) = 5/6
+    val d = Seq((10L, "a b a b a b c"), (11L, "x y z"), (12L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, n = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3))).toSeq
+    assert(r(0) == ((10L, 6L, 3.0 / 6.0, 5.0 / 6.0)))
+    assert(r(1) == ((11L, 2L, 1.0 / 2.0, 0.0))) // all bigrams unique
+    assert(r.map(_._1) == Seq(10L, 11L)) // 1-token doc has no bigrams -> absent
+  }
+
+  test("topNgrams ranks bigrams by count then lexicographically") {
+    val d = Seq((0L, "a b a b c"), (1L, "a b z z")).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(d, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L))) // count-1 ties: lexicographic
+  }
+
+  test("tokenNgrams guards short docs (no fabricated windows from a descending sequence)") {
+    val d = Seq((0L, "one two")).toDF("doc_id", "text")
+    val g = d.select(TextAnalysis.tokenNgrams(TextAnalysis.tokens(col("text")), 3))
+      .as[Seq[String]].collect()(0)
+    assert(g.isEmpty)
+  }
+
   test("fingerprint matches the hand-computed rolling hash and is order-sensitive") {
     def fp(toks: Seq[String]): Long =
       toks.foldLeft(0L)((acc, tk) => (acc * 131L + 31L * tk.length + tk.head.toInt) % 1000000007L)
