@@ -182,13 +182,18 @@ object Dedup {
     var done = labels.isEmpty
     var i = 0
     while (!done && i < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop).groupBy("id").agg(min("comp").as("comp"))
+      // min over incoming neighbor labels, outer-joined back onto the
+      // current labels; `prev` rides along so the convergence check is a
+      // filter over the (already materialized) checkpoint — no second join
+      val propMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst")).agg(min("comp").as("pcomp"))
+      val next = labels.join(propMin, labels("id") === propMin("dst"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint()
-      done = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev")).isEmpty
-      labels = next
+      done = next.where(col("comp") =!= col("prev")).isEmpty
+      labels = next.select("id", "comp")
       i += 1
     }
     labels
