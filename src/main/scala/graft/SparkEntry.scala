@@ -63,6 +63,38 @@ object SparkEntry {
     "hist_by_group_events" -> ((s, d) =>
       Binning.histogramByGroup(events(s, d), "value", "event_type")),
 
+    // -------- column stats beyond histograms (exact tier + sketch tier)
+    "quantiles_extendedprice" -> ((s, d) =>
+      graft.dist.Stats.quantiles(t(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99))),
+    // sketch tier: GK approx_percentile — no cross-engine oracle (sketch-
+    // specific); recall property-tested against the exact tier in StatsSpec
+    "quantiles_approx_extendedprice" -> ((s, d) =>
+      graft.dist.Stats.quantilesApprox(t(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99))),
+    // sketch tier: HLL++ distinct counts, one scan for three columns —
+    // engine-specific registers, property-tested vs exact in StatsSpec
+    "approx_distinct_lineitem" -> ((s, d) =>
+      graft.dist.Stats.approxDistinct(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_extendedprice"))),
+
+    // star-schema join: fact scans pruned to join+agg columns, the 25-row
+    // nation dim explicitly broadcast, revenue as decimal-exact sum
+    "revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // -------- LLM-pipeline extensions: dedup
     "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
     "dedup_drop_exact_documents" -> ((s, d) =>
@@ -571,6 +603,27 @@ object SparkEntry {
     "hist_doclen_documents" ->
       eqWidthSql(s"(SELECT CAST(len($toksSql) AS DOUBLE) AS doclen FROM documents)",
         "doclen", 10, None, histSelect),
+
+    // quantile_cont = linear interpolation, same contract as Spark's
+    // `percentile`
+    "quantiles_extendedprice" ->
+      """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+        |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS p50,
+        |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75,
+        |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
+        |FROM lineitem""".stripMargin,
+
+    // revenue: double product cast to DECIMAL(18,6) BEFORE the sum on both
+    // engines — exact decimal summation, order-independent
+    "revenue_by_nation" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // 8-gram overlap vs the doc_id<50 eval split; train side list_distinct
     // mirrors Spark's array_distinct (count = distinct matched eval grams)
