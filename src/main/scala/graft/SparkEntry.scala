@@ -148,6 +148,10 @@ object SparkEntry {
           Map("en" -> 50, "de" -> 20), defaultPct = 10)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // contiguous packing into 512-token training shards, parallel per source
+    "pack_documents" -> ((s, d) =>
+      graft.llm.Packing.packDocs(t(s, d, "documents"), budgetTokens = 512)),
+
     // -------- events / windows
     "events_hourly_tumbling" -> ((s, d) =>
       events(s, d)
@@ -677,6 +681,16 @@ object SparkEntry {
         |  FROM l)
         |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "pack_documents" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |w AS (SELECT doc_id, source AS part, n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_excl
+         |      FROM t)
+         |SELECT doc_id, part, n_tokens, CAST(cum_excl // 512 AS BIGINT) AS shard
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     // mirrors the union-window as-of plan op-for-op (tie-safe, unlike native
     // ASOF on duplicate right timestamps): right rows sort before left at

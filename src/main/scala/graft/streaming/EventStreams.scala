@@ -60,6 +60,35 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each click joined to the SAME user's views
+    * within the preceding `lookbackMinutes` (inclusive on both ends) — the
+    * streaming face of the batch as-of join (`Joins.asOfJoin`), except a
+    * stream cannot wait for "the latest" match, so it emits ALL views in the
+    * window (inner join; unmatched clicks drop).
+    *
+    * Scale/state: watermarks on BOTH sides plus the time-range condition let
+    * Spark expire buffered rows — view state is bounded by
+    * watermark + lookback, click state by the watermark; without the range
+    * condition the join state would grow forever. Both inputs shuffle on
+    * user_id; self-join of one source stream is fine (two filtered views,
+    * independent state stores). */
+  def clickViewJoin(events: DataFrame, lookbackMinutes: Int = 30,
+                    watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"), col("view_value"))
+  }
+
   /** Per-user sessionization with custom state (flatMapGroupsWithState):
     * events within `gapMinutes` of each other (event time) belong to one
     * session; a session closes either when a later event breaks the gap or

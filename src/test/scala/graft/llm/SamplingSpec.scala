@@ -46,6 +46,28 @@ class SamplingSpec extends SparkSpec {
     assert(enStrat == en50)
   }
 
+  test("packDocs shards by running token total per part, overflow bounded by one doc") {
+    // part a: token counts 3,4,5 with budget 6 -> cum_excl 0,3,7 -> shards 0,0,1
+    val d = Seq(
+      (0L, "a b c", "s1"), (1L, "d e f g", "s1"), (2L, "h i j k l", "s1"),
+      (3L, "x y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = Packing.packDocs(d, budgetTokens = 6).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((0L, "s1", 3L, 0L), (1L, "s1", 4L, 0L), (2L, "s1", 5L, 1L),
+      (3L, "s2", 2L, 0L)))
+    // determinism: a second evaluation produces identical shards
+    val r2 = Packing.packDocs(d, budgetTokens = 6).collect()
+      .map(x => (x.getLong(0), x.getLong(3))).toSeq
+    assert(r2 == r.map(x => (x._1, x._4)))
+  }
+
+  test("packDocs plan has no single-partition global window") {
+    val d = Seq((0L, "a b", "s1")).toDF("doc_id", "text", "source")
+    val plan = Packing.packDocs(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("sampling is map-only: no exchange in the plan") {
     val df = Sampling.hashSample(corpus.toDF(), 10)
     val plan = df.queryExecution.executedPlan.toString

@@ -47,6 +47,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views in the lookback window per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.clickViewJoin(in.toDF(), lookbackMinutes = 30)
+      .writeStream.format("memory").queryName("cvjoin").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),   // in window of click@10:20
+        Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),   // in window
+        Event(3, ts("2024-01-01 09:40:00"), 1, "view", 3.0),   // 40 min before: out
+        Event(4, ts("2024-01-01 10:05:00"), 2, "view", 4.0),   // other user: out
+        Event(5, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+        Event(6, ts("2024-01-01 10:30:00"), 1, "view", 5.0))   // after the click: out
+      q.processAllAvailable()
+      // advance both watermarks far enough to flush the joined rows
+      in.addData(Event(7, ts("2024-01-01 13:00:00"), 9, "click", 0.0),
+        Event(8, ts("2024-01-01 13:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT click_id, view_id, view_value FROM cvjoin WHERE user_id = 1 ORDER BY view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((5L, 1L, 1.0), (5L, 2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
