@@ -63,6 +63,23 @@ object SparkEntry {
     "hist_by_group_events" -> ((s, d) =>
       Binning.histogramByGroup(events(s, d), "value", "event_type")),
 
+    // cumulative distribution over the equal-width histogram (running
+    // exact-integer counts; the window input is the 10-row aggregate)
+    "hist_cdf_extendedprice" -> ((s, d) =>
+      Binning.cdf(Binning.histogram(t(s, d, "lineitem"), "l_extendedprice"))),
+
+    // pairwise total-variation distance between per-event-type value
+    // distributions — exact decimal per-bin terms, one scan, no self-join
+    "dist_tvd_events" -> ((s, d) =>
+      graft.dist.Stats.distributionDistance(events(s, d), "value", "event_type")),
+
+    // per-type z-score outliers with exact decimal moments (sum/sum-of-
+    // squares as DECIMAL(30,8)); |z| >= 1.5 keeps the distribution tails
+    "zscore_outliers_events" -> ((s, d) =>
+      graft.dist.Stats.zscoreOutliers(events(s, d), "value", "event_type",
+          zThresh = 1.5, keepCols = Seq("event_id"))
+        .orderBy("event_id")),
+
     // -------- column stats beyond histograms (exact tier + sketch tier)
     "quantiles_extendedprice" -> ((s, d) =>
       graft.dist.Stats.quantiles(t(s, d, "lineitem"), "l_extendedprice",
@@ -133,6 +150,23 @@ object SparkEntry {
         t(s, d, "documents").select(
           size(TextAnalysis.tokens(col("text"))).cast("double").as("doclen")),
         "doclen")),
+    // per-doc top-3 TF-IDF terms — one (doc_id, token) aggregate feeds tf,
+    // doc totals, doc frequency, and the corpus count (exchange reuse)
+    "tfidf_top3_documents" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = 3)),
+    "normalize_text_documents" -> ((s, d) =>
+      TextAnalysis.normalizeText(t(s, d, "documents"))),
+    // token -> (n_docs, n_occurrences, first-10 posting sample); hot tokens
+    // rank via a sort-based window, never an unbounded collect_list
+    "inverted_index_documents" -> ((s, d) =>
+      TextAnalysis.invertedIndex(t(s, d, "documents"), sampleK = 10)),
+    "pmi_top20_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiTopBigrams(t(s, d, "documents"), k = 20, minCount = 5)),
+
+    // best-3 exemplar documents per language by composite quality score
+    "top3_quality_per_lang" -> ((s, d) =>
+      TextAnalysis.topQualityDocs(t(s, d, "documents"), "lang", k = 3)),
+
     // eval split = doc_id < 50 (deterministic); train = the rest
     "decontaminate_documents" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -147,6 +181,11 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, d, "documents"), "lang",
           Map("en" -> 50, "de" -> 20), defaultPct = 10)
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // fill each source's 2000-token budget with its best documents
+    // (quality desc, doc_id asc; greedy prefix, exclusive cumulative sum)
+    "sample_budget_documents" -> ((s, d) =>
+      Sampling.budgetSample(t(s, d, "documents"), "source", budgetTokens = 2000)),
 
     // contiguous packing into 512-token training shards, parallel per source
     "pack_documents" -> ((s, d) =>
@@ -390,6 +429,64 @@ object SparkEntry {
         |FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id
         |ORDER BY s.grp, s.bin_id""".stripMargin,
 
+    "hist_cdf_extendedprice" ->
+      eqWidthSql("lineitem", "l_extendedprice", 10, None,
+        """SELECT bin_id, bin_lo, bin_hi, cnt,
+          |       CAST(sum(cnt) OVER (ORDER BY bin_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+          |       CAST(sum(cnt) OVER (ORDER BY bin_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+          |         / CAST(sum(cnt) OVER () AS DOUBLE) AS cdf
+          |FROM h ORDER BY bin_id""".stripMargin),
+
+    // per-bin terms |cntA*totB - cntB*totA| in exact decimal; one double
+    // division at the end — mirrors Stats.distributionDistance op-for-op
+    "dist_tvd_events" ->
+      """WITH src AS (
+        |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        |cnts AS (
+        |  SELECT grp, CAST(least(floor((x - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt
+        |  FROM src, b WHERE x >= lo AND x <= hi GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.grp, CAST(r.range AS INTEGER) AS bin_id
+        |  FROM (SELECT DISTINCT grp FROM src) g CROSS JOIN range(10) r),
+        |d AS (
+        |  SELECT s.grp, s.bin_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |  FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id),
+        |tot AS (SELECT grp, sum(cnt) AS tot FROM d GROUP BY grp),
+        |terms AS (
+        |  SELECT da.grp AS grp_a, db.grp AS grp_b, ta.tot AS tota, tb.tot AS totb,
+        |         abs(CAST(da.cnt AS DECIMAL(19,0)) * CAST(tb.tot AS DECIMAL(19,0))
+        |           - CAST(db.cnt AS DECIMAL(19,0)) * CAST(ta.tot AS DECIMAL(19,0))) AS term
+        |  FROM d da JOIN d db ON da.bin_id = db.bin_id AND da.grp < db.grp
+        |  JOIN tot ta ON ta.grp = da.grp JOIN tot tb ON tb.grp = db.grp)
+        |SELECT grp_a, grp_b,
+        |       CAST(sum(term) AS DOUBLE) / (2.0 * CAST(any_value(tota) AS DOUBLE) * CAST(any_value(totb) AS DOUBLE)) AS tvd
+        |FROM terms GROUP BY grp_a, grp_b ORDER BY grp_a, grp_b""".stripMargin,
+
+    // moments as exact DECIMAL(30,8) sums (event values have <= 2 decimals,
+    // squares <= 4 — the cast is lossless), z rounded to 9 so the filter
+    // edge is engine-stable
+    "zscore_outliers_events" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(x AS DECIMAL(30,8))) AS s1,
+        |         sum(CAST(x * x AS DECIMAL(30,8))) AS s2
+        |  FROM src GROUP BY 1),
+        |mm AS (
+        |  SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean,
+        |         (CAST(s2 AS DOUBLE) / n)
+        |           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance
+        |  FROM m)
+        |SELECT event_id, event_type, x AS value, round((x - mean) / sqrt(variance), 9) AS z
+        |FROM src JOIN mm USING (event_type)
+        |WHERE abs(round((x - mean) / sqrt(variance), 9)) >= 1.5
+        |ORDER BY event_id""".stripMargin,
+
     "dedup_exact_documents" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
         |       count(*) - count(DISTINCT text) AS n_dups
@@ -527,6 +624,86 @@ object SparkEntry {
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
+    "tfidf_top3_documents" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dtot AS (SELECT doc_id, sum(cnt) AS dtot FROM tf GROUP BY 1),
+         |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token,
+         |         round((CAST(cnt AS DOUBLE) / CAST(dtot AS DOUBLE))
+         |               * ln(CAST(n_docs AS DOUBLE) / CAST(dfc AS DOUBLE)), 9) AS tfidf
+         |  FROM tf JOIN dtot USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd),
+         |r AS (SELECT doc_id, token, tfidf,
+         |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT doc_id, rnk, token, tfidf FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "normalize_text_documents" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "inverted_index_documents" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |post AS (SELECT token, doc_id, count(*) AS tfc FROM tok GROUP BY 1, 2)
+         |SELECT token, count(*) AS n_docs, CAST(sum(tfc) AS BIGINT) AS n_occurrences,
+         |       array_to_string((list_sort(list(doc_id)))[1:10], ' ') AS sample_docs
+         |FROM post GROUP BY token ORDER BY token""".stripMargin,
+
+    "pmi_top20_bigrams" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS w FROM documents),
+         |uni AS (SELECT w, count(*) AS wc FROM tok GROUP BY 1),
+         |ut AS (SELECT sum(wc) AS u_tot FROM uni),
+         |tt AS (SELECT $toksSql AS toks FROM documents),
+         |ng AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                                    s -> array_to_string(toks[s:s+1], ' '))) AS bg
+         |       FROM tt WHERE len(toks) >= 2),
+         |bi AS (SELECT bg, count(*) AS bc FROM ng GROUP BY 1),
+         |bt AS (SELECT sum(bc) AS b_tot FROM bi),
+         |j AS (
+         |  SELECT bg, bc,
+         |         round(ln((CAST(bc AS DOUBLE) * CAST(u_tot AS DOUBLE) * CAST(u_tot AS DOUBLE))
+         |                / (CAST(b_tot AS DOUBLE) * CAST(u1.wc AS DOUBLE) * CAST(u2.wc AS DOUBLE))), 9) AS pmi
+         |  FROM bi JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+         |          JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+         |  CROSS JOIN ut CROSS JOIN bt
+         |  WHERE bc >= 5)
+         |SELECT bg AS bigram, bc AS cnt, pmi FROM j ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+
+    "top3_quality_per_lang" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    AS quality_score
+         |  FROM m),
+         |r AS (
+         |  SELECT lang, doc_id, quality_score,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM q)
+         |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= 3
+         |ORDER BY lang, rnk""".stripMargin
+    },
+
     "lang_id_documents" -> {
       val langs = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
       val scoreDefs = langs.map { case (lg, ms) =>
@@ -580,6 +757,36 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same quality CTE as quality_score_documents, then a per-source
+    // exclusive running token sum in quality order
+    "sample_budget_documents" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, $toksSql AS toks,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    AS quality_score
+         |  FROM m),
+         |w AS (
+         |  SELECT source, doc_id, quality_score, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+         |                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_excl
+         |  FROM q)
+         |SELECT source, doc_id, quality_score, n_tokens, cum_excl
+         |FROM w WHERE cum_excl < 2000 ORDER BY source, doc_id""".stripMargin
+    },
 
     // token bigrams: DuckDB list slice [s:s+1] is 2 elements (inclusive);
     // docs with < 2 tokens contribute nothing (generate_series(1,0) = empty)

@@ -382,6 +382,24 @@ object Binning {
     hist.select(col("bin_id"), ((col("bin_lo") + col("bin_hi")) / 2).as("bin_center"), col("cnt"))
       .orderBy("bin_id")
 
+  /** Cumulative distribution over a histogram: running count and CDF
+    * fraction per bin. Input is any `(bin_id, …, cnt)` histogram result —
+    * an ALREADY-AGGREGATED n_bins-row frame — so the single-partition window
+    * is O(n_bins) driver-adjacent work, not a data-scale sort (the
+    * `partitionBy(lit(0))` keeps Spark from logging the no-partition
+    * warning). The fraction is an exact-integer running sum over an exact
+    * total with one double division per bin: bit-deterministic. */
+  def cdf(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(lit(0)).orderBy("bin_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist.withColumn("cum_cnt", sum(col("cnt")).over(run))
+      .withColumn("cdf", col("cum_cnt").cast("double") / sum(col("cnt")).over(all).cast("double"))
+      .orderBy("bin_id")
+  }
+
   /** One-job min/max over several columns of one frame (combined agg) —
     * the reference ran 2 collect jobs PER series (SURVEY.md §3 step 2). */
   def minMax(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -37,6 +37,94 @@ object Stats {
     }: _*)
   }
 
+  /** Pairwise total-variation distance between per-group value
+    * distributions: bin the column over ONE shared global range
+    * (equal-width, same semantics as [[Binning.histogramByGroup]]), then for
+    * every group pair (a < b) compute
+    * `TVD = 0.5 * Σ_i |cntA_i/totA - cntB_i/totB|` — the standard
+    * "how different are these two histograms" measure a curation pass uses
+    * to compare sources/shards.
+    *
+    * Scale + determinism shape: counting is one
+    * [[graft.functions.HistogramAgg]] vector per group (shuffle =
+    * n_groups fixed-width rows), and the pair expansion gathers those
+    * n_groups aggregated rows into a single array and explodes a<b pairs —
+    * ONE scan, no self-join (a self-join would re-run the scan per side
+    * unless exchange reuse fires). The per-bin terms are computed in exact
+    * integer/decimal arithmetic (`|cntA*totB - cntB*totA|`) with a single
+    * double division at the end, so results are bit-deterministic and
+    * oracle-checkable. Bounded by group cardinality: fine for categorical
+    * group columns (≤ ~1000 groups); a million-group comparison would want
+    * the pair-join formulation instead. */
+  def distributionDistance(df: DataFrame, valueCol: String, groupCol: String,
+                           n: Int = 10,
+                           range: Option[(Double, Double)] = None): DataFrame = {
+    val clean = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .where(col("grp").isNotNull && col("x").isNotNull && !isnan(col("x")))
+    val (lo, hi) = range.getOrElse(Binning.minMaxOf(clean))
+    require(hi > lo, s"degenerate range [$lo, $hi]: all values equal, every pairwise TVD is 0")
+    val es = Binning.equalWidthEdges(lo, hi, n)
+    val perGroup = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
+      .groupBy(col("grp"))
+      .agg(graft.functions.HistogramAgg.hist_counts(col("x"), es).as("cnts"))
+      .select(col("grp"), col("cnts"),
+        aggregate(col("cnts"), lit(0L), (a, c) => a + c).as("tot"))
+    // gather the n_groups aggregated rows; expand a<b pairs expression-side
+    val pairs = perGroup
+      .agg(collect_list(struct(col("grp"), col("tot"), col("cnts"))).as("gs"))
+      .select(explode(filter(
+        flatten(transform(col("gs"), a => transform(col("gs"), b => struct(a.as("a"), b.as("b"))))),
+        p => p.getField("a").getField("grp") < p.getField("b").getField("grp"))).as("p"))
+    val (a, b) = (col("p").getField("a"), col("p").getField("b"))
+    val dec = "decimal(19,0)"
+    val termSum = aggregate(
+      zip_with(a.getField("cnts"), b.getField("cnts"),
+        (x, y) => abs(x.cast(dec) * b.getField("tot").cast(dec)
+                    - y.cast(dec) * a.getField("tot").cast(dec))),
+      lit(0).cast("decimal(38,0)"), (acc, t) => acc + t)
+    pairs.select(
+        a.getField("grp").as("grp_a"), b.getField("grp").as("grp_b"),
+        (termSum.cast("double") /
+          (lit(2.0) * a.getField("tot").cast("double") * b.getField("tot").cast("double"))).as("tvd"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** Per-group z-score outliers: standardize `valueCol` against its group's
+    * mean/variance and keep rows with `|z| >= zThresh`.
+    *
+    * The moments are exact: `sum(x)` and `sum(x²)` as DECIMAL(30,8)
+    * aggregates (order-independent, unlike double summation), one double
+    * division each at the end, `var = E[x²] - E[x]²` (population). The
+    * per-group moment frame is tiny and explicitly broadcast, so the join
+    * back adds no shuffle — at 100 TB this is two linear scans (slim agg +
+    * filter), the minimum for any "compare each row to its group's
+    * statistics" operator. z is rounded to 9 decimals so the filter edge is
+    * engine-stable. */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     zThresh: Double = 1.5, keepCols: Seq[String] = Nil): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val clean = df.where(x.isNotNull && !isnan(x))
+    val dec = "decimal(30,8)"
+    val moments = clean.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(dec)).as("s1"),
+        sum((x * x).cast(dec)).as("s2"))
+      .select(col(groupCol),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        ((col("s2").cast("double") / col("n"))
+          - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          .as("variance"))
+    // zero-variance groups have no outliers (ANSI mode would raise
+    // DIVIDE_BY_ZERO; DuckDB would yield NaN — a null z is dropped by the
+    // threshold filter in both engines)
+    val z = when(col("variance") > 0,
+      round((x - col("mean")) / sqrt(col("variance")), 9))
+    clean.join(broadcast(moments), Seq(groupCol))
+      .withColumn("z", z)
+      .where(abs(col("z")) >= lit(zThresh))
+      .select((keepCols.map(col) :+ col(groupCol) :+ x.as(valueCol) :+ col("z")): _*)
+  }
+
   /** HyperLogLog++ distinct counts for several columns in ONE scan:
     * fixed-size mergeable registers per column, map-side combined — the
     * 100 TB distinct-count shape (exact `count_distinct` shuffles every

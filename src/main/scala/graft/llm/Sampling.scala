@@ -38,6 +38,33 @@ object Sampling {
     df.where(pmod(xxhash64(col(idCol)), lit(100)) < pct)
   }
 
+  /** Token-budget-constrained corpus selection: per group (source), take
+    * documents in quality order (quality desc, doc_id asc) while the
+    * cumulative token count BEFORE each document stays under
+    * `budgetTokens` — the "fill each source's token budget with its best
+    * documents" curation step (the last admitted doc may overflow the
+    * budget; greedy-prefix semantics are deterministic and engine-exact).
+    *
+    * Scale shape: the quality/token signals are a map-only stage
+    * ([[TextAnalysis.qualityScore]]); selection is ONE window over
+    * `partitionBy(group)` carrying slim (group, doc_id, score, n_tokens)
+    * rows — no global sort, parallel across groups, spill-safe within a
+    * group. */
+  def budgetSample(docs: DataFrame, groupCol: String, budgetTokens: Long,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(docs, textCol, keepCols = Seq(groupCol))
+      .select(col(groupCol), col("doc_id"), col("quality_score"), col("n_tokens"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("cum_excl", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("cum_excl") < budgetTokens)
+      .select(col(groupCol), col("doc_id"), col("quality_score"),
+        col("n_tokens"), col("cum_excl"))
+      .orderBy(groupCol, "doc_id")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep-percentages with a
     * default for unlisted strata — the "rebalance the language/source mix"
     * operator of a corpus pipeline. One CASE expression over the stratum

@@ -62,9 +62,11 @@ object TextAnalysis {
     * stopword ratio, alpha ratio, plus a composite [0,1] score. All
     * arithmetic is per-row (no aggregation) so results are bit-deterministic
     * and the whole thing is one codegen stage over the scan. */
-  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   keepCols: Seq[String] = Nil): DataFrame = {
     // tokenize once into an attribute (see langId note on re-inlining)
-    val docsT = docs.select(col("doc_id"), col(textCol), tokens(col(textCol)).as("toks"))
+    val docsT = docs.select(
+      (Seq(col("doc_id"), col(textCol), tokens(col(textCol)).as("toks")) ++ keepCols.map(col)): _*)
     val t = col("toks")
     val nTok = size(t).cast("bigint")
     val nChars = length(col(textCol)).cast("bigint")
@@ -80,10 +82,27 @@ object TextAnalysis {
       when(nTok >= 5 && nTok <= 1000, lit(0.4)).otherwise(lit(0.0)) +
       when(meanTokLen >= 2.0 && meanTokLen <= 12.0, lit(0.3)).otherwise(lit(0.0)) +
       when(stopRatio >= 0.01 && stopRatio <= 0.6, lit(0.3)).otherwise(lit(0.0))
-    docsT.select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
-      meanTokLen.as("mean_token_len"), stopRatio.as("stopword_ratio"),
-      alphaRatio.as("alpha_ratio"), score.as("quality_score"))
+    docsT.select((Seq(col("doc_id")) ++ keepCols.map(col) ++ Seq(nTok.as("n_tokens"),
+      nChars.as("n_chars"), meanTokLen.as("mean_token_len"), stopRatio.as("stopword_ratio"),
+      alphaRatio.as("alpha_ratio"), score.as("quality_score"))): _*)
       .orderBy("doc_id")
+  }
+
+  /** Top-k documents per group by [[qualityScore]] (ties broken by doc_id
+    * ascending) — the "best exemplars per language/source" curation query.
+    * Scale: the score is a map-only stage; ranking is one window over
+    * `partitionBy(groupCol)` carrying only (group, doc_id, score) — slim
+    * rows, and per-group state is a running top-k rank, spill-safe. */
+  def topQualityDocs(docs: DataFrame, groupCol: String, k: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(docs, textCol, keepCols = Seq(groupCol))
+      .select(col(groupCol), col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(groupCol).orderBy(col("quality_score").desc, col("doc_id").asc)
+    q.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col("doc_id"), col("quality_score"))
+      .orderBy(groupCol, "rnk")
   }
 
   /** Tiny per-language marker lexicons for the language-ID heuristic. The
@@ -216,6 +235,108 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+
+  /** Per-document top-k terms by TF-IDF:
+    * `tfidf = (cnt/doc_total) * ln(n_docs/doc_freq)`, ties broken by token
+    * ascending. `n_docs` is the corpus size (all documents).
+    *
+    * Scale shape: ONE explode + hash-agg on (doc_id, token); per-token
+    * document frequency and per-doc totals are windows OVER that aggregate
+    * (slim (doc_id, token, cnt) rows — sort-based, spill-safe on stopword
+    * tokens), not separate branches, because a branch re-running the
+    * tokenize+explode subtree would rescan the corpus: column pruning makes
+    * each branch's aggregate subtree differ, so exchange reuse cannot fire.
+    * The corpus count is a column-pruned metadata-cheap second scan. The
+    * dtot window and the ranking window share the doc_id exchange. All
+    * counts are exact integers; the double arithmetic is one fixed tree
+    * rounded to 9 decimals, so results are engine-stable. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val scored = tf
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy("token")))
+      .withColumn("dtot", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        (col("cnt").cast("double") / col("dtot").cast("double")) *
+          log(col("n_docs").cast("double") / col("dfc").cast("double")), 9))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Text normalization for downstream dedup/tokenization: collapse
+    * whitespace runs to a single space, trim, lowercase. The whitespace
+    * class is written explicitly (`[ \t\n\r\f]`) because Java's `\s` and
+    * RE2's `\s` disagree on vertical tab — the explicit class keeps the
+    * operator oracle-checkable. Map-only scan stage. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", " ")))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+        length(col(textCol)).cast("bigint").as("n_chars_raw"),
+        length(norm).cast("bigint").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Inverted index over the token vocabulary: per token, the number of
+    * documents containing it, its total occurrence count, and the first
+    * `sampleK` doc_ids (ascending) as a space-joined posting sample.
+    *
+    * Scale shape: explode + hash-agg to distinct (token, doc_id, tf) rows,
+    * then ONE sort-based window per token computes rank + per-token totals
+    * on those slim rows — a hot token (stopword present in every document)
+    * sorts and spills, it does NOT build an unbounded in-memory array; the
+    * `collect_list` only ever sees the ≤ sampleK surviving rows per token. */
+  def invertedIndex(docs: DataFrame, sampleK: Int = 10, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tfc"))
+    val byTok = Window.partitionBy("token")
+    post
+      .withColumn("rn", row_number().over(byTok.orderBy("doc_id")))
+      .withColumn("ndocs", count(lit(1)).over(byTok))
+      .withColumn("nocc", sum(col("tfc")).over(byTok))
+      .where(col("rn") <= sampleK)
+      .groupBy("token").agg(
+        max(col("ndocs")).as("n_docs"),
+        max(col("nocc")).as("n_occurrences"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), " ")
+          .as("sample_docs"))
+      .orderBy("token")
+  }
+
+  /** Top-k token bigrams by pointwise mutual information,
+    * `pmi = ln((c_ab/B) / ((c_a/U)(c_b/U)))` with a minimum-count floor to
+    * kill noise pairs; ties broken by bigram ascending.
+    *
+    * Two scans by construction (unigram and bigram explodes are different
+    * generators); both aggregations are vocabulary-bounded hash-aggs with
+    * map-side combine, and the unigram side joins back on the bigram's
+    * words. Exact integer counts; one fixed double tree rounded to 9. */
+  def pmiTopBigrams(docs: DataFrame, k: Int = 20, minCount: Long = 5,
+                    textCol: String = "text"): DataFrame = {
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val uTot = uni.select(sum(col("wc")).as("u_tot"))
+    val bi = docs.select(explode(tokenNgrams(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("bc"))
+    val bTot = bi.select(sum(col("bc")).as("b_tot"))
+    bi.where(col("bc") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("wc").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("wc").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi", round(log(
+        (col("bc").cast("double") * col("u_tot").cast("double") * col("u_tot").cast("double")) /
+        (col("b_tot").cast("double") * col("c1").cast("double") * col("c2").cast("double"))), 9))
+      .orderBy(col("pmi").desc, col("bg").asc).limit(k)
+      .select(col("bg").as("bigram"), col("bc").as("cnt"), col("pmi"))
+  }
 
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, `acc = (acc*131 + 31*len(tok) + ascii(tok[0])) mod 1e9+7`.

@@ -40,6 +40,39 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(nc - 50000) <= 50000 * 0.15, s"c: $nc")
   }
 
+  test("cdf: running counts and fractions over a histogram (hand-computed)") {
+    // values 1..4 into 2 bins over [1,4]: [1,2.5) -> 2, [2.5,4] -> 2
+    val h = Binning.histogram(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"), "x", Bins.Count(2))
+    val c = Binning.cdf(h).select("bin_id", "cum_cnt", "cdf")
+      .as[(Int, Long, Double)].collect()
+    assert(c.toSeq == Seq((0, 2L, 0.5), (1, 4L, 1.0)))
+  }
+
+  test("distributionDistance: hand-computed TVD over three groups") {
+    // 2 bins over [0,1]: g1 = (2,2), g2 = (1,3), g3 = g1
+    val df = Seq(
+      ("g1", 0.0), ("g1", 0.0), ("g1", 1.0), ("g1", 1.0),
+      ("g2", 0.0), ("g2", 1.0), ("g2", 1.0), ("g2", 1.0),
+      ("g3", 0.0), ("g3", 0.0), ("g3", 1.0), ("g3", 1.0)
+    ).toDF("grp", "x")
+    val r = Stats.distributionDistance(df, "x", "grp", n = 2, range = Some((0.0, 1.0)))
+      .as[(String, String, Double)].collect().toSeq
+    // TVD(g1,g2) = 0.5*(|2/4-1/4| + |2/4-3/4|) = 0.25; g3 == g1
+    assert(r == Seq(("g1", "g2", 0.25), ("g1", "g3", 0.0), ("g2", "g3", 0.25)))
+  }
+
+  test("zscoreOutliers: exact moments, tail row kept, constant group silent") {
+    // group a: mean 2.5, var 18.75 -> z(10) = 7.5/sqrt(18.75) ~ 1.732
+    val df = Seq(
+      (1L, "a", 0.0), (2L, "a", 0.0), (3L, "a", 0.0), (4L, "a", 10.0),
+      (5L, "b", 7.0), (6L, "b", 7.0) // zero variance: z is NaN, never kept
+    ).toDF("event_id", "grp", "x")
+    val r = Stats.zscoreOutliers(df, "x", "grp", zThresh = 1.5, keepCols = Seq("event_id"))
+      .select("event_id", "z").as[(Long, Double)].collect()
+    assert(r.length == 1 && r(0)._1 == 4L)
+    assert(math.abs(r(0)._2 - 7.5 / math.sqrt(18.75)) < 1e-8)
+  }
+
   test("revenue_by_nation plan broadcasts nation and prunes fact columns") {
     val plan = graft.SparkEntry.queries("revenue_by_nation")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -73,4 +73,23 @@ class SamplingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("budgetSample: greedy quality-ordered prefix per group (hand-computed)") {
+    // d1/d3 score 1.0 with 7 tokens each; d2 scores 0.3 — budget 14 admits
+    // d1 (cum 0) and d3 (cum 7), then d2 hits cum_excl 14 and is cut;
+    // s2's budget is independent
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dog", "s1"),
+      (2L, "a b", "s1"),
+      (3L, "the quick brown fox jumps over cat", "s1"),
+      (4L, "the quick brown fox jumps over owl", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = Sampling.budgetSample(docs, "source", budgetTokens = 14)
+      .select("source", "doc_id", "cum_excl").as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("s1", 1L, 0L), ("s1", 3L, 7L), ("s2", 4L, 0L)))
+    // no global sort: the selection window partitions by source
+    val plan = Sampling.budgetSample(docs, "source", 14)
+      .queryExecution.executedPlan.toString
+    assert(!plan.split("== Initial Plan ==")(0).contains("SinglePartition"), plan)
+  }
 }

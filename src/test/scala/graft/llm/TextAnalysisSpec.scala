@@ -119,6 +119,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g.isEmpty)
   }
 
+  test("tfidfTopTerms: hand-computed scores, ties to token asc, exchange reused") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2)
+    // collect from `out` itself so ITS queryExecution materializes (AQE
+    // exchange reuse only shows in an executed plan)
+    val r = out.collect().toSeq
+      .map(row => (row.getLong(0), row.getInt(1), row.getString(2), row.getDouble(3)))
+    val ln2 = math.log(2.0)
+    assert(r.map(t => (t._1, t._2, t._3)) ==
+      Seq((1L, 1, "apple"), (1L, 2, "banana"), (2L, 1, "cherry"), (2L, 2, "banana")))
+    assert(math.abs(r(0)._4 - 2.0 / 3 * ln2) < 1e-6) // apple in d1
+    assert(r(1)._4 == 0.0)                           // banana: df = all docs
+    assert(math.abs(r(2)._4 - 0.5 * ln2) < 1e-6)     // cherry in d2
+    // single-scan invariant: doc frequency and doc totals are windows over
+    // the one tf aggregate, so the corpus explodes exactly once
+    // AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial Plan ==";
+    // only the final section is what actually ran
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val generates = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1, s"expected 1 explode, saw $generates:\n$plan")
+  }
+
+  test("normalizeText collapses whitespace, trims, lowercases") {
+    val r = TextAnalysis.normalizeText(
+        Seq((1L, " Hello\t\tWorld \n"), (2L, "ok")).toDF("doc_id", "text"))
+      .select("doc_id", "norm_text", "n_chars_raw", "n_chars_norm")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, "hello world", 15L, 11L), (2L, "ok", 2L, 2L)))
+  }
+
+  test("invertedIndex: postings, totals, and the sampleK cap") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.invertedIndex(docs)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(r == Seq(("a", 1L, 2L, "1"), ("b", 2L, 2L, "1 2"), ("c", 1L, 1L, "2")))
+    val capped = TextAnalysis.invertedIndex(docs, sampleK = 1)
+      .as[(String, Long, Long, String)].collect().toSeq
+    // counts still cover every doc; only the posting sample is capped
+    assert(capped.find(_._1 == "b").get == (("b", 2L, 2L, "1")))
+  }
+
+  test("pmiTopBigrams: hand-computed PMI, equal scores tie on bigram") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // U=6 (a:3 b:2 c:1), B=3 (ab:2 ac:1); PMI(ab) = ln(2*36/(3*3*2)) = ln 4,
+    // PMI(ac) = ln(36/(3*3*1)) = ln 4 — identical, so order is bigram asc
+    val r = TextAnalysis.pmiTopBigrams(docs, k = 10, minCount = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq("a b", "a c"))
+    assert(r.forall(t => math.abs(t._3 - math.log(4.0)) < 1e-6))
+    assert(r.map(_._2) == Seq(2L, 1L))
+  }
+
   test("fingerprint matches the hand-computed rolling hash and is order-sensitive") {
     def fp(toks: Seq[String]): Long =
       toks.foldLeft(0L)((acc, tk) => (acc * 131L + 31L * tk.length + tk.head.toInt) % 1000000007L)
