@@ -167,6 +167,14 @@ object SparkEntry {
     "top3_quality_per_lang" -> ((s, d) =>
       TextAnalysis.topQualityDocs(t(s, d, "documents"), "lang", k = 3)),
 
+    // per-doc OOV rate vs the corpus's own top-100 token vocabulary
+    "oov_rate_documents" -> ((s, d) =>
+      TextAnalysis.oovRate(t(s, d, "documents"), vocabK = 100)),
+
+    // cross-source contamination matrix: distinct 8-grams shared per pair
+    "source_overlap_documents" -> ((s, d) =>
+      Dedup.sourceOverlap(t(s, d, "documents"), n = 8)),
+
     // eval split = doc_id < 50 (deterministic); train = the rest
     "decontaminate_documents" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -455,14 +463,21 @@ object SparkEntry {
         |  SELECT s.grp, s.bin_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |  FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id),
         |tot AS (SELECT grp, sum(cnt) AS tot FROM d GROUP BY grp),
+        |c AS (
+        |  SELECT grp, bin_id, cnt,
+        |         sum(cnt) OVER (PARTITION BY grp ORDER BY bin_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
         |terms AS (
         |  SELECT da.grp AS grp_a, db.grp AS grp_b, ta.tot AS tota, tb.tot AS totb,
         |         abs(CAST(da.cnt AS DECIMAL(19,0)) * CAST(tb.tot AS DECIMAL(19,0))
-        |           - CAST(db.cnt AS DECIMAL(19,0)) * CAST(ta.tot AS DECIMAL(19,0))) AS term
-        |  FROM d da JOIN d db ON da.bin_id = db.bin_id AND da.grp < db.grp
+        |           - CAST(db.cnt AS DECIMAL(19,0)) * CAST(ta.tot AS DECIMAL(19,0))) AS term,
+        |         abs(CAST(da.cum AS DECIMAL(19,0)) * CAST(tb.tot AS DECIMAL(19,0))
+        |           - CAST(db.cum AS DECIMAL(19,0)) * CAST(ta.tot AS DECIMAL(19,0))) AS ksterm
+        |  FROM c da JOIN c db ON da.bin_id = db.bin_id AND da.grp < db.grp
         |  JOIN tot ta ON ta.grp = da.grp JOIN tot tb ON tb.grp = db.grp)
         |SELECT grp_a, grp_b,
-        |       CAST(sum(term) AS DOUBLE) / (2.0 * CAST(any_value(tota) AS DOUBLE) * CAST(any_value(totb) AS DOUBLE)) AS tvd
+        |       CAST(sum(term) AS DOUBLE) / (2.0 * CAST(any_value(tota) AS DOUBLE) * CAST(any_value(totb) AS DOUBLE)) AS tvd,
+        |       CAST(max(ksterm) AS DOUBLE) / (CAST(any_value(tota) AS DOUBLE) * CAST(any_value(totb) AS DOUBLE)) AS ks
         |FROM terms GROUP BY grp_a, grp_b ORDER BY grp_a, grp_b""".stripMargin,
 
     // moments as exact DECIMAL(30,8) sums (event values have <= 2 decimals,
@@ -849,6 +864,29 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_eval_ngrams
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "oov_rate_documents" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |vocab AS (
+         |  SELECT token FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+         |  ORDER BY cnt DESC, token LIMIT 100),
+         |j AS (SELECT t.doc_id, (v.token IS NOT NULL) AS iv
+         |      FROM tok t LEFT JOIN vocab v USING (token))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |       CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "source_overlap_documents" ->
+      s"""WITH tt AS (SELECT source, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT source,
+         |             unnest(list_transform(generate_series(1, len(toks) - 7),
+         |                                   s -> array_to_string(toks[s:s+7], ' '))) AS ng
+         |      FROM tt WHERE len(toks) >= 8)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_ngrams
+         |FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "fingerprint_documents" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents)

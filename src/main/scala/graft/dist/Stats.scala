@@ -41,9 +41,10 @@ object Stats {
     * distributions: bin the column over ONE shared global range
     * (equal-width, same semantics as [[Binning.histogramByGroup]]), then for
     * every group pair (a < b) compute
-    * `TVD = 0.5 * Σ_i |cntA_i/totA - cntB_i/totB|` — the standard
-    * "how different are these two histograms" measure a curation pass uses
-    * to compare sources/shards.
+    * `TVD = 0.5 * Σ_i |cntA_i/totA - cntB_i/totB|` and the (binned)
+    * Kolmogorov–Smirnov statistic `KS = max_i |CDF_A(i) - CDF_B(i)|` — the
+    * standard "how different are these two histograms" measures a curation
+    * pass uses to compare sources/shards.
     *
     * Scale + determinism shape: counting is one
     * [[graft.functions.HistogramAgg]] vector per group (shuffle =
@@ -82,10 +83,21 @@ object Stats {
         (x, y) => abs(x.cast(dec) * b.getField("tot").cast(dec)
                     - y.cast(dec) * a.getField("tot").cast(dec))),
       lit(0).cast("decimal(38,0)"), (acc, t) => acc + t)
+    // KS over the n_bins-length count vectors: prefix sums per index (the
+    // O(n_bins²) slice-sum is over tiny aggregated arrays, not data rows)
+    val idx = sequence(lit(1), lit(es.size - 1))
+    def cum(c: Column): Column =
+      transform(idx, i => aggregate(slice(c, lit(1), i), lit(0L), (acc, x) => acc + x))
+    val ksMax = array_max(
+      zip_with(cum(a.getField("cnts")), cum(b.getField("cnts")),
+        (ca, cb) => abs(ca.cast(dec) * b.getField("tot").cast(dec)
+                      - cb.cast(dec) * a.getField("tot").cast(dec))))
     pairs.select(
         a.getField("grp").as("grp_a"), b.getField("grp").as("grp_b"),
         (termSum.cast("double") /
-          (lit(2.0) * a.getField("tot").cast("double") * b.getField("tot").cast("double"))).as("tvd"))
+          (lit(2.0) * a.getField("tot").cast("double") * b.getField("tot").cast("double"))).as("tvd"),
+        (ksMax.cast("double") /
+          (a.getField("tot").cast("double") * b.getField("tot").cast("double"))).as("ks"))
       .orderBy("grp_a", "grp_b")
   }
 

@@ -347,4 +347,31 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_eval_ngrams"))
       .orderBy("doc_id")
   }
+
+  /** Cross-source contamination matrix: for every source pair (a < b), the
+    * number of distinct token n-grams appearing in BOTH sources — the
+    * "which of my corpus feeds copy from each other" audit that decides
+    * dedup ordering and source trust.
+    *
+    * Scale shape: per-doc `array_distinct` n-grams explode to (source, gram)
+    * rows; ONE hash-agg per gram builds `collect_set(source)` — the set (and
+    * the a<b pair array expanded from it) is bounded by the number of
+    * SOURCES, a small categorical, and partial aggregation caps map-side
+    * sets the same way, so a hot n-gram never builds an unbounded row. The
+    * final matrix agg is at most sources² rows. Grams shuffle as 8-byte
+    * xxhash64 keys, not ~50-byte strings (a 2⁻⁶⁴ collision could merge two
+    * grams' source sets — the same accepted risk as [[dropExactDups]]). */
+  def sourceOverlap(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame =
+    docs.select(col("source"),
+        explode(array_distinct(
+          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
+      .select(col("source"), xxhash64(col("ngs")).as("ng"))
+      .groupBy("ng").agg(collect_set(col("source")).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(filter(
+        flatten(transform(col("ss"), a => transform(col("ss"), b => struct(a.as("a"), b.as("b"))))),
+        p => p.getField("a") < p.getField("b"))).as("p"))
+      .groupBy(col("p").getField("a").as("source_a"), col("p").getField("b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("source_a", "source_b")
 }

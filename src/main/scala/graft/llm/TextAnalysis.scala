@@ -338,6 +338,29 @@ object TextAnalysis {
       .select(col("bg").as("bigram"), col("bc").as("cnt"), col("pmi"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus's own top-k
+    * token vocabulary — the "how well would a k-token tokenizer cover this
+    * corpus" signal (high OOV docs are candidates for exclusion or vocab
+    * growth).
+    *
+    * Two passes by construction: the vocabulary is a global top-k that must
+    * exist before per-token membership is testable. The vocab (k rows) is
+    * BROADCAST, so the second pass is a map-side join over the exploded
+    * tokens — no shuffle of token rows; the only exchanges are the
+    * vocab-bounded count and the final per-doc agg. Docs with zero tokens
+    * produce no row. */
+  def oovRate(docs: DataFrame, vocabK: Int = 100, textCol: String = "text"): DataFrame = {
+    val vocab = topTokens(docs, textCol, vocabK).select(col("token"), lit(1).as("in_vocab"))
+    val oov = sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+    docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        oov.as("n_oov"),
+        (oov.cast("double") / count(lit(1)).cast("double")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, `acc = (acc*131 + 31*len(tok) + ascii(tok[0])) mod 1e9+7`.
     * Pure integer arithmetic (no overflow: acc < 2^30, *131 + 2^14 < 2^38),

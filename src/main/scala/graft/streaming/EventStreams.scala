@@ -8,6 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                  event_type: String, value: Double)
 
+/** Emitted per flagged event by [[EventStreams.anomalyStream]]. */
+case class Anomaly(event_id: Long, event_type: String, value: Double, z: Double)
+
+private case class MomentState(n: Long, s1: Double, s2: Double)
+
 /** Emitted per closed session by [[EventStreams.sessionize]]. */
 case class SessionSummary(user_id: Long, n_events: Long, start: java.sql.Timestamp,
                           end: java.sql.Timestamp, total_value: Double)
@@ -87,6 +92,44 @@ object EventStreams {
         col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"), col("view_value"))
+  }
+
+  /** Streaming z-score anomaly detection: per event type, maintain running
+    * moments (count, Σx, Σx²) in keyed state and flag each arriving event
+    * whose z-score against the moments SO FAR exceeds `zThresh` — the
+    * streaming face of the batch `Stats.zscoreOutliers`. An online detector
+    * necessarily scores against the past (the batch query scores against the
+    * full dataset), so `minN` warm-up samples gate flagging and zero-variance
+    * history flags nothing.
+    *
+    * Scale/state: state is THREE doubles per event type (fixed size — no
+    * watermark needed to bound it; NoTimeout keeps the microbatch loop
+    * quiescent). Events shuffle once on the type key; within a batch the
+    * group iterator is folded in (ts, event_id) order so replays are
+    * deterministic. */
+  def anomalyStream(events: Dataset[Event], zThresh: Double = 3.0,
+                    minN: Long = 30): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (etype, it, state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          for (ev <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            if (st.n >= minN) {
+              val mean = st.s1 / st.n
+              val variance = st.s2 / st.n - mean * mean
+              if (variance > 0) {
+                val z = (ev.value - mean) / math.sqrt(variance)
+                if (math.abs(z) >= zThresh) out += Anomaly(ev.event_id, etype, ev.value, z)
+              }
+            }
+            st = MomentState(st.n + 1, st.s1 + ev.value, st.s2 + ev.value * ev.value)
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** Per-user sessionization with custom state (flatMapGroupsWithState):

@@ -56,9 +56,11 @@ class StatsSpec extends SparkSpec {
       ("g3", 0.0), ("g3", 0.0), ("g3", 1.0), ("g3", 1.0)
     ).toDF("grp", "x")
     val r = Stats.distributionDistance(df, "x", "grp", n = 2, range = Some((0.0, 1.0)))
-      .as[(String, String, Double)].collect().toSeq
+      .as[(String, String, Double, Double)].collect().toSeq
     // TVD(g1,g2) = 0.5*(|2/4-1/4| + |2/4-3/4|) = 0.25; g3 == g1
-    assert(r == Seq(("g1", "g2", 0.25), ("g1", "g3", 0.0), ("g2", "g3", 0.25)))
+    // KS(g1,g2): cums (2,4) vs (1,4) -> max(|2-1|/4, 0) = 0.25
+    assert(r == Seq(("g1", "g2", 0.25, 0.25), ("g1", "g3", 0.0, 0.0),
+      ("g2", "g3", 0.25, 0.25)))
   }
 
   test("zscoreOutliers: exact moments, tail row kept, constant group silent") {

@@ -173,4 +173,15 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val plan = Dedup.decontaminate(train, eval, n = 4).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("sourceOverlap counts distinct shared n-grams per source pair") {
+    val docs = Seq(
+      (1L, "x y z", "s1"), // bigrams: "x y", "y z"
+      (2L, "x y q", "s2"), // shares "x y" with s1
+      (3L, "y z k", "s3")  // shares "y z" with s1
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(docs, n = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
+  }
 }

@@ -171,6 +171,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_._2) == Seq(2L, 1L))
   }
 
+  test("oovRate: corpus top-k vocab coverage per doc, vocab broadcast") {
+    // counts: b:3, a:2, c:1 -> top-2 vocab {b, a}; d1 has one OOV (c)
+    val docs = Seq((1L, "a a b c"), (2L, "b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabK = 2)
+    val r = out.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "vocab must broadcast — a shuffle join on token rows defeats the design")
+  }
+
   test("fingerprint matches the hand-computed rolling hash and is order-sensitive") {
     def fp(toks: Seq[String]): Long =
       toks.foldLeft(0L)((acc, tk) => (acc * 131L + 31L * tk.length + tk.head.toInt) % 1000000007L)

@@ -149,6 +149,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream flags only post-warmup outliers against running moments") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.anomalyStream(in.toDS(), zThresh = 3.0, minN = 30)
+      .writeStream.format("memory").queryName("anomalies").outputMode("append").start()
+    try {
+      // warm-up: 30 alternating 9/11 readings -> mean 10, variance 1
+      val warm = (0 until 30).map(i =>
+        Event(i, ts(f"2024-01-01 10:00:${i}%02d"), 1, "click",
+          if (i % 2 == 0) 9.0 else 11.0))
+      in.addData(warm: _*)
+      q.processAllAvailable()
+      // outlier z = (20-10)/1 = 10; inlier z = 0.5; other type still warming
+      in.addData(
+        Event(100, ts("2024-01-01 10:01:00"), 1, "click", 20.0),
+        Event(101, ts("2024-01-01 10:01:01"), 1, "click", 10.5),
+        Event(102, ts("2024-01-01 10:01:02"), 1, "view", 999.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, z FROM anomalies ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.map(_._1) == Seq(100L))
+      assert(math.abs(rows.head._2 - 10.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap breaks and emits its summary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
