@@ -221,6 +221,12 @@ object SparkEntry {
           col("n_events"))
         .orderBy("user_id", "session_start_ms")),
 
+    // ordered 3-step funnel (view -> click -> purchase within 1h of the view)
+    "funnel_events" -> ((s, d) => graft.dist.EventAnalytics.funnel(events(s, d))),
+
+    // cohort retention matrix over first-active-day cohorts
+    "retention_events" -> ((s, d) => graft.dist.EventAnalytics.retention(events(s, d))),
+
     // as-of join: each click matched to the user's latest view at-or-before
     // it — the time-series join Spark lacks natively (Joins.asOfJoin:
     // union-window, one shuffle on user_id, no pair explosion)
@@ -936,6 +942,32 @@ object SparkEntry {
          |      FROM t)
          |SELECT doc_id, part, n_tokens, CAST(cum_excl // 512 AS BIGINT) AS shard
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    "funnel_events" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts, max(v.v_ts) AS v_ts
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts, max(c.v_ts) AS v_ts
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT 'step2_click', count(*) FROM c
+        |UNION ALL SELECT 'step3_purchase_in_window', count(*) FROM p
+        |  WHERE epoch_us(p_ts) - epoch_us(v_ts) <= 3600000000
+        |ORDER BY step""".stripMargin,
+
+    "retention_events" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |             date_diff('day', CAST(f.cohort AS DATE),
+        |                       CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT epoch_ms(cohort) AS cohort_ms, CAST(day_offset AS INTEGER) AS day_offset,
+        |       count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // mirrors the union-window as-of plan op-for-op (tie-safe, unlike native
     // ASOF on duplicate right timestamps): right rows sort before left at

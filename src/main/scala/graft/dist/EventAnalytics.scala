@@ -1,0 +1,70 @@
+package graft.dist
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-funnel and cohort-retention analytics over an events table
+  * (user_id, ts, event_type) — the interactive-analytics queries a
+  * data-curation/product team runs next to the distribution tooling.
+  *
+  * Both operators reduce events to slim (user, timestamp) rows before any
+  * shuffle, aggregate with map-side combine, and never collect to the
+  * driver; group cardinality is users (funnel/retention) or
+  * cohorts × day-offsets (the retention matrix), so the output side is tiny
+  * relative to the scan. */
+object EventAnalytics {
+
+  /** Ordered 3-step funnel with strictly sequential semantics: per user,
+    * the first `steps(0)` event, then the first `steps(1)` AT OR AFTER it,
+    * then the first `steps(2)` at or after THAT; the final step must land
+    * within `windowSeconds` of step 1 to count as converted. Output: one
+    * row per step with the surviving user count.
+    *
+    * Three passes by construction — step k's anchor is undefined until step
+    * k-1 resolves (a single-agg formulation would need the user's full
+    * sorted event list in memory: unbounded). Each pass shuffles only
+    * (user_id, ts) pairs filtered to one event type, and every join key is
+    * user_id, so AQE coalesces the (already slim) exchanges. */
+  def funnel(events: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase"),
+             windowSeconds: Long = 3600L): DataFrame = {
+    require(steps.size == 3, "funnel expects exactly 3 steps")
+    val v = events.where(col("event_type") === steps(0))
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = events.where(col("event_type") === steps(1))
+      .join(v, Seq("user_id"))
+      .where(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"), max(col("v_ts")).as("v_ts"))
+    val p = events.where(col("event_type") === steps(2))
+      .join(c, Seq("user_id"))
+      .where(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"), max(col("v_ts")).as("v_ts"))
+    val converted = p.where(
+      unix_micros(col("p_ts")) - unix_micros(col("v_ts")) <= windowSeconds * 1000000L)
+    v.agg(count(lit(1)).as("n_users")).select(lit(s"step1_${steps(0)}").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"step2_${steps(1)}").as("step"), col("n_users")))
+      .unionAll(converted.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"step3_${steps(2)}_in_window").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Cohort retention matrix: cohort = the user's first active calendar day;
+    * for each (cohort, day-offset) cell, the number of distinct users from
+    * that cohort active that many days later. Day 0 counts the cohort size.
+    *
+    * Shape: first-day agg per user (slim), join back on user_id, distinct
+    * (user, cohort, offset), count — two shuffles of (user, day) pairs and
+    * one of the tiny matrix. */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+    events.join(firstDay, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        datediff(date_trunc("day", col("ts")).cast("date"), col("cohort").cast("date"))
+          .as("day_offset"))
+      .distinct()
+      .groupBy(unix_millis(col("cohort")).as("cohort_ms"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_ms", "day_offset")
+  }
+}
