@@ -63,6 +63,10 @@ object SparkEntry {
     "hist_by_group_events" -> ((s, d) =>
       Binning.histogramByGroup(events(s, d), "value", "event_type")),
 
+    // equal-frequency bins: edges at exact deciles, ~10% of rows per bin
+    "hist_eqdepth_extendedprice" -> ((s, d) =>
+      Binning.histogramEquiDepth(t(s, d, "lineitem"), "l_extendedprice")),
+
     // cumulative distribution over the equal-width histogram (running
     // exact-integer counts; the window input is the 10-row aggregate)
     "hist_cdf_extendedprice" -> ((s, d) =>
@@ -442,6 +446,25 @@ object SparkEntry {
         |SELECT s.grp AS event_type, s.bin_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id
         |ORDER BY s.grp, s.bin_id""".stripMargin,
+
+    // edges from quantile_cont (same interpolation contract as Spark's
+    // `percentile` — proven identical by the quantiles oracle); bin =
+    // bisect_right(edges, x) - 1 clamped, expressed as the count of edges <= x
+    "hist_eqdepth_extendedprice" -> {
+      val ps = (0 to 10).map(i => (i.toDouble / 10).toString).mkString("[", ", ", "]")
+      s"""WITH src AS (
+         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         |e AS (SELECT quantile_cont(x, $ps) AS es FROM src),
+         |b AS (
+         |  SELECT CAST(least(len(list_filter(es, v -> v <= x)) - 1, 9) AS INTEGER) AS bin_id,
+         |         count(*) AS cnt
+         |  FROM src CROSS JOIN e WHERE x >= es[1] AND x <= es[11] GROUP BY 1),
+         |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range(10))
+         |SELECT s.bin_id, es[s.bin_id + 1] AS bin_lo, es[s.bin_id + 2] AS bin_hi,
+         |       CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+         |FROM spine s CROSS JOIN e LEFT JOIN b USING (bin_id) ORDER BY s.bin_id""".stripMargin
+    },
 
     "hist_cdf_extendedprice" ->
       eqWidthSql("lineitem", "l_extendedprice", 10, None,

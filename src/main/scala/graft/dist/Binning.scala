@@ -382,6 +382,33 @@ object Binning {
     hist.select(col("bin_id"), ((col("bin_lo") + col("bin_hi")) / 2).as("bin_center"), col("cnt"))
       .orderBy("bin_id")
 
+  /** Equal-frequency (equi-depth) histogram: bin edges at the exact
+    * interpolated quantiles 0, 1/n, …, 1 (SQL `percentile` — the same
+    * linear-interpolation contract as [[Stats.quantiles]] and DuckDB's
+    * `quantile_cont`, so the operator stays oracle-checkable), then the
+    * standard explicit-edges binning. Each bin holds ≈ rows/n — the right
+    * histogram for heavy-tailed columns where equal-width bins put
+    * everything in one bucket.
+    *
+    * Two jobs, like the data-derived-range path: one quantile aggregate
+    * (n+1 doubles to the driver) and one counting pass. The exact
+    * percentile buffers the column per partition — at 100 TB compute edges
+    * with `approx_percentile` instead (sketch tier, same downstream
+    * binning); this is the oracle-checkable verifier tier. Fails fast if
+    * edges collide (heavy mass at a single value) — lower `n` there. */
+  def histogramEquiDepth(df: DataFrame, colName: String, n: Int = 10): DataFrame = {
+    require(n >= 1, "bins must be >= 1")
+    val ps = (0 to n).map(_.toDouble / n)
+    val row = cleaned(df, colName)
+      .agg(percentile(col("x"), array(ps.map(lit): _*)).as("es")).head()
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException("can not generate buckets from empty RDD")
+    val edges = row.getSeq[Double](0).toVector
+    require(edges.distinct.size == edges.size,
+      s"equi-depth edges collide (mass concentrated at one value): $edges — reduce n")
+    histogram(df, colName, Bins.Edges(edges))
+  }
+
   /** Cumulative distribution over a histogram: running count and CDF
     * fraction per bin. Input is any `(bin_id, …, cnt)` histogram result —
     * an ALREADY-AGGREGATED n_bins-row frame — so the single-partition window

@@ -40,6 +40,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(nc - 50000) <= 50000 * 0.15, s"c: $nc")
   }
 
+  test("histogramEquiDepth: quartile edges on 1..8, two rows per bin") {
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+    val r = Binning.histogramEquiDepth(df, "x", n = 4)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    // p25 of 1..8 interpolates to 2.75 (idx 0.25*7 = 1.75), etc.
+    assert(r == Seq((0, 1.0, 2.75, 2L), (1, 2.75, 4.5, 2L),
+      (2, 4.5, 6.25, 2L), (3, 6.25, 8.0, 2L)))
+    // colliding edges (mass at one value) must fail fast, not mis-bin
+    val heavy = Seq(5.0, 5.0, 5.0, 5.0, 9.0).toDF("x")
+    intercept[IllegalArgumentException] {
+      Binning.histogramEquiDepth(heavy, "x", n = 4)
+    }
+  }
+
   test("cdf: running counts and fractions over a histogram (hand-computed)") {
     // values 1..4 into 2 bins over [1,4]: [1,2.5) -> 2, [2.5,4] -> 2
     val h = Binning.histogram(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"), "x", Bins.Count(2))
