@@ -409,6 +409,26 @@ object Binning {
     histogram(df, colName, Bins.Edges(edges))
   }
 
+  /** The 100 TB tier of [[histogramEquiDepth]]: edges from the
+    * Greenwald-Khanna sketch (`approx_percentile` — single pass, mergeable
+    * partials, bounded memory) instead of the exact sort-based percentile.
+    * Bin populations are approximately equal within the sketch's rank error
+    * (n_rows/accuracy); no cross-engine oracle (sketch-specific edges) —
+    * property-tested against the exact tier instead. */
+  def histogramEquiDepthApprox(df: DataFrame, colName: String, n: Int = 10,
+                               accuracy: Int = 10000): DataFrame = {
+    require(n >= 1, "bins must be >= 1")
+    val ps = (0 to n).map(_.toDouble / n)
+    val row = cleaned(df, colName)
+      .agg(approx_percentile(col("x"), array(ps.map(lit): _*), lit(accuracy)).as("es")).head()
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException("can not generate buckets from empty RDD")
+    val edges = row.getSeq[Double](0).toVector
+    require(edges.distinct.size == edges.size,
+      s"equi-depth edges collide (mass concentrated at one value): $edges — reduce n")
+    histogram(df, colName, Bins.Edges(edges))
+  }
+
   /** Cumulative distribution over a histogram: running count and CDF
     * fraction per bin. Input is any `(bin_id, …, cnt)` histogram result —
     * an ALREADY-AGGREGATED n_bins-row frame — so the single-partition window

@@ -38,6 +38,14 @@ object Sampling {
     df.where(pmod(xxhash64(col(idCol)), lit(100)) < pct)
   }
 
+  /** Weighted deterministic sampling: each row's keep-probability is its
+    * own `weightCol` (a [0,1] column — e.g. a quality score used as a
+    * soft filter). Same key-hash machinery as [[hashSample]], so membership
+    * stays reproducible and consistent; map-only. Rows with weight ≥ 1
+    * always survive, ≤ 0 never do. */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String = "doc_id"): DataFrame =
+    df.where(knuthBucket(col(idCol)) < col(weightCol) * lit(100))
+
   /** Token-budget-constrained corpus selection: per group (source), take
     * documents in quality order (quality desc, doc_id asc) while the
     * cumulative token count BEFORE each document stays under

@@ -54,6 +54,16 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("histogramEquiDepthApprox tracks near-equal bin populations on skewed data") {
+    val df = spark.range(20000).select((pow($"id".cast("double"), 2.0)).as("x")).toDF()
+    val r = Binning.histogramEquiDepthApprox(df, "x", n = 10)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(r.size == 10)
+    assert(r.map(_._4).sum == 20000L)
+    // accuracy=10000 on 20k rows => rank error ~2 per edge; 1% slack
+    assert(r.forall(b => math.abs(b._4 - 2000L) <= 200), r.map(_._4).toString)
+  }
+
   test("cdf: running counts and fractions over a histogram (hand-computed)") {
     // values 1..4 into 2 bins over [1,4]: [1,2.5) -> 2, [2.5,4] -> 2
     val h = Binning.histogram(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"), "x", Bins.Count(2))

@@ -74,6 +74,17 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("weightedSample: weight 1 keeps, 0 drops, fractional = hashSample membership") {
+    val df = corpus.toDF().withColumn("w",
+      when($"doc_id" % 2 === 0, lit(1.0)).otherwise(lit(0.0)))
+    val r = Sampling.weightedSample(df, "w").select("doc_id").as[Long].collect().toSet
+    assert(r == (0L until 10000L).filter(_ % 2 == 0).toSet)
+    val half = Sampling.weightedSample(corpus.toDF().withColumn("w", lit(0.5)), "w")
+      .select("doc_id").as[Long].collect().toSet
+    val hs = Sampling.hashSample(corpus.toDF(), 50).select("doc_id").as[Long].collect().toSet
+    assert(half == hs)
+  }
+
   test("budgetSample: greedy quality-ordered prefix per group (hand-computed)") {
     // d1/d3 score 1.0 with 7 tokens each; d2 scores 0.3 — budget 14 admits
     // d1 (cum 0) and d3 (cum 7), then d2 hits cum_excl 14 and is cut;
