@@ -116,6 +116,20 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // range join: prices matched to OVERLAPPING bands (a point can land in
+    // several) via cell bucketing — hash join on cell id, never a BNLJ
+    "range_join_lineitem" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq((0, 900.0, 20000.0), (1, 10000.0, 30000.0),
+        (2, 25000.0, 60000.0), (3, 50000.0, 120000.0)).toDF("band_id", "lo", "hi")
+      val pts = t(s, d, "lineitem").select(col("l_extendedprice").cast("double").as("price"))
+      graft.dist.Joins.rangeJoin(pts, "price", bands, "lo", "hi", cellWidth = 10000)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price").cast("decimal(18,6)")).cast("double").as("sum_price"))
+        .orderBy("band_id")
+    }),
+
     // -------- LLM-pipeline extensions: dedup
     "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
     "dedup_drop_exact_documents" -> ((s, d) =>
@@ -530,6 +544,16 @@ object SparkEntry {
         |FROM src JOIN mm USING (event_type)
         |WHERE abs(round((x - mean) / sqrt(variance), 9)) >= 1.5
         |ORDER BY event_id""".stripMargin,
+
+    "range_join_lineitem" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (0, 900.0, 20000.0), (1, 10000.0, 30000.0),
+        |  (2, 25000.0, 60000.0), (3, 50000.0, 120000.0)),
+        |p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem)
+        |SELECT CAST(band_id AS INTEGER) AS band_id, count(*) AS n_items,
+        |       CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM p JOIN bands ON price >= lo AND price <= hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "dedup_exact_documents" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,

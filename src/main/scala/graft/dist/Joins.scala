@@ -1,6 +1,6 @@
 package graft.dist
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,5 +72,32 @@ object Joins {
       .where(col("__side") === 1)
       .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
         rightPayload.map(c => col(s"__match.$c").as(s"r_$c")): _*)
+  }
+
+  /** Range join: match each point row to every interval row with
+    * `lo <= point <= hi` (both ends inclusive) — points-to-intervals is the
+    * other join Spark lacks natively (IP-to-geolocation blocks, values to
+    * overlapping bands, timestamps to campaign windows).
+    *
+    * Implementation is cell bucketing, not a nested-loop join: intervals
+    * explode to the fixed-width cells they cover, points map to their ONE
+    * containing cell, the sides equi-join on the cell id (hash join — the
+    * naive `BETWEEN` condition plans as an O(points × intervals) BNLJ), and
+    * the exact predicate filters inside the join. A point lives in exactly
+    * one cell, so no dedup is needed. `cellWidth` trades replication for
+    * selectivity: intervals replicate `(hi-lo)/cellWidth + 1` times, points
+    * never replicate — size it near the typical interval width. A single
+    * enormous interval (≫ cellWidth) replicates proportionally; cap or
+    * split such outliers upstream. */
+  def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
+                loCol: String, hiCol: String, cellWidth: Double): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    val cellOf = (c: Column) => floor(c.cast("double") / lit(cellWidth)).cast("long")
+    val iv = intervals.withColumn("__cell",
+      explode(sequence(cellOf(col(loCol)), cellOf(col(hiCol)))))
+    val pt = points.withColumn("__cell", cellOf(col(ptCol)))
+    pt.join(iv, Seq("__cell"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__cell")
   }
 }

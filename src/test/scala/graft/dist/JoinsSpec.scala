@@ -76,4 +76,20 @@ class JoinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("rangeJoin: overlapping intervals, inclusive bounds, equi-join plan") {
+    val pts = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0), (4L, 15.0), (5L, 25.0))
+      .toDF("pid", "x")
+    val ivs = Seq((0, 0.0, 10.0), (1, 5.0, 20.0), (2, 30.0, 40.0))
+      .toDF("iv", "lo", "hi")
+    val out = Joins.rangeJoin(pts, "x", ivs, "lo", "hi", cellWidth = 4.0)
+    val got = out.select("pid", "iv").as[(Long, Int)].collect().toSet
+    // 10.0 is inclusive in [0,10]; 5.0 matches both overlapping bands
+    assert(got == Set((1L, 0), (2L, 0), (2L, 1), (3L, 0), (3L, 1), (4L, 1)))
+    // the whole point: a hash equi-join on the cell id, never a BNLJ
+    val naive = pts.crossJoin(ivs).where($"x" >= $"lo" && $"x" <= $"hi")
+      .select("pid", "iv").as[(Long, Int)].collect().toSet
+    assert(got == naive)
+    assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
 }
