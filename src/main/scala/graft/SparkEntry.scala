@@ -185,6 +185,16 @@ object SparkEntry {
     "top3_quality_per_lang" -> ((s, d) =>
       TextAnalysis.topQualityDocs(t(s, d, "documents"), "lang", k = 3)),
 
+    // per-domain URL occurrence / document counts. The synthetic corpus
+    // contains no URLs, so the declared query injects a deterministic
+    // per-source URL into each doc (the operator itself is general; real
+    // URLs are exercised in TextAnalysisSpec)
+    "domain_stats_documents" -> ((s, d) =>
+      TextAnalysis.domainStats(
+        t(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" https://"), col("source"),
+            lit(".example.com/doc/"), col("doc_id").cast("string"))))),
+
     // per-doc OOV rate vs the corpus's own top-100 token vocabulary
     "oov_rate_documents" -> ((s, d) =>
       TextAnalysis.oovRate(t(s, d, "documents"), vocabK = 100)),
@@ -917,6 +927,18 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_eval_ngrams
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "domain_stats_documents" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.urlRe}')) AS url
+         |  FROM aug),
+         |d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/ \\t\\n]+)', 1) AS domain FROM u)
+         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
     "oov_rate_documents" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),

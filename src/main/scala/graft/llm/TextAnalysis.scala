@@ -338,6 +338,22 @@ object TextAnalysis {
       .select(col("bg").as("bigram"), col("bc").as("cnt"), col("pmi"))
   }
 
+  /** Per-domain URL statistics: extract URLs (same pattern as
+    * [[scrubText]]), reduce each to its host, count occurrences and
+    * distinct documents per domain — the "which sites feed this corpus"
+    * audit behind domain-level weighting and blocklists. Explode + two
+    * vocabulary-bounded hash-aggs; patterns passed as `lit` columns so
+    * their escapes survive (see scrubText note). */
+  def domainStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([^/ \\t\\n]+)", 1).as("domain"))
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_urls"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+
   /** Out-of-vocabulary rate per document against the corpus's own top-k
     * token vocabulary — the "how well would a k-token tokenizer cover this
     * corpus" signal (high OOV docs are candidates for exclusion or vocab

@@ -94,6 +94,38 @@ object EventStreams {
         col("view_id"), col("view_ts"), col("view_value"))
   }
 
+  /** Streaming distribution-drift monitor: per event-time window, bin the
+    * value column (same closed-last-bucket semantics as the batch engine,
+    * via one [[graft.functions.HistogramAgg]] vector per window) and report
+    * the total-variation distance against a REFERENCE histogram — the
+    * data-quality alarm that catches a feed's distribution shifting.
+    *
+    * Streaming face of `Stats.distributionDistance` with one side pinned to
+    * a literal reference. State = one fixed-width count vector per open
+    * window (watermark-bounded); the TVD arithmetic is a pure expression
+    * over the aggregated vector, so each window emits exactly once
+    * (append mode) when the watermark closes it. */
+  def driftStream(events: DataFrame, valueCol: String, edges: Seq[Double],
+                  refCounts: Seq[Long], windowDur: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    graft.dist.Binning.validateEdges(edges)
+    require(refCounts.size == edges.size - 1, "refCounts must have one entry per bin")
+    require(refCounts.sum > 0, "reference histogram is empty")
+    val x = col(valueCol).cast("double")
+    val tot = aggregate(col("cnts"), lit(0L), (a, c) => a + c).cast("double")
+    val ref = typedLit(refCounts.map(_.toDouble))
+    val refTot = lit(refCounts.sum.toDouble)
+    val tvd = aggregate(
+      zip_with(col("cnts"), ref, (c, r) => abs(c.cast("double") / tot - r / refTot)),
+      lit(0.0), (a, t) => a + t) * lit(0.5)
+    events.withWatermark("ts", watermark)
+      .where(x.isNotNull && !isnan(x) && x >= lit(edges.head) && x <= lit(edges.last))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.HistogramAgg.hist_counts(x, edges).as("cnts"))
+      .select(col("window.start").as("win_start"),
+        tot.cast("long").as("n_events"), tvd.as("tvd"))
+  }
+
   /** Streaming z-score anomaly detection: per event type, maintain running
     * moments (count, Σx, Σx²) in keyed state and flag each arriving event
     * whose z-score against the moments SO FAR exceeds `zThresh` — the

@@ -171,6 +171,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_._2) == Seq(2L, 1L))
   }
 
+  test("domainStats: URL hosts, occurrence and distinct-doc counts") {
+    val docs = Seq(
+      (1L, "see https://a.com/x and https://a.com/y plus http://b.org"),
+      (2L, "again https://a.com/z"),
+      (3L, "no urls here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.domainStats(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("a.com", 3L, 2L), ("b.org", 1L, 1L)))
+  }
+
   test("oovRate: corpus top-k vocab coverage per doc, vocab broadcast") {
     // counts: b:3, a:2, c:1 -> top-2 vocab {b, a}; d1 has one OOV (c)
     val docs = Seq((1L, "a a b c"), (2L, "b b")).toDF("doc_id", "text")

@@ -149,6 +149,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftStream reports per-window TVD against the reference histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // reference: even split over bins [0,5) and [5,10]
+    val q = EventStreams.driftStream(in.toDF(), "value", Seq(0.0, 5.0, 10.0),
+        refCounts = Seq(1L, 1L), windowDur = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // window 10:00-11:00: all mass in bin 0 -> TVD = 0.5*(|1-.5|+|0-.5|) = 0.5
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "a", 2.0),
+        Event(3, ts("2024-01-01 10:20:00"), 1, "a", 3.0))
+      q.processAllAvailable()
+      // advance the watermark past 11:00 + 2h to close the first window
+      in.addData(Event(9, ts("2024-01-01 13:30:00"), 1, "a", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, n_events, tvd FROM drift ORDER BY win_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("2024-01-01 10:00:00.0", 3L, 0.5)))
+    } finally q.stop()
+  }
+
   test("anomalyStream flags only post-warmup outliers against running moments") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
