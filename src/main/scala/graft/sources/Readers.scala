@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Source-side ingest tooling: schema-enforced reads that quarantine
+  * malformed records instead of dropping them silently or failing the job.
+  *
+  * At 100 TB some fraction of any feed is malformed; FAILFAST kills a
+  * day-long job on row one, DROPMALFORMED silently loses data, so the
+  * engine's posture is PERMISSIVE with an explicit corrupt-record column:
+  * bad rows survive the scan as raw text, [[splitCorrupt]] routes them to a
+  * quarantine frame, and both sides stay fully distributed (the split is a
+  * pair of codegen'd null-filters over one cached-by-scan source). An
+  * explicit schema is REQUIRED: schema inference reads the data twice and
+  * races against feed drift — at scale the schema is a contract, not a
+  * discovery. */
+object Readers {
+
+  val corruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(corruptCol)) schema
+    else schema.add(StructField(corruptCol, StringType, nullable = true))
+
+  /** JSON-lines read with the quarantine column appended to `schema`. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** CSV read (with header) with the quarantine column appended. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
+  /** Split an ingest frame into (clean rows without the quarantine column,
+    * quarantined rows). The quarantine side keeps the FULL row — Spark
+    * refuses a query over a raw JSON/CSV scan whose only referenced column
+    * is the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+    * partially-parsed fields are useful triage context anyway. Callers
+    * persist the quarantine side next to the clean table so reprocessing is
+    * possible once the producer is fixed. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val clean = df.where(col(corruptCol).isNull).drop(corruptCol)
+    val bad = df.where(col(corruptCol).isNotNull)
+    (clean, bad)
+  }
+}

@@ -29,6 +29,27 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("readJson quarantines malformed records instead of dropping or failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "ok one"}
+        |this line is not json at all
+        |{"doc_id": 2, "text": "ok two"}
+        |{"doc_id": "not-a-number", "text": "type mismatch"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val raw = Readers.readJson(spark, dir.toString, schema)
+    val (clean, bad) = Readers.splitCorrupt(raw)
+    assert(clean.columns.toSeq == Seq("doc_id", "text"))
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val badRows = bad.collect().map(_.getAs[String](Readers.corruptCol))
+    assert(badRows.length == 2) // the non-JSON line and the type mismatch
+    assert(badRows.exists(_.contains("not json")))
+    assert(badRows.exists(_.contains("not-a-number")))
+  }
+
   test("partitioned write prunes directories on the partition predicate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
