@@ -92,4 +92,29 @@ class JoinsSpec extends SparkSpec {
     assert(got == naive)
     assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("rangeJoin equals the naive cross-filter on random data (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ptsGen = Gen.listOfN(60, Gen.chooseNum(-50.0, 50.0))
+    val ivsGen = Gen.listOfN(25, for {
+      lo <- Gen.chooseNum(-60.0, 55.0)
+      w <- Gen.chooseNum(0.0, 30.0)
+    } yield (lo, lo + w))
+    val widthGen = Gen.chooseNum(0.5, 20.0)
+    for (trial <- 0 until 8) {
+      val seed = Seed(42L + trial)
+      val ptVals = ptsGen.apply(Gen.Parameters.default, seed).get
+      val ivVals = ivsGen.apply(Gen.Parameters.default, seed.next).get
+      val w = widthGen.apply(Gen.Parameters.default, seed.next.next).get
+      val pts = ptVals.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+      val ivs = ivVals.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF("iv", "lo", "hi")
+      val got = Joins.rangeJoin(pts, "x", ivs, "lo", "hi", w)
+        .select("pid", "iv").as[(Long, Int)].collect().toSet
+      val naive = pts.crossJoin(ivs).where($"x" >= $"lo" && $"x" <= $"hi")
+        .select("pid", "iv").as[(Long, Int)].collect().toSet
+      assert(got == naive, s"trial $trial (cellWidth $w) diverged from naive join")
+    }
+  }
 }
