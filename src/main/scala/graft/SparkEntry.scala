@@ -99,6 +99,10 @@ object SparkEntry {
       graft.dist.Stats.approxDistinct(t(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_extendedprice"))),
 
+    // chi-square independence test lang x source (+ Cramér's V)
+    "chi2_lang_source" -> ((s, d) =>
+      graft.dist.Stats.chiSquare(t(s, d, "documents"), "lang", "source")),
+
     // star-schema join: fact scans pruned to join+agg columns, the 25-row
     // nation dim explicitly broadcast, revenue as decimal-exact sum
     "revenue_by_nation" -> ((s, d) => {
@@ -901,6 +905,33 @@ object SparkEntry {
         |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75,
         |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
         |FROM lineitem""".stripMargin,
+
+    // mirrors Stats.chiSquare: cells sorted into ONE list, every float
+    // fold in pinned order; integer totals exact, e recomputed per use
+    // (identical tree => identical double)
+    "chi2_lang_source" -> {
+      def isum(lst: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $lst), (p, q) -> p + q)"
+      val rowTot = isum("list_transform(list_filter(cs, f -> struct_extract(f, 'a') = struct_extract(c, 'a')), c2 -> struct_extract(c2, 'o'))")
+      val colTot = isum("list_transform(list_filter(cs, f -> struct_extract(f, 'b') = struct_extract(c, 'b')), c2 -> struct_extract(c2, 'o'))")
+      val e = s"(CAST($rowTot AS DOUBLE) * CAST($colTot AS DOUBLE) / CAST(n AS DOUBLE))"
+      val dd = s"(CAST(struct_extract(c, 'o') AS DOUBLE) - $e)"
+      val chi2 = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cs, c -> ($dd * $dd / $e))), (s1, s2) -> s1 + s2)"
+      s"""WITH cells AS (
+         |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b, count(*) AS o
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |g AS (SELECT list_sort(list(struct_pack(a := a, b := b, o := o))) AS cs FROM cells),
+         |m AS (
+         |  SELECT cs, ${isum("list_transform(cs, c -> struct_extract(c, 'o'))")} AS n,
+         |    CAST(len(list_distinct(list_transform(cs, c -> struct_extract(c, 'a')))) AS INTEGER) AS na,
+         |    CAST(len(list_distinct(list_transform(cs, c -> struct_extract(c, 'b')))) AS INTEGER) AS nb
+         |  FROM g),
+         |s AS (SELECT n, na, nb, $chi2 AS chi2 FROM m)
+         |SELECT round(chi2, 9) AS chi2, (na - 1) * (nb - 1) AS dof, n,
+         |       CASE WHEN least(na, nb) - 1 > 0 AND n > 0
+         |            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(na, nb) - 1 AS DOUBLE))), 9) END AS cramers_v
+         |FROM s""".stripMargin
+    },
 
     // revenue: double product cast to DECIMAL(18,6) BEFORE the sum on both
     // engines — exact decimal summation, order-independent

@@ -137,6 +137,48 @@ object Stats {
       .select((keepCols.map(col) :+ col(groupCol) :+ x.as(valueCol) :+ col("z")): _*)
   }
 
+  /** Chi-square test of independence between two categorical columns
+    * (lang × source, variant × outcome, …), plus Cramér's V effect size —
+    * the "are these two labelings related" test behind corpus audits and
+    * A/B readouts.
+    *
+    * Scale + determinism shape: ONE hash-agg builds the contingency cells
+    * (bounded by |A|×|B|, categorical), then the χ² sum is a fold over the
+    * SORTED cell array — float addition is order-sensitive, so the fold
+    * order is pinned by `sort_array`, making the statistic bit-reproducible
+    * and oracle-checkable (the oracle mirrors the same sorted fold). The
+    * row/column totals are nested folds over the same tiny array; all
+    * O(cells²) work happens on one aggregated row, never on data rows. */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val g = cells.agg(
+      sort_array(collect_list(struct(col("a"), col("b"), col("o")))).as("cs"))
+    val cs = col("cs")
+    def tot(pred: Column => Column): Column =
+      aggregate(filter(cs, pred), lit(0L), (acc, c) => acc + c.getField("o"))
+    val n = aggregate(cs, lit(0L), (acc, c) => acc + c.getField("o"))
+    val term = (c: Column) => {
+      val e = tot(x => x.getField("a") === c.getField("a")).cast("double") *
+        tot(x => x.getField("b") === c.getField("b")).cast("double") / n.cast("double")
+      val d = c.getField("o").cast("double") - e
+      d * d / e
+    }
+    val chi2 = aggregate(cs, lit(0.0), (acc, c) => acc + term(c))
+    val nA = size(array_distinct(transform(cs, _.getField("a"))))
+    val nB = size(array_distinct(transform(cs, _.getField("b"))))
+    val dof = (nA - 1) * (nB - 1)
+    val minDim = least(nA, nB) - lit(1)
+    g.select(
+      round(chi2, 9).as("chi2"),
+      dof.as("dof"),
+      n.as("n"),
+      when(minDim > 0 && n > 0,
+        round(sqrt(chi2 / (n.cast("double") * minDim.cast("double"))), 9)).as("cramers_v"))
+  }
+
   /** HyperLogLog++ distinct counts for several columns in ONE scan:
     * fixed-size mergeable registers per column, map-side combined — the
     * 100 TB distinct-count shape (exact `count_distinct` shuffles every

@@ -54,6 +54,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("chiSquare: hand-computed 2x2 table and the independent case") {
+    // table: (x,1)=30 (x,2)=10 / (y,1)=10 (y,2)=30 -> chi2 = 20, V = sqrt(20/80)
+    val rows = Seq.fill(30)(("x", "1")) ++ Seq.fill(10)(("x", "2")) ++
+      Seq.fill(10)(("y", "1")) ++ Seq.fill(30)(("y", "2"))
+    val r = Stats.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .as[(Double, Int, Long, Double)].collect().head
+    assert(math.abs(r._1 - 20.0) < 1e-9 && r._2 == 1 && r._3 == 80L)
+    assert(math.abs(r._4 - math.sqrt(0.25)) < 1e-9)
+    // perfectly independent table -> chi2 = 0
+    val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+    val r2 = Stats.chiSquare(ind.toDF("a", "b"), "a", "b")
+      .as[(Double, Int, Long, Double)].collect().head
+    assert(r2._1 == 0.0 && r2._4 == 0.0)
+  }
+
   test("histogramEquiDepthApprox tracks near-equal bin populations on skewed data") {
     val df = spark.range(20000).select((pow($"id".cast("double"), 2.0)).as("x")).toDF()
     val r = Binning.histogramEquiDepthApprox(df, "x", n = 10)
