@@ -99,6 +99,24 @@ object SparkEntry {
       graft.dist.Stats.approxDistinct(t(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_extendedprice"))),
 
+    // exact Pearson correlations between lineitem numerics, one scan
+    "corr_lineitem" -> ((s, d) =>
+      graft.dist.Stats.correlation(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // per-type exact quantiles of event values
+    "quantiles_by_type_events" -> ((s, d) =>
+      graft.dist.Stats.quantilesBy(events(s, d), "value", "event_type",
+        Seq(0.25, 0.5, 0.75))),
+
+    // CUBE aggregate: counts at every (event_type, hour-of-day) grouping
+    // level — all four grouping sets in one pass
+    "events_cube_type_hour" -> ((s, d) =>
+      events(s, d)
+        .cube(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first)),
+
     // chi-square independence test lang x source (+ Cramér's V)
     "chi2_lang_source" -> ((s, d) =>
       graft.dist.Stats.chiSquare(t(s, d, "documents"), "lang", "source")),
@@ -905,6 +923,46 @@ object SparkEntry {
         |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75,
         |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
         |FROM lineitem""".stripMargin,
+
+    // moments as exact DECIMAL(38,8) sums; one fixed double tree per pair
+    "corr_lineitem" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sums = cols.map(c =>
+        s"sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,8))) AS s_$c").mkString(",\n  ")
+      val sqs = cols.map(c =>
+        s"sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,8))) AS ss_$c").mkString(",\n  ")
+      val crosses = (for { a <- cols; b <- cols; if a < b } yield
+        s"sum(CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(38,8))) AS sp_${a}_$b").mkString(",\n  ")
+      val pairSelects = (for { a <- cols; b <- cols; if a < b } yield {
+        val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        val den = s"sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
+        s"SELECT '$a' AS col_a, '$b' AS col_b, CASE WHEN $den > 0 THEN round($num / $den, 9) END AS corr FROM m"
+      }).mkString("\nUNION ALL ")
+      s"""WITH src AS (
+         |  SELECT * FROM lineitem
+         |  WHERE ${cols.map(c => s"$c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))").mkString(" AND ")}),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |  $sums,
+         |  $sqs,
+         |  $crosses
+         |  FROM src)
+         |$pairSelects
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
+    "quantiles_by_type_events" ->
+      """SELECT event_type,
+        |       quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+        |       quantile_cont(CAST(value AS DOUBLE), 0.5)  AS p50,
+        |       quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_cube_type_hour" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n_events
+        |FROM events
+        |GROUP BY CUBE (event_type, hour(ts))
+        |ORDER BY event_type NULLS FIRST, hr NULLS FIRST""".stripMargin,
 
     // mirrors Stats.chiSquare: cells sorted into ONE list, every float
     // fold in pinned order; integer totals exact, e recomputed per use

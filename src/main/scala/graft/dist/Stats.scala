@@ -137,6 +137,55 @@ object Stats {
       .select((keepCols.map(col) :+ col(groupCol) :+ x.as(valueCol) :+ col("z")): _*)
   }
 
+  /** Per-group exact interpolated quantiles — [[quantiles]] with a group
+    * key (O(group-size) memory per group: the verifier tier; the sketch
+    * tier is `approx_percentile` with the same call shape). */
+  def quantilesBy(df: DataFrame, colName: String, groupCol: String,
+                  ps: Seq[Double]): DataFrame = {
+    val arr = df.groupBy(groupCol)
+      .agg(percentile(col(colName).cast("double"), array(ps.map(lit): _*)).as("qs"))
+    arr.select(col(groupCol) +: ps.zipWithIndex.map { case (p, i) =>
+      element_at(col("qs"), i + 1).as(s"p${(p * 100).round}")
+    }: _*).orderBy(groupCol)
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE scan.
+    * All moments (Σx, Σx², Σxy) accumulate as DECIMAL(38,8) — exact under
+    * any partitioning, unlike Spark's own `corr` which sums doubles in
+    * shuffle order — and the final formula is one fixed double tree per
+    * pair, rounded to 9: bit-deterministic and oracle-checkable. The
+    * moment count is O(k²) aggregates but still one pass; rows with a null
+    * or NaN in ANY of the columns are excluded (listwise deletion) so every
+    * pair sees the same n. */
+  def correlation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val xs = cols.map(c => col(c).cast("double"))
+    val clean = df.where(xs.map(x => x.isNotNull && !isnan(x)).reduce(_ && _))
+    val dec = "decimal(38,8)"
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      cols.zip(xs).map { case (c, x) => sum(x.cast(dec)).as(s"s_$c") } ++
+      cols.zip(xs).map { case (c, x) => sum((x * x).cast(dec)).as(s"ss_$c") } ++
+      cols.zip(xs).flatMap { case (a, x) =>
+        cols.zip(xs).collect { case (b, y) if a < b => sum((x * y).cast(dec)).as(s"sp_${a}_$b") }
+      }
+    val aggRow = clean.agg(moments.head, moments.tail: _*)
+    val n = col("n").cast("double")
+    def s(c: String) = col(s"s_$c").cast("double")
+    def ss(c: String) = col(s"ss_$c").cast("double")
+    val pairs = for {
+      a <- cols; b <- cols; if a < b
+    } yield {
+      val num = n * col(s"sp_${a}_$b").cast("double") - s(a) * s(b)
+      val den = sqrt((n * ss(a) - s(a) * s(a)) * (n * ss(b) - s(b) * s(b)))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(den > 0, round(num / den, 9)).as("corr"))
+    }
+    aggRow.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Chi-square test of independence between two categorical columns
     * (lang × source, variant × outcome, …), plus Cramér's V effect size —
     * the "are these two labelings related" test behind corpus audits and

@@ -54,6 +54,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("correlation: perfect positive/negative pairs, constant column null") {
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i, -1.0 * i, 7.0))
+      .toDF("x", "y", "z", "c")
+    val r = Stats.correlation(df, Seq("c", "x", "y", "z"))
+      .collect().map(row => ((row.getString(0), row.getString(1)),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+    assert(r(("x", "y")).get == 1.0)
+    assert(r(("x", "z")).get == -1.0)
+    assert(r(("y", "z")).get == -1.0)
+    // zero-variance column: undefined correlation -> null, not NaN/error
+    assert(r(("c", "x")).isEmpty && r(("c", "y")).isEmpty && r(("c", "z")).isEmpty)
+  }
+
   test("chiSquare: hand-computed 2x2 table and the independent case") {
     // table: (x,1)=30 (x,2)=10 / (y,1)=10 (y,2)=30 -> chi2 = 20, V = sqrt(20/80)
     val rows = Seq.fill(30)(("x", "1")) ++ Seq.fill(10)(("x", "2")) ++
