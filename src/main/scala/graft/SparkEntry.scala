@@ -66,6 +66,10 @@ object SparkEntry {
     // equal-frequency bins: edges at exact deciles, ~10% of rows per bin
     "hist_eqdepth_extendedprice" -> ((s, d) =>
       Binning.histogramEquiDepth(t(s, d, "lineitem"), "l_extendedprice")),
+    // the scale tier of the same operator: GK-sketch edges, single pass,
+    // mergeable partials (no oracle — sketch-specific; property-tested)
+    "hist_eqdepth_approx_extendedprice" -> ((s, d) =>
+      Binning.histogramEquiDepthApprox(t(s, d, "lineitem"), "l_extendedprice")),
 
     // cumulative distribution over the equal-width histogram (running
     // exact-integer counts; the window input is the 10-row aggregate)
@@ -239,6 +243,15 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, d, "documents"), "lang",
           Map("en" -> 50, "de" -> 20), defaultPct = 10)
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // quality-weighted deterministic sampling: keep-probability = the
+    // doc's own composite quality score (key-hash membership, map-only)
+    "sample_weighted_documents" -> ((s, d) => {
+      val q = TextAnalysis.qualityScore(t(s, d, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      Sampling.weightedSample(q, "quality_score")
+        .select("doc_id", "quality_score").orderBy("doc_id")
+    }),
 
     // fill each source's 2000-token budget with its best documents
     // (quality desc, doc_id asc; greedy prefix, exclusive cumulative sum)
@@ -857,6 +870,31 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+
+    // quality CTE + the Knuth-hash keep test with the score as probability
+    "sample_weighted_documents" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    AS quality_score
+         |  FROM m)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE ((doc_id * 2654435761) % 4294967296) % 100 < quality_score * 100
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // same quality CTE as quality_score_documents, then a per-source
     // exclusive running token sum in quality order
