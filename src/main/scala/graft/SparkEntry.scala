@@ -156,6 +156,30 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // ROLLUP: revenue at (nation, year), per-nation subtotals, grand total
+    "revenue_rollup_nation_year" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_year").asc_nulls_first)
+    }),
+
+    // pivot: dense source x lang count matrix (static lang list)
+    "pivot_source_lang_counts" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source")),
+
     // -------- LLM-pipeline extensions: dedup
     "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
     "dedup_drop_exact_documents" -> ((s, d) =>
@@ -1040,6 +1064,26 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "revenue_rollup_nation_year" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, year(o_orderdate))
+        |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "pivot_source_lang_counts" ->
+      """SELECT source,
+        |       count(*) FILTER (lang = 'de') AS de,
+        |       count(*) FILTER (lang = 'en') AS en,
+        |       count(*) FILTER (lang = 'es') AS es,
+        |       count(*) FILTER (lang = 'fr') AS fr,
+        |       count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // 8-gram overlap vs the doc_id<50 eval split; train side list_distinct
     // mirrors Spark's array_distinct (count = distinct matched eval grams)
