@@ -314,6 +314,14 @@ object SparkEntry {
     // cohort retention matrix over first-active-day cohorts
     "retention_events" -> ((s, d) => graft.dist.EventAnalytics.retention(events(s, d))),
 
+    // top-20 session paths (ordered event-type sequences per 30-min session)
+    "top_session_paths" -> ((s, d) =>
+      graft.dist.EventAnalytics.topSessionPaths(events(s, d))),
+
+    // Markov transition counts between consecutive same-user events
+    "event_transitions" -> ((s, d) =>
+      graft.dist.EventAnalytics.transitionMatrix(events(s, d))),
+
     // as-of join: each click matched to the user's latest view at-or-before
     // it — the time-series join Spark lacks natively (Joins.asOfJoin:
     // union-window, one shuffle on user_id, no pair explosion)
@@ -1208,6 +1216,34 @@ object SparkEntry {
         |SELECT epoch_ms(cohort) AS cohort_ms, CAST(day_offset AS INTEGER) AS day_offset,
         |       count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "top_session_paths" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+        |                     THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM l),
+        |p AS (
+        |  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM g GROUP BY 1, 2)
+        |SELECT path, count(*) AS cnt FROM p
+        |GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
+
+    "event_transitions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n_transitions
+        |FROM l
+        |WHERE prev_type IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // mirrors the union-window as-of plan op-for-op (tie-safe, unlike native
     // ASOF on duplicate right timestamps): right rows sort before left at

@@ -48,6 +48,54 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Top-k session paths: sessionize per user (30-min gaps-and-islands),
+    * render each session as its ordered `a>b>c` event-type sequence, count
+    * identical paths corpus-wide — the "how do users actually move through
+    * the product" query.
+    *
+    * Determinism: the per-session gather sorts by (ts, event_id) structs
+    * (collect_list alone is arrival-ordered), and path counting is exact
+    * integers with a lexicographic tie-break at the k boundary.
+    * Scale: windows and gathers carry slim (user, ts, id, type) rows;
+    * per-session arrays are bounded by session length — inherent to path
+    * analysis, which needs the ordered sequence. */
+  def topSessionPaths(events: DataFrame, gapMinutes: Int = 30, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60000000L // micros
+    val sessioned = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapMs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned.groupBy("user_id", "sess")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">", transform(col("evs"), _.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Event-type transition matrix: for consecutive events of the same user
+    * within `maxGapMinutes`, count each (from_type, to_type) pair — the
+    * Markov-chain view of user behavior. One window of slim rows, exact
+    * counts, no session materialization. */
+  def transitionMatrix(events: DataFrame, maxGapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = maxGapMinutes * 60000000L
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .where(col("prev_type").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= gapMs)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Cohort retention matrix: cohort = the user's first active calendar day;
     * for each (cohort, day-offset) cell, the number of distinct users from
     * that cohort active that many days later. Day 0 counts the cohort size.

@@ -29,6 +29,22 @@ class EventAnalyticsSpec extends SparkSpec {
       ("step1_view", 3L), ("step2_click", 2L), ("step3_purchase_in_window", 1L)))
   }
 
+  test("topSessionPaths and transitionMatrix: gap-bounded sequences") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 10L),
+      (1L, ts("2024-01-01 10:10:00"), "click", 11L),
+      (1L, ts("2024-01-01 11:00:00"), "purchase", 12L), // 50-min gap: new session
+      (2L, ts("2024-01-01 09:00:00"), "view", 20L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val paths = EventAnalytics.topSessionPaths(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(paths == Seq(("purchase", 1L), ("view", 1L), ("view>click", 1L)))
+    val trans = EventAnalytics.transitionMatrix(ev)
+      .as[(String, String, Long)].collect().toSeq
+    // click->purchase exceeds the 30-min gap and is excluded
+    assert(trans == Seq(("view", "click", 1L)))
+  }
+
   test("retention: first-day cohorts and distinct day offsets") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),
