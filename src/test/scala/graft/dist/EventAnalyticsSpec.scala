@@ -45,6 +45,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(trans == Seq(("view", "click", 1L)))
   }
 
+  test("funnel invariants on real data: monotone steps, window tightening") {
+    val ev = graft.SparkEntry.queries("funnel_events")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toMap
+    // each step can only lose users
+    assert(ev("step1_view") >= ev("step2_click"))
+    assert(ev("step2_click") >= ev("step3_purchase_in_window"))
+    // a tighter conversion window can never convert MORE users
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import org.apache.spark.sql.functions._
+    val evd = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tight = EventAnalytics.funnel(evd, windowSeconds = 60L)
+      .as[(String, Long)].collect().toMap
+    assert(tight("step3_purchase_in_window") <= ev("step3_purchase_in_window"))
+    assert(tight("step1_view") == ev("step1_view"))
+  }
+
   test("retention: first-day cohorts and distinct day offsets") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),

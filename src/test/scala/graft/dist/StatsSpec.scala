@@ -67,6 +67,30 @@ class StatsSpec extends SparkSpec {
     assert(r(("c", "x")).isEmpty && r(("c", "y")).isEmpty && r(("c", "z")).isEmpty)
   }
 
+  test("correlation matches an in-memory Pearson reference on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(200, for {
+      x <- Gen.chooseNum(-100.0, 100.0); e <- Gen.chooseNum(-20.0, 20.0)
+    } yield (x, 0.7 * x + e))
+    for (trial <- 0 until 4) {
+      val pts = gen.apply(Gen.Parameters.default, Seed(11L + trial)).get
+        // keep inputs on the 2-decimal grid the decimal(38,8) moments hold exactly
+        .map { case (x, y) => (math.round(x * 100) / 100.0, math.round(y * 100) / 100.0) }
+      val df = pts.toDF("x", "y")
+      val got = Stats.correlation(df, Seq("x", "y")).collect()(0).getDouble(2)
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val ref = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(got - ref) < 1e-6, s"trial $trial: $got vs $ref")
+      assert(got >= -1.0 && got <= 1.0)
+    }
+  }
+
   test("chiSquare: hand-computed 2x2 table and the independent case") {
     // table: (x,1)=30 (x,2)=10 / (y,1)=10 (y,2)=30 -> chi2 = 20, V = sqrt(20/80)
     val rows = Seq.fill(30)(("x", "1")) ++ Seq.fill(10)(("x", "2")) ++

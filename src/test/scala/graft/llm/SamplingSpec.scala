@@ -74,6 +74,28 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("budgetSample invariants: per-group budget bound and best-doc admission") {
+    // real corpus slice: whatever the scores are, the EXCLUSIVE cumulative
+    // token count of every kept doc stays under budget, and each group's
+    // single best doc (quality desc, doc_id asc) is always admitted
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Sampling.budgetSample(docs, "source", budgetTokens = 300)
+      .select("source", "doc_id", "quality_score", "n_tokens", "cum_excl")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(kept.nonEmpty)
+    assert(kept.forall(_._5 < 300), "a kept doc's exclusive cumulative sum crossed the budget")
+    val bestPerGroup = graft.llm.TextAnalysis
+      .qualityScore(docs, keepCols = Seq("source"))
+      .select("source", "doc_id", "quality_score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.minBy(r => (-r._3, r._2))._2 }
+    bestPerGroup.foreach { case (g, best) =>
+      assert(kept.exists(k => k._1 == g && k._2 == best),
+        s"group $g's best doc $best was not admitted (cum_excl 0 must always pass)")
+    }
+  }
+
   test("weightedSample: weight 1 keeps, 0 drops, fractional = hashSample membership") {
     val df = corpus.toDF().withColumn("w",
       when($"doc_id" % 2 === 0, lit(1.0)).otherwise(lit(0.0)))
