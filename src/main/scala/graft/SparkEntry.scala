@@ -358,6 +358,24 @@ object SparkEntry {
       Similarity.embCosineNearDupLSH(t(s, d, "embeddings"), threshold = 0.5,
         nTables = 8, nBits = 3)),
 
+    // -------- round-3 additions
+    // 2-D histogram: joint (quantity × discount) heatmap grid, 10×10
+    "hist2d_quantity_discount" -> ((s, d) =>
+      Binning.histogram2d(t(s, d, "lineitem"), "l_quantity", "l_discount")),
+    // weighted histogram: price bins carrying exact quantity mass per bin
+    "hist_weighted_extendedprice" -> ((s, d) =>
+      Binning.histogramWeighted(t(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
+    // mean/variance/skewness/kurtosis per column, one scan, exact power sums
+    "moments_lineitem" -> ((s, d) =>
+      graft.dist.Stats.moments(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // Gopher-style rule filter: per-doc signals + per-rule booleans + verdict
+    "gopher_filter_documents" -> ((s, d) => TextAnalysis.gopherFilter(t(s, d, "documents"))),
+    // corpus-trained bigram LM fluency score (perplexity-filter stand-in)
+    "lm_bigram_score_documents" -> ((s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"))),
+    // C4-style cross-document span dedup: rebuilt docs + span survival counts
+    "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
+
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>
       Multimodal.documentFeatures(s, t(s, d, "documents")).toDF()
@@ -564,6 +582,153 @@ object SparkEntry {
           |       CAST(sum(cnt) OVER (ORDER BY bin_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
           |         / CAST(sum(cnt) OVER () AS DOUBLE) AS cdf
           |FROM h ORDER BY bin_id""".stripMargin),
+
+    // identical per-axis arithmetic to the 1-D oracle; dense 10×10 grid
+    "hist2d_quantity_discount" ->
+      """WITH src AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_discount AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |b AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM src),
+        |cnts AS (
+        |  SELECT CAST(least(floor((x - xlo) / ((xhi - xlo) / 10)), 9) AS INTEGER) AS bin_x,
+        |         CAST(least(floor((y - ylo) / ((yhi - ylo) / 10)), 9) AS INTEGER) AS bin_y,
+        |         count(*) AS cnt
+        |  FROM src, b
+        |  WHERE x >= xlo AND x <= xhi AND y >= ylo AND y <= yhi GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(gx.range AS INTEGER) AS bin_x, CAST(gy.range AS INTEGER) AS bin_y
+        |  FROM range(10) gx CROSS JOIN range(10) gy)
+        |SELECT g.bin_x, g.bin_y,
+        |       g.bin_x * ((b.xhi - b.xlo) / 10) + b.xlo AS x_lo,
+        |       CASE WHEN g.bin_x = 9 THEN b.xhi
+        |            ELSE (g.bin_x + 1) * ((b.xhi - b.xlo) / 10) + b.xlo END AS x_hi,
+        |       g.bin_y * ((b.yhi - b.ylo) / 10) + b.ylo AS y_lo,
+        |       CASE WHEN g.bin_y = 9 THEN b.yhi
+        |            ELSE (g.bin_y + 1) * ((b.yhi - b.ylo) / 10) + b.ylo END AS y_hi,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM grid g CROSS JOIN b
+        |LEFT JOIN cnts c ON g.bin_x = c.bin_x AND g.bin_y = c.bin_y
+        |ORDER BY g.bin_x, g.bin_y""".stripMargin,
+
+    // weight mass per bin as exact DECIMAL(28,6) sums; null/NaN weights
+    // count the row but contribute nothing (engine asymmetry mirrored)
+    "hist_weighted_extendedprice" ->
+      """WITH src AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x, CAST(l_quantity AS DOUBLE) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        |cnts AS (
+        |  SELECT CAST(least(floor((x - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt,
+        |         CAST(sum(CASE WHEN NOT isnan(w) THEN CAST(w AS DECIMAL(28,6)) END) AS DOUBLE) AS wsum
+        |  FROM src, b WHERE x >= lo AND x <= hi GROUP BY 1),
+        |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range(10))
+        |SELECT s.bin_id,
+        |       s.bin_id * ((b.hi - b.lo) / 10) + b.lo AS bin_lo,
+        |       CASE WHEN s.bin_id = 9 THEN b.hi
+        |            ELSE (s.bin_id + 1) * ((b.hi - b.lo) / 10) + b.lo END AS bin_hi,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+        |       coalesce(c.wsum, 0.0) AS wsum
+        |FROM spine s CROSS JOIN b LEFT JOIN cnts c ON s.bin_id = c.bin_id
+        |ORDER BY s.bin_id""".stripMargin,
+
+    // raw power sums as exact DECIMAL(38,8); the central-moment algebra is
+    // the identical left-associated double tree the engine builds
+    "moments_lineitem" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, n, mean, e2 - mean*mean AS variance,
+           |       e3 - 3*mean*e2 + 2*mean*mean*mean AS m3,
+           |       e4 - 4*mean*e3 + 6*mean*mean*e2 - 3*mean*mean*mean*mean AS m4
+           |FROM (
+           |  SELECT count(*) AS n,
+           |         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean,
+           |         CAST(sum(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e2,
+           |         CAST(sum(CAST(x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e3,
+           |         CAST(sum(CAST(x*x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e4
+           |  FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem
+           |        WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))))""".stripMargin
+      val parts = Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(c => s"(${one(c)})").mkString("\nUNION ALL\n")
+      s"""SELECT col_name, n, mean, variance,
+         |       CASE WHEN variance > 0 THEN round(m3 / (variance * sqrt(variance)), 9) END AS skewness,
+         |       CASE WHEN variance > 0 THEN round(m4 / (variance * variance) - 3, 9) END AS kurtosis
+         |FROM ($parts)
+         |ORDER BY col_name""".stripMargin
+    },
+
+    "gopher_filter_documents" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_word_len,
+         |         CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS n_stopword_hits,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS distinct_ratio
+         |  FROM base)
+         |SELECT doc_id, n_tokens, mean_word_len, n_stopword_hits, distinct_ratio,
+         |       n_tokens >= 40 AND n_tokens <= 100000 AS pass_word_count,
+         |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mean_word_len,
+         |       n_stopword_hits >= 2 AS pass_stopwords,
+         |       distinct_ratio >= 0.375 AS pass_distinct_ratio,
+         |       (n_tokens >= 40 AND n_tokens <= 100000)
+         |         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |         AND n_stopword_hits >= 2 AND distinct_ratio >= 0.375 AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // per-occurrence terms rounded to 9 dp, summed as DECIMAL(28,9) —
+    // order-independent; V = unigram vocabulary size
+    "lm_bigram_score_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS bigram
+         |  FROM tt WHERE len(toks) >= 2),
+         |bg AS (SELECT bigram, count(*) AS cb FROM occ GROUP BY 1),
+         |u AS (SELECT token, count(*) AS cu FROM
+         |        (SELECT unnest($toksSql) AS token FROM documents) WHERE token <> '' GROUP BY 1),
+         |v AS (SELECT count(*) AS vs FROM u),
+         |terms AS (
+         |  SELECT o.doc_id,
+         |         round(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + vs AS DOUBLE)), 9) AS term
+         |  FROM occ o JOIN bg USING (bigram)
+         |  JOIN u ON u.token = split_part(o.bigram, ' ', 1) CROSS JOIN v),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS avg_logprob
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.avg_logprob
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // grouping by span text ≡ engine's xxhash64(span) grouping (2^-64
+    // collision caveat, as dedup_drop_exact); rn=1 ⇔ min (doc_id, span_idx)
+    "dedup_spans_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp AS (
+         |  SELECT doc_id, CAST((st - 1) // 10 AS INTEGER) AS span_idx,
+         |         array_to_string(toks[st:st+9], ' ') AS span
+         |  FROM (SELECT doc_id, toks, unnest([x FOR x IN range(1, len(toks) + 1, 10)]) AS st
+         |        FROM tt WHERE len(toks) >= 1)),
+         |k AS (
+         |  SELECT doc_id, span_idx, span,
+         |         count(*) OVER (PARTITION BY span) AS n_occ,
+         |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+         |  FROM sp),
+         |kept AS (SELECT * FROM k WHERE n_occ = 1 OR rn = 1),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_spans_kept,
+         |         string_agg(span, ' ' ORDER BY span_idx) AS text_clean
+         |  FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans, CAST(coalesce(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+         |       coalesce(r.text_clean, '') AS text_clean
+         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // per-bin terms |cntA*totB - cntB*totA| in exact decimal; one double
     // division at the end — mirrors Stats.distributionDistance op-for-op

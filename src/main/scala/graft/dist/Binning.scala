@@ -447,6 +447,97 @@ object Binning {
       .orderBy("bin_id")
   }
 
+  /** 2-D histogram (heatmap grid): joint counts over an `nx × ny` equal-width
+    * grid spanning both columns' data ranges (or explicit ranges). Rows where
+    * EITHER value is null/NaN/out-of-range are dropped — the 2-D analogue of
+    * the rdd.py:2350-2351 drop rule, applied per axis; each axis keeps the
+    * closed-last-bucket clamp.
+    *
+    * Same two-job shape as the 1-D path: one combined min/max agg for both
+    * axes, one counting pass (`groupBy(bin_x, bin_y)` hash-agg — shuffle of
+    * at most nx × ny rows), then a dense-grid spine join (tiny broadcast).
+    * Degenerate axes (min == max) collapse to a single closed bucket on that
+    * axis. Output: (bin_x, bin_y, x_lo, x_hi, y_lo, y_hi, cnt), dense,
+    * sorted by (bin_x, bin_y). */
+  def histogram2d(df: DataFrame, colX: String, colY: String, nx: Int = 10, ny: Int = 10,
+                  rangeX: Option[(Double, Double)] = None,
+                  rangeY: Option[(Double, Double)] = None): DataFrame = {
+    require(nx >= 1 && ny >= 1, "bins must be >= 1")
+    val clean = df.select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
+      .where(col("x").isNotNull && !isnan(col("x")) && col("y").isNotNull && !isnan(col("y")))
+    val (xlo, xhi, ylo, yhi) = (rangeX, rangeY) match {
+      case (Some((a, b)), Some((c, dd))) => (a, b, c, dd)
+      case _ =>
+        val r = clean.agg(min("x"), max("x"), min("y"), max("y")).head()
+        if (r.isNullAt(0))
+          throw new IllegalArgumentException("can not generate buckets from empty RDD")
+        (rangeX.map(_._1).getOrElse(r.getDouble(0)), rangeX.map(_._2).getOrElse(r.getDouble(1)),
+          rangeY.map(_._1).getOrElse(r.getDouble(2)), rangeY.map(_._2).getOrElse(r.getDouble(3)))
+    }
+    require(xlo <= xhi && ylo <= yhi, s"invalid ranges [$xlo,$xhi] [$ylo,$yhi]")
+    val (nxe, nye) = (if (xlo == xhi) 1 else nx, if (ylo == yhi) 1 else ny)
+    val xes = equalWidthEdges(xlo, xhi, nxe)
+    val yes = equalWidthEdges(ylo, yhi, nye)
+    val inRange = clean.where(col("x") >= lit(xlo) && col("x") <= lit(xhi) &&
+      col("y") >= lit(ylo) && col("y") <= lit(yhi))
+    val counts = inRange
+      .groupBy(binId(col("x"), xes).as("bin_x"), binId(col("y"), yes).as("bin_y"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = df.sparkSession.range(nxe).select(col("id").cast("int").as("bin_x"))
+      .crossJoin(df.sparkSession.range(nye).select(col("id").cast("int").as("bin_y")))
+    // equalWidthEdges computes exactly i*step+lo, so echoing the driver-side
+    // vectors via element_at literals is bit-identical to the oracle formula
+    def edgeCols(b: Column, es: Vector[Double], loN: String, hiN: String) = Seq(
+      element_at(typedLit(es.dropRight(1)), b + 1).as(loN),
+      element_at(typedLit(es.drop(1)), b + 1).as(hiN))
+    grid.join(counts, Seq("bin_x", "bin_y"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(Seq(col("bin_x"), col("bin_y")) ++
+        edgeCols(col("bin_x"), xes, "x_lo", "x_hi") ++
+        edgeCols(col("bin_y"), yes, "y_lo", "y_hi") ++ Seq(col("cnt")): _*)
+      .orderBy("bin_x", "bin_y")
+  }
+
+  /** Weighted histogram: per bin, the row count AND the exact sum of a weight
+    * column (revenue per price band, bytes per latency bucket, token mass per
+    * doc-length bin, …). The value column follows the full §2.3 drop rules;
+    * rows with a null/NaN weight still count in `cnt` but contribute nothing
+    * to `wsum` (documented asymmetry — the row exists, its weight doesn't).
+    *
+    * The weight sum aggregates as `decimal(28,6)` casts so it is
+    * order-independent under any partitioning (double summation would drift
+    * with the shuffle schedule), surfaced as a double. Same two-job,
+    * n_bins-row-shuffle shape as [[histogram]]. Output: (bin_id, bin_lo,
+    * bin_hi, cnt, wsum), dense, sorted. */
+  def histogramWeighted(df: DataFrame, colName: String, weightCol: String,
+                        bins: Bins = Bins.Count(10),
+                        range: Option[(Double, Double)] = None): DataFrame = {
+    val clean = df.select(col(colName).cast("double").as("x"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("x").isNotNull && !isnan(col("x")))
+    val es: Vector[Double] = bins match {
+      case Bins.Edges(e) => validateEdges(e); e.toVector
+      case Bins.Count(n) =>
+        val (lo, hi) = range.getOrElse(minMaxOf(clean))
+        require(lo <= hi, s"invalid range [$lo, $hi]")
+        if (lo == hi || n == 1) Vector(lo, hi) else equalWidthEdges(lo, hi, n)
+    }
+    val n = es.size - 1
+    val wsum = sum(when(!isnan(col("w")), col("w")).cast("decimal(28,6)"))
+      .cast("double").as("wsum")
+    val inRange = clean.where(col("x") >= lit(es.head) && col("x") <= lit(es.last))
+    val counts = inRange
+      .groupBy(binId(col("x"), es).as("bin_id"))
+      .agg(count(lit(1)).as("cnt"), wsum)
+    spine(clean, n).join(counts, Seq("bin_id"), "left")
+      .na.fill(0L, Seq("cnt")).na.fill(0.0, Seq("wsum"))
+      .select(col("bin_id"),
+        element_at(typedLit(es.dropRight(1)), col("bin_id") + 1).as("bin_lo"),
+        element_at(typedLit(es.drop(1)), col("bin_id") + 1).as("bin_hi"),
+        col("cnt"), col("wsum"))
+      .orderBy("bin_id")
+  }
+
   /** One-job min/max over several columns of one frame (combined agg) —
     * the reference ran 2 collect jobs PER series (SURVEY.md §3 step 2). */
   def minMax(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -186,6 +186,51 @@ object Stats {
       .orderBy("col_a", "col_b")
   }
 
+  /** Higher-order distribution moments per column — mean, population
+    * variance, skewness, excess kurtosis — in ONE scan: the four raw power
+    * sums Σx..Σx⁴ accumulate as exact `decimal(38,8)` casts (the aggregate
+    * is order-independent under any partitioning; double summation would
+    * drift with the shuffle schedule), and the central-moment algebra runs
+    * once on the single aggregated row as a fixed double expression tree
+    * (m₂ = E[x²]−E[x]², m₃/m₄ by the binomial expansion), so results are
+    * bit-deterministic and oracle-checkable. Null/NaN rows are dropped per
+    * column (each column's moments cover its own clean values). Zero-variance
+    * columns yield null skewness/kurtosis. Skew/kurtosis are rounded to 9 dp
+    * (O(1) magnitudes); mean/variance are raw doubles from the fixed tree. */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val dec = "decimal(38,8)"
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      val ok = x.isNotNull && !isnan(x)
+      Seq(
+        count(when(ok, 1)).as(s"n_$c"),
+        sum(when(ok, x).cast(dec)).as(s"s1_$c"),
+        sum(when(ok, x * x).cast(dec)).as(s"s2_$c"),
+        sum(when(ok, x * x * x).cast(dec)).as(s"s3_$c"),
+        sum(when(ok, x * x * x * x).cast(dec)).as(s"s4_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stats = cols.map { c =>
+      val n = col(s"n_$c").cast("double")
+      val e1 = col(s"s1_$c").cast("double") / n
+      val e2 = col(s"s2_$c").cast("double") / n
+      val e3 = col(s"s3_$c").cast("double") / n
+      val e4 = col(s"s4_$c").cast("double") / n
+      val m2 = e2 - e1 * e1
+      val m3 = e3 - lit(3.0) * e1 * e2 + lit(2.0) * e1 * e1 * e1
+      val m4 = e4 - lit(4.0) * e1 * e3 + lit(6.0) * e1 * e1 * e2 - lit(3.0) * e1 * e1 * e1 * e1
+      struct(lit(c).as("col_name"), col(s"n_$c").as("n"), e1.as("mean"), m2.as("variance"),
+        when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 9)).as("skewness"),
+        when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 9)).as("kurtosis"))
+    }
+    row.select(explode(array(stats: _*)).as("st"))
+      .select(col("st.col_name").as("col_name"), col("st.n").as("n"), col("st.mean").as("mean"),
+        col("st.variance").as("variance"), col("st.skewness").as("skewness"),
+        col("st.kurtosis").as("kurtosis"))
+      .orderBy("col_name")
+  }
+
   /** Chi-square test of independence between two categorical columns
     * (lang × source, variant × outcome, …), plus Cramér's V effect size —
     * the "are these two labelings related" test behind corpus audits and

@@ -361,6 +361,49 @@ object Dedup {
     * final matrix agg is at most sources² rows. Grams shuffle as 8-byte
     * xxhash64 keys, not ~50-byte strings (a 2⁻⁶⁴ collision could merge two
     * grams' source sets — the same accepted risk as [[dropExactDups]]). */
+  /** C4-style cross-document span dedup: each document is cut into
+    * consecutive NON-overlapping `spanTokens`-token spans (the tail span may
+    * be shorter), and a span occurrence survives only if it is globally
+    * unique or it is the canonical first occurrence — minimum (doc_id,
+    * span_idx) lexicographically — of its text. The cleaned corpus keeps
+    * per-doc counts and the rebuilt text of surviving spans in order. (The
+    * reference C4 pipeline dedupes three-sentence spans; this corpus has no
+    * sentence punctuation, so the span unit is a fixed token window.)
+    *
+    * Scale shape: span extraction is map-only (`sequence` starts → `slice` →
+    * posexplode); the winner per span text is
+    * `groupBy(xxhash64(span)).agg(min(struct(doc_id, span_idx)))` — the
+    * full-corpus shuffle carries (8-byte hash, id, idx) rows, never the span
+    * text, mirroring [[dropExactDups]]; survivors rejoin on the hash and the
+    * doc rebuild is a bounded per-doc `sort_array(collect_list)` (list size
+    * ≤ spans per doc — document-bounded, not corpus-bounded). */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 10,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 1)
+    // span starts 1, 1+k, 1+2k, ... (1-based for slice)
+    val starts = sequence(lit(1), size(col("toks")), lit(spanTokens))
+    val spans = toks.select(col("id"),
+        posexplode(transform(starts, st => concat_ws(" ", slice(col("toks"), st, lit(spanTokens)))))
+          .as(Seq("span_idx", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val winners = spans.groupBy("h")
+      .agg(min(struct(col("id"), col("span_idx"))).as("keep"), count(lit(1)).as("n_occ"))
+    val kept = spans.join(winners, Seq("h"))
+      .where(col("n_occ") === 1 ||
+        (col("id") === col("keep.id") && col("span_idx") === col("keep.span_idx")))
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_spans_kept"),
+      concat_ws(" ", transform(sort_array(collect_list(struct(col("span_idx"), col("span")))),
+        s => s.getField("span"))).as("text_clean"))
+    val totals = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .na.fill(0L, Seq("n_spans_kept")).na.fill("", Seq("text_clean"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_spans_kept"), col("text_clean"))
+      .orderBy(idCol)
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame =
     docs.select(col("source"),
         explode(array_distinct(

@@ -388,4 +388,76 @@ object TextAnalysis {
       (acc, tk) => pmod(acc * lit(131L) + code(tk), lit(1000000007L)))
     docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
   }
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, adapted
+    * to this tokenizer): per document, the raw signals plus a boolean per
+    * rule and the conjunctive verdict. Rules: token count in
+    * [minTokens, maxTokens]; mean word length in [minMeanWordLen,
+    * maxMeanWordLen]; at least `minStopwordHits` stopword occurrences; and
+    * distinct-token ratio ≥ `minDistinctRatio` (the within-doc repetition
+    * proxy — the corpus has no lines, so Gopher's duplicate-line rules map
+    * to token-level repetition here).
+    *
+    * Map-only: one codegen stage over the scan, no shuffle, no UDFs — each
+    * signal is exact-integer arithmetic with one IEEE division, so the
+    * boolean edges are bit-deterministic and oracle-checkable. */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   minTokens: Int = 40, maxTokens: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minStopwordHits: Int = 2, minDistinctRatio: Double = 0.375): DataFrame = {
+    val docsT = docs.select(col("doc_id"), col(textCol), tokens(col(textCol)).as("toks"))
+    val t = col("toks")
+    val nTok = size(t).cast("bigint")
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-z]", "")).cast("bigint")
+    val meanWordLen = nAlpha.cast("double") / greatest(nTok, lit(1L))
+    val sw = typedLit(stopwords)
+    val nStop = size(filter(t, tk => array_contains(sw, tk))).cast("bigint")
+    val distinctRatio = size(array_distinct(t)).cast("double") / greatest(nTok, lit(1L))
+    val fWc = nTok >= minTokens && nTok <= maxTokens
+    val fMwl = meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen
+    val fSw = nStop >= minStopwordHits
+    val fDr = distinctRatio >= minDistinctRatio
+    docsT.select(col("doc_id"), nTok.as("n_tokens"), meanWordLen.as("mean_word_len"),
+        nStop.as("n_stopword_hits"), distinctRatio.as("distinct_ratio"),
+        fWc.as("pass_word_count"), fMwl.as("pass_mean_word_len"),
+        fSw.as("pass_stopwords"), fDr.as("pass_distinct_ratio"),
+        (fWc && fMwl && fSw && fDr).as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document fluency score from a corpus-trained bigram language model
+    * with add-one smoothing — the in-engine stand-in for the
+    * perplexity-filter stage of a training-data pipeline (KenLM-style
+    * scoring, n=2): each doc's score is the mean over its bigram occurrences
+    * of `ln((c(w1 w2) + 1) / (c(w1) + V))`, where the counts come from the
+    * corpus itself and V is the unigram vocabulary size.
+    *
+    * Scale + determinism shape: ONE explode produces the doc-tagged bigram
+    * occurrences; corpus bigram counts are a vocab-bounded hash-agg OVER
+    * that same frame (map-side combine); unigram counts and V ride a second
+    * vocab-bounded agg of the token stream. Each log term is rounded to 9 dp
+    * and summed as `decimal(28,9)` — order-independent under any
+    * partitioning, so the per-doc mean is bit-deterministic and
+    * oracle-checkable. Docs with < 2 tokens yield n_bigrams = 0 and a null
+    * score. */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val occ = toks.select(col("doc_id"), explode(tokenNgrams(col("toks"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val bgCounts = occ.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cu"))
+    val vocabSize = uni.agg(count(lit(1))).head().getLong(0)
+    val term = round(log((col("cb") + lit(1L)).cast("double") /
+      (col("cu") + lit(vocabSize)).cast("double")), 9)
+    val scored = occ
+      .join(bgCounts, Seq("bigram"))
+      .join(uni.withColumnRenamed("token", "w1"), Seq("w1"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(term.cast("decimal(28,9)")).cast("double") / count(lit(1))).as("avg_logprob"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .orderBy("doc_id")
+  }
 }

@@ -178,4 +178,43 @@ class BinningSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 3.0 &&
       r.getDouble(2) == 5.0 && r.getDouble(3) == 10.0)
   }
+  test("histogram2d: dense 2x2 grid, joint drop rule, closed last buckets") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (0.0, 0.0), (10.0, 10.0), (4.0, 9.0), (0.0, 10.0), (10.0, 0.0),
+      (5.0, 5.0),                     // both at midpoint -> bin (1,1)
+      (null, 5.0), (5.0, Double.NaN)  // either side dirty -> row dropped
+    ).toDF("x", "y")
+    val h = Binning.histogram2d(df, "x", "y", nx = 2, ny = 2)
+    val m = h.select("bin_x", "bin_y", "cnt").as[(Int, Int, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(m == Map((0, 0) -> 1L, (0, 1) -> 2L, (1, 0) -> 1L, (1, 1) -> 2L))
+    val edges = h.where(col("bin_x") === 1 && col("bin_y") === 1)
+      .select("x_lo", "x_hi", "y_lo", "y_hi").as[(Double, Double, Double, Double)].head()
+    assert(edges == ((5.0, 10.0, 5.0, 10.0)))
+  }
+
+  test("histogram2d: degenerate axis collapses to one closed bucket") {
+    val df = Seq((1.0, 0.0), (1.0, 10.0), (1.0, 5.0)).toDF("x", "y")
+    val h = Binning.histogram2d(df, "x", "y", nx = 4, ny = 2)
+    assert(h.count() == 2) // 1 x-bin x 2 y-bins
+    assert(h.agg(sum("cnt")).as[Long].head() == 3L)
+  }
+
+  test("histogramWeighted: exact weight mass per bin; null/NaN weight counts the row only") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (0.0, 2.5), (1.0, 1.5), (9.0, 4.0), (10.0, 1.0),
+      (2.0, null), (3.0, Double.NaN)
+    ).toDF("v", "w")
+    val h = Binning.histogramWeighted(df, "v", "w", Bins.Count(2))
+    val rows = h.select("bin_id", "cnt", "wsum").as[(Int, Long, Double)].collect().toSeq
+    assert(rows == Seq((0, 4L, 4.0), (1, 2L, 5.0)))
+  }
+
+  test("histogramWeighted: empty bins carry zero mass") {
+    val df = Seq((0.0, 1.0), (10.0, 3.0)).toDF("v", "w")
+    val h = Binning.histogramWeighted(df, "v", "w", Bins.Count(5))
+    val rows = h.select("cnt", "wsum").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 1.0), (0L, 0.0), (0L, 0.0), (0L, 0.0), (1L, 3.0)))
+  }
+
 }

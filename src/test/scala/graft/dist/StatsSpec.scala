@@ -160,4 +160,20 @@ class StatsSpec extends SparkSpec {
     assert(scanLine.exists(l => l.contains("l_orderkey") && !l.contains("l_shipdate")),
       s"lineitem scan not pruned: $scanLine")
   }
+  test("moments: hand-computed mean/variance/skewness/kurtosis; null/NaN dropped") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (2.0, 5.0), (3.0, null), (4.0, Double.NaN)
+    ).toDF("a", "c0")
+    val r = Stats.moments(df, Seq("a", "c0")).collect()
+    val a = r.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 4L)
+    assert(a.getDouble(2) == 2.5)        // mean
+    assert(a.getDouble(3) == 1.25)       // population variance
+    assert(a.getDouble(4) == 0.0)        // symmetric -> zero skew
+    assert(math.abs(a.getDouble(5) - (2.5625 / 1.5625 - 3.0)) < 1e-9) // excess kurtosis
+    val c = r.find(_.getString(0) == "c0").get
+    assert(c.getLong(1) == 2L && c.getDouble(3) == 0.0) // clean n=2, zero variance
+    assert(c.isNullAt(4) && c.isNullAt(5))               // null skew/kurt at zero variance
+  }
+
 }

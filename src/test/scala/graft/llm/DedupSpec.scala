@@ -184,4 +184,22 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[(String, String, Long)].collect().toSeq
     assert(r == Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
   }
+  test("spanDedup: global first occurrence survives, others drop, docs rebuild in order") {
+    val docs = Seq(
+      (1L, "a b c d"), // spans "a b", "c d" -- both canonical
+      (2L, "a b x"),   // "a b" duplicates doc 1; tail span "x" unique
+      (3L, "c d")      // loses its only span to doc 1
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(docs, spanTokens = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq((1L, 2L, 2L, "a b c d"), (2L, 2L, 1L, "x"), (3L, 1L, 0L, "")))
+  }
+
+  test("spanDedup: within-doc repeats keep only the first occurrence") {
+    val docs = Seq((7L, "a b a b")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(docs, spanTokens = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq((7L, 2L, 1L, "a b")))
+  }
+
 }

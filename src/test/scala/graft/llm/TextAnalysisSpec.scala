@@ -202,4 +202,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == fp(Seq("beta", "alpha", "gamma")))
     assert(r(0L) != r(1L))
   }
+  test("gopherFilter: each rule flags independently and the verdict conjoins") {
+    // 40 distinct 3-letter words + 2 stopwords: 42 tokens, distinct ratio 1,
+    // mean word length exactly 3.0 (the inclusive lower edge)
+    val good = ((0 until 40).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x")
+      ++ Seq("the", "and")).mkString(" ")
+    val docs = Seq(
+      (0L, good),                               // passes everything
+      (1L, "tiny doc of words"),                // fails word count
+      (2L, (Seq.fill(60)("zzzz")).mkString(" ")) // enough tokens, no stopwords, low distinct ratio
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(docs)
+      .select("doc_id", "pass_word_count", "pass_stopwords", "pass_distinct_ratio", "gopher_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(r(0) == ((0L, true, true, true, true)))
+    assert(r(1)._2 == false && r(1)._5 == false)
+    assert(r(2)._2 == true && r(2)._3 == false && r(2)._4 == false && r(2)._5 == false)
+  }
+
+  test("bigramLmScore: hand-computed add-one smoothed scores") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(docs).collect()
+    // unigrams: a=3 b=3 c=1, V=3; corpus bigrams: "a b"=3, "b a"=1
+    val tAB = math.rint(math.log(4.0 / 6.0) * 1e9) / 1e9
+    val tBA = math.rint(math.log(2.0 / 6.0) * 1e9) / 1e9
+    val d0 = r.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(1) == 3L)
+    assert(math.abs(d0.getDouble(2) - (2 * tAB + tBA) / 3) < 1e-8)
+    val d2 = r.find(_.getLong(0) == 2L).get
+    assert(d2.getLong(1) == 0L && d2.isNullAt(2))
+  }
+
 }
