@@ -369,12 +369,26 @@ object SparkEntry {
     "moments_lineitem" -> ((s, d) =>
       graft.dist.Stats.moments(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // grouped higher moments: one scan, one group-keyed shuffle of decimals
+    "moments_by_type_events" -> ((s, d) =>
+      graft.dist.Stats.momentsBy(events(s, d), "value", "event_type")),
+    // Shannon entropy of categorical columns, one scan, pinned-order fold
+    "entropy_documents" -> ((s, d) =>
+      graft.dist.Stats.entropy(t(s, d, "documents"), Seq("lang", "source"))),
     // Gopher-style rule filter: per-doc signals + per-rule booleans + verdict
     "gopher_filter_documents" -> ((s, d) => TextAnalysis.gopherFilter(t(s, d, "documents"))),
     // corpus-trained bigram LM fluency score (perplexity-filter stand-in)
     "lm_bigram_score_documents" -> ((s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"))),
     // C4-style cross-document span dedup: rebuilt docs + span survival counts
     "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
+
+    // SemDeDup: k-means cells + within-cell cosine pair-drop — the
+    // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
+    // corpus's near-random vectors (top pair sim ≈ 0.51); real semantic-dup
+    // corpora use ≥ 0.95. No oracle (centroid-dependent); property-tested
+    // against the exact near-dup pairs in SimilaritySpec.
+    "semdedup_embeddings" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), threshold = 0.45)),
 
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>
@@ -657,6 +671,45 @@ object SparkEntry {
          |FROM ($parts)
          |ORDER BY col_name""".stripMargin
     },
+
+    "moments_by_type_events" ->
+      """WITH src AS (
+        |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |m AS (
+        |  SELECT grp, count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean,
+        |         CAST(sum(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e2,
+        |         CAST(sum(CAST(x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e3,
+        |         CAST(sum(CAST(x*x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e4
+        |  FROM src GROUP BY 1),
+        |f AS (
+        |  SELECT grp, n, mean, e2 - mean*mean AS variance,
+        |         e3 - 3*mean*e2 + 2*mean*mean*mean AS m3,
+        |         e4 - 4*mean*e3 + 6*mean*mean*e2 - 3*mean*mean*mean*mean AS m4
+        |  FROM m)
+        |SELECT grp AS event_type, n, mean, variance,
+        |       CASE WHEN variance > 0 THEN round(m3 / (variance * sqrt(variance)), 9) END AS skewness,
+        |       CASE WHEN variance > 0 THEN round(m4 / (variance * variance) - 3, 9) END AS kurtosis
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // ln n − (Σ c·ln c)/n over the SORTED count list — the same pinned-order
+    // fold the engine runs (ties contribute identical terms)
+    "entropy_documents" ->
+      """WITH p AS (
+        |  SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS v FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL),
+        |cells AS (SELECT col_name, v, count(*) AS cnt FROM p GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_distinct,
+        |         list_sort(list(cnt)) AS cs
+        |  FROM cells GROUP BY 1)
+        |SELECT col_name, n, n_distinct,
+        |       round(ln(CAST(n AS DOUBLE))
+        |             - list_reduce(list_transform(cs, c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+        |                           (a, b) -> a + b) / CAST(n AS DOUBLE), 9) AS entropy
+        |FROM agg ORDER BY col_name""".stripMargin,
 
     "gopher_filter_documents" -> {
       val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")

@@ -231,6 +231,60 @@ object Stats {
       .orderBy("col_name")
   }
 
+  /** [[moments]] per group — one scan, one hash-agg shuffle keyed on the
+    * group (map-side combine; the shuffle carries 4 decimals + a count per
+    * group, never rows). Same exact-decimal discipline, same fixed double
+    * tree, so grouped results are bit-deterministic and oracle-checkable.
+    * Null groups are dropped with the null/NaN values. */
+  def momentsBy(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = "decimal(38,8)"
+    val x = col("x")
+    val clean = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .where(col("grp").isNotNull && x.isNotNull && !isnan(x))
+    val agg = clean.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("s1"), sum((x * x).cast(dec)).as("s2"),
+      sum((x * x * x).cast(dec)).as("s3"), sum((x * x * x * x).cast(dec)).as("s4"))
+    val n = col("n").cast("double")
+    val e1 = col("s1").cast("double") / n
+    val e2 = col("s2").cast("double") / n
+    val e3 = col("s3").cast("double") / n
+    val e4 = col("s4").cast("double") / n
+    val m2 = e2 - e1 * e1
+    val m3 = e3 - lit(3.0) * e1 * e2 + lit(2.0) * e1 * e1 * e1
+    val m4 = e4 - lit(4.0) * e1 * e3 + lit(6.0) * e1 * e1 * e2 - lit(3.0) * e1 * e1 * e1 * e1
+    agg.select(col("grp").as(groupCol), col("n"), e1.as("mean"), m2.as("variance"),
+        when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 9)).as("skewness"),
+        when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 9)).as("kurtosis"))
+      .orderBy(groupCol)
+  }
+
+  /** Shannon entropy of one or more categorical columns in ONE scan: the
+    * columns unpivot into (col_name, value) pairs, counts build per column,
+    * and `H = ln n − (Σ c·ln c)/n` runs as a fold over the SORTED count
+    * array — float addition is order-sensitive, so the pinned fold order
+    * (ties contribute identical terms) makes the statistic bit-reproducible
+    * and oracle-checkable, mirroring [[chiSquare]]'s discipline. The
+    * per-column array is bounded by that column's cardinality — categorical
+    * by assumption (language, source, label, …), never a data-scale
+    * collect. Nulls are excluded per column. */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+    val cells = pairs.groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    val per = cells.groupBy("col_name").agg(
+      sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+      sort_array(collect_list(col("cnt"))).as("cs"))
+    val sumClnC = aggregate(col("cs"), lit(0.0),
+      (acc, c) => acc + c.cast("double") * log(c.cast("double")))
+    per.select(col("col_name"), col("n"), col("n_distinct"),
+        round(log(col("n").cast("double")) - sumClnC / col("n").cast("double"), 9).as("entropy"))
+      .orderBy("col_name")
+  }
+
   /** Chi-square test of independence between two categorical columns
     * (lang × source, variant × outcome, …), plus Cramér's V effect size —
     * the "are these two labelings related" test behind corpus audits and

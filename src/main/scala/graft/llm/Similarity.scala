@@ -239,6 +239,42 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding space with the [[trainCentroids]] k-means-lite quantizer, then
+    * drop near-identical vectors WITHIN each cluster — every pair with
+    * cosine ≥ `threshold` drops the larger id (greedy pair-drop, the
+    * [[graft.llm.Dedup.cleanCorpus]] keep-one bias, documented there).
+    * Returns every vector with its cluster id and survival verdict.
+    *
+    * Scale shape: assignment is a map-only argmax over the literal centroid
+    * matrix (no shuffle); the pair join is an equi-join ON cid, so pair work
+    * is Σ_cell |cell|² instead of n² — the whole point of clustering first
+    * (for finer pruning raise `nCentroids`; cells are independently
+    * parallel). The drop set is a slim distinct-id frame, applied as a
+    * broadcast-friendly left join. Cluster-boundary misses (a true near-dup
+    * pair split across cells) are the documented recall trade-off, as in the
+    * SemDeDup paper; no oracle (centroid-dependent) — property-tested
+    * against [[embCosineNearDup]] restricted to same-cell pairs. */
+  def semDedup(emb: DataFrame, threshold: Double = 0.95, nCentroids: Int = 16,
+               trainIters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(emb, nCentroids, trainIters, idCol, vecCol)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = e.select(col("id"), col("v"), col("nrm"),
+      nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
+    val a = assigned.toDF("id_a", "va", "na", "cid")
+    val b = assigned.toDF("id_b", "vb", "nb", "cid")
+    val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim` matrix with
     * entries in {-1, +1} derived from a seeded generator. Sign-bit buckets
     * from ±1 planes are the classic SRP-LSH (Charikar '02). Weights are

@@ -31,4 +31,26 @@ object Sinks {
 
   /** Read back a saved bucketed table. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Size-governed, range-clustered parquet writer: the frame is
+    * range-partitioned on `sortCol` into `ceil(rows / targetRowsPerFile)`
+    * partitions and written one file per partition, so (a) every output file
+    * lands near the target size — no small-file explosion, no 10 GB
+    * stragglers — and (b) files hold DISJOINT sorted key ranges, so parquet
+    * min/max footer stats turn later predicates on `sortCol` into whole-file
+    * skips (the poor man's z-order, exactly right for one dominant filter
+    * key). Costs one count job up front (documented; at 100 TB reuse a
+    * known row count) and the range-exchange sampling pass.
+    * `maxRecordsPerFile` backstops skewed ranges. */
+  def writeSized(df: DataFrame, path: String, sortCol: String,
+                 targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    val rows = df.count()
+    val nParts = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(nParts, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
 }

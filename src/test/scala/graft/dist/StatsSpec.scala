@@ -176,4 +176,27 @@ class StatsSpec extends SparkSpec {
     assert(c.isNullAt(4) && c.isNullAt(5))               // null skew/kurt at zero variance
   }
 
+  test("momentsBy: per-group moments match the single-column operator per slice") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+                 ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r = Stats.momentsBy(df, "v", "g").collect()
+    val a = r.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 2.5 && a.getDouble(3) == 1.25)
+    assert(a.getDouble(4) == 0.0)
+    val b = r.find(_.getString(0) == "b").get
+    assert(b.getLong(1) == 2L && b.getDouble(3) == 0.0 && b.isNullAt(4) && b.isNullAt(5))
+  }
+
+  test("entropy: uniform = ln k, constant = 0, nulls excluded") {
+    val df = Seq(("x", "c", "p"), ("y", "c", "p"), ("z", "c", null), ("w", "c", "q"))
+      .toDF("u", "k", "s")
+    val r = Stats.entropy(df, Seq("u", "k", "s")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("u") == ((4L, 4L, math.rint(math.log(4.0) * 1e9) / 1e9))) // uniform over 4
+    assert(r("k") == ((4L, 1L, 0.0)))                                  // constant column
+    // s: nulls dropped -> {p:2, q:1}, H = ln3 - (2 ln2)/3
+    val hs = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(r("s")._3 - hs) < 1e-8 && r("s")._1 == 3L && r("s")._2 == 2L)
+  }
+
 }

@@ -39,6 +39,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Seq((0L, 1, 1L), (0L, 2, 4L))) // 1.0 then 0.707
   }
 
+  test("semDedup: verdicts exactly complement same-cell near-dup pairs; deterministic") {
+    // planted clusters of near-identical vectors — the semantic-dup shape
+    val rnd = new scala.util.Random(77)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))).toDF("vec_id", "embedding")
+    val th = 0.95
+    val r = Similarity.semDedup(vecs, threshold = th, nCentroids = 8, trainIters = 1)
+    val verdicts = r.collect().map(x => x.getLong(0) -> (x.getInt(1), x.getBoolean(2))).toMap
+    assert(verdicts.size == 32)
+    // expected drop set: distinct id_b over exact near-dup pairs whose two
+    // sides landed in the same cell
+    val cellOf = verdicts.view.mapValues(_._1).toMap
+    val expectedDropped = Similarity.embCosineNearDup(vecs, threshold = th)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }.map(_._2).toSet
+    val actualDropped = verdicts.collect { case (id, (_, false)) => id }.toSet
+    assert(actualDropped == expectedDropped)
+    assert(actualDropped.nonEmpty) // planted dups must actually dedupe
+    // bit-deterministic rerun
+    val r2 = Similarity.semDedup(vecs, threshold = th, nCentroids = 8, trainIters = 1)
+    assert(r.collect().toSeq == r2.collect().toSeq)
+  }
+
   test("lshAnnTopK achieves high recall vs brute force on clustered vectors") {
     // LSH preserves *high* similarity; plant 20 clusters of 5 near-identical
     // vectors (the realistic near-dup-embedding shape) and check the true

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 
@@ -63,4 +64,22 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val planStr = back.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") && planStr.contains("lang"), planStr)
   }
+  test("writeSized: near-target file sizes with disjoint sorted key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString + "/t"
+    val df = spark.range(1000).toDF("k")
+      .withColumn("payload", col("k") * 7)
+    Sinks.writeSized(df, dir, "k", targetRowsPerFile = 250L)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // round trip is lossless and every file's key range is disjoint
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L)
+    val ranges = files.map { f =>
+      val t = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("k"), max("k")).head()
+      (t.getLong(0), t.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Array(a, b) => a._2 < b._1; case _ => true })
+  }
+
 }
