@@ -277,6 +277,13 @@ object SparkEntry {
         .select("doc_id", "quality_score").orderBy("doc_id")
     }),
 
+    // data mixing: down-sample strata to a target composition (en half,
+    // de 30% of a 200-doc budget; other languages drop), up to availability
+    "sample_mix_documents" -> ((s, d) =>
+      Sampling.targetMix(t(s, d, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.3), totalDocs = 200)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // fill each source's 2000-token budget with its best documents
     // (quality desc, doc_id asc; greedy prefix, exclusive cumulative sum)
     "sample_budget_documents" -> ((s, d) =>
@@ -381,6 +388,15 @@ object SparkEntry {
     "lm_bigram_score_documents" -> ((s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"))),
     // C4-style cross-document span dedup: rebuilt docs + span survival counts
     "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
+
+    // symmetric per-vector int8 quantization (storage/serving tier). The
+    // declared query emits the array as CSV: arrow list FIELD NAMES differ
+    // across engines ("element" vs "l") and the compare is schema-strict,
+    // so list-typed outputs would mismatch on metadata despite equal values.
+    "quantize_embeddings" -> ((s, d) =>
+      Similarity.quantizeInt8(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("scale"), array_join(col("qvec"), ",").as("qvec_csv"))
+        .orderBy("vec_id")),
 
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
@@ -671,6 +687,34 @@ object SparkEntry {
          |FROM ($parts)
          |ORDER BY col_name""".stripMargin
     },
+
+    // rate arithmetic mirrored op-for-op: floor(least(1, share*N/cnt)*10000)
+    // over the same Knuth key hash at 1/10000 resolution
+    "sample_mix_documents" ->
+      """WITH cnts AS (SELECT lang, count(*) AS cnt FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |th AS (
+        |  SELECT lang, CAST(floor(least(1.0, CAST(share AS DOUBLE) * 200 / cnt) * 10000) AS BIGINT) AS th
+        |  FROM (SELECT lang, cnt,
+        |          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 END AS share
+        |        FROM cnts)
+        |  WHERE share IS NOT NULL)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+        |WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < th.th
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // scale = max|x|/127, q = round(x/scale): single IEEE ops on exactly
+    // widened floats — bit-identical across engines; zero vectors -> null
+    "quantize_embeddings" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |       CASE WHEN scale > 0 THEN
+        |         array_to_string(list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER)), ',')
+        |       END AS qvec_csv
+        |FROM b ORDER BY vec_id""".stripMargin,
 
     "moments_by_type_events" ->
       """WITH src AS (

@@ -73,6 +73,35 @@ object Sampling {
       .orderBy(groupCol, "doc_id")
   }
 
+  /** Data-mixing sampler: hit a TARGET corpus composition. Given desired
+    * per-stratum shares of a `totalDocs` budget (e.g. en 0.5 / de 0.3 of
+    * 1M docs), the keep-rate for stratum s is
+    * `min(1, share_s · totalDocs / count_s)` — strata with surplus data are
+    * down-sampled to quota, strata short of quota keep everything (the
+    * standard up-to-availability mixing rule; unlisted strata drop). Rates
+    * quantize to 1/10000 resolution on the [[knuthBucket]] key hash, so
+    * membership stays deterministic, reproducible, and consistent.
+    *
+    * Scale shape: one count agg (stratum-cardinality-bounded) collects to
+    * the driver to derive rates; the sample itself is a map-only CASE
+    * predicate over the scan — no shuffle touches data rows. */
+  def targetMix(df: DataFrame, strataCol: String, shares: Map[String, Double],
+                totalDocs: Long, idCol: String = "doc_id"): DataFrame = {
+    require(shares.values.forall(s => s >= 0 && s <= 1), "shares must be 0..1")
+    val counts = df.groupBy(col(strataCol).as("s")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresh = shares.toSeq.sortBy(_._1).map { case (s, share) =>
+      val cnt = counts.getOrElse(s, 0L)
+      // mirrored verbatim in the oracle: floor(least(1, share*N/cnt)*10000)
+      s -> (if (cnt == 0) 0L
+            else math.floor(math.min(1.0, share * totalDocs / cnt) * 10000).toLong)
+    }
+    val th = thresh.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    df.where(knuthBucket(col(idCol), 10000) < th)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep-percentages with a
     * default for unlisted strata — the "rebalance the language/source mix"
     * operator of a corpus pipeline. One CASE expression over the stratum

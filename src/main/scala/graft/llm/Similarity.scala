@@ -275,6 +275,26 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/serving tier of an
+    * embedding pipeline (4× smaller than float32, dot products stay within
+    * ~1% for unit-norm vectors): `scale = max|x_i| / 127`,
+    * `q_i = round(x_i / scale)` ∈ [-127, 127]. Map-only Column tree (one
+    * array fold for the max, one transform for the quantized array), no
+    * shuffle, no UDF; all-zero vectors yield scale 0 and a null qvec.
+    * Deterministic: float→double widening is exact and both divisions are
+    * single IEEE ops, so the operator is oracle-checkable bit-for-bit. */
+  def quantizeInt8(emb: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = maxAbs / lit(127.0)
+    val qvec = transform(v, x => round(x.cast("double") / col("scale"), 0).cast("int"))
+    emb.select(col(idCol), v, scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") > 0, qvec).as("qvec"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim` matrix with
     * entries in {-1, +1} derived from a seeded generator. Sign-bit buckets
     * from ±1 planes are the classic SRP-LSH (Charikar '02). Weights are

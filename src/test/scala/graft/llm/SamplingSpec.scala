@@ -125,4 +125,18 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.split("== Initial Plan ==")(0).contains("SinglePartition"), plan)
   }
+  test("targetMix: surplus strata downsample to quota, short strata keep all, unlisted drop") {
+    val docs = ((0L until 40L).map(i => (i, "en")) ++
+                (40L until 42L).map(i => (i, "de")) ++
+                (42L until 50L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    // budget 16: en quota 8 of 40 -> rate 0.2; de quota 4.8 of 2 -> rate 1
+    val r = Sampling.targetMix(docs, "lang", Map("en" -> 0.5, "de" -> 0.3), totalDocs = 16)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    def knuth(id: Long) = ((id * 2654435761L) % 4294967296L) % 10000L
+    val expectedEn = (0L until 40L).filter(id => knuth(id) < 2000L)
+    assert(r.filter(_._2 == "en").map(_._1) == expectedEn)
+    assert(r.filter(_._2 == "de").map(_._1) == Seq(40L, 41L)) // rate clamps to 1
+    assert(!r.exists(_._2 == "fr"))                            // unlisted stratum drops
+  }
+
 }

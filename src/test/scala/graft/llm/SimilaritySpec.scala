@@ -148,4 +148,17 @@ class SimilaritySpec extends SparkSpec {
     val expected = ((0.0 + 0.1f.toDouble * 0.4f.toDouble) + 0.2f.toDouble * 0.5f.toDouble) + 0.3f.toDouble * 0.6f.toDouble
     assert(d == expected)
   }
+  test("quantizeInt8: symmetric scale, half-up rounding, zero vector yields null") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.3f, -0.77f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(vecs).collect()
+    val r0 = r.find(_.getLong(0) == 0L).get
+    assert(r0.getDouble(1) == 1.0 / 127.0)
+    assert(r0.getSeq[Int](2) == Seq(127, 38, -98))
+    val r1 = r.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(1) == 0.0 && r1.isNullAt(2))
+  }
+
 }
