@@ -384,23 +384,30 @@ object Dedup {
       .where(size(col("toks")) >= 1)
     // span starts 1, 1+k, 1+2k, ... (1-based for slice)
     val starts = sequence(lit(1), size(col("toks")), lit(spanTokens))
-    val spans = toks.select(col("id"),
-        posexplode(transform(starts, st => concat_ws(" ", slice(col("toks"), st, lit(spanTokens)))))
-          .as(Seq("span_idx", "span")))
-      .withColumn("h", xxhash64(col("span")))
-    val winners = spans.groupBy("h")
-      .agg(min(struct(col("id"), col("span_idx"))).as("keep"), count(lit(1)).as("n_occ"))
-    val kept = spans.join(winners, Seq("h"))
-      .where(col("n_occ") === 1 ||
-        (col("id") === col("keep.id") && col("span_idx") === col("keep.span_idx")))
-    val rebuilt = kept.groupBy("id").agg(
-      count(lit(1)).as("n_spans_kept"),
-      concat_ws(" ", transform(sort_array(collect_list(struct(col("span_idx"), col("span")))),
-        s => s.getField("span"))).as("text_clean"))
-    val totals = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
-    totals.join(rebuilt, Seq("id"), "left")
-      .na.fill(0L, Seq("n_spans_kept")).na.fill("", Seq("text_clean"))
-      .select(col("id").as(idCol), col("n_spans"), col("n_spans_kept"), col("text_clean"))
+    val spanArr = transform(starts, st => concat_ws(" ", slice(col("toks"), st, lit(spanTokens))))
+    // The surviving occurrence of EVERY distinct span is exactly its winner
+    // (when a span occurs once, that occurrence IS the min), so the whole
+    // dedup signal reduces to one hash-agg whose shuffle carries only
+    // (8-byte hash, partial-min (id, idx)) — span text never crosses an
+    // exchange (plan-asserted in DedupSpec). No occurrence join-back exists.
+    val winners = toks
+      .select(posexplode(spanArr).as(Seq("span_idx", "span")), col("id"))
+      .select(xxhash64(col("span")).as("h"), struct(col("id"), col("span_idx")).as("occ"))
+      .groupBy("h").agg(min(col("occ")).as("keep"))
+    val keepIdxs = winners
+      .groupBy(col("keep.id").as("id"))
+      .agg(sort_array(collect_list(col("keep.span_idx"))).as("keep_idxs"))
+    // rebuild map-side from the doc's own token stream: the only
+    // corpus-sized exchange is this one id-keyed join (the winner rollup
+    // rides the same id partitioning); kept-index lists are doc-bounded
+    toks.join(keepIdxs, Seq("id"), "left")
+      .select(col("id"), spanArr.as("spans"),
+        coalesce(col("keep_idxs"), array().cast("array<int>")).as("keep_idxs"))
+      .select(col("id").as(idCol),
+        size(col("spans")).cast("bigint").as("n_spans"),
+        size(col("keep_idxs")).cast("bigint").as("n_spans_kept"),
+        concat_ws(" ", transform(col("keep_idxs"),
+          i => element_at(col("spans"), i + 1))).as("text_clean"))
       .orderBy(idCol)
   }
 

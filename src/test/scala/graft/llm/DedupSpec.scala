@@ -195,6 +195,20 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((1L, 2L, 2L, "a b c d"), (2L, 2L, 1L, "x"), (3L, 1L, 0L, "")))
   }
 
+  test("spanDedup: span text never crosses a shuffle exchange") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b x"), (3L, "c d")).toDF("doc_id", "text")
+    val df = Dedup.spanDedup(docs, spanTokens = 2)
+    df.collect() // finalize the adaptive plan
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty) // the winner agg and the id join do shuffle
+    val carriers = shuffles.filter(_.output.exists(a =>
+      a.name == "span" || a.name == "spans" || a.name == "text"))
+    assert(carriers.isEmpty,
+      s"span text crossed an exchange:\n${carriers.mkString("\n")}")
+  }
+
   test("spanDedup: within-doc repeats keep only the first occurrence") {
     val docs = Seq((7L, "a b a b")).toDF("doc_id", "text")
     val r = Dedup.spanDedup(docs, spanTokens = 2)
