@@ -63,6 +63,10 @@ object SparkEntry {
     "hist_by_group_events" -> ((s, d) =>
       Binning.histogramByGroup(events(s, d), "value", "event_type")),
 
+    // log-spaced (geometric) bins for heavy-tailed positive columns
+    "hist_log_extendedprice" -> ((s, d) =>
+      Binning.histogramLog(t(s, d, "lineitem"), "l_extendedprice")),
+
     // equal-frequency bins: edges at exact deciles, ~10% of rows per bin
     "hist_eqdepth_extendedprice" -> ((s, d) =>
       Binning.histogramEquiDepth(t(s, d, "lineitem"), "l_extendedprice")),
@@ -346,6 +350,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward as-of join: each click matched to the user's NEXT purchase
+    // at-or-after it (same union-window shape, mirrored direction)
+    "events_asof_next_purchase" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.dist.Joins.asOfJoinForward(clicks, purchases, Seq("user_id"), "ts",
+          rightPayload = Seq("purchase_id", "purchase_value"), tieBreak = Some("purchase_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("r_purchase_id").as("purchase_id"), col("r_purchase_value").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // end-to-end curation: Gopher filter -> exact dedup -> near-dup drop
+    "curate_corpus_documents" -> ((s, d) =>
+      graft.llm.Curation.curate(t(s, d, "documents"))),
+
     // -------- similarity search
     "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 10)),
     "ann_brute_topk_embeddings" -> ((s, d) =>
@@ -585,6 +609,47 @@ object SparkEntry {
         |SELECT s.grp AS event_type, s.bin_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id
         |ORDER BY s.grp, s.bin_id""".stripMargin,
+
+    // geometric edges exp(ln lo + i*(ln hi - ln lo)/n) with exact lo/hi
+    // pinned at the ends; bisect binning as the eqdepth oracle
+    "hist_log_extendedprice" ->
+      """WITH src AS (
+        |  SELECT x FROM (
+        |    SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE)))
+        |  WHERE x > 0),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        |e AS (
+        |  SELECT [CASE WHEN i = 0 THEN lo WHEN i = 10 THEN hi
+        |               ELSE exp(ln(lo) + i * (ln(hi) - ln(lo)) / 10) END
+        |          FOR i IN range(0, 11)] AS es
+        |  FROM b),
+        |cnt AS (
+        |  SELECT CAST(least(len(list_filter(es, v -> v <= x)) - 1, 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt
+        |  FROM src CROSS JOIN e WHERE x >= es[1] AND x <= es[11] GROUP BY 1),
+        |spine AS (SELECT CAST(range AS INTEGER) AS bin_id FROM range(10))
+        |SELECT s.bin_id, es[s.bin_id + 1] AS bin_lo, es[s.bin_id + 2] AS bin_hi,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM spine s CROSS JOIN e LEFT JOIN cnt c USING (bin_id) ORDER BY s.bin_id""".stripMargin,
+
+    // mirror of events_asof_click_view with the window direction flipped:
+    // first at-or-after right row, left rows sort before right at equal ts
+    "events_asof_next_purchase" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id,
+        |         NULL::BIGINT AS purchase_id, NULL::DOUBLE AS purchase_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT *, first_value(CASE WHEN side = 1 THEN struct_pack(p := purchase_id, x := purchase_value) END IGNORE NULLS)
+        |            OVER (PARTITION BY user_id ORDER BY ts, side, purchase_id NULLS LAST
+        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+        |  FROM u)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, m.p AS purchase_id, m.x AS purchase_value
+        |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
 
     // edges from quantile_cont (same interpolation contract as Spark's
     // `percentile` — proven identical by the quantiles oracle); bin =
@@ -991,6 +1056,45 @@ object SparkEntry {
          |SELECT doc_id FROM exact
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline: gopher rules -> keep-one exact dedup ->
+    // n-gram near-dup drop, each stage the same SQL as its own oracle
+    "curate_corpus_documents" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mwl,
+         |         CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS n_stop,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS dr
+         |  FROM base),
+         |passed AS (
+         |  SELECT doc_id FROM g
+         |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |    AND mwl >= 3.0 AND mwl <= 10.0 AND n_stop >= 2 AND dr >= 0.375),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN passed USING (doc_id)),
+         |exact AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+         |tt AS (SELECT doc_id, $toksSql AS toks FROM exact),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT DISTINCT id_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+         |SELECT doc_id FROM exact
+         |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_stats_documents" ->
       """SELECT lang, count(*) AS n_docs,

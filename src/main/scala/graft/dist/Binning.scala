@@ -447,6 +447,32 @@ object Binning {
       .orderBy("bin_id")
   }
 
+  /** Log-spaced histogram: n geometric bins over [lo, hi] — the right shape
+    * for heavy-tailed positive columns (latencies, prices, document sizes)
+    * where equal-width bins dump everything into one bucket. Edge i is
+    * `exp(ln lo + i·(ln hi − ln lo)/n)` with the first/last edges pinned to
+    * the exact lo/hi (absorbing float error, as the even-width path does);
+    * binning is the standard explicit-edges bisect. Non-positive values are
+    * dropped with nulls/NaNs (log scale is undefined there — documented
+    * divergence from the linear drop rule). Same two-job shape as
+    * [[histogram]]. */
+  def histogramLog(df: DataFrame, colName: String, n: Int = 10,
+                   range: Option[(Double, Double)] = None): DataFrame = {
+    require(n >= 1, "bins must be >= 1")
+    val clean = cleaned(df, colName).where(col("x") > 0)
+    val (lo, hi) = range.getOrElse(minMaxOf(clean))
+    require(lo > 0 && lo <= hi, s"log bins need 0 < lo <= hi, got [$lo, $hi]")
+    if (lo == hi || n == 1) return singleBucket(clean, lo, hi)
+    val (llo, lhi) = (math.log(lo), math.log(hi))
+    val edges = (0 to n).map {
+      case 0 => lo
+      case `n` => hi
+      case i => math.exp(llo + i * (lhi - llo) / n)
+    }.toVector
+    validateEdges(edges)
+    histogramWithEdges(clean, edges)
+  }
+
   /** 2-D histogram (heatmap grid): joint counts over an `nx × ny` equal-width
     * grid spanning both columns' data ranges (or explicit ranges). Rows where
     * EITHER value is null/NaN/out-of-range are dropped — the 2-D analogue of

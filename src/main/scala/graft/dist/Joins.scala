@@ -74,6 +74,35 @@ object Joins {
         rightPayload.map(c => col(s"__match.$c").as(s"r_$c")): _*)
   }
 
+  /** Forward as-of join: each left row matched to the EARLIEST right row
+    * at-or-after its timestamp within the key ("what happened next") — the
+    * mirror of [[asOfJoin]], same union-window shape: one shuffle on the
+    * key, no pair explosion, O(1) running state per task. At equal ts the
+    * left row sees the same-ts right row (at-or-AFTER is inclusive);
+    * `tieBreak` picks the smallest among equal right timestamps. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+                      rightPayload: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+    val leftRest = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++ leftRest.map(col) ++
+        Seq(lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__pay"),
+          lit(null).cast("long").as("__tie")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(payloadStruct.as("__pay"),
+          tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tie")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l2.unionByName(r2)
+      .withColumn("__match", first(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
+        rightPayload.map(c => col(s"__match.$c").as(s"r_$c")): _*)
+  }
+
   /** Range join: match each point row to every interval row with
     * `lo <= point <= hi` (both ends inclusive) — points-to-intervals is the
     * other join Spark lacks natively (IP-to-geolocation blocks, values to

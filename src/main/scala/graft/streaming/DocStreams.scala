@@ -37,4 +37,22 @@ object DocStreams {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(langCol))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("win_start"), col(langCol), col("n_docs"))
+
+  /** Streaming quality gate monitor: per tumbling ingest window, documents
+    * seen, documents passing the Gopher rule filter, and the pass rate —
+    * the live dashboard over an ingest feed (the streaming face of
+    * [[graft.llm.TextAnalysis.gopherFilter]]; the verdict expression is the
+    * SAME map-only Column tree, evaluated per arriving row before the
+    * windowed count — watermark-bounded state, exact-integer counts, one
+    * double division per window). */
+  def qualityGateStream(docs: DataFrame, textCol: String = "text", tsCol: String = "ts",
+                        window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    docs.select(col(tsCol),
+        graft.llm.TextAnalysis.gopherPass(col(textCol)).as("ok"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("window.start").as("win_start"), col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
 }

@@ -217,4 +217,14 @@ class BinningSpec extends SparkSpec {
     assert(rows == Seq((1L, 1.0), (0L, 0.0), (0L, 0.0), (0L, 0.0), (1L, 3.0)))
   }
 
+  test("histogramLog: geometric edges, exact endpoints, non-positive values dropped") {
+    val df = Seq[java.lang.Double](1.0, 10.0, 100.0, 1000.0, 0.0, -5.0, null).toDF("v")
+    val h = Binning.histogramLog(df, "v", n = 3)
+    val rows = h.select("bin_id", "bin_lo", "bin_hi", "cnt")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(rows.map(_._4) == Seq(1L, 1L, 2L)) // 1 | 10 | 100, 1000 (closed last)
+    assert(rows.head._2 == 1.0 && rows.last._3 == 1000.0) // exact pinned endpoints
+    assert(math.abs(rows(0)._3 - 10.0) < 1e-9 && math.abs(rows(1)._3 - 100.0) < 1e-9)
+  }
+
 }

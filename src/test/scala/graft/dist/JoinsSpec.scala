@@ -117,4 +117,22 @@ class JoinsSpec extends SparkSpec {
       assert(got == naive, s"trial $trial (cellWidth $w) diverged from naive join")
     }
   }
+  test("asOfJoinForward: earliest at-or-after match, inclusive at equal ts, ties by tieBreak") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 10L, 900L, 1.0),  // equal ts -> visible to (1, 10)
+      (1L, 10L, 901L, 2.0),  // same ts: tieBreak picks 900
+      (1L, 30L, 902L, 3.0),
+      (2L, 3L, 903L, 4.0)    // strictly before -> invisible to (2, 5)
+    ).toDF("k", "ts", "rid", "rv")
+    val r = Joins.asOfJoinForward(left, right, Seq("k"), "ts",
+        rightPayload = Seq("rid", "rv"), tieBreak = Some("rid"))
+      .select("lid", "r_rid", "r_rv").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(r(100L) == 900L) // equal-ts inclusive + tiebreak
+    assert(r(101L) == 902L) // next at-or-after
+    assert(r(102L) == -1L)  // nothing after -> null
+  }
+
 }

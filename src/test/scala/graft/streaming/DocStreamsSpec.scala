@@ -87,4 +87,25 @@ class DocStreamsSpec extends SparkSpec {
       assert(rows == Seq(("en", 2L), ("de", 1L)))
     } finally q.stop()
   }
+  test("qualityGateStream counts gopher passes per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = ((0 until 40).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x")
+      ++ Seq("the", "and")).mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = DocStreams.qualityGateStream(in.toDF())
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      in.addData(
+        Doc(0, good, "en", ts("2024-01-01 10:05:00")),
+        Doc(1, "tiny doc", "en", ts("2024-01-01 10:25:00")),
+        Doc(2, good, "en", ts("2024-01-01 10:35:00")),
+        // watermark (2h) must pass the 10:00 window end for append emission
+        Doc(3, good, "en", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_docs, n_pass, pass_rate FROM qgate ORDER BY win_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((3L, 2L, 2.0 / 3.0)))
+    } finally q.stop()
+  }
+
 }
