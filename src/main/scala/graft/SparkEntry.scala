@@ -319,6 +319,41 @@ object SparkEntry {
           col("n_events"))
         .orderBy("user_id", "session_start_ms")),
 
+    // time-RANGE rolling window: per user, events and decimal-exact mean
+    // value over the trailing hour (peers at equal ts share one frame)
+    "events_rolling_1h_user" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = events(s, d)
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("double").as("v"))
+      // exact epoch-MICROsecond frame bounds: a seconds cast would truncate
+      // in Spark but round in DuckDB for sub-second timestamps
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      src.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("avg_1h",
+          sum(col("v").cast("decimal(18,6)")).over(w).cast("double") / col("n_1h"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("n_1h"), col("avg_1h"))
+        .orderBy("event_id")
+    }),
+
+    // quartile assignment per event type (ntile over a total tie-broken order)
+    "events_value_quartiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+      events(s, d)
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("event_type"), col("value").cast("double").as("value"))
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy("event_id")
+    }),
+
+    // key-skew diagnostic ahead of a shuffle on o_custkey
+    "key_skew_orders" -> ((s, d) =>
+      graft.dist.Stats.keySkew(t(s, d, "orders"), "o_custkey")),
+
     // ordered 3-step funnel (view -> click -> purchase within 1h of the view)
     "funnel_events" -> ((s, d) => graft.dist.EventAnalytics.funnel(events(s, d))),
 
@@ -632,6 +667,36 @@ object SparkEntry {
         |SELECT s.bin_id, es[s.bin_id + 1] AS bin_lo, es[s.bin_id + 2] AS bin_hi,
         |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |FROM spine s CROSS JOIN e LEFT JOIN cnt c USING (bin_id) ORDER BY s.bin_id""".stripMargin,
+
+    // RANGE frame in epoch seconds; decimal sum / count division mirrored
+    "events_rolling_1h_user" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(sum(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(*) OVER w) AS avg_1h
+        |FROM src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "events_value_quartiles" ->
+      """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |                           ORDER BY CAST(value AS DOUBLE), event_id) AS INTEGER) AS quartile
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        |ORDER BY event_id""".stripMargin,
+
+    "key_skew_orders" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
+        |           WHERE o_custkey IS NOT NULL GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       max(cnt) AS max_cnt,
+        |       CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |         / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS skew_factor
+        |FROM c""".stripMargin,
 
     // mirror of events_asof_click_view with the window direction flipped:
     // first at-or-after right row, left rows sort before right at equal ts

@@ -259,6 +259,25 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** Key-skew diagnostic — the pre-flight check before any shuffle-heavy
+    * join/agg on a key: row count, distinct keys, the heaviest key's count,
+    * and the skew factor `max_cnt / (n_rows / n_keys)` (1 = perfectly
+    * uniform; ≳ shuffle-partition count = one task drags the stage, reach
+    * for salting / AQE skew join). One hash-agg on the key (map-side
+    * combine) + one tiny rollup; all-integer inputs, one fixed double
+    * expression at the end. Null keys are excluded. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        (col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double")).as("skew_factor"))
+  }
+
   /** Shannon entropy of one or more categorical columns in ONE scan: the
     * columns unpivot into (col_name, value) pairs, counts build per column,
     * and `H = ln n − (Σ c·ln c)/n` runs as a fold over the SORTED count

@@ -42,6 +42,19 @@ object Sinks {
     * key). Costs one count job up front (documented; at 100 TB reuse a
     * known row count) and the range-exchange sampling pass.
     * `maxRecordsPerFile` backstops skewed ranges. */
+  /** Per-file key statistics of a parquet directory: (file, rows, key
+    * min/max) via `input_file_name()` — the audit that a [[writeSized]] /
+    * partitioned layout actually clusters (disjoint per-file ranges ⇒
+    * footer-stat skipping works). One scan, one file-keyed hash-agg. */
+  def fileStats(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+      .orderBy("file")
+  }
+
   def writeSized(df: DataFrame, path: String, sortCol: String,
                  targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")

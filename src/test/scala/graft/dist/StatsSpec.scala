@@ -199,4 +199,13 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r("s")._3 - hs) < 1e-8 && r("s")._1 == 3L && r("s")._2 == 2L)
   }
 
+  test("keySkew: uniform keys give factor 1, a hot key dominates") {
+    val uni = (0 until 100).map(i => (i % 10, i)).toDF("k", "v")
+    val r = Stats.keySkew(uni, "k").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == ((100L, 10L, 10L, 1.0)))
+    val hot = ((0 until 91).map(_ => (1, 0)) ++ (2 until 11).map(i => (i, 0))).toDF("k", "v")
+    val h = Stats.keySkew(hot, "k").head()
+    assert(h.getLong(2) == 91L && h.getDouble(3) == 91.0 * 10.0 / 100.0)
+  }
+
 }

@@ -80,6 +80,9 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (t.getLong(0), t.getLong(1))
     }.sortBy(_._1)
     assert(ranges.sliding(2).forall { case Array(a, b) => a._2 < b._1; case _ => true })
+    // the fileStats audit sees the same layout
+    val fs = Sinks.fileStats(spark, dir, "k").collect()
+    assert(fs.length == 4 && fs.map(_.getLong(1)).sum == 1000L)
   }
 
 }
