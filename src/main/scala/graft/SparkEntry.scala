@@ -92,6 +92,11 @@ object SparkEntry {
           zThresh = 1.5, keepCols = Seq("event_id"))
         .orderBy("event_id")),
 
+    // winsorization summary at exact p01/p99 (verifier tier; swap the
+    // bounds agg for approx_percentile at scale, clip pass unchanged)
+    "clip_outliers_lineitem" -> ((s, d) =>
+      graft.dist.Stats.winsorize(t(s, d, "lineitem"), "l_extendedprice")),
+
     // -------- column stats beyond histograms (exact tier + sketch tier)
     "quantiles_extendedprice" -> ((s, d) =>
       graft.dist.Stats.quantiles(t(s, d, "lineitem"), "l_extendedprice",
@@ -201,6 +206,10 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))
         .orderBy("id")),
     "dedup_clean_corpus_cc" -> ((s, d) => Dedup.cleanCorpusCC(t(s, d, "documents"))),
+    // near-dup cluster-size distribution: the dedup-policy pre-flight
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.componentSizeDist(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))),
 
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
@@ -271,6 +280,11 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, d, "documents"), "lang",
           Map("en" -> 50, "de" -> 20), defaultPct = 10)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // deterministic 80/10/10 train/val/test assignment, key-stable
+    "split_assign_documents" -> ((s, d) =>
+      Sampling.assignSplits(t(s, d, "documents"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split").orderBy("doc_id")),
 
     // quality-weighted deterministic sampling: keep-probability = the
     // doc's own composite quality score (key-hash membership, map-only)
@@ -1096,6 +1110,33 @@ object SparkEntry {
          |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
          |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
+    // same transitive-closure CTE as dedup_components, rolled up to the
+    // cluster-size distribution
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         |lbl AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         |cs AS (SELECT comp, count(*) AS cluster_size FROM lbl GROUP BY comp)
+         |SELECT cluster_size, count(*) AS n_clusters FROM cs
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
     "dedup_clean_corpus_cc" ->
       s"""WITH RECURSIVE exact AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
          |tt AS (SELECT doc_id, $toksSql AS toks FROM exact),
@@ -1334,6 +1375,13 @@ object SparkEntry {
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
 
+    "split_assign_documents" ->
+      """SELECT doc_id,
+        |       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 100 THEN 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // quality CTE + the Knuth-hash keep test with the score as probability
     "sample_weighted_documents" -> {
       val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -1424,6 +1472,21 @@ object SparkEntry {
         |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75,
         |       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
         |FROM lineitem""".stripMargin,
+
+    // quantile_cont mirrors Spark's exact `percentile` interpolation;
+    // decimal sums over the clipped doubles mirror the Spark tree
+    "clip_outliers_lineitem" ->
+      """WITH src AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |b AS (SELECT quantile_cont(v, 0.01) AS p_lo, quantile_cont(v, 0.99) AS p_hi FROM src)
+        |SELECT any_value(p_lo) AS p_lo, any_value(p_hi) AS p_hi,
+        |       CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_before,
+        |       CAST(sum(CAST(greatest(least(v, p_hi), p_lo) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_after
+        |FROM src CROSS JOIN b""".stripMargin,
 
     // moments as exact DECIMAL(38,8) sums; one fixed double tree per pair
     "corr_lineitem" -> {

@@ -278,6 +278,33 @@ object Stats {
           / col("n_rows").cast("double")).as("skew_factor"))
   }
 
+  /** Winsorization summary: exact lo/hi quantile bounds, clip counts at
+    * each end, and the decimal-exact mean before/after clipping — the
+    * "how much do the tails move this feature" check before outlier
+    * capping. Verifier tier (exact `percentile` is a sort-agg); at 100 TB
+    * compute the bounds with `approx_percentile` and keep the identical
+    * clip pass. Two jobs: a bounds agg, then one clip-and-summarize scan
+    * with the 1-row bounds broadcast — value rows never shuffle. */
+  def winsorize(df: DataFrame, valueCol: String,
+                loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val v = col(valueCol).cast("double")
+    val src = df.where(v.isNotNull && !isnan(v)).select(v.as("v"))
+    val bounds = src.agg(
+      expr(s"percentile(v, $loQ)").as("p_lo"),
+      expr(s"percentile(v, $hiQ)").as("p_hi"))
+    val clipped = greatest(least(col("v"), col("p_hi")), col("p_lo"))
+    src.crossJoin(broadcast(bounds))
+      .agg(
+        first(col("p_lo")).as("p_lo"), first(col("p_hi")).as("p_hi"),
+        sum(when(col("v") < col("p_lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > col("p_hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        (sum(col("v").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("mean_before"),
+        (sum(clipped.cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("mean_after"))
+  }
+
   /** Shannon entropy of one or more categorical columns in ONE scan: the
     * columns unpivot into (col_name, value) pairs, counts build per column,
     * and `H = ln n − (Σ c·ln c)/n` runs as a fold over the SORTED count

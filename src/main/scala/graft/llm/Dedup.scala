@@ -199,6 +199,19 @@ object Dedup {
     labels
   }
 
+  /** Cluster-size distribution of the near-dup graph: how many transitive
+    * dup clusters exist at each size. The pre-flight look before committing
+    * to a dedup policy at 100 TB — a heavy tail here (one giant component)
+    * usually means the threshold is too loose or a boilerplate shingle
+    * bridges unrelated docs, and the drop rate will surprise you. Built on
+    * [[connectedComponents]]; unpaired docs are not clusters and do not
+    * appear. Two tiny hash-aggs over the already-slim (id, comp) labels. */
+  def componentSizeDist(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** [[cleanCorpus]] with connected-components grouping instead of greedy
     * pair-drop: near-dup pairs form a graph, each component keeps exactly
     * its minimum id. For a chain a~b, b~c (a!~c) this keeps a and drops

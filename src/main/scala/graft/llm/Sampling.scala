@@ -116,4 +116,23 @@ object Sampling {
     }
     df.where(knuthBucket(col(idCol)) < pct)
   }
+
+  /** Deterministic split assignment (train/val/test or any partition of the
+    * key space): `splits` lists (name, pct) summing to 100; a row's split is
+    * its [[knuthBucket]] against the cumulative thresholds. Reproducible,
+    * key-stable (a doc keeps its split as the corpus grows — no leakage of
+    * eval docs into train on re-runs), disjoint-and-exhaustive by
+    * construction. Map-only CASE chain, no shuffle. */
+  def assignSplits(df: DataFrame, splits: Seq[(String, Int)],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      "split pcts must be positive and sum to 100")
+    val b = knuthBucket(col(idCol))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).tail
+      .foldLeft(when(b < cum.head, lit(splits.head._1))) {
+        case (acc, ((name, _), hi)) => acc.when(b < hi, lit(name))
+      }
+    df.withColumn("split", assign)
+  }
 }

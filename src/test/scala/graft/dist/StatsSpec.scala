@@ -208,4 +208,16 @@ class StatsSpec extends SparkSpec {
     assert(h.getLong(2) == 91L && h.getDouble(3) == 91.0 * 10.0 / 100.0)
   }
 
+  test("winsorize: interpolated bounds, tail clip counts, exact means") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Stats.winsorize(df, "v", 0.01, 0.99).head()
+    // sorted 1..100: p01 = 1 + 0.99 = 1.99, p99 = 99 + 0.01 = 99.01
+    assert(math.abs(r.getDouble(0) - 1.99) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 99.01) < 1e-12)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // only 1 and 100 clip
+    assert(r.getDouble(4) == 50.5)
+    // clip moves 1 -> 1.99 (+0.99) and 100 -> 99.01 (-0.99): mean unchanged
+    assert(math.abs(r.getDouble(5) - 50.5) < 1e-12)
+  }
+
 }

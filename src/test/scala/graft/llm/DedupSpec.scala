@@ -216,4 +216,11 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((7L, 2L, 1L, "a b")))
   }
 
+  test("componentSizeDist rolls the near-dup graph into a size distribution") {
+    // components {1,2,3} (chain) and {10,11}: one 2-cluster, one 3-cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Dedup.componentSizeDist(pairs).as[(Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 1L), (3L, 1L)))
+  }
+
 }

@@ -139,4 +139,17 @@ class SamplingSpec extends SparkSpec {
     assert(!r.exists(_._2 == "fr"))                            // unlisted stratum drops
   }
 
+  test("assignSplits: disjoint-and-exhaustive, train matches hashSample(80) membership") {
+    val docs = (0L until 1000L).toDF("doc_id")
+    val r = Sampling.assignSplits(docs, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(r.size == 1000 && r.values.toSet == Set("train", "val", "test"))
+    val trainIds = r.filter(_._2 == "train").keySet
+    val hashKeep = Sampling.hashSample(docs, 80).as[Long].collect().toSet
+    assert(trainIds == hashKeep) // key-stable: same keep test, same membership
+    def knuth(id: Long) = ((id * 2654435761L) % 4294967296L) % 100L
+    assert(r.forall { case (id, s) =>
+      s == (if (knuth(id) < 80) "train" else if (knuth(id) < 90) "val" else "test") })
+  }
+
 }
