@@ -151,6 +151,17 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // bloom-prefiltered semi-join: fact rows probe the hot-order bloom
+    // before any exchange; the exact semi-join removes false positives
+    "bloom_join_lineitem" -> ((s, d) => {
+      val hot = t(s, d, "orders").where(col("o_totalprice") > 400000.0)
+      graft.dist.Joins.bloomSemiJoin(
+          t(s, d, "lineitem"), hot, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 1048576L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
     // range join: prices matched to OVERLAPPING bands (a point can land in
     // several) via cell bucketing — hash join on cell id, never a BNLJ
     "range_join_lineitem" -> ((s, d) => {
@@ -210,6 +221,9 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.componentSizeDist(
         Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))),
+    // SymSpell-blocked edit-distance near-dup over the 24-char text prefix
+    "dedup_editdist_documents" -> ((s, d) =>
+      Dedup.editDistanceNearDup(t(s, d, "documents"), maxDist = 1, keyLen = 24)),
 
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
@@ -470,6 +484,10 @@ object SparkEntry {
       Similarity.quantizeInt8(t(s, d, "embeddings"))
         .select(col("vec_id"), col("scale"), array_join(col("qvec"), ",").as("qvec_csv"))
         .orderBy("vec_id")),
+
+    // per-label centroid, long format; decimal-exact per-dim means
+    "centroid_embeddings" -> ((s, d) =>
+      Similarity.groupCentroids(t(s, d, "embeddings"), "label")),
 
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
@@ -848,6 +866,23 @@ object SparkEntry {
 
     // scale = max|x|/127, q = round(x/scale): single IEEE ops on exactly
     // widened floats — bit-identical across engines; zero vectors -> null
+    // float→double is exact; per-dim means as decimal sums mirror Spark.
+    // DuckDB list indexing is 1-based, posexplode 0-based — shift by 1
+    "centroid_embeddings" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx, count(*) AS n_vecs,
+        |       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |         / count(*) AS centroid
+        |FROM embeddings, generate_series(1, 64) AS t(i)
+        |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin,
+
+    "dedup_editdist_documents" ->
+      """WITH k AS (SELECT doc_id AS id, substr(lower(text), 1, 24) AS k FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.id < b.id
+        |WHERE levenshtein(a.k, b.k) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "quantize_embeddings" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,
@@ -1554,6 +1589,14 @@ object SparkEntry {
          |            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(na, nb) - 1 AS DOUBLE))), 9) END AS cramers_v
          |FROM s""".stripMargin
     },
+
+    // the bloom is exact-by-construction (no false negatives + exact
+    // verify join), so the oracle is the plain semi-join
+    "bloom_join_lineitem" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
 
     // revenue: double product cast to DECIMAL(18,6) BEFORE the sum on both
     // engines — exact decimal summation, order-independent

@@ -129,4 +129,45 @@ object Joins {
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__cell")
   }
+
+  /** Bloom-prefiltered semi-join: build a bloom filter over the (small-ish)
+    * `dim` key set, probe it on the `fact` side BEFORE any exchange, then
+    * finish with an exact semi-join. Output equals the plain semi-join
+    * exactly — the bloom has no false negatives, and its false positives are
+    * removed by the exact join; the bloom only changes HOW MANY fact rows
+    * reach the shuffle.
+    *
+    * This is the manual form of Spark's runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`, which injects the same
+    * `BloomFilterAggregate`/`might_contain` pair automatically when the
+    * build side is selective IN THE SAME QUERY). Reach for the explicit
+    * operator when the key set comes from a separate pipeline stage — a
+    * dedup drop-list, a contaminated-id set, yesterday's join keys — where
+    * the optimizer cannot see it. At 100 TB the win is shuffling only the
+    * ~matching fraction of the fact table instead of all of it.
+    *
+    * The bloom (`numBits`/8 bytes, default 1 MiB ≈ 1% fpp at 1M keys)
+    * builds with a partial+final aggregate over `dim` and ships to the
+    * probe side as a literal — the same driver-side hop Spark's own
+    * runtime filter takes via its scalar subquery. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedItems: Long = 1000000L,
+                    numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col(dimKey))),
+      Literal(expectedItems), Literal(numBits))
+    val bloomBytes = dim
+      .select(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), Bridge.expression(xxhash64(col(factKey)))))
+    val keys = dim.select(col(dimKey).as("__bloom_key")).distinct()
+    fact.where(probe)
+      .join(keys, col(factKey) === col("__bloom_key"), "left_semi")
+  }
 }

@@ -337,6 +337,60 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** All strings obtainable from `k` by deleting exactly one character —
+    * the SymSpell blocking primitive (pure HOF expression, map-only). */
+  private def del1(k: Column): Column =
+    when(length(k) > 0,
+      transform(sequence(lit(1), length(k)),
+        i => concat(k.substr(lit(1), i - 1), k.substr(i + 1, length(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Edit-distance near-dup pairs over a short key (a title, or here the
+    * lowercased first `keyLen` chars): symmetric-delete (SymSpell) blocking.
+    * Each key emits every variant reachable by deleting ≤ `maxDist` chars;
+    * two keys within Levenshtein distance d share at least one variant (for
+    * any optimal edit script, deleting the substituted/deleted positions
+    * from one side and the substituted/inserted positions from the other
+    * leaves the identical common subsequence — ≤ d deletions each). So
+    * candidate generation is RECALL-COMPLETE and exact `levenshtein`
+    * verification makes the result exact.
+    *
+    * Scale: variants hash to 8-byte keys before the shuffle (the key text
+    * itself never crosses an exchange until the slim verify join);
+    * C(keyLen, ≤maxDist) variants per row is the cost — keep the key short
+    * (titles/prefixes, not documents) and maxDist ≤ 2, which is exactly the
+    * regime SymSpell runs spell-correction at web scale. `maxBucket` guards
+    * the same boilerplate-key blowup as [[minHashNearDup]], with the same
+    * documented recall consequence on capped buckets. */
+  def editDistanceNearDup(docs: DataFrame, maxDist: Int = 1, keyLen: Int = 24,
+                          maxBucket: Int = 200,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
+    require(keyLen >= 1, "keyLen must be >= 1")
+    val keyed = docs.select(col(idCol).as("id"),
+      substring(lower(col(textCol)), 1, keyLen).as("k"))
+    val d1 = del1(col("k"))
+    val variants =
+      if (maxDist == 1) array_distinct(concat(array(col("k")), d1))
+      else array_distinct(concat(array(col("k")), d1,
+        flatten(transform(d1, v => del1(v)))))
+    val sigs = keyed.select(col("id"), explode(variants).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("h"))
+    val buckets = sigs.groupBy("h").agg(collect_list("id").as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairs = buckets.select(explode(flatten(transform(col("ids"),
+        a => transform(filter(col("ids"), b => a < b), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("k_a"), col("k_b")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least one
     * token `n`-gram with any eval document, reporting how many DISTINCT eval
     * n-grams each contaminated doc contains. The standard pre-training

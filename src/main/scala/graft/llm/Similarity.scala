@@ -343,4 +343,23 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
       .orderBy("qid", "rnk")
   }
+
+  /** Per-group centroid in long format (group, dim_idx, n_vecs, centroid):
+    * the embedding-space profile per label/cluster/source — the input to
+    * drift checks, class-prototype classifiers, and cluster QA. Per-dim
+    * means as exact decimal sums (float→double is exact, the sum is
+    * order-independent), so the result is bit-reproducible.
+    *
+    * Scale: posexplode inflates rows dim× map-side only — after the
+    * partial aggregate the shuffle carries (group, dim, decimal-sum,
+    * count), i.e. ~dim rows per group per partition, independent of vector
+    * count. */
+  def groupCentroids(emb: DataFrame, groupCol: String,
+                     embCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol), posexplode(col(embCol)).as(Seq("dim_idx", "x")))
+      .groupBy(col(groupCol), col("dim_idx"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("x").cast("double").cast("decimal(28,8)")).cast("double")
+          / count(lit(1))).as("centroid"))
+      .orderBy(groupCol, "dim_idx")
 }

@@ -135,4 +135,27 @@ class JoinsSpec extends SparkSpec {
     assert(r(102L) == -1L)  // nothing after -> null
   }
 
+  test("bloomSemiJoin equals the plain semi-join exactly") {
+    val fact = (0L until 2000L).map(i => (i, i % 37)).toDF("row_id", "fk")
+    val dim = Seq(1L, 5L, 17L, 36L).toDF("k")
+    val got = Joins.bloomSemiJoin(fact, dim, "fk", "k")
+      .select("row_id").as[Long].collect().toSet
+    val want = fact.join(dim, col("fk") === col("k"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bloomSemiJoin probes the bloom in a fact-side filter before the join") {
+    // a file source, not a LocalRelation: the optimizer eagerly evaluates
+    // deterministic filters over local data, folding the probe away
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (0L until 100L).map(i => (i, i)).toDF("row_id", "fk")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq(1L, 2L).toDF("k")
+    val df = Joins.bloomSemiJoin(spark.read.parquet(dir), dim, "fk", "k")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain probe in the plan:\n$plan")
+  }
+
 }

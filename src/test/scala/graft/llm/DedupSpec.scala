@@ -216,6 +216,27 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((7L, 2L, 1L, "a b")))
   }
 
+  test("editDistanceNearDup: SymSpell blocking finds all pairs within maxDist, none beyond") {
+    val docs = Seq(
+      (0L, "hello world"),   // 1 sub from 1
+      (1L, "hxllo world"),
+      (2L, "hello worlds"),  // 1 insert vs 0; 2 edits vs 1
+      (3L, "HELLO WORLD"),   // case-folds to equal 0 -> dist 0
+      (4L, "totally different text")
+    ).toDF("doc_id", "text")
+    val r = Dedup.editDistanceNearDup(docs, maxDist = 1, keyLen = 24)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((0L, 1L, 1), (0L, 2L, 1), (0L, 3L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("editDistanceNearDup at maxDist=2 reaches 2-edit pairs") {
+    val docs = Seq((0L, "abcdef"), (1L, "abXdYf"), (2L, "abcdef99")).toDF("doc_id", "text")
+    val r = Dedup.editDistanceNearDup(docs, maxDist = 2, keyLen = 24)
+      .as[(Long, Long, Int)].collect().toSeq
+    // (1,2) is 4 edits apart and must not appear
+    assert(r == Seq((0L, 1L, 2), (0L, 2L, 2)))
+  }
+
   test("componentSizeDist rolls the near-dup graph into a size distribution") {
     // components {1,2,3} (chain) and {10,11}: one 2-cluster, one 3-cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

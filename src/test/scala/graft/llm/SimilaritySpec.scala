@@ -161,4 +161,15 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getDouble(1) == 0.0 && r1.isNullAt(2))
   }
 
+  test("groupCentroids: per-group per-dim exact means in long format") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 20.0f))
+    ).toDF("g", "embedding")
+    val r = Similarity.groupCentroids(df, "g")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(r == Seq(("a", 0, 2L, 2.0), ("a", 1, 2L, 4.0),
+      ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
+  }
+
 }
