@@ -325,6 +325,10 @@ object SparkEntry {
     "pack_documents" -> ((s, d) =>
       graft.llm.Packing.packDocs(t(s, d, "documents"), budgetTokens = 512)),
 
+    // power-of-two length buckets with padding-waste accounting
+    "length_buckets_documents" -> ((s, d) =>
+      graft.llm.Packing.lengthBuckets(t(s, d, "documents"))),
+
     // -------- events / windows
     "events_hourly_tumbling" -> ((s, d) =>
       events(s, d)
@@ -488,6 +492,9 @@ object SparkEntry {
     // per-label centroid, long format; decimal-exact per-dim means
     "centroid_embeddings" -> ((s, d) =>
       Similarity.groupCentroids(t(s, d, "embeddings"), "label")),
+    // label-pair centroid cosine matrix (drift/affinity between groups)
+    "centroid_sim_embeddings" -> ((s, d) =>
+      Similarity.centroidSimMatrix(t(s, d, "embeddings"), "label")),
 
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
@@ -874,6 +881,28 @@ object SparkEntry {
         |         / count(*) AS centroid
         |FROM embeddings, generate_series(1, 64) AS t(i)
         |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin,
+
+    // centroid arrays rebuilt per label; dot products fold left in array
+    // order with an explicit 0.0 init (list_reduce has none), round 9
+    "centroid_sim_embeddings" ->
+      """WITH c AS (
+        |  SELECT label, i,
+        |         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |           / count(*) AS cv
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |  GROUP BY label, i),
+        |arr AS (SELECT label, list(cv ORDER BY i) AS v FROM c GROUP BY label),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS ab,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])), (x, y) -> x + y) AS aa,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])), (x, y) -> x + y) AS bb
+        |  FROM arr a JOIN arr b ON a.label < b.label)
+        |SELECT label_a, label_b, round(ab / (sqrt(aa) * sqrt(bb)), 9) AS sim
+        |FROM dots ORDER BY label_a, label_b""".stripMargin,
 
     "dedup_editdist_documents" ->
       """WITH k AS (SELECT doc_id AS id, substr(lower(text), 1, 24) AS k FROM documents)
@@ -1727,6 +1756,15 @@ object SparkEntry {
          |      FROM t)
          |SELECT doc_id, part, n_tokens, CAST(cum_excl // 512 AS BIGINT) AS shard
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the power-of-two bucket via bit width of n-1, mirrored exactly
+    "length_buckets_documents" ->
+      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT CAST(greatest(16, 1 << len(bin(greatest(n, 1) - 1))) AS BIGINT) AS bucket, n FROM t)
+         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+         |       1.0 - CAST(sum(n) AS DOUBLE) / CAST(count(*) * bucket AS DOUBLE) AS padding_frac
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "funnel_events" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events

@@ -34,4 +34,32 @@ object Packing {
         expr(s"cum_excl div $budgetTokens").as("shard"))
       .orderBy("doc_id")
   }
+
+  /** Length-bucket padding audit: docs bucket to the next power-of-two
+    * token length (floor `minBucket`), reporting per bucket the doc count,
+    * real token mass, padded mass (`n_docs × bucket`), and the padding
+    * fraction wasted if batches pad to the bucket size — the number that
+    * decides between plain padding and sequence packing at training time.
+    *
+    * The power-of-two is integer-exact via the bit width of `n−1`
+    * (`shiftleft(1, length(bin(n-1)))`) — no float `log2` edge cases at
+    * exact powers. One map-only pass + a tiny bucket-keyed hash-agg. */
+  def lengthBuckets(docs: DataFrame, minBucket: Int = 16,
+                    textCol: String = "text"): DataFrame = {
+    require(minBucket >= 2 && (minBucket & (minBucket - 1)) == 0,
+      "minBucket must be a power of two >= 2")
+    val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val n1 = greatest(n, lit(1L))
+    // functions.shiftleft only takes a literal shift; call the SQL builtin
+    val bucket = greatest(lit(minBucket.toLong),
+      call_function("shiftleft", lit(1L), length(bin(n1 - 1)).cast("int")))
+    docs.select(bucket.as("bucket"), n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        (lit(1.0) - col("sum_tokens").cast("double")
+          / (col("n_docs") * col("bucket")).cast("double")).as("padding_frac"))
+      .orderBy("bucket")
+  }
 }

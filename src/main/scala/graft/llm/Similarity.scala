@@ -362,4 +362,29 @@ object Similarity {
         (sum(col("x").cast("double").cast("decimal(28,8)")).cast("double")
           / count(lit(1))).as("centroid"))
       .orderBy(groupCol, "dim_idx")
+
+  /** Pairwise cosine similarity between per-group centroids — the
+    * group-level drift/affinity matrix (are two sources converging? did
+    * this week's cluster move?). Builds on [[groupCentroids]]: gather each
+    * group's per-dim means into an ordered array, then an a<b pair join
+    * over the (tiny — one row per group) centroid frame. Dot products fold
+    * left-to-right in array order and round to 9 digits, so the matrix is
+    * reproducible across engines and partitionings. */
+  def centroidSimMatrix(emb: DataFrame, groupCol: String,
+                        embCol: String = "embedding"): DataFrame = {
+    val cent = groupCentroids(emb, groupCol, embCol)
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("centroid")))),
+        s => s.getField("centroid")).as("v"))
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val a = cent.select(col(groupCol).as(s"${groupCol}_a"), col("v").as("v_a"))
+    val b = cent.select(col(groupCol).as(s"${groupCol}_b"), col("v").as("v_b"))
+    a.crossJoin(b).where(col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+      .select(col(s"${groupCol}_a"), col(s"${groupCol}_b"),
+        round(dotd(col("v_a"), col("v_b")) /
+          (sqrt(dotd(col("v_a"), col("v_a"))) * sqrt(dotd(col("v_b"), col("v_b")))), 9)
+          .as("sim"))
+      .orderBy(s"${groupCol}_a", s"${groupCol}_b")
+  }
 }

@@ -139,6 +139,16 @@ class SamplingSpec extends SparkSpec {
     assert(!r.exists(_._2 == "fr"))                            // unlisted stratum drops
   }
 
+  test("lengthBuckets: power-of-two buckets, floor 16, exact padding accounting") {
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val d = Seq(doc(0, 5), doc(1, 16), doc(2, 17), doc(3, 100)).toDF("doc_id", "text")
+    val r = Packing.lengthBuckets(d).as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (16L, 2L, 21L, 32L, 1.0 - 21.0 / 32.0),
+      (32L, 1L, 17L, 32L, 1.0 - 17.0 / 32.0),
+      (128L, 1L, 100L, 128L, 1.0 - 100.0 / 128.0)))
+  }
+
   test("assignSplits: disjoint-and-exhaustive, train matches hashSample(80) membership") {
     val docs = (0L until 1000L).toDF("doc_id")
     val r = Sampling.assignSplits(docs, Seq("train" -> 80, "val" -> 10, "test" -> 10))

@@ -161,6 +161,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getDouble(1) == 0.0 && r1.isNullAt(2))
   }
 
+  test("centroidSimMatrix: pairwise cosine between group centroids") {
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(1.0f, 0.0f)),
+      ("b", Array(0.0f, 2.0f)),
+      ("c", Array(1.0f, 1.0f))
+    ).toDF("g", "embedding")
+    val r = Similarity.centroidSimMatrix(df, "g")
+      .as[(String, String, Double)].collect().toSeq
+    val s = math.floor(1.0 / math.sqrt(2.0) * 1e9 + 0.5) / 1e9
+    assert(r == Seq(("a", "b", 0.0), ("a", "c", s), ("b", "c", s)))
+  }
+
   test("groupCentroids: per-group per-dim exact means in long format") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
