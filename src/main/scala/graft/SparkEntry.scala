@@ -232,6 +232,9 @@ object SparkEntry {
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "lang_id_documents" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "fingerprint_documents" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    // BM25 top-20 for a fixed query — the lexical retrieval tier
+    "bm25_documents" -> ((s, d) =>
+      TextAnalysis.bm25(t(s, d, "documents"), Seq("hash", "join", "scan"))),
     "chunk_documents" -> ((s, d) =>
       TextAnalysis.chunkDocs(t(s, d, "documents"), chunkTokens = 50, overlap = 10)
         .orderBy("doc_id", "chunk_idx")),
@@ -1407,6 +1410,30 @@ object SparkEntry {
     // chunking: window starts 1, 1+stride, … ≤ greatest(n-overlap, 1);
     // chunk_idx recovers from the start offset; DuckDB list slice [s:e] is
     // inclusive and truncates at the end like Spark's slice(arr, s, len)
+    // per-term BM25 contributions summed left-to-right in sorted-term
+    // order, the exact Spark expression tree; (1.2 + 1) folds identically
+    "bm25_documents" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t WHERE len(toks) > 0),
+         |tf AS (SELECT doc_id, dl,
+         |         CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+         |         CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+         |         CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+         |       FROM base),
+         |s AS (SELECT count(*) AS n_docs,
+         |             CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl,
+         |             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |      FROM tf)
+         |SELECT doc_id,
+         |       round(
+         |         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |       + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS score
+         |FROM tf CROSS JOIN s
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "chunk_documents" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |nz AS (SELECT doc_id, toks, len(toks) AS n FROM tt WHERE len(toks) > 0),

@@ -478,4 +478,42 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bigrams"))
       .orderBy("doc_id")
   }
+
+  /** BM25 retrieval scoring of the corpus against a FIXED query-term list
+    * (Okapi BM25, Lucene idf `ln(1 + (N - df + ½)/(df + ½))`) — the lexical
+    * half of a hybrid retrieval stack next to the ANN tier. Because the
+    * terms are a static list, per-doc tf comes from an array `filter` per
+    * term (map-only, no token explode) and the score is ONE fixed-order
+    * column expression — deterministic with no decimal detour; corpus
+    * stats (N, decimal-exact avgdl, per-term df) are a single 1-row agg
+    * broadcast to the scoring pass. Two scans total, independent of term
+    * count; docs matching no term score 0 and fall out of the top-k. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = queryTerms.distinct.sorted
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+    val withTf = base.select(
+      col("doc_id") +: col("dl") +: terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+      }: _*)
+    val statCols = count(lit(1)).as("n_docs") +:
+      (sum(col("dl").cast("decimal(28,6)")).cast("double") / count(lit(1))).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (col(s"tf$i") * lit(k1 + 1.0)) / (col(s"tf$i") + lenNorm)
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+  }
 }

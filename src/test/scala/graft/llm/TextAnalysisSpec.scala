@@ -233,4 +233,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getLong(1) == 0L && d2.isNullAt(2))
   }
 
+  test("bm25: Okapi scoring with Lucene idf, sorted-term fold order") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "durian durian durian durian")
+    ).toDF("doc_id", "text")
+    // terms pass in unsorted; the operator sorts -> fold order apple, banana
+    val r = TextAnalysis.bm25(docs, Seq("banana", "apple"), topK = 3)
+      .as[(Long, Double)].collect().toMap
+    // N=3, avgdl=3: identical double arithmetic to the operator
+    def term(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3L - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0L) == r9(term(2, 1, 3) + term(1, 2, 3)))
+    assert(r(1L) == r9(term(0, 1, 2) + term(1, 2, 2)))
+    assert(r(2L) == 0.0) // no query term present
+  }
+
 }
