@@ -492,6 +492,11 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), array_join(col("qvec"), ",").as("qvec_csv"))
         .orderBy("vec_id")),
 
+    // hybrid retrieval: RRF fusion of the BM25 pool and the cosine pool
+    "hybrid_topk_documents" -> ((s, d) =>
+      Similarity.hybridTopK(t(s, d, "documents"), t(s, d, "embeddings"),
+        Seq("hash", "join", "scan"), queryVecId = 0L)),
+
     // per-label centroid, long format; decimal-exact per-dim means
     "centroid_embeddings" -> ((s, d) =>
       Similarity.groupCentroids(t(s, d, "embeddings"), "label")),
@@ -884,6 +889,42 @@ object SparkEntry {
         |         / count(*) AS centroid
         |FROM embeddings, generate_series(1, 64) AS t(i)
         |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin,
+
+    // both pools ranked exactly as their source queries, fused with
+    // coalesced reciprocal ranks; full outer join keeps single-pool docs
+    "hybrid_topk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t WHERE len(toks) > 0),
+         |tf AS (SELECT doc_id, dl,
+         |         CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+         |         CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+         |         CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+         |       FROM base),
+         |s AS (SELECT count(*) AS n_docs,
+         |             CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl,
+         |             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |      FROM tf),
+         |lexall AS (
+         |  SELECT doc_id,
+         |         round(
+         |           ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |         + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |         + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS score
+         |  FROM tf CROSS JOIN s ORDER BY score DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM lexall),
+         |e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT c.id AS nid, round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.id <> c.id WHERE q.id = 0),
+         |vecr AS (SELECT doc_id, r_vec FROM (
+         |  SELECT nid AS doc_id, row_number() OVER (ORDER BY sim DESC, nid) AS r_vec FROM scored)
+         |  WHERE r_vec <= 20)
+         |SELECT doc_id,
+         |       COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_vec), 0.0) AS rrf
+         |FROM lex FULL OUTER JOIN vecr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // centroid arrays rebuilt per label; dot products fold left in array
     // order with an explicit 0.0 init (list_reduce has none), round 9

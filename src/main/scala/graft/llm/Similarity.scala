@@ -344,6 +344,32 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, `1/(rrfK + rank)`) of
+    * the lexical tier ([[TextAnalysis.bm25]] top-`poolK`) and the vector
+    * tier ([[annBruteTopK]] top-`poolK` for `queryVecId`). Docs surfacing
+    * in both pools sum both reciprocal ranks — the standard
+    * score-calibration-free fusion. Each pool is already top-`poolK`
+    * (tiny), so the fusion join is driver-sized regardless of corpus
+    * scale; at 100 TB swap the brute vector pool for [[lshAnnTopK]] /
+    * [[ivfAnnTopK]] with identical fusion semantics. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                 queryVecId: Long, k: Int = 10, poolK: Int = 20, rrfK: Int = 60,
+                 docIdCol: String = "doc_id", vecIdCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // constant partition: rank 20 rows without the no-partition warning
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25(docs, queryTerms, topK = poolK, idCol = docIdCol)
+      .withColumn("r_lex", row_number().over(w))
+      .select(col("doc_id"), col("r_lex"))
+    val vec = annBruteTopK(emb, Seq(queryVecId), poolK, idCol = vecIdCol)
+      .select(col("nid").as("doc_id"), col("rnk").as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
   /** Per-group centroid in long format (group, dim_idx, n_vecs, centroid):
     * the embedding-space profile per label/cluster/source — the input to
     * drift checks, class-prototype classifiers, and cluster QA. Per-dim

@@ -161,6 +161,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getDouble(1) == 0.0 && r1.isNullAt(2))
   }
 
+  test("hybridTopK: RRF fuses lexical and vector pools, both-pool docs rank first") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "durian durian durian durian")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.hybridTopK(docs, emb, Seq("apple", "banana"),
+        queryVecId = 0L, k = 3, poolK = 3)
+      .as[(Long, Double)].collect().toSeq
+    // lex ranks: 0->1, 1->2, 2->3; vec ranks (query 0): 1->1, 2->2
+    val expect = Seq(
+      1L -> (1.0 / 62 + 1.0 / 61),
+      2L -> (1.0 / 63 + 1.0 / 62),
+      0L -> (1.0 / 61))
+    assert(r == expect)
+  }
+
   test("centroidSimMatrix: pairwise cosine between group centroids") {
     val df = Seq(
       ("a", Array(1.0f, 0.0f)), ("a", Array(1.0f, 0.0f)),
