@@ -41,6 +41,15 @@ object Readers {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
 
+  /** ORC read with enforced schema — the second columnar format next to
+    * parquet: same pushdown/pruning behavior (predicates reach the ORC
+    * reader's search argument, unreferenced columns never deserialize),
+    * verified by the plan assertion in SinksSpec. ORC is binary +
+    * self-describing, so there is no corrupt-record quarantine tier — a
+    * torn file fails the read instead of yielding rows. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Split an ingest frame into (clean rows without the quarantine column,
     * quarantined rows). The quarantine side keeps the FULL row — Spark
     * refuses a query over a raw JSON/CSV scan whose only referenced column
