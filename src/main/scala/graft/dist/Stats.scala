@@ -290,9 +290,10 @@ object Stats {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
     val v = col(valueCol).cast("double")
     val src = df.where(v.isNotNull && !isnan(v)).select(v.as("v"))
-    val bounds = src.agg(
-      expr(s"percentile(v, $loQ)").as("p_lo"),
-      expr(s"percentile(v, $hiQ)").as("p_hi"))
+    // ONE percentile aggregate (array arg): both bounds from a single
+    // sorted buffer instead of two independent sort-aggs over the column
+    val bounds = src.agg(expr(s"percentile(v, array($loQ, $hiQ))").as("pcts"))
+      .select(col("pcts").getItem(0).as("p_lo"), col("pcts").getItem(1).as("p_hi"))
     val clipped = greatest(least(col("v"), col("p_hi")), col("p_lo"))
     src.crossJoin(broadcast(bounds))
       .agg(
