@@ -151,6 +151,24 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q14-shape promo revenue share: date-pruned fact scan, shuffle
+    // join on partkey (part is not broadcast-tiny at scale), decimal-exact
+    "promo_revenue_lineitem" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+            / sum(col("rev")).cast("double")).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // bloom-prefiltered semi-join: fact rows probe the hot-order bloom
     // before any exchange; the exact semi-join removes false positives
     "bloom_join_lineitem" -> ((s, d) => {
@@ -1686,6 +1704,15 @@ object SparkEntry {
          |            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(na, nb) - 1 AS DOUBLE))), 9) END AS cramers_v
          |FROM s""".stripMargin
     },
+
+    "promo_revenue_lineitem" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_share,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin,
 
     // the bloom is exact-by-construction (no false negatives + exact
     // verify join), so the oracle is the plain semi-join

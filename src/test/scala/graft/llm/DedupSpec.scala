@@ -237,6 +237,24 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((0L, 1L, 2), (0L, 2L, 2)))
   }
 
+  test("editDistanceNearDup equals the naive cross-join on random mutated strings") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(_ =>
+      (0 until (5 + rnd.nextInt(15))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val docs = base.zipWithIndex.flatMap { case (s, i) =>
+      val mut = s.updated(rnd.nextInt(s.length), ('a' + rnd.nextInt(4)).toChar)
+      Seq((i * 2L, s), (i * 2L + 1L, mut))
+    }.toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDup(docs, maxDist = 2, keyLen = 24)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val keyed = docs.select(col("doc_id").as("id"),
+      substring(lower(col("text")), 1, 24).as("k"))
+    val naive = keyed.as("a").crossJoin(keyed.as("b"))
+      .where(col("a.id") < col("b.id") && levenshtein(col("a.k"), col("b.k")) <= 2)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("componentSizeDist rolls the near-dup graph into a size distribution") {
     // components {1,2,3} (chain) and {10,11}: one 2-cluster, one 3-cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
