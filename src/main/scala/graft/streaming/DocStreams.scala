@@ -1,7 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One token observation routed to its (window, shard) state cell. `ts` is
+  * the original WATERMARKED event-time column — it must survive into the
+  * grouped Dataset or Spark rejects the event-time timeout. */
+private case class TokenObs(winStartMs: Long, shard: Int,
+                            ts: java.sql.Timestamp, token: String)
+
+/** A heavy-hitter row emitted at window close: `cnt` overestimates the true
+  * count by at most `err` (space-saving guarantee). */
+case class HeavyHitter(win_start: java.sql.Timestamp, shard: Int,
+                       token: String, cnt: Long, err: Long)
+
+private case class HHState(counts: Map[String, (Long, Long)])
 
 /** Streaming faces of the document/text operators — the ingest half of a
   * training-data pipeline: documents arrive as a stream (with an ingest
@@ -55,4 +69,69 @@ object DocStreams {
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"))
       .select(col("window.start").as("win_start"), col("n_docs"), col("n_pass"),
         (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
+
+  /** Streaming heavy hitters with BOUNDED state: per tumbling window, the
+    * token stream shards by hash into `nShards` space-saving sketches of
+    * `capacity` counters each (a plain windowed `groupBy(token)` keeps
+    * state per DISTINCT token — unbounded on an open vocabulary; this keeps
+    * `nShards × capacity` counters per window, full stop).
+    *
+    * Space-saving eviction: a new token beyond capacity replaces the
+    * current minimum, inheriting its count as the overestimate bound —
+    * every emitted `cnt` exceeds the true count by at most `err`, and any
+    * token with true count > min-counter is guaranteed present. Sharding by
+    * token hash parallelizes the sketch across tasks AND keeps per-token
+    * counts exact-per-shard (a token always lands in the same shard, so
+    * shard results need no cross-merge).
+    *
+    * Rows emit only when the watermark passes the window end (event-time
+    * timeout), one batch of (token, cnt, err) per (window, shard); the
+    * sink applies the final top-k order. Group iterators fold in
+    * (ts, token) order so checkpoint replays are deterministic. */
+  def heavyHittersStream(docs: DataFrame, windowMinutes: Int = 60,
+                         capacity: Int = 1000, nShards: Int = 16,
+                         textCol: String = "text", tsCol: String = "ts",
+                         watermark: String = "2 hours"): Dataset[HeavyHitter] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val winMs = windowMinutes * 60000L
+    val toks = docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.llm.TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(
+        (floor(unix_millis(col(tsCol)) / winMs) * winMs).as("winStartMs"),
+        pmod(xxhash64(col("token")), lit(nShards)).cast("int").as("shard"),
+        col(tsCol).as("ts"), col("token"))
+      .as[TokenObs]
+    toks.groupByKey(o => (o.winStartMs, o.shard))
+      .flatMapGroupsWithState[HHState, HeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((winStartMs, shard), it, state: GroupState[HHState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          for (o <- it.toSeq.sortBy(o => (o.ts.getTime, o.token))) {
+            counts.get(o.token) match {
+              case Some((c, e)) => counts = counts.updated(o.token, (c + 1, e))
+              case None if counts.size < capacity =>
+                counts = counts.updated(o.token, (1L, 0L))
+              case None =>
+                // evict the (count, token)-min counter; inherit its count
+                val (mt, (mc, _)) = counts.minBy { case (t, (c, _)) => (c, t) }
+                counts = (counts - mt).updated(o.token, (mc + 1, mc))
+            }
+          }
+          val winEnd = winStartMs + winMs
+          val wm = state.getCurrentWatermarkMs()
+          if (wm >= winEnd) {
+            state.remove()
+            counts.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.iterator.map {
+              case (t, (c, e)) =>
+                HeavyHitter(new java.sql.Timestamp(winStartMs), shard, t, c, e)
+            }
+          } else {
+            state.update(HHState(counts))
+            state.setTimeoutTimestamp(math.max(winEnd, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

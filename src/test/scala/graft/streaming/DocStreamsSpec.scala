@@ -108,4 +108,50 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: exact counts under capacity, emits at window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // one shard so the sketch sees every token; capacity ample -> exact
+    val q = DocStreams.heavyHittersStream(in.toDF(), windowMinutes = 60,
+        capacity = 100, nShards = 1, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      in.addData(
+        Doc(0, "alpha alpha beta", "en", ts("2024-01-01 10:05:00")),
+        Doc(1, "alpha gamma", "en", ts("2024-01-01 10:15:00")),
+        // advances the watermark past the 10:00-11:00 window end
+        Doc(2, "later doc", "en", ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      in.addData(Doc(3, "flush", "en", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT token, cnt, err FROM hh WHERE win_start = '2024-01-01 10:00:00' ORDER BY cnt DESC, token")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("alpha", 3L, 0L), ("beta", 1L, 0L), ("gamma", 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("heavyHittersStream: eviction keeps the sketch bounded with the space-saving error") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocStreams.heavyHittersStream(in.toDF(), windowMinutes = 60,
+        capacity = 2, nShards = 1, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh2").outputMode("append").start()
+    try {
+      // arrival order (ts, token): aa aa aa bb, then cc evicts bb (min=1)
+      in.addData(
+        Doc(0, "aa aa aa bb", "en", ts("2024-01-01 10:05:00")),
+        Doc(1, "cc", "en", ts("2024-01-01 10:15:00")),
+        Doc(2, "flush", "en", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData(Doc(3, "flush2", "en", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT token, cnt, err FROM hh2 WHERE win_start = '2024-01-01 10:00:00' ORDER BY cnt DESC, token")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // only 2 counters survive; cc inherited bb's count as its error bound
+      assert(rows == Seq(("aa", 3L, 0L), ("cc", 2L, 1L)))
+    } finally q.stop()
+  }
+
 }
