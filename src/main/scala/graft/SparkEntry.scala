@@ -242,6 +242,14 @@ object SparkEntry {
     // SymSpell-blocked edit-distance near-dup over the 24-char text prefix
     "dedup_editdist_documents" -> ((s, d) =>
       Dedup.editDistanceNearDup(t(s, d, "documents"), maxDist = 1, keyLen = 24)),
+    // incremental ingest dedup: new batch (id >= 250) against the stored
+    // hash index of the first snapshot (id < 250)
+    "dedup_incremental_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupAgainstIndex(
+        docs.where(col("doc_id") >= 250),
+        Dedup.hashIndex(docs.where(col("doc_id") < 250)))
+    }),
 
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
@@ -406,6 +414,31 @@ object SparkEntry {
     // key-skew diagnostic ahead of a shuffle on o_custkey
     "key_skew_orders" -> ((s, d) =>
       graft.dist.Stats.keySkew(t(s, d, "orders"), "o_custkey")),
+
+    // CDF transform: each event's percentile rank within its type
+    "events_value_pctrank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value")
+      events(s, d)
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("event_type"), col("value").cast("double").as("value"))
+        .withColumn("pct_rank", cume_dist().over(w))
+        .orderBy("event_id")
+    }),
+
+    // week-over-week growth: daily counts per type, ratio to 7 rows back
+    "events_daily_wow" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("day_ms")
+      daily.withColumn("prev_week", lag(col("n_events"), 7).over(w))
+        .withColumn("wow",
+          col("n_events").cast("double") / col("prev_week").cast("double"))
+        .orderBy("event_type", "day_ms")
+    }),
 
     // ordered 3-step funnel (view -> click -> purchase within 1h of the view)
     "funnel_events" -> ((s, d) => graft.dist.EventAnalytics.funnel(events(s, d))),
@@ -746,6 +779,25 @@ object SparkEntry {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "events_value_pctrank" ->
+      """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+        |       cume_dist() OVER (PARTITION BY event_type
+        |                         ORDER BY CAST(value AS DOUBLE)) AS pct_rank
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        |ORDER BY event_id""".stripMargin,
+
+    "events_daily_wow" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_ms, n_events,
+        |       lag(n_events, 7) OVER (PARTITION BY event_type ORDER BY day_ms) AS prev_week,
+        |       CAST(n_events AS DOUBLE)
+        |         / CAST(lag(n_events, 7) OVER (PARTITION BY event_type ORDER BY day_ms) AS DOUBLE) AS wow
+        |FROM d ORDER BY event_type, day_ms""".stripMargin,
+
     "events_value_quartiles" ->
       """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
         |       CAST(ntile(4) OVER (PARTITION BY event_type
@@ -965,6 +1017,14 @@ object SparkEntry {
         |  FROM arr a JOIN arr b ON a.label < b.label)
         |SELECT label_a, label_b, round(ab / (sqrt(aa) * sqrt(bb)), 9) AS sim
         |FROM dots ORDER BY label_a, label_b""".stripMargin,
+
+    // hash-free mirror: same keep-one-and-anti semantics on raw text
+    "dedup_incremental_documents" ->
+      """WITH old AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+        |new AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS doc_id FROM new
+        |WHERE text NOT IN (SELECT text FROM old)
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "dedup_editdist_documents" ->
       """WITH k AS (SELECT doc_id AS id, substr(lower(text), 1, 24) AS k FROM documents)

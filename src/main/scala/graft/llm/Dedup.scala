@@ -337,6 +337,27 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Content-hash index of a corpus snapshot — the stored artifact an
+    * incremental ingest pipeline deduplicates new batches against. Slim by
+    * construction: one 8-byte hash per distinct document. */
+  def hashIndex(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(xxhash64(col(textCol)).as("h")).distinct()
+
+  /** Incremental exact dedup: drop new-batch docs whose content hash is
+    * already in `index` (a [[hashIndex]] of all prior snapshots), then
+    * keep-one (min id) within the batch. The daily-ingest shape at 100 TB:
+    * the anti-join and keep-one agg both shuffle only (id, hash) — document
+    * text never crosses an exchange, and the index side is hashes only.
+    * Returns surviving ids; callers semi-join back for payloads and append
+    * the survivors' hashes to the index for the next batch. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withH = newDocs.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+    withH.join(index.select(col("h").as("__h")).distinct(), Seq("__h"), "left_anti")
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol).orderBy(idCol)
+  }
+
   /** All strings obtainable from `k` by deleting exactly one character —
     * the SymSpell blocking primitive (pure HOF expression, map-only). */
   private def del1(k: Column): Column =

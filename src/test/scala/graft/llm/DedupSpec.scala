@@ -216,6 +216,17 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((7L, 2L, 1L, "a b")))
   }
 
+  test("dedupAgainstIndex drops index hits and intra-batch dups, keeps min id") {
+    val old = docsMini.where(col("doc_id") <= 2)
+    val nw = Seq(
+      (10L, "pack my box with five dozen liquor jugs"), // already in the index
+      (11L, "fresh text one"), (12L, "fresh text one"), // intra-batch dup
+      (13L, "fresh text two")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstIndex(nw, Dedup.hashIndex(old)).as[Long].collect().toSeq
+    assert(r == Seq(11L, 13L))
+  }
+
   test("editDistanceNearDup: SymSpell blocking finds all pairs within maxDist, none beyond") {
     val docs = Seq(
       (0L, "hello world"),   // 1 sub from 1
