@@ -151,6 +151,25 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // the same star join with the fact⋈orders edge SALTED: output must
+    // equal revenue_by_nation exactly (the salt only splits hot keys
+    // across tasks) — the skew toolkit under the oracle, not just a spec
+    "revenue_by_nation_salted" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, d, "orders").select(col("o_orderkey").as("k"), col("o_custkey"))
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+      graft.dist.Joins.saltedJoin(li, ord, Seq("k"), salts = 8)
+        .join(cust, col("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // TPC-H Q14-shape promo revenue share: date-pruned fact scan, shuffle
     // join on partkey (part is not broadcast-tiny at scale), decimal-exact
     "promo_revenue_lineitem" -> ((s, d) => {
@@ -1785,6 +1804,17 @@ object SparkEntry {
     // revenue: double product cast to DECIMAL(18,6) BEFORE the sum on both
     // engines — exact decimal summation, order-independent
     "revenue_by_nation" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // identical oracle to revenue_by_nation: salting must not change output
+    "revenue_by_nation_salted" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
