@@ -434,6 +434,14 @@ object SparkEntry {
     "key_skew_orders" -> ((s, d) =>
       graft.dist.Stats.keySkew(t(s, d, "orders"), "o_custkey")),
 
+    // latest-version compaction: newest event per user, one hash-agg
+    "events_latest_per_user" -> ((s, d) =>
+      Dedup.latestByKey(
+        events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        Seq("user_id"), "ts_us", "event_id")
+      .orderBy("user_id")),
+
     // CDF transform: each event's percentile rank within its type
     "events_value_pctrank" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -797,6 +805,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // ranking-window mirror of the max_by((ts, tie)) winner
+    "events_latest_per_user" ->
+      """SELECT user_id, event_id, ts_us, event_type FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "events_value_pctrank" ->
       """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,

@@ -337,6 +337,23 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Latest-version compaction: keep each key's newest row by
+    * (`tsCol`, `tieCol`) — the CDC/upsert-log compaction pass every
+    * incrementally-maintained table needs before analytics. ONE
+    * map-side-combined hash-agg via `max_by` (no sort, no ranking window —
+    * the agg buffer holds exactly one payload struct per key, so the
+    * shuffle carries one row per key per partition). `tieCol` makes the
+    * winner deterministic when timestamps collide. */
+  def latestByKey(df: DataFrame, keys: Seq[String],
+                  tsCol: String, tieCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val rest = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(rest.map(col): _*),
+        struct(col(tsCol), col(tieCol))).as("__latest"))
+      .select(keys.map(col) ++ rest.map(c => col(s"__latest.$c")): _*)
+  }
+
   /** Content-hash index of a corpus snapshot — the stored artifact an
     * incremental ingest pipeline deduplicates new batches against. Slim by
     * construction: one 8-byte hash per distinct document. */

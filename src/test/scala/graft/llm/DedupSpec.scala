@@ -216,6 +216,17 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((7L, 2L, 1L, "a b")))
   }
 
+  test("latestByKey keeps the newest row per key, ties broken by tieCol") {
+    val df = Seq(
+      (1L, 100L, 10L, "a"), (1L, 200L, 11L, "b"),  // newest ts wins
+      (2L, 300L, 20L, "c"), (2L, 300L, 21L, "d"),  // ts tie -> max tie col
+      (3L, 400L, 30L, "e")
+    ).toDF("key", "ts", "ver", "payload")
+    val r = Dedup.latestByKey(df, Seq("key"), "ts", "ver")
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(r == Seq((1L, 200L, 11L, "b"), (2L, 300L, 21L, "d"), (3L, 400L, 30L, "e")))
+  }
+
   test("dedupAgainstIndex drops index hits and intra-batch dups, keeps min id") {
     val old = docsMini.where(col("doc_id") <= 2)
     val nw = Seq(
