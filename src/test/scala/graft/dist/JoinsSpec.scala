@@ -145,6 +145,17 @@ class JoinsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("bloomSemiJoin stays exact even when the bloom is saturated with false positives") {
+    // 64-bit bloom for 500 keys: nearly every probe passes; the exact
+    // semi-join must still strip every false positive
+    val fact = (0L until 2000L).map(i => (i, i)).toDF("row_id", "fk")
+    val dim = (0L until 1000L by 2).toDF("k") // even keys only
+    val got = Joins.bloomSemiJoin(fact, dim, "fk", "k",
+        expectedItems = 500L, numBits = 64L)
+      .select("row_id").as[Long].collect().toSet
+    assert(got == (0L until 1000L by 2).toSet)
+  }
+
   test("bloomSemiJoin probes the bloom in a fact-side filter before the join") {
     // a file source, not a LocalRelation: the optimizer eagerly evaluates
     // deterministic filters over local data, folding the probe away
