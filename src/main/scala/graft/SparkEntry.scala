@@ -258,6 +258,29 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.componentSizeDist(
         Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))),
+    // set operations (INTERSECT / EXCEPT plan as hash semi/anti joins):
+    // distinct-text overlap accounting between two sources
+    "source_set_ops_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.where(col("source") === "src0").select("text").distinct()
+      val b = docs.where(col("source") === "src1").select("text").distinct()
+      a.intersect(b).agg(count(lit(1)).as("n_both"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_a")))
+        .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_b")))
+    }),
+
+    // unpivot/melt: three measures to long format, per-measure totals
+    "lineitem_unpivot_measures" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(Array.empty, "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("val").cast("decimal(28,6)")).cast("double").as("total"))
+        .orderBy("measure")),
+
     // SymSpell-blocked edit-distance near-dup over the 24-char text prefix
     "dedup_editdist_documents" -> ((s, d) =>
       Dedup.editDistanceNearDup(t(s, d, "documents"), maxDist = 1, keyLen = 24)),
@@ -1052,6 +1075,25 @@ object SparkEntry {
         |  FROM arr a JOIN arr b ON a.label < b.label)
         |SELECT label_a, label_b, round(ab / (sqrt(aa) * sqrt(bb)), 9) AS sim
         |FROM dots ORDER BY label_a, label_b""".stripMargin,
+
+    "source_set_ops_documents" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE source = 'src0'),
+        |b AS (SELECT DISTINCT text FROM documents WHERE source = 'src1')
+        |SELECT (SELECT count(*) FROM (SELECT text FROM a INTERSECT SELECT text FROM b)) AS n_both,
+        |       (SELECT count(*) FROM (SELECT text FROM a EXCEPT SELECT text FROM b)) AS n_only_a,
+        |       (SELECT count(*) FROM (SELECT text FROM b EXCEPT SELECT text FROM a)) AS n_only_b""".stripMargin,
+
+    // UNION ALL mirror of unpivot: measure name = source column name
+    "lineitem_unpivot_measures" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+        |SELECT measure, count(*) AS n_rows,
+        |       CAST(sum(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
 
     // hash-free mirror: same keep-one-and-anti semantics on raw text
     "dedup_incremental_documents" ->
