@@ -577,6 +577,19 @@ object SparkEntry {
     // Shannon entropy of categorical columns, one scan, pinned-order fold
     "entropy_documents" -> ((s, d) =>
       graft.dist.Stats.entropy(t(s, d, "documents"), Seq("lang", "source"))),
+    // per-column profile: null rate, cardinality, range, exact mean — one scan
+    "profile_columns_lineitem" -> ((s, d) =>
+      graft.dist.Stats.profile(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // mutual information lang ↔ source (+ marginal entropies, normalized MI)
+    "mi_lang_source" -> ((s, d) =>
+      graft.dist.Stats.mutualInformation(t(s, d, "documents"), "lang", "source")),
+    // Gini concentration of token mass across documents (data-mix audit)
+    "gini_doclen_documents" -> ((s, d) =>
+      graft.dist.Stats.gini(
+        t(s, d, "documents").select(
+          size(TextAnalysis.tokens(col("text"))).as("doclen")),
+        "doclen")),
     // Gopher-style rule filter: per-doc signals + per-rule booleans + verdict
     "gopher_filter_documents" -> ((s, d) => TextAnalysis.gopherFilter(t(s, d, "documents"))),
     // corpus-trained bigram LM fluency score (perplexity-filter stand-in)
@@ -1143,6 +1156,62 @@ object SparkEntry {
         |       CASE WHEN variance > 0 THEN round(m3 / (variance * sqrt(variance)), 9) END AS skewness,
         |       CASE WHEN variance > 0 THEN round(m4 / (variance * variance) - 3, 9) END AS kurtosis
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // struct-explode long pivot keeps nulls; mean on DECIMAL(28,6)-exact sums
+    "profile_columns_lineitem" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+        |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+        |       count(DISTINCT v) AS n_distinct, min(v) AS min_v, max(v) AS max_v,
+        |       CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(v) AS mean_v
+        |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // mirrors Stats.mutualInformation: one sorted cell list, MI terms and
+    // both marginal entropies as pinned-order folds with nested integer
+    // marginal folds — identical tree to the engine's
+    "mi_lang_source" -> {
+      def isum(lst: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $lst), (p, q) -> p + q)"
+      def fsum(lst: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $lst), (s1, s2) -> s1 + s2)"
+      def marg(field: String, cv: String) = isum(
+        s"list_transform(list_filter(cs, f -> struct_extract(f, '$field') = struct_extract($cv, '$field')), c2 -> struct_extract(c2, 'o'))")
+      val od = "CAST(struct_extract(c, 'o') AS DOUBLE)"
+      val term = s"$od / nd * ln($od * nd / (CAST(${marg("a", "c")} AS DOUBLE) * CAST(${marg("b", "c")} AS DOUBLE)))"
+      val mi = fsum(s"list_transform(cs, c -> ($term))")
+      def margTotOfVal(field: String) = isum(
+        s"list_transform(list_filter(cs, f -> struct_extract(f, '$field') = v), c2 -> struct_extract(c2, 'o'))")
+      def margEnt(field: String) = {
+        val vals = s"list_sort(list_distinct(list_transform(cs, c -> struct_extract(c, '$field'))))"
+        val sumClnC = fsum(
+          s"list_transform($vals, v -> (CAST(${margTotOfVal(field)} AS DOUBLE) * ln(CAST(${margTotOfVal(field)} AS DOUBLE))))")
+        s"ln(nd) - $sumClnC / nd"
+      }
+      s"""WITH cells AS (
+         |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b, count(*) AS o
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |g AS (SELECT list_sort(list(struct_pack(a := a, b := b, o := o))) AS cs FROM cells),
+         |m AS (SELECT cs, ${isum("list_transform(cs, c -> struct_extract(c, 'o'))")} AS n FROM g),
+         |s AS (SELECT n, cs, CAST(n AS DOUBLE) AS nd FROM m),
+         |f AS (SELECT n, $mi AS mi, ${margEnt("a")} AS ha, ${margEnt("b")} AS hb FROM s)
+         |SELECT n, round(mi, 9) AS mi, round(ha, 9) AS h_a, round(hb, 9) AS h_b,
+         |       CASE WHEN ha > 0 AND hb > 0 THEN round(mi / sqrt(ha * hb), 9) END AS nmi
+         |FROM f""".stripMargin
+    },
+
+    // rank formula over a window — Σ i·w is integer-exact under ties, so it
+    // needs no fold mirroring; the one float division matches the engine's
+    // exact-integer operands bit-for-bit
+    "gini_doclen_documents" ->
+      s"""WITH w AS (SELECT CAST(len($toksSql) AS BIGINT) AS w FROM documents),
+         |r AS (SELECT w, row_number() OVER (ORDER BY w) AS rn FROM w)
+         |SELECT count(*) AS n, CAST(sum(w) AS BIGINT) AS total_w,
+         |       round(CAST(2 * sum(rn * w) AS DOUBLE) /
+         |             CAST(count(*) * sum(w) AS DOUBLE) -
+         |             CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS gini
+         |FROM r""".stripMargin,
 
     // ln n − (Σ c·ln c)/n over the SORTED count list — the same pinned-order
     // fold the engine runs (ties contribute identical terms)

@@ -374,6 +374,123 @@ object Stats {
         round(sqrt(chi2 / (n.cast("double") * minDim.cast("double"))), 9)).as("cramers_v"))
   }
 
+  /** Per-column data profile in ONE scan — the pre-flight audit before any
+    * pipeline run (null rates, cardinality, range, exact mean per measure).
+    * The columns unpivot into (col_name, v) long format via a struct-explode
+    * (keeps nulls, unlike `unpivot`), then one hash-agg per column computes
+    * row/non-null/distinct counts, min/max, and a DECIMAL(28,6)-exact mean.
+    *
+    * Scale: the explode multiplies rows by |cols| but stays map-local; the
+    * agg is map-side combined on |cols| keys. The one scale-sensitive term
+    * is `count_distinct` (shuffles each column's distinct values) — at
+    * 100 TB swap it for [[approxDistinct]]'s HLL registers; the rest of the
+    * profile is unchanged. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    pairs.groupBy("col_name").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"),
+        max("v").as("max_v"),
+        (sum(col("v").cast("decimal(28,6)")).cast("double") / count(col("v")))
+          .as("mean_v"))
+      .orderBy("col_name")
+  }
+
+  /** Mutual information between two categorical columns, plus both marginal
+    * entropies and the normalized MI (MI / sqrt(Ha·Hb)) — the
+    * "how much does knowing A tell you about B" companion to [[chiSquare]],
+    * used for redundant-label detection and stratification design.
+    *
+    * Same determinism discipline as [[chiSquare]]: ONE contingency hash-agg
+    * (bounded by |A|×|B|), then every float sum runs as a fold over the
+    * SORTED cell array with marginals recomputed as nested integer folds —
+    * identical expression tree on every run (and in the oracle), so the
+    * statistic is bit-reproducible under any partitioning. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val g = cells.agg(
+      sort_array(collect_list(struct(col("a"), col("b"), col("o")))).as("cs"))
+    val cs = col("cs")
+    def tot(pred: Column => Column): Column =
+      aggregate(filter(cs, pred), lit(0L), (acc, c) => acc + c.getField("o"))
+    val n = aggregate(cs, lit(0L), (acc, c) => acc + c.getField("o"))
+    val nd = n.cast("double")
+    val term = (c: Column) => {
+      val od = c.getField("o").cast("double")
+      val ra = tot(x => x.getField("a") === c.getField("a")).cast("double")
+      val cb = tot(x => x.getField("b") === c.getField("b")).cast("double")
+      od / nd * log(od * nd / (ra * cb))
+    }
+    val mi = aggregate(cs, lit(0.0), (acc, c) => acc + term(c))
+    // marginal entropy via a fold over the SORTED distinct-value list; the
+    // per-value total is the same nested integer fold the MI terms use
+    def margEntropy(field: String): Column = {
+      val vals = sort_array(array_distinct(transform(cs, _.getField(field))))
+      val sumClnC = aggregate(vals, lit(0.0), (acc, v) => {
+        val t = tot(x => x.getField(field) === v).cast("double")
+        acc + t * log(t)
+      })
+      log(nd) - sumClnC / nd
+    }
+    val ha = margEntropy("a")
+    val hb = margEntropy("b")
+    g.select(
+      n.as("n"),
+      round(mi, 9).as("mi"),
+      round(ha, 9).as("h_a"),
+      round(hb, 9).as("h_b"),
+      when(ha > 0 && hb > 0, round(mi / sqrt(ha * hb), 9)).as("nmi"))
+  }
+
+  /** Gini coefficient of a non-negative integer weight column — the
+    * concentration/inequality audit (token mass per document, rows per key,
+    * bytes per file) behind data-mix and skew decisions. 0 = perfectly even,
+    * →1 = one row holds all the mass.
+    *
+    * Scale + determinism shape: rather than globally sorting the rows (the
+    * textbook rank formula), weights compress to (w, cnt) frequency pairs —
+    * bounded by the weight's VALUE cardinality, like [[entropy]]'s count
+    * array — and the rank-weighted sum Σ i·w₍ᵢ₎ folds over the sorted pair
+    * list in closed form per run of equal weights:
+    * w·(cnt·r₀ + cnt·(cnt−1)/2). Every term is integer-exact (the single
+    * float division happens once, on exact DECIMAL(38,0) totals), so the
+    * result is bit-identical under any partitioning and needs no pinned
+    * float fold. */
+  def gini(df: DataFrame, weightCol: String): DataFrame = {
+    val wc = df.select(col(weightCol).cast("long").as("w"))
+      .where(col("w").isNotNull && col("w") >= 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val g = wc.agg(sort_array(collect_list(struct(col("w"), col("cnt")))).as("ws"))
+    // fold state: r = ranks consumed so far, s = Σ i·w so far (1-based ranks)
+    val folded = aggregate(col("ws"),
+      struct(lit(0L).as("r"), lit(0L).as("s")),
+      (acc, x) => {
+        val w = x.getField("w"); val cnt = x.getField("cnt")
+        struct(
+          (acc.getField("r") + cnt).as("r"),
+          (acc.getField("s") +
+            w * (cnt * (acc.getField("r") + lit(1L)) +
+              shiftright(cnt * (cnt - lit(1L)), 1))).as("s"))
+      })
+    val nTot = aggregate(col("ws"), lit(0L), (acc, x) => acc + x.getField("cnt"))
+    val wTot = aggregate(col("ws"), lit(0L),
+      (acc, x) => acc + x.getField("w") * x.getField("cnt"))
+    g.select(folded.getField("s").as("s"), nTot.as("n"), wTot.as("total_w"))
+      .select(col("n"), col("total_w"),
+        round((col("s").cast("decimal(38,0)") * 2).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("total_w")).cast("double") -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"),
+          9).as("gini"))
+  }
+
   /** HyperLogLog++ distinct counts for several columns in ONE scan:
     * fixed-size mergeable registers per column, map-side combined — the
     * 100 TB distinct-count shape (exact `count_distinct` shuffles every

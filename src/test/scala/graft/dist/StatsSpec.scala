@@ -208,6 +208,50 @@ class StatsSpec extends SparkSpec {
     assert(h.getLong(2) == 91L && h.getDouble(3) == 91.0 * 10.0 / 100.0)
   }
 
+  test("profile: counts, nulls, cardinality, range, exact mean per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 10.0))
+      .toDF("a", "b")
+    val r = Stats.profile(df, Seq("a", "b")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 3L && a.getLong(3) == 2L)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 2.0)
+    assert(math.abs(a.getDouble(6) - 5.0 / 3.0) < 1e-12)
+    val b = r("b")
+    assert(b.getLong(1) == 4L && b.getLong(2) == 3L && b.getLong(3) == 2L)
+    assert(b.getDouble(4) == 10.0 && b.getDouble(5) == 30.0)
+    assert(math.abs(b.getDouble(6) - 50.0 / 3.0) < 1e-12)
+  }
+
+  test("mutualInformation: zero for independent, ln k for identical columns") {
+    // independent 2x2 uniform: MI = 0, NMI = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val ri = Stats.mutualInformation(ind, "a", "b").head()
+    assert(ri.getLong(0) == 4L && math.abs(ri.getDouble(1)) < 1e-9)
+    assert(math.abs(ri.getDouble(2) - math.log(2.0)) < 1e-8)
+    assert(math.abs(ri.getDouble(4)) < 1e-9)
+    // identical columns, 3 uniform values: MI = H = ln 3, NMI = 1
+    val dep = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    val rd = Stats.mutualInformation(dep, "a", "b").head()
+    assert(math.abs(rd.getDouble(1) - math.log(3.0)) < 1e-8)
+    assert(math.abs(rd.getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("gini: 0 for equal weights, closed-form for concentrated mass") {
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("w")
+    val re = Stats.gini(eq, "w").head()
+    assert(re.getLong(0) == 4L && re.getLong(1) == 20L && re.getDouble(2) == 0.0)
+    // {0,0,0,10}: sorted ranks 1..4, sum(i*w) = 40, G = 80/(4*10) - 5/4 = 0.75
+    val hot = Seq(0L, 0L, 10L, 0L).toDF("w")
+    val rh = Stats.gini(hot, "w").head()
+    assert(rh.getLong(1) == 10L && rh.getDouble(2) == 0.75)
+    // mixed with duplicate weights: {1,1,2}: sum(i*w) = 1+2+6 = 9
+    // G = 18/(3*4) - 4/3 = 1.5 - 1.3333... = 0.166666667
+    val rm = Stats.gini(Seq(1L, 2L, 1L).toDF("w"), "w").head()
+    assert(math.abs(rm.getDouble(2) - (18.0 / 12.0 - 4.0 / 3.0)) < 1e-9)
+  }
+
   test("winsorize: interpolated bounds, tail clip counts, exact means") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val r = Stats.winsorize(df, "v", 0.01, 0.99).head()
