@@ -577,6 +577,23 @@ object SparkEntry {
     // Shannon entropy of categorical columns, one scan, pinned-order fold
     "entropy_documents" -> ((s, d) =>
       graft.dist.Stats.entropy(t(s, d, "documents"), Seq("lang", "source"))),
+    // deterministic ±1 random projection 64→16 dims, decimal-exact sums
+    "rp_reduce_embeddings" -> ((s, d) =>
+      Similarity.rpReduce(t(s, d, "embeddings"), outDims = 16)),
+    // Z-order layout key over (quantity, discount) 16×16 bins: per-cell
+    // counts along the Morton curve — the multi-dim clustering audit
+    "zorder_lineitem" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("disc"))
+        .where(col("q") >= 1.0 && col("q") <= 50.0 &&
+          col("disc") >= 0.0 && col("disc") <= 0.1)
+      val bx = least(floor((col("q") - lit(1.0)) / lit(49.0 / 16)), lit(15L)).cast("long")
+      val by = least(floor(col("disc") / lit(0.1 / 16)), lit(15L)).cast("long")
+      li.select(graft.sources.Sinks.zorderKey(bx, by, bits = 4).as("zkey"))
+        .groupBy("zkey").agg(count(lit(1)).as("n_rows"))
+        .orderBy("zkey")
+    }),
     // per-column profile: null rate, cardinality, range, exact mean — one scan
     "profile_columns_lineitem" -> ((s, d) =>
       graft.dist.Stats.profile(t(s, d, "lineitem"),
@@ -1156,6 +1173,36 @@ object SparkEntry {
         |       CASE WHEN variance > 0 THEN round(m3 / (variance * sqrt(variance)), 9) END AS skewness,
         |       CASE WHEN variance > 0 THEN round(m4 / (variance * variance) - 3, 9) END AS kurtosis
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // same integer sign matrix (popcount parity), DECIMAL(28,8)-exact sums;
+    // DuckDB's 1-based list index j maps to the engine's 0-based (j-1)
+    "rp_reduce_embeddings" ->
+      """WITH t AS (
+        |  SELECT vec_id, k,
+        |         CAST(CASE WHEN bit_count(k * 2654435761 + (j - 1) * 40503) % 2 = 0
+        |                   THEN 1 ELSE -1 END
+        |              * CAST(embedding[j] AS DOUBLE) AS DECIMAL(28,8)) AS term
+        |  FROM embeddings,
+        |       generate_series(1, 64) AS tj(j),
+        |       generate_series(0, 15) AS tk(k))
+        |SELECT vec_id, CAST(k AS INTEGER) AS dim_idx,
+        |       CAST(sum(term) AS DOUBLE) AS z
+        |FROM t GROUP BY vec_id, k ORDER BY vec_id, dim_idx""".stripMargin,
+
+    // identical bin arithmetic and bit interleave, pure integer ops
+    "zorder_lineitem" -> {
+      val interleave = (0 until 4).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - 1.0) / (49.0 / 16)), 15) AS BIGINT) AS bx,
+         |         CAST(least(floor(CAST(l_discount AS DOUBLE) / (0.1 / 16)), 15) AS BIGINT) AS by
+         |  FROM lineitem
+         |  WHERE CAST(l_quantity AS DOUBLE) >= 1.0 AND CAST(l_quantity AS DOUBLE) <= 50.0
+         |    AND CAST(l_discount AS DOUBLE) >= 0.0 AND CAST(l_discount AS DOUBLE) <= 0.1),
+         |z AS (SELECT $interleave AS zkey FROM b)
+         |SELECT zkey, count(*) AS n_rows FROM z GROUP BY zkey ORDER BY zkey""".stripMargin
+    },
 
     // struct-explode long pivot keeps nulls; mean on DECIMAL(28,6)-exact sums
     "profile_columns_lineitem" ->

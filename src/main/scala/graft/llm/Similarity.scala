@@ -389,6 +389,40 @@ object Similarity {
           / count(lit(1))).as("centroid"))
       .orderBy(groupCol, "dim_idx")
 
+  /** Deterministic sign-random-projection dimensionality reduction
+    * (Achlioptas-style ±1 projection, the JL-lemma workhorse behind
+    * fast near-dup prefilters and cheaper ANN tiers): each input vector
+    * maps to `outDims` components z_k = Σ_j sign(k,j)·x_j, with the sign
+    * matrix derived from pure integer arithmetic (popcount parity of a
+    * multiplicative mix of (k, j)) rather than a seeded RNG, so any engine
+    * reproduces it bit-for-bit — a production deployment would swap in a
+    * seeded Gaussian matrix with identical plumbing.
+    *
+    * Scale + determinism shape: entirely map-only (no shuffle, no matrix
+    * broadcast — the "matrix" is an expression); each term casts
+    * float→double→DECIMAL(28,8) so the per-component sums are exact and
+    * order-free, mirroring [[groupCentroids]]'s discipline. Output is long
+    * format (id, dim_idx, z) for direct comparison/storage. */
+  def rpReduce(emb: DataFrame, outDims: Int = 16, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val zs = (0 until outDims).map { k =>
+      val terms = transform(col(embCol), (x, j) => {
+        val h = lit(k.toLong * 2654435761L) + j.cast("long") * lit(40503L)
+        val sign = when(bit_count(h) % 2 === 0, lit(1)).otherwise(lit(-1))
+        // sign applies on the DOUBLE (exact flip) — a decimal×int product
+        // would widen past precision 38 and silently drop to scale 6
+        (x.cast("double") * sign).cast("decimal(28,8)")
+      })
+      // accumulator pinned at (30,8): each add widens to (31,8) and casts
+      // back losslessly — a (38,8) accumulator would overflow precision on
+      // add and Spark would silently cut the scale to 7, rounding per step
+      aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(30,8)"),
+        (acc, t) => (acc + t).cast("decimal(30,8)")).cast("double")
+    }
+    emb.select(col(idCol), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
+      .orderBy(idCol, "dim_idx")
+  }
+
   /** Pairwise cosine similarity between per-group centroids — the
     * group-level drift/affinity matrix (are two sources converging? did
     * this week's cluster move?). Builds on [[groupCentroids]]: gather each

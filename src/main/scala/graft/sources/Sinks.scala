@@ -42,6 +42,23 @@ object Sinks {
     * key). Costs one count job up front (documented; at 100 TB reuse a
     * known row count) and the range-exchange sampling pass.
     * `maxRecordsPerFile` backstops skewed ranges. */
+  /** Morton / Z-order interleave of two bin ids (each in [0, 2^bits)):
+    * bit b of `bx` lands at output bit 2b, bit b of `by` at 2b+1. Sorting
+    * or range-partitioning on the Z key clusters BOTH dimensions at once,
+    * so parquet footer min/max stats skip files for predicates on either
+    * column — the multi-column generalization of [[writeSized]]'s
+    * single-key clustering (pair with it: `writeSized(df.withColumn("zkey",
+    * zorderKey(...)), path, "zkey", n)`). Pure integer bit arithmetic —
+    * identical in any engine, codegen-friendly, no UDF. */
+  def zorderKey(bx: org.apache.spark.sql.Column, by: org.apache.spark.sql.Column,
+                bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits).map { b =>
+      shiftleft(shiftright(bx.cast("long"), b).bitwiseAND(1), 2 * b) +
+        shiftleft(shiftright(by.cast("long"), b).bitwiseAND(1), 2 * b + 1)
+    }.reduce(_ + _)
+  }
+
   /** Per-file key statistics of a parquet directory: (file, rows, key
     * min/max) via `input_file_name()` — the audit that a [[writeSized]] /
     * partitioned layout actually clusters (disjoint per-file ranges ⇒

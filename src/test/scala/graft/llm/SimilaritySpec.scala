@@ -195,6 +195,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Seq(("a", "b", 0.0), ("a", "c", s), ("b", "c", s)))
   }
 
+  test("rpReduce: signed sums match the integer sign matrix, no shuffle ops") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    def sign(k: Long, j: Long): Int =
+      if (java.lang.Long.bitCount(k * 2654435761L + j * 40503L) % 2 == 0) 1 else -1
+    val vecs = Map(1L -> Seq(1.0, 2.0, 0.5), 2L -> Seq(-1.0, 0.0, 4.0))
+    val r = Similarity.rpReduce(df, outDims = 4).as[(Long, Int, Double)].collect()
+    assert(r.length == 8)
+    r.foreach { case (id, k, z) =>
+      val exp = (0 until 3).map(j => sign(k, j) * vecs(id)(j)).sum
+      assert(math.abs(z - exp) < 1e-9, s"id=$id k=$k")
+    }
+    // the projection itself is map-only: no aggregate, no join in the plan
+    val plan = Similarity.rpReduce(df, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
+    // partitioning-invariant (decimal-exact sums)
+    val r4 = Similarity.rpReduce(df.repartition(4), outDims = 4)
+      .as[(Long, Int, Double)].collect()
+    assert(r4.sorted.sameElements(r.sorted))
+  }
+
   test("groupCentroids: per-group per-dim exact means in long format") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),

@@ -102,4 +102,25 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(fs.length == 4 && fs.map(_.getLong(1)).sum == 1000L)
   }
 
+  test("zorderKey: bit interleave hand-checked on corners, axes, and a mix") {
+    val df = Seq((0L, 0L), (15L, 15L), (1L, 0L), (0L, 1L), (3L, 5L))
+      .toDF("bx", "by")
+    val r = df.select(Sinks.zorderKey(col("bx"), col("by"), bits = 4).as("z"))
+      .as[Long].collect()
+    // z(3,5): bx=0011 -> bits 0,2; by=0101 -> bits 1,5 => 1+4+2+32 = 39
+    assert(r.toSeq == Seq(0L, 255L, 1L, 2L, 39L))
+    // z-sorting clusters both dimensions: any 4-cell quadrant occupies a
+    // contiguous zkey block of exactly 4 (locality the footer stats exploit)
+    val all = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("bx", "by")
+      .select(col("bx"), col("by"),
+        Sinks.zorderKey(col("bx"), col("by"), bits = 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(all.map(_._3).sorted.toSeq == (0L until 256L).toSeq)
+    all.groupBy { case (x, y, _) => (x / 2, y / 2) }.foreach { case (_, cells) =>
+      val zs = cells.map(_._3).sorted
+      assert(zs.length == 4 && zs.last - zs.head == 3)
+    }
+  }
+
 }
