@@ -281,6 +281,22 @@ object SparkEntry {
           sum(col("val").cast("decimal(28,6)")).cast("double").as("total"))
         .orderBy("measure")),
 
+    // exact k-NN graph (verifier tier of the bucketed/cell graph builders)
+    "knn_graph_embeddings" -> ((s, d) =>
+      Similarity.knnGraph(t(s, d, "embeddings"), k = 3)),
+    // canonical-URL keep-one dedup; the corpus has no URL column, so the
+    // declared query injects a deterministic messy URL per doc (case/www/
+    // query/fragment/trailing-slash variants; doc_id % 50 forces dups)
+    "dedup_url_documents" -> ((s, d) =>
+      Dedup.urlDedup(
+        t(s, d, "documents").withColumn("url",
+          concat(
+            when(col("doc_id") % 2 === 0, lit("https://WWW.")).otherwise(lit("https://")),
+            col("source"), lit(".Example.com/Doc/"),
+            (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0, lit("?utm_source=x&ref=y")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))))),
     // SymSpell-blocked edit-distance near-dup over the 24-char text prefix
     "dedup_editdist_documents" -> ((s, d) =>
       Dedup.editDistanceNearDup(t(s, d, "documents"), maxDist = 1, keyLen = 24)),
@@ -2031,6 +2047,36 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_eval_ngrams
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // same all-pairs scoring as ann_brute, ranked per source vector
+    "knn_graph_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT a.id AS src, b.id AS dst,
+         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+         |  FROM e a JOIN e b ON a.id <> b.id),
+         |r AS (SELECT src, dst, sim,
+         |             CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT src, rnk, dst, sim FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    // identical URL synthesis + canonicalization regexes (Java ∩ RE2)
+    "dedup_url_documents" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'https://' END)
+        |         || source || '.Example.com/Doc/' || CAST(doc_id % 50 AS VARCHAR)
+        |         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&ref=y' ELSE '' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\.', '')
+        |         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS canon_url
+        |  FROM u),
+        |g AS (SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_dups FROM c GROUP BY canon_url)
+        |SELECT doc_id, canon_url, n_dups FROM g ORDER BY doc_id""".stripMargin,
 
     "domain_stats_documents" ->
       s"""WITH aug AS (

@@ -49,6 +49,36 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Canonical form of a URL for crawl dedup: scheme dropped, host
+    * case-folded with any leading `www.` stripped, query string and
+    * fragment removed, trailing slash trimmed; the path keeps its case
+    * (paths are case-sensitive, hosts are not). Pure regexp column ops
+    * from the Java∩RE2 regex subset, so any engine canonicalizes
+    * identically. */
+  def canonicalizeUrl(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    concat(host, path)
+  }
+
+  /** Keep-one URL dedup: the classic first stage of a web-crawl pipeline —
+    * group rows by [[canonicalizeUrl]], keep the smallest id per canonical
+    * URL. Returns (id, canon_url, n_dups) for the survivors.
+    *
+    * Scale shape mirrors [[dropExactDups]]: only (canon_url, id) pairs
+    * cross the exchange (map-side combined on the canonical key), never
+    * page content; a content column rides back via a semi-join on id if
+    * the caller needs it. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    docs.select(canonicalizeUrl(col(urlCol)).as("canon_url"), col(idCol))
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("canon_url"), col("n_dups"))
+      .orderBy(idCol)
+
   /** Distinct n-grams over a token-array column, each gram mapped through
     * `f` — single source of the shingle rule shared by [[shingles]],
     * [[shingleHashes]], and [[shingleDF]]. */

@@ -78,6 +78,33 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Exact k-NN graph over the corpus: every vector's k nearest neighbors
+    * by cosine, as edges (src, rnk, dst, sim) — the substrate for
+    * graph-based dedup clustering, label propagation, and diversity
+    * sampling. Deterministic: (sim desc, dst asc) per source, sims
+    * rounded at 9 digits like every cosine in this module.
+    *
+    * Scale: this is the VERIFIER tier — the all-pairs join is O(n²) by
+    * construction and the ranking window shuffles on `src` once. At corpus
+    * scale, build the graph from [[srpBucket]] buckets or [[semDedup]]'s
+    * k-means cells instead (same edge schema, candidates limited to
+    * same-bucket pairs) and accept approximate recall; this exact graph is
+    * what those tiers are property-tested against. */
+  def knnGraph(emb: DataFrame, k: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = e.toDF("src", "va", "na")
+    val b = e.toDF("dst", "vb", "nb")
+    val scored = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("src"), col("rnk"), col("dst"), col("sim"))
+      .orderBy("src", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim >= threshold), exact.
     * The embedding-space sibling of Dedup's text near-dup operators: norms
     * precompute per vector, pairs materialize through the join, FloatDot

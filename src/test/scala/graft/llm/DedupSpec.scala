@@ -284,4 +284,27 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((2L, 1L), (3L, 1L)))
   }
 
+  test("canonicalizeUrl: host case-fold, www/query/fragment/slash stripped, path case kept") {
+    val urls = Seq(
+      "https://WWW.Example.com/Doc/7",
+      "http://example.com/Doc/7/",
+      "https://example.com/Doc/7?utm_source=x&ref=y",
+      "https://www.example.com/Doc/7#top",
+      "https://example.com/doc/7",   // different path CASE: distinct
+      "https://example.com"          // no path at all
+    ).toDF("url")
+    val r = urls.select(Dedup.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(r.take(4).forall(_ == "example.com/Doc/7"))
+    assert(r(4) == "example.com/doc/7" && r(5) == "example.com")
+  }
+
+  test("urlDedup keeps min id per canonical URL with dup counts") {
+    val docs = Seq(
+      (1L, "https://a.com/x?q=1"), (2L, "https://WWW.A.com/x"),
+      (3L, "https://a.com/y"), (4L, "http://a.com/x#frag")
+    ).toDF("doc_id", "url")
+    val r = Dedup.urlDedup(docs).as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a.com/x", 3L), (3L, "a.com/y", 1L)))
+  }
+
 }

@@ -195,6 +195,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Seq(("a", "b", 0.0), ("a", "c", s), ("b", "c", s)))
   }
 
+  test("knnGraph: per-vector top-k edges, ties broken by neighbor id") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.knnGraph(df, k = 2).as[(Long, Int, Long, Double)].collect().toSeq
+    val s = math.floor(1.0 / math.sqrt(2.0) * 1e9 + 0.5) / 1e9
+    assert(r == Seq(
+      (1L, 1, 2L, 1.0), (1L, 2, 4L, s),
+      (2L, 1, 1L, 1.0), (2L, 2, 4L, s),
+      (3L, 1, 4L, s), (3L, 2, 1L, 0.0),
+      (4L, 1, 1L, s), (4L, 2, 2L, s)))
+  }
+
   test("rpReduce: signed sums match the integer sign matrix, no shuffle ops") {
     val df = Seq((1L, Array(1.0f, 2.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 4.0f)))
       .toDF("vec_id", "embedding")
