@@ -57,6 +57,23 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Stream-static enrichment: join the event stream against a slowly
+    * changing dimension table (user profile, geo lookup, model-version
+    * routing) with an explicit broadcast of the static side — the standard
+    * "decorate the firehose" stage in front of every keyed aggregation.
+    *
+    * Scale: the broadcast join is stateless (no watermark, no state store,
+    * no shuffle of the stream side) — each micro-batch maps through the
+    * hashed dim, so throughput is scan-bound. The static plan is re-read
+    * per micro-batch by Structured Streaming, which is what makes a
+    * periodically rewritten dim table pick up without a restart; a
+    * dimension too big to broadcast drops the hint and becomes a shuffled
+    * join per micro-batch (still stateless). `how = "left"` keeps events
+    * whose key is missing from the dim (nulls flag coverage gaps). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String,
+                   how: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), how)
+
   /** Streaming exact dedup: first occurrence of each key wins; watermark
     * expires the seen-set state. This is the streaming face of
     * Dedup.dropExactDups (built-in stateful dropDuplicates — no custom

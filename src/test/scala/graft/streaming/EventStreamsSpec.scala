@@ -47,6 +47,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream decorates events from a broadcast dim; left join keeps misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "emea", "pro"), (2L, "apac", "free")).toDF("user_id", "region", "tier")
+    val q = EventStreams.enrichStream(in.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "region", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:00:01"), 2, "view", 2.0),
+        Event(3, ts("2024-01-01 10:00:02"), 9, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, user_id, region, tier FROM enriched ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      assert(rows == Seq(
+        (1L, 1L, "emea", "pro"),
+        (2L, 2L, "apac", "free"),
+        (3L, 9L, null, null)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches views in the lookback window per user") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
