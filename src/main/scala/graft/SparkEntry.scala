@@ -281,6 +281,9 @@ object SparkEntry {
           sum(col("val").cast("decimal(28,6)")).cast("double").as("total"))
         .orderBy("measure")),
 
+    // asymmetric shingle containment: subset-dups Jaccard structurally misses
+    "dedup_containment_documents" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), threshold = 0.8)),
     // exact k-NN graph (verifier tier of the bucketed/cell graph builders)
     "knn_graph_embeddings" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), k = 3)),
@@ -519,6 +522,12 @@ object SparkEntry {
     // Markov transition counts between consecutive same-user events
     "event_transitions" -> ((s, d) =>
       graft.dist.EventAnalytics.transitionMatrix(events(s, d))),
+    // market-basket rules over per-user event-type sets (support/conf/lift)
+    "assoc_rules_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.assocRules(events(s, d))),
+    // per-type cadence: consecutive same-(user,type) gap stats
+    "interarrival_stats_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.interarrivalStats(events(s, d))),
 
     // as-of join: each click matched to the user's latest view at-or-before
     // it — the time-series join Spark lacks natively (Joins.asOfJoin:
@@ -1461,6 +1470,25 @@ object SparkEntry {
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // same shingle sets as the jaccard oracle; directional |∩|/|A| scores
+    "dedup_containment_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / sa.n AS c_ab,
+         |       CAST(n_inter AS DOUBLE) / sb.n AS c_ba
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / sa.n >= 0.8 OR CAST(n_inter AS DOUBLE) / sb.n >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_clean_corpus" ->
       s"""WITH exact AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
          |tt AS (SELECT doc_id, $toksSql AS toks FROM exact),
@@ -2224,6 +2252,38 @@ object SparkEntry {
         |FROM l
         |WHERE prev_type IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integer counts; every ratio is one double division (lift multiplies
+    // integers first) — identical trees to assocRules
+    "assoc_rules_events" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id AS u, CAST(event_type AS VARCHAR) AS i
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT count(DISTINCT u) AS n_users FROM ui),
+        |ic AS (SELECT i, count(*) AS n_i FROM ui GROUP BY i),
+        |pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |       FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, ca.n_i AS n_a, cb.n_i AS n_b, n_ab, n_users,
+        |       CAST(n_ab AS DOUBLE) / n_users AS support,
+        |       CAST(n_ab AS DOUBLE) / ca.n_i AS conf_ab,
+        |       CAST(n_ab AS DOUBLE) / cb.n_i AS conf_ba,
+        |       CAST(n_ab * n_users AS DOUBLE) / CAST(ca.n_i * cb.n_i AS DOUBLE) AS lift
+        |FROM pc JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // gaps stay integer µs until the final divisions; quantile_cont mirrors
+    // Spark's interpolated percentile
+    "interarrival_stats_events" ->
+      """WITH l AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |g AS (SELECT event_type, us - prev_us AS gap_us FROM l WHERE prev_us IS NOT NULL)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       CAST(sum(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE) / count(*) / 1000000.0 AS mean_gap_s,
+        |       quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0 AS p50_gap_s,
+        |       quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0 AS p90_gap_s
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors the union-window as-of plan op-for-op (tie-safe, unlike native
     // ASOF on duplicate right timestamps): right rows sort before left at

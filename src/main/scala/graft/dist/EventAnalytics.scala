@@ -96,6 +96,72 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Association rules over unordered per-user item sets (market-basket for
+    * event types, product categories, feature flags): for every item pair
+    * with at least one co-user, the support, both directional confidences,
+    * and the lift — the "users who do A also do B" readout.
+    *
+    * Scale shape: ONE distinct pass to (user, item), then per-user item
+    * sets gather via `collect_set` — bounded by ITEM cardinality
+    * (categorical by assumption), never by event volume — and pairs expand
+    * inside the array. Counts are exact integers; each ratio is a single
+    * double division over integer operands (lift multiplies integers
+    * first), so results are bit-deterministic under any partitioning. */
+  def assocRules(events: DataFrame, userCol: String = "user_id",
+                 itemCol: String = "event_type"): DataFrame = {
+    val ui = events.select(col(userCol).as("u"), col(itemCol).cast("string").as("i"))
+      .where(col("u").isNotNull && col("i").isNotNull).distinct()
+    val nUsers = ui.agg(countDistinct(col("u")).as("n_users"))
+    val itemCounts = ui.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = ui.groupBy("u")
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+      .select(explode(flatten(transform(col("items"), a =>
+        transform(filter(col("items"), b => a < b),
+          b => struct(a.as("item_a"), b.as("item_b")))))).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(itemCounts.toDF("item_a", "n_a"), Seq("item_a"))
+      .join(itemCounts.toDF("item_b", "n_b"), Seq("item_b"))
+      .crossJoin(nUsers)
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_users"),
+        (col("n_ab").cast("double") / col("n_users")).as("support"),
+        (col("n_ab").cast("double") / col("n_a")).as("conf_ab"),
+        (col("n_ab").cast("double") / col("n_b")).as("conf_ba"),
+        ((col("n_ab") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
+  /** Inter-arrival statistics per event type: consecutive same-(user, type)
+    * gaps in seconds — count, decimal-exact mean, and exact p50/p90 — the
+    * cadence audit behind session-gap and watermark tuning.
+    *
+    * Shape: one lag window over slim (user, type, ts, tie) rows keyed by
+    * (user, type), then a per-type aggregate; gaps are exact integer
+    * microseconds until the final divisions. The exact `percentile` is the
+    * verifier tier (sort-agg per group); at 100 TB swap
+    * `approx_percentile` into the same shape. */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us").cast("decimal(28,0)")).cast("double") /
+          count(lit(1)) / lit(1000000.0)).as("mean_gap_s"),
+        (expr("percentile(gap_us, 0.5)") / lit(1000000.0)).as("p50_gap_s"),
+        (expr("percentile(gap_us, 0.9)") / lit(1000000.0)).as("p90_gap_s"))
+      .orderBy("event_type")
+  }
+
   /** Cohort retention matrix: cohort = the user's first active calendar day;
     * for each (cohort, day-offset) cell, the number of distinct users from
     * that cohort active that many days later. Day 0 counts the cohort size.

@@ -165,6 +165,43 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric shingle-containment near-dup pairs:
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches SUBSET duplicates that
+    * Jaccard structurally misses — a short document pasted inside a longer
+    * one has a large union (low Jaccard) but containment ≈ 1 from the short
+    * side. Emits the pair when either direction clears the threshold, with
+    * both directional scores.
+    *
+    * Same bucket machinery and `maxBucket` hot-shingle cap as
+    * [[ngramJaccardPairs]], minus its size-ratio prefilter — a valid
+    * Jaccard-only optimization (sizes bound J) that containment must NOT
+    * apply, since a tiny doc can be fully contained in a huge one. Exact
+    * and oracle-checkable; at 100 TB feed candidates from
+    * [[minHashNearDup]] buckets and verify containment on the pair set. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxBucket: Int = 200): DataFrame = {
+    val sh = shingleDF(docs, idCol, textCol, w)
+    val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val buckets = ex.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("n"))).as("ms"))
+      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val pairs = buckets.select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => a.getField("id") < b.getField("id")),
+          b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("n").as("n_a"), b.getField("n").as("n_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    pairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("c_ab"),
+        (col("n_inter").cast("double") / col("n_b")).as("c_ba"))
+      .where(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus cleaning: exact dedup (min doc_id per text survives)
     * followed by near-duplicate removal (for each near-dup pair among the
     * survivors, the higher id drops). Returns the surviving doc ids —

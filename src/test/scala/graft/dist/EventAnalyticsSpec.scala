@@ -62,6 +62,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(tight("step1_view") == ev("step1_view"))
   }
 
+  test("assocRules: support, directional confidence, and lift hand-checked") {
+    // users: 1:{a,b}, 2:{a,b}, 3:{a}, 4:{b,c}  (repeated events collapse)
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "c")
+    ).map { case (u, t) => (u, ts("2024-01-01 10:00:00"), t) }
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.assocRules(ev).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getDouble(6), x.getDouble(7),
+        x.getDouble(8), x.getDouble(9))).toSeq
+    // (a,b): n_a=3, n_b=3, n_ab=2, N=4 -> support .5, conf 2/3 both,
+    // lift = 2*4/9; (b,c): n_ab=1 -> conf_ab 1/3, conf_ba 1, lift 4/3
+    assert(r == Seq(
+      ("a", "b", 3L, 3L, 2L, 4L, 0.5, 2.0 / 3, 2.0 / 3, 8.0 / 9),
+      ("b", "c", 3L, 1L, 1L, 4L, 0.25, 1.0 / 3, 1.0, 4.0 / 3)))
+  }
+
+  test("interarrivalStats: per-type gaps from same-user consecutive events") {
+    val ev = Seq(
+      // u1 "a": gaps 10s, 30s ; u2 "a": gap 20s ; "b": single event, no gap
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:00:10"), "a"),
+      (3L, 1L, ts("2024-01-01 10:00:40"), "a"),
+      (4L, 2L, ts("2024-01-01 11:00:00"), "a"),
+      (5L, 2L, ts("2024-01-01 11:00:20"), "a"),
+      (6L, 3L, ts("2024-01-01 12:00:00"), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.interarrivalStats(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+    // gaps for "a": {10, 20, 30}: mean 20, p50 20, p90 = 20 + 0.8*10 = 28
+    assert(r.toSeq == Seq(("a", 3L, 20.0, 20.0, 28.0)))
+  }
+
   test("retention: first-day cohorts and distinct day offsets") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),

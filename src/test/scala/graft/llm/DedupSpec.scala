@@ -284,6 +284,23 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((2L, 1L), (3L, 1L)))
   }
 
+  test("containmentPairs finds subset dups that Jaccard misses, both directions scored") {
+    val docs = Seq(
+      (1L, "one two three four five"),                       // 3 shingles
+      (2L, "one two three four five six seven eight"),       // 6, contains all of doc 1
+      (3L, "nine ten eleven twelve")                         // unrelated
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1.0, 0.5)))
+    // Jaccard at the same threshold misses it: J = 3/6 = 0.5
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.9).count() == 0L)
+    // below containment threshold nothing is emitted
+    assert(Dedup.containmentPairs(
+      Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"),
+      threshold = 0.5).count() == 0L)
+  }
+
   test("canonicalizeUrl: host case-fold, www/query/fragment/slash stripped, path case kept") {
     val urls = Seq(
       "https://WWW.Example.com/Doc/7",
