@@ -619,6 +619,24 @@ object SparkEntry {
         .groupBy("zkey").agg(count(lit(1)).as("n_rows"))
         .orderBy("zkey")
     }),
+    // Unicode NFC normalization via the custom codegen expression; the
+    // corpus is ASCII so the query injects composed/decomposed "é" variants
+    "normalize_nfc_documents" -> ((s, d) => {
+      val raw = concat(col("text"), lit(" cafe"),
+        when(col("doc_id") % 2 === 0, lit("e\u0301"))  // decomposed e + combining acute
+          .otherwise(lit("\u00e9")))              // precomposed
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("len_raw"),
+          graft.functions.functions.nfc_normalize(col("raw")).as("nfc"))
+        .select(col("doc_id"), col("len_raw"), length(col("nfc")).as("len_nfc"),
+          (col("len_raw") - length(col("nfc"))).as("n_composed"),
+          expr("right(nfc, 4)").as("tail"))
+        .orderBy("doc_id")
+    }),
+    // language-ID confusion matrix vs the labeled lang column
+    "langid_confusion_documents" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(t(s, d, "documents"))),
     // per-column profile: null rate, cardinality, range, exact mean — one scan
     "profile_columns_lineitem" -> ((s, d) =>
       graft.dist.Stats.profile(t(s, d, "lineitem"),
@@ -1227,6 +1245,40 @@ object SparkEntry {
          |    AND CAST(l_discount AS DOUBLE) >= 0.0 AND CAST(l_discount AS DOUBLE) <= 0.1),
          |z AS (SELECT $interleave AS zkey FROM b)
          |SELECT zkey, count(*) AS n_rows FROM z GROUP BY zkey ORDER BY zkey""".stripMargin
+    },
+
+    // DuckDB's nfc_normalize is the independent NFC implementation; both
+    // engines count length in codepoints (chr(769)=U+0301, chr(233)=é)
+    "normalize_nfc_documents" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || (CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(length(raw) AS INTEGER) AS len_raw, nfc_normalize(raw) AS nfc FROM r)
+        |SELECT doc_id, len_raw, CAST(length(nfc) AS INTEGER) AS len_nfc,
+        |       len_raw - CAST(length(nfc) AS INTEGER) AS n_composed,
+        |       right(nfc, 4) AS tail
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // langId CTEs reused verbatim, joined back to the labeled column
+    "langid_confusion_documents" -> {
+      val langs = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val scoreDefs = langs.map { case (lg, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / greatest(len(toks), 1) AS s_$lg"
+      }.mkString(",\n    ")
+      val gr = langs.map { case (lg, _) => s"s_$lg" }.mkString("greatest(", ", ", ")")
+      val caseChain = langs.map { case (lg, _) => s"WHEN s_$lg = m THEN '$lg'" }.mkString(" ")
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |    $scoreDefs
+         |  FROM tt),
+         |mx AS (SELECT *, $gr AS m FROM sc),
+         |pred AS (
+         |  SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $caseChain END AS pred_lang FROM mx)
+         |SELECT d.lang AS label, p.pred_lang, count(*) AS n_docs
+         |FROM pred p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY label, pred_lang""".stripMargin
     },
 
     // struct-explode long pivot keeps nulls; mean on DECIMAL(28,6)-exact sums

@@ -57,6 +57,12 @@ object GraftFunctions {
         require(args.size == 1, "simhash_pack(hashes) takes 1 argument")
         SimHashPack(args(0))
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition of a string"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "nfc_normalize(s) takes 1 argument")
+        NfcNormalize(args(0))
+      }),
     (FunctionIdentifier("hist_counts"),
       info("hist_counts",
         "hist_counts(x, array<double> edges) - aggregate: dense bucket counts for fixed boundaries"),

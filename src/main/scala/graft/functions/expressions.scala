@@ -197,6 +197,38 @@ case class SimHashPack(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC (canonical composition) normalization of a string column —
+  * the standard pre-tokenization step for web text: "é" arrives both
+  * precomposed (U+00E9) and decomposed (e + U+0301), and the two forms
+  * hash differently, silently defeating exact dedup, token counts, and
+  * every downstream groupBy on text. Wraps the JDK's `java.text.Normalizer`
+  * as a codegen'd Catalyst expression — the (b) custom-Expression tier —
+  * rather than a Scala UDF: no SerDe boundary, null-safe, and the scan
+  * pipeline stays fused in whole-stage codegen. ASCII-only strings pass
+  * through the JDK's quick-check without allocation. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($s.toString(), java.text.Normalizer.Form.NFC));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the custom expressions. */
 object functions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -215,4 +247,7 @@ object functions {
 
   /** 64-bit SimHash of an array<long> hash column. */
   def simhash_pack(hashes: Column): Column = c(SimHashPack(e(hashes)))
+
+  /** Unicode NFC canonical composition of a string column. */
+  def nfc_normalize(s: Column): Column = c(NfcNormalize(e(s)))
 }

@@ -142,6 +142,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Confusion matrix of [[langId]] predictions against a labeled language
+    * column — the classifier audit (which languages bleed into which) run
+    * before trusting language filters on a new corpus. One langId pass +
+    * an id-keyed join back to the labels + a tiny |langs|² hash-agg. */
+  def langIdConfusion(docs: DataFrame, labelCol: String = "lang",
+                      textCol: String = "text"): DataFrame =
+    langId(docs, textCol)
+      .join(docs.select(col("doc_id"), col(labelCol).as("label")), Seq("doc_id"))
+      .groupBy(col("label"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "pred_lang")
+
   /** Context-window chunking: split each document's token stream into
     * windows of `chunkTokens` tokens advancing by `chunkTokens - overlap`
     * (the standard overlapping-chunk shape for LLM context packing), as

@@ -48,6 +48,27 @@ class GraftFunctionsSpec extends SparkSpec {
     val builder = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(builder) // must not throw; descriptors are well-formed
     assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
-      Seq("float_dot", "hist_counts", "minhash_sig", "simhash_pack"))
+      Seq("float_dot", "hist_counts", "minhash_sig", "nfc_normalize", "simhash_pack"))
+  }
+
+  test("nfc_normalize composes decomposed sequences; ASCII and nulls pass through") {
+    import graft.functions.{functions => gf}
+    val df = Seq(
+      Some("cafe\u0301"),     // decomposed e + combining acute
+      Some("caf\u00e9"),      // already precomposed
+      Some("plain ascii"),
+      None
+    ).toDF("s")
+    val r = df.select(gf.nfc_normalize(col("s"))).as[Option[String]].collect().toSeq
+    assert(r == Seq(Some("caf\u00e9"), Some("caf\u00e9"), Some("plain ascii"), None))
+    // registered SQL surface agrees with the Column API
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_in")
+    val sqlR = spark.sql("SELECT nfc_normalize(s) FROM nfc_in").as[Option[String]].collect().toSeq
+    assert(sqlR == r)
+    // codegen and interpreted paths agree
+    val a = "ab\u0301c\u0301" // multiple combining marks
+    val one = Seq(a).toDF("s").select(gf.nfc_normalize(col("s"))).as[String].head()
+    assert(one == java.text.Normalizer.normalize(a, java.text.Normalizer.Form.NFC))
   }
 }
