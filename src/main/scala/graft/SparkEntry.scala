@@ -619,6 +619,16 @@ object SparkEntry {
         .groupBy("zkey").agg(count(lit(1)).as("n_rows"))
         .orderBy("zkey")
     }),
+    // zlib repetitivity signal (custom codegen expression); no oracle —
+    // DuckDB has no zlib — so the driver records a rows-only check and the
+    // semantics are property-tested in GraftFunctionsSpec
+    "compress_ratio_documents" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          round(graft.functions.functions.compress_ratio(col("text")), 9)
+            .as("deflate_ratio"))
+        .withColumn("repetitive", col("deflate_ratio") < 0.35)
+        .orderBy("doc_id")),
     // Unicode NFC normalization via the custom codegen expression; the
     // corpus is ASCII so the query injects composed/decomposed "é" variants
     "normalize_nfc_documents" -> ((s, d) => {

@@ -57,6 +57,12 @@ object GraftFunctions {
         require(args.size == 1, "simhash_pack(hashes) takes 1 argument")
         SimHashPack(args(0))
       }),
+    (FunctionIdentifier("compress_ratio"),
+      info("compress_ratio", "compress_ratio(s) - zlib compression ratio of a string's UTF-8 bytes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "compress_ratio(s) takes 1 argument")
+        CompressRatio(args(0))
+      }),
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition of a string"),
       (args: Seq[Expression]) => {

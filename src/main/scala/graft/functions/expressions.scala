@@ -229,6 +229,54 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Deterministic DEFLATE helper for [[CompressRatio]]. A top-level object
+  * with no companion class compiles to static forwarders, so generated
+  * code can call `graft.functions.Zlib.ratio(bytes)` directly. */
+object Zlib {
+  /** Compressed size of `b` at fixed level 6 (the zlib default). */
+  def deflatedSize(b: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](4096)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+
+  /** deflate(b).length / b.length; empty input defined as 1.0. */
+  def ratio(b: Array[Byte]): Double =
+    if (b.length == 0) 1.0 else deflatedSize(b).toDouble / b.length
+}
+
+/** zlib compression ratio of a string's UTF-8 bytes — the Gopher-style
+  * repetitivity signal: boilerplate/template spam compresses far below
+  * natural text, while encrypted/binary junk doesn't compress at all. Low
+  * ratio ⇒ repetitive, ratio ≈ 1 ⇒ high-entropy. A per-row Deflater is
+  * deflate-bound, not dispatch-bound, but the expression still codegens so
+  * the surrounding filter pipeline stays fused (no UDF SerDe boundary).
+  * No DuckDB oracle (no zlib there) — property-tested instead. */
+case class CompressRatio(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "compress_ratio"
+
+  override def nullSafeEval(s: Any): Any =
+    Zlib.ratio(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Zlib.ratio($s.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressRatio =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the custom expressions. */
 object functions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -250,4 +298,7 @@ object functions {
 
   /** Unicode NFC canonical composition of a string column. */
   def nfc_normalize(s: Column): Column = c(NfcNormalize(e(s)))
+
+  /** zlib compression ratio of a string column's UTF-8 bytes. */
+  def compress_ratio(s: Column): Column = c(CompressRatio(e(s)))
 }

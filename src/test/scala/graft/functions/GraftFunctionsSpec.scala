@@ -48,7 +48,7 @@ class GraftFunctionsSpec extends SparkSpec {
     val builder = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(builder) // must not throw; descriptors are well-formed
     assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
-      Seq("float_dot", "hist_counts", "minhash_sig", "nfc_normalize", "simhash_pack"))
+      Seq("compress_ratio", "float_dot", "hist_counts", "minhash_sig", "nfc_normalize", "simhash_pack"))
   }
 
   test("nfc_normalize composes decomposed sequences; ASCII and nulls pass through") {
@@ -70,5 +70,30 @@ class GraftFunctionsSpec extends SparkSpec {
     val a = "ab\u0301c\u0301" // multiple combining marks
     val one = Seq(a).toDF("s").select(gf.nfc_normalize(col("s"))).as[String].head()
     assert(one == java.text.Normalizer.normalize(a, java.text.Normalizer.Form.NFC))
+  }
+
+  test("compress_ratio separates repetitive from varied text, deterministic") {
+    import graft.functions.{functions => gf}
+    val rep = "spam ham " * 200
+    val varied = (0 until 200).map(i => (i * 2654435761L).toHexString).mkString(" ")
+    val df = Seq((1L, rep), (2L, varied)).toDF("id", "s")
+    val r = df.select(col("id"), gf.compress_ratio(col("s")).as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.1, s"repetitive should compress hard, got ${r(1L)}")
+    assert(r(2L) > 0.5, s"high-entropy should not, got ${r(2L)}")
+    // matches the helper directly (codegen path == static helper)
+    val direct = graft.functions.Zlib.ratio(rep.getBytes("UTF-8"))
+    assert(r(1L) == direct)
+    // stable under repartition, empty string defined as 1.0
+    val r4 = df.repartition(4).select(col("id"), gf.compress_ratio(col("s")))
+      .as[(Long, Double)].collect().toMap
+    assert(r4 == r)
+    val e = Seq("").toDF("s").select(gf.compress_ratio(col("s"))).as[Double].head()
+    assert(e == 1.0)
+    // SQL registration surface
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cr_in")
+    val sq = spark.sql("SELECT compress_ratio(s) FROM cr_in WHERE id = 1").as[Double].head()
+    assert(sq == direct)
   }
 }
