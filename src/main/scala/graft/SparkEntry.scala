@@ -522,6 +522,42 @@ object SparkEntry {
     // Markov transition counts between consecutive same-user events
     "event_transitions" -> ((s, d) =>
       graft.dist.EventAnalytics.transitionMatrix(events(s, d))),
+    // interval-overlap join: user sessions × busy hours, cell-bucketed
+    // (hash equi-join on cell, never a nested-loop plan)
+    "interval_join_events" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val sess = ev.select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(unix_micros(min(col("ts"))).as("s_lo"),
+          unix_micros(max(col("ts"))).as("s_hi"),
+          count(lit(1)).as("n_events"))
+        .drop("sess")
+      val busy = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_in_hour"))
+        .where(col("n_in_hour") >= 20)
+        .select(unix_micros(col("hour")).as("b_lo"),
+          (unix_micros(col("hour")) + lit(3599999999L)).as("b_hi"),
+          col("n_in_hour"))
+      graft.dist.Joins.intervalJoin(sess, "s_lo", "s_hi", busy, "b_lo", "b_hi",
+          cellWidth = 3600e6)
+        .select(col("user_id"), col("s_lo"), col("b_lo").as("busy_hour_us"),
+          col("n_events"), col("n_in_hour"))
+        .orderBy("user_id", "s_lo", "busy_hour_us")
+    }),
+    // deterministic per-group k-sample on the Knuth key hash
+    "sample_topk_hash_documents" -> ((s, d) =>
+      Sampling.hashTopKPerGroup(t(s, d, "documents"), "source", k = 5)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")),
     // market-basket rules over per-user event-type sets (support/conf/lift)
     "assoc_rules_events" -> ((s, d) =>
       graft.dist.EventAnalytics.assocRules(events(s, d))),
@@ -2314,6 +2350,42 @@ object SparkEntry {
         |FROM l
         |WHERE prev_type IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // naive OVERLAPS mirror of the cell-bucketed interval join
+    "interval_join_events" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, epoch_us(min(ts)) AS s_lo, epoch_us(max(ts)) AS s_hi,
+        |         count(*) AS n_events
+        |  FROM g GROUP BY user_id, sess),
+        |busy AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS b_lo,
+        |         epoch_us(date_trunc('hour', ts)) + 3599999999 AS b_hi,
+        |         count(*) AS n_in_hour
+        |  FROM events GROUP BY date_trunc('hour', ts) HAVING count(*) >= 20)
+        |SELECT s.user_id, s.s_lo, b.b_lo AS busy_hour_us, s.n_events, b.n_in_hour
+        |FROM sess s JOIN busy b ON s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi
+        |ORDER BY user_id, s_lo, busy_hour_us""".stripMargin,
+
+    // same hash-rank-within-group arithmetic
+    "sample_topk_hash_documents" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rnk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
 
     // integer counts; every ratio is one double division (lift multiplies
     // integers first) — identical trees to assocRules

@@ -118,6 +118,35 @@ object Joins {
     * never replicate — size it near the typical interval width. A single
     * enormous interval (≫ cellWidth) replicates proportionally; cap or
     * split such outliers upstream. */
+  /** Interval-overlap join: pairs whose CLOSED intervals [loA, hiA] and
+    * [loB, hiB] overlap — sessions × maintenance windows, downtime ×
+    * requests, any two interval sets. Spark's native plan for the overlap
+    * conjunction is a nested-loop join (quadratic); this is the
+    * interval-interval sibling of [[rangeJoin]] and plans as a hash
+    * equi-join on a cell id.
+    *
+    * Cell bucketing with exactly-once emission: each interval explodes to
+    * every cell it covers, so an overlapping pair meets in EVERY shared
+    * cell; the join keeps only the cell containing max(loA, loB) — the
+    * first cell both sides necessarily cover — so each pair emits exactly
+    * once with no downstream distinct. The exact overlap predicate filters
+    * same-cell non-overlaps. Size `cellWidth` near the typical interval
+    * length: wider cells explode less but bucket more candidates. */
+  def intervalJoin(a: DataFrame, loA: String, hiA: String,
+                   b: DataFrame, loB: String, hiB: String,
+                   cellWidth: Double): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    val cellOf = (c: Column) => floor(c.cast("double") / lit(cellWidth)).cast("long")
+    val ea = a.withColumn("__cell",
+      explode(sequence(cellOf(col(loA)), cellOf(col(hiA)))))
+    val eb = b.withColumn("__cell",
+      explode(sequence(cellOf(col(loB)), cellOf(col(hiB)))))
+    ea.join(eb, Seq("__cell"))
+      .where(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("__cell") === cellOf(greatest(col(loA), col(loB))))
+      .drop("__cell")
+  }
+
   def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
                 loCol: String, hiCol: String, cellWidth: Double): DataFrame = {
     require(cellWidth > 0, "cellWidth must be positive")

@@ -38,6 +38,25 @@ object Sampling {
     df.where(pmod(xxhash64(col(idCol)), lit(100)) < pct)
   }
 
+  /** Deterministic per-group k-sample: rank each group's rows by the Knuth
+    * key hash (ties by id) and keep the first k — the reproducible,
+    * key-stable stand-in for per-group reservoir sampling (a row keeps or
+    * loses membership only if the GROUP's membership changes, not because
+    * unrelated rows arrived). The workhorse behind fixed-size per-source
+    * eval slices. One ranking window over slim (group, hash, id) rows;
+    * at 100 TB pre-filter with [[hashSample]] so the window sorts a
+    * down-sampled slice instead of the full corpus. */
+  def hashTopKPerGroup(df: DataFrame, groupCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = (col(idCol) * lit(2654435761L)) % lit(4294967296L)
+    val w = Window.partitionBy(groupCol).orderBy(h, col(idCol))
+    df.withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") <= k)
+      .drop("__rnk")
+  }
+
   /** Weighted deterministic sampling: each row's keep-probability is its
     * own `weightCol` (a [0,1] column — e.g. a quality score used as a
     * soft filter). Same key-hash machinery as [[hashSample]], so membership

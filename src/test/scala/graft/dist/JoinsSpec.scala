@@ -117,6 +117,45 @@ class JoinsSpec extends SparkSpec {
       assert(got == naive, s"trial $trial (cellWidth $w) diverged from naive join")
     }
   }
+  test("intervalJoin: overlap pairs exactly once, closed bounds, equi-join plan") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0), (3L, 5.0, 25.0))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 8.0, 12.0), (20L, 30.0, 35.0), (30L, 40.0, 50.0))
+      .toDF("bid", "b_lo", "b_hi")
+    val out = Joins.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", cellWidth = 4.0)
+    val got = out.select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    // (1,10): [0,10]∩[8,12]; (3,10): [5,25]∩[8,12]; (2,20): touch at 30
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 10L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("intervalJoin equals the naive cross-filter on random intervals (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ivGen = (n: Int) => Gen.listOfN(n, for {
+      lo <- Gen.chooseNum(-60.0, 55.0)
+      w <- Gen.chooseNum(0.0, 25.0)
+    } yield (lo, lo + w))
+    val widthGen = Gen.chooseNum(0.5, 20.0)
+    for (trial <- 0 until 8) {
+      val seed = Seed(1042L + trial)
+      val aVals = ivGen(30).apply(Gen.Parameters.default, seed).get
+      val bVals = ivGen(20).apply(Gen.Parameters.default, seed.next).get
+      val w = widthGen.apply(Gen.Parameters.default, seed.next.next).get
+      val a = aVals.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("aid", "a_lo", "a_hi")
+      val b = bVals.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("bid", "b_lo", "b_hi")
+      val got = Joins.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      // exactly-once: no duplicate pairs from multi-cell overlaps
+      assert(got.length == got.toSet.size, s"trial $trial emitted duplicates")
+      val naive = a.crossJoin(b).where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      assert(got.toSet == naive, s"trial $trial (cellWidth $w) diverged from naive")
+    }
+  }
+
   test("asOfJoinForward: earliest at-or-after match, inclusive at equal ts, ties by tieBreak") {
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
       .toDF("k", "ts", "lid")

@@ -162,4 +162,24 @@ class SamplingSpec extends SparkSpec {
       s == (if (knuth(id) < 80) "train" else if (knuth(id) < 90) "val" else "test") })
   }
 
+  test("hashTopKPerGroup: k rows per group by hash rank, key-stable membership") {
+    val docs = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val r = Sampling.hashTopKPerGroup(docs, "source", k = 3)
+      .as[(Long, String)].collect()
+    assert(r.length == 6 && r.count(_._2 == "a") == 3)
+    // matches the hash-order ground truth computed directly
+    def h(id: Long) = (id * 2654435761L) % 4294967296L
+    val expA = (0L until 40L by 2).sortBy(i => (h(i), i)).take(3).toSet
+    assert(r.filter(_._2 == "a").map(_._1).toSet == expA)
+    // key-stable: adding rows to group b never changes group a's sample
+    val more = docs.union(Seq((100L, "b"), (101L, "b")).toDF("doc_id", "source"))
+    val r2 = Sampling.hashTopKPerGroup(more, "source", k = 3)
+      .as[(Long, String)].collect()
+    assert(r2.filter(_._2 == "a").map(_._1).toSet == expA)
+    // smaller groups than k keep everything
+    val tiny = Seq((1L, "x")).toDF("doc_id", "source")
+    assert(Sampling.hashTopKPerGroup(tiny, "source", 5).count() == 1L)
+  }
+
 }
