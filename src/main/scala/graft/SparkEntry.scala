@@ -172,6 +172,39 @@ object SparkEntry {
 
     // TPC-H Q14-shape promo revenue share: date-pruned fact scan, shuffle
     // join on partkey (part is not broadcast-tiny at scale), decimal-exact
+    // TPC-H Q1 shape: the canonical pricing summary — one scan, one
+    // 4-key-ish groupBy, every money sum decimal-exact; the completeness
+    // marker for multi-aggregate scan efficiency
+    "tpch_q1_lineitem" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // TPC-H Q6 shape: predicate-only revenue scan — every filter pushes to
+    // the parquet reader, zero joins, one partial+final agg
+    "tpch_q6_lineitem" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -522,6 +555,22 @@ object SparkEntry {
     // Markov transition counts between consecutive same-user events
     "event_transitions" -> ((s, d) =>
       graft.dist.EventAnalytics.transitionMatrix(events(s, d))),
+    // cumulative distinct-user growth: first-seen day per user (slim agg),
+    // then a running sum over the tiny per-day frame (documented
+    // unpartitioned window over an aggregated, days-sized input)
+    "events_cum_users" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      ev.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("first_day"))
+        .groupBy("first_day").agg(count(lit(1)).as("n_new_users"))
+        .withColumn("cum_users", sum(col("n_new_users")).over(
+          Window.orderBy("first_day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(unix_millis(col("first_day")).as("day_ms"),
+          col("n_new_users"), col("cum_users"))
+        .orderBy("day_ms")
+    }),
     // interval-overlap join: user sessions × busy hours, cell-bucketed
     // (hash equi-join on cell, never a nested-loop plan)
     "interval_join_events" -> ((s, d) => {
@@ -2100,6 +2149,28 @@ object SparkEntry {
          |FROM s""".stripMargin
     },
 
+    "tpch_q1_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q6_lineitem" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+
     "promo_revenue_lineitem" ->
       """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
         |                            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
@@ -2350,6 +2421,15 @@ object SparkEntry {
         |FROM l
         |WHERE prev_type IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_cum_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT first_day, count(*) AS n_new_users FROM f GROUP BY first_day)
+        |SELECT epoch_ms(first_day) AS day_ms, n_new_users,
+        |       CAST(sum(n_new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day_ms""".stripMargin,
 
     // naive OVERLAPS mirror of the cell-bucketed interval join
     "interval_join_events" ->
