@@ -704,6 +704,22 @@ object SparkEntry {
         .groupBy("zkey").agg(count(lit(1)).as("n_rows"))
         .orderBy("zkey")
     }),
+    // perceptual-hash near-dup over the media column (aHash + pigeonhole
+    // Hamming bands). The corpus has no duplicate payloads, so the declared
+    // query injects them (docs >= 250 carry doc_id-250's bytes — the
+    // domain_stats injection precedent): 250 provable hamming-0 pairs plus
+    // whatever byte-level near-collisions exist. No oracle — byte-level
+    // decode isn't SQL-expressible; semantics in MultimodalSpec
+    "mm_phash_neardup_documents" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dupped = docs.select((col("doc_id") % 250).as("k"), col("doc_id"))
+        .join(docs.select(col("doc_id").as("k"), col("text")), Seq("k"))
+        .select("doc_id", "text")
+      Multimodal.phashNearDup(
+        Multimodal.withFakeMedia(dupped).as[graft.llm.MediaRecord],
+        maxHamming = 3)
+    }),
     // zlib repetitivity signal (custom codegen expression); no oracle —
     // DuckDB has no zlib — so the driver records a rows-only check and the
     // semantics are property-tested in GraftFunctionsSpec

@@ -382,8 +382,17 @@ object Dedup {
   /** SimHash near-duplicate pairs within `maxHamming` (default 3), candidates
     * via 16-bit chunk equality (pigeonhole), exact Hamming verification. */
   def simHashNearDup(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withSig = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingNearDup(docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs over ANY 64-bit signature frame (id, sig) within
+    * `maxHamming`: 16-bit pigeonhole bands (≤3 flipped bits cannot touch
+    * all 4 bands) → capped bucket pair expansion → exact Hamming verify.
+    * The signature-agnostic core shared by [[simHashNearDup]] (text) and
+    * [[Multimodal.phashNearDup]] (perceptual image hashes). */
+  def hammingNearDup(withSig: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = 200): DataFrame = {
     val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"),
       shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
     val chunked = withSig.select(col("id"), col("sig"), explode(array(chunkStructs: _*)).as("cc"))

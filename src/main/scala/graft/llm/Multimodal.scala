@@ -89,6 +89,75 @@ object Multimodal {
     extractFeatures(withFakeMedia(docs).as[MediaRecord])
   }
 
+  /** 8×8 average-hash (aHash) perceptual signature: 64 cells, bit k set
+    * when cell k's mean is at or above the global mean. Real encoded
+    * images decode through javax.imageio and average integer luminance
+    * (299/587/114 weights) per grid cell; opaque payloads run the SAME
+    * 64-cell pipeline over the raw bytes — a deterministic stand-in that
+    * keeps the full plumbing testable without assets. Double means are
+    * IEEE-deterministic (fixed fold order), so the signature is stable
+    * across runs and partitionings. */
+  def aHash(r: MediaRecord): Long = {
+    val img =
+      if (!looksLikeImage(r.media)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case _: Throwable => null }
+    val cells: Array[Double] =
+      if (img != null) {
+        val w = img.getWidth; val h = img.getHeight
+        Array.tabulate(64) { k =>
+          val cx = k % 8; val cy = k / 8
+          val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          if (n == 0) 0.0 else s.toDouble / n
+        }
+      } else {
+        val n = r.media.length
+        Array.tabulate(64) { k =>
+          if (n == 0) 0.0
+          else {
+            val lo = (k.toLong * n / 64).toInt
+            val hi = math.max(lo + 1, ((k + 1).toLong * n / 64).toInt)
+            var s = 0L; var i = lo
+            while (i < hi && i < n) { s += (r.media(i) & 0xff); i += 1 }
+            s.toDouble / (math.min(hi, n) - lo)
+          }
+        }
+      }
+    val mean = cells.sum / 64
+    var sig = 0L; var k = 0
+    while (k < 64) { if (cells(k) >= mean) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  /** Perceptual signatures as a per-partition batch pass: (id, sig) rows,
+    * bytes dropped before anything shuffles. */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => (r.doc_id, aHash(r)))).toDF("id", "sig")
+  }
+
+  /** Perceptual near-duplicate pairs: [[aHash]] signatures through the same
+    * 16-bit pigeonhole banding + exact-Hamming core as text SimHash
+    * ([[Dedup.hammingNearDup]]) — the image half of corpus dedup. Media
+    * bytes never cross an exchange; only (id, sig) pairs shuffle. */
+  def phashNearDup(media: Dataset[MediaRecord], maxHamming: Int = 3,
+                   maxBucket: Int = 200): DataFrame =
+    Dedup.hammingNearDup(perceptualHashes(media), maxHamming, maxBucket)
+
   /** STUB resize — a real deployment decodes, resamples, and re-encodes
     * (`??? -> imaging codec`, absent in this container); the fake keeps the
     * contract honest: output byte budget is exactly `w*h*3` (3 bytes/pixel),

@@ -57,6 +57,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(r) == Multimodal.decodeStub(r))
   }
 
+  test("aHash: real images hash by luminance pattern; hamming tracks similarity") {
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, paint(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val leftWhite = png((x, _) => if (x < 8) 0xffffff else 0x000000)
+    val leftWhite2 = png((x, y) => // one pixel flipped
+      if ((x, y) == (0, 0)) 0x000000 else if (x < 8) 0xffffff else 0x000000)
+    val topWhite = png((_, y) => if (y < 8) 0xffffff else 0x000000)
+    def h(b: Array[Byte]) = Multimodal.aHash(MediaRecord(0L, b, "image"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // left-half-white: exactly the 32 left cells set
+    assert(java.lang.Long.bitCount(h(leftWhite)) == 32)
+    // one flipped pixel barely moves the hash; orthogonal pattern is far
+    assert(ham(h(leftWhite), h(leftWhite2)) <= 2)
+    assert(ham(h(leftWhite), h(topWhite)) == 32)
+    // identical payloads, identical hash — including the opaque-bytes path
+    val opaque = "the same bytes".getBytes("UTF-8")
+    assert(h(opaque) == h(opaque.clone()))
+  }
+
+  test("phashNearDup pairs identical payloads at hamming 0, skips unrelated") {
+    val recs = Seq(
+      MediaRecord(1L, ("A" * 400).getBytes, "image"),
+      MediaRecord(2L, ("A" * 400).getBytes, "image"),
+      MediaRecord(3L, (0 until 400).map(i => ((i * 37) % 251).toChar).mkString.getBytes, "image")
+    ).toDS()
+    val pairs = Multimodal.phashNearDup(recs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)) && pairs.head._3 == 0)
+  }
+
   test("feature extraction runs distributed (per-partition, not driver)") {
     val docs = spark.range(100).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT)) AS text")
       .repartition(8)
