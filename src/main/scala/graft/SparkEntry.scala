@@ -320,6 +320,11 @@ object SparkEntry {
     // exact k-NN graph (verifier tier of the bucketed/cell graph builders)
     "knn_graph_embeddings" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), k = 3)),
+    // the 100 TB tier: SRP-bucketed approximate k-NN graph, same edge
+    // schema; recall property-tested vs the exact graph (no oracle —
+    // approximate by design)
+    "knn_graph_lsh_embeddings" -> ((s, d) =>
+      Similarity.knnGraphLSH(t(s, d, "embeddings"), k = 3)),
     // canonical-URL keep-one dedup; the corpus has no URL column, so the
     // declared query injects a deterministic messy URL per doc (case/www/
     // query/fragment/trailing-slash variants; doc_id % 50 forces dups)

@@ -105,6 +105,36 @@ object Similarity {
       .orderBy("src", "rnk")
   }
 
+  /** Approximate k-NN graph — the declared 100 TB tier of [[knnGraph]]:
+    * every vector probes its own SRP bucket plus all 1-bit-flip neighbors
+    * (multiprobe), exact cosine scores within candidates, top-k per source.
+    * Same edge schema as the exact graph, so consumers swap tiers freely;
+    * recall vs [[knnGraph]] is property-tested at test scale.
+    *
+    * Scale shape: bucketing is map-only; the candidate join shuffles on
+    * bucket id, so pair work is Σ_b (nBits+1)·|b|² instead of n² — tune
+    * `nBits` so buckets hold ~√(corpus/executors) vectors. */
+  def knnGraphLSH(emb: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64,
+                  seed: Long = 42L, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), srpBucket(col(vecCol), nBits, dim, seed).as("bkt"))
+    val probes = explode(array(
+      col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
+    val src = e.select(col("id").as("src"), col("v").as("va"),
+      col("nrm").as("na"), probes.as("bkt"))
+    val cand = e.toDF("dst", "vb", "nb", "bkt")
+    val scored = src.join(cand, Seq("bkt")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+      .dropDuplicates("src", "dst")
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("src"), col("rnk"), col("dst"), col("sim"))
+      .orderBy("src", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim >= threshold), exact.
     * The embedding-space sibling of Dedup's text near-dup operators: norms
     * precompute per vector, pairs materialize through the join, FloatDot

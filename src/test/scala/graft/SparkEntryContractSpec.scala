@@ -32,6 +32,28 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("tpch_q6 pushes every predicate into the parquet scan") {
+    val plan = SparkEntry.queries("tpch_q6_lineitem")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // date bounds, discount band, and quantity cap all reach the reader
+    assert(plan.contains("PushedFilters"), "no pushdown section in scan")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed to the scan:\n$pushed"))
+  }
+
+  test("tpch_q1 prunes to the seven referenced columns") {
+    val plan = SparkEntry.queries("tpch_q1_lineitem")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate").foreach(c =>
+      assert(read.contains(c), s"$c missing from ReadSchema"))
+    // the unused join keys must NOT be scanned
+    Seq("l_orderkey", "l_partkey").foreach(c =>
+      assert(!read.contains(c), s"$c scanned though unused"))
+  }
+
   test("oracle SQL strings are DuckDB-shaped (no Spark-only escapes)") {
     // cheap lint: every oracle must reference a known table and end without
     // a dangling semicolon (the compare tool wraps them verbatim)

@@ -209,6 +209,25 @@ class SimilaritySpec extends SparkSpec {
       (4L, 1, 1L, s), (4L, 2, 2L, s)))
   }
 
+  test("knnGraphLSH recovers the exact graph's true-neighbor edges on clusters") {
+    val rnd = new scala.util.Random(555)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.knnGraph(vecs, k = 3)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // every vector still gets edges (multiprobe keeps singleton buckets rare)
+    val srcs = lsh.map(_._1)
+    assert(srcs.size >= 75, s"only ${srcs.size}/80 vectors have edges")
+  }
+
   test("rpReduce: signed sums match the integer sign matrix, no shuffle ops") {
     val df = Seq((1L, Array(1.0f, 2.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 4.0f)))
       .toDF("vec_id", "embedding")
