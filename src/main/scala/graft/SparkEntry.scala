@@ -695,6 +695,11 @@ object SparkEntry {
     // deterministic ±1 random projection 64→16 dims, decimal-exact sums
     "rp_reduce_embeddings" -> ((s, d) =>
       Similarity.rpReduce(t(s, d, "embeddings"), outDims = 16)),
+    // dominant PC by power iteration (anisotropy audit). No oracle —
+    // iterative driver-normalized; planted-direction recovery + partition
+    // invariance property-tested in SimilaritySpec
+    "top_pc_embeddings" -> ((s, d) =>
+      Similarity.topPrincipalComponent(t(s, d, "embeddings"), iters = 5)),
     // Z-order layout key over (quantity, discount) 16×16 bins: per-cell
     // counts along the Morton curve — the multi-dim clustering audit
     "zorder_lineitem" -> ((s, d) => {

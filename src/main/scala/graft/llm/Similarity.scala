@@ -446,6 +446,58 @@ object Similarity {
           / count(lit(1))).as("centroid"))
       .orderBy(groupCol, "dim_idx")
 
+  /** Dominant principal component of the (centered) embedding cloud via
+    * power iteration — the anisotropy/drift-direction audit: a corpus whose
+    * embeddings collapse toward one direction (the "anisotropy problem")
+    * degrades cosine retrieval, and the dominant PC is both the diagnostic
+    * and the standard correction (project it out).
+    *
+    * Shape mirrors [[ivfAnnTopK]]'s k-means-lite: per iteration, the
+    * matvec u = Σᵢ xᵢ·(xᵢ·v) runs as one scan (a 64-term codegen'd dot
+    * against the literal v, then per-dim DECIMAL(28,8)-exact sums — a
+    * dim-rows shuffle), and only the dim-sized u vector reaches the driver
+    * for normalization. Exact decimal sums make every iterate
+    * bit-deterministic under any partitioning; the returned loading sign is
+    * pinned (largest-|loading| dim positive). Eigenvalue estimate is the
+    * Rayleigh quotient ‖u‖/n at the last iterate. */
+  def topPrincipalComponent(emb: DataFrame, iters: Int = 5, dim: Int = 64,
+                            vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && dim >= 1)
+    val x = emb.select(col(vecCol).as("v")).where(size(col("v")) === dim)
+    val sumDec = (c: Column) => sum(c.cast("decimal(28,8)")).cast("double")
+    // center once: exact per-dim means (dim rows to the driver)
+    val meanRows = x.select(posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("j").agg((sumDec(col("xj").cast("double")) / count(lit(1))).as("m"))
+      .orderBy("j").collect()
+    val mean = meanRows.map(_.getDouble(1))
+    val n = x.count()
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val s = (0 until dim).map(j =>
+        (col("v").getItem(j).cast("double") - lit(mean(j))) * lit(v(j)))
+        .reduce(_ + _)
+      val u = x.select(col("v"), s.as("s"))
+        .select(posexplode(col("v")).as(Seq("j", "xj")), col("s"))
+        .select(col("j"),
+          ((col("xj").cast("double") -
+            element_at(typedLit(mean.toSeq), col("j") + 1)) * col("s")).as("t"))
+        .groupBy("j").agg(sumDec(col("t")).as("u"))
+        .orderBy("j").collect().map(_.getDouble(1))
+      val nrm = math.sqrt(u.map(c => c * c).sum)
+      lambda = nrm / math.max(n, 1L)
+      if (nrm > 0) v = u.map(_ / nrm)
+    }
+    // pin the sign: the largest-|loading| dimension is positive
+    val kMax = v.indices.maxBy(j => (math.abs(v(j)), -j))
+    if (v(kMax) < 0) v = v.map(-_)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, j) => (j, l, lambda) }.toSeq
+      .toDF("dim_idx", "loading", "eigenvalue")
+      .orderBy("dim_idx")
+  }
+
   /** Deterministic sign-random-projection dimensionality reduction
     * (Achlioptas-style ±1 projection, the JL-lemma workhorse behind
     * fast near-dup prefilters and cheaper ANN tiers): each input vector

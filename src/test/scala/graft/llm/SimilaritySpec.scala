@@ -228,6 +228,29 @@ class SimilaritySpec extends SparkSpec {
     assert(srcs.size >= 75, s"only ${srcs.size}/80 vectors have edges")
   }
 
+  test("topPrincipalComponent recovers a planted direction, partition-invariant") {
+    val rnd = new scala.util.Random(987)
+    val dim = 16
+    val d1 = {
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    // strong variance along d1, weak isotropic noise
+    val vecs = (0 until 120).map { i =>
+      val a = rnd.nextGaussian() * 5.0
+      (i.toLong, d1.map(c => (a * c + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(vecs, iters = 6, dim = dim)
+      .select("loading").as[Double].collect()
+    val cos = math.abs(pc.zip(d1).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.95, s"|cos(pc, planted)| = $cos")
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-9) // unit norm
+    // exact determinism under repartition (decimal sums + fixed driver math)
+    val pc4 = Similarity.topPrincipalComponent(vecs.repartition(4), iters = 6, dim = dim)
+      .select("loading").as[Double].collect()
+    assert(pc4.sameElements(pc))
+  }
+
   test("rpReduce: signed sums match the integer sign matrix, no shuffle ops") {
     val df = Seq((1L, Array(1.0f, 2.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 4.0f)))
       .toDF("vec_id", "embedding")
