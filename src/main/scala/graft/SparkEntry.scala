@@ -194,6 +194,30 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    // TPC-H Q3 shape: segment filter → two shuffle joins → top-10 revenue —
+    // the classic selective-join-then-rank marker
+    "tpch_q3_orders" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("orderdate_ms"), col("l_orderkey"))
+        .limit(10)
+    }),
     // TPC-H Q6 shape: predicate-only revenue scan — every filter pushes to
     // the parquet reader, zero joins, one partial+final agg
     "tpch_q6_lineitem" -> ((s, d) =>
@@ -700,6 +724,24 @@ object SparkEntry {
     // invariance property-tested in SimilaritySpec
     "top_pc_embeddings" -> ((s, d) =>
       Similarity.topPrincipalComponent(t(s, d, "embeddings"), iters = 5)),
+    // all-but-the-top debias ledger: projection + residual norm per vector
+    // (no oracle — built on the iterative PC; residual⊥PC property-tested)
+    "debias_embeddings" -> ((s, d) =>
+      Similarity.removeDominantPC(t(s, d, "embeddings"), iters = 5)),
+    // mergeable daily HLL sketches of active users + the unioned overall
+    // estimate — the incremental rollup shape (no oracle: sketch estimate;
+    // within-rsd-of-exact property-tested)
+    "hll_daily_users_events" -> ((s, d) => {
+      val ev = events(s, d)
+      val daily = graft.dist.Stats.hllByGroup(
+        ev, "user_id", date_trunc("day", col("ts")), "day")
+      daily
+        .select(unix_millis(col("day")).as("day_ms"),
+          hll_sketch_estimate(col("sketch")).as("day_users"), col("n_rows"))
+        .crossJoin(graft.dist.Stats.hllUnionEstimate(daily)
+          .select(col("distinct_estimate").as("total_users")))
+        .orderBy("day_ms")
+    }),
     // Z-order layout key over (quantity, discount) 16×16 bins: per-cell
     // counts along the Morton curve — the multi-dim clustering audit
     "zorder_lineitem" -> ((s, d) => {
@@ -2189,6 +2231,19 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3_orders" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, orderdate_ms, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "tpch_q6_lineitem" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -491,6 +491,25 @@ object Stats {
           9).as("gini"))
   }
 
+  /** Per-group mergeable distinct-count sketches (Apache DataSketches HLL
+    * via Spark's `hll_sketch_agg`): sketch each group ONCE, then answer any
+    * group-combination distinct query by unioning buffers with
+    * [[hllUnionEstimate]] — no rescan. This is the incremental-analytics
+    * shape at 100 TB: daily sketches roll up to week/month/arbitrary-range
+    * distinct counts at sketch-merge cost (KBs per group), where exact
+    * distinct would re-shuffle every value each time. */
+  def hllByGroup(df: DataFrame, valueCol: String, groupCol: Column,
+                 groupName: String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCol.as(groupName))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union pre-aggregated sketch buffers → one distinct estimate. */
+  def hllUnionEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true)))
+        .as("distinct_estimate"))
+
   /** HyperLogLog++ distinct counts for several columns in ONE scan:
     * fixed-size mergeable registers per column, map-side combined — the
     * 100 TB distinct-count shape (exact `count_distinct` shuffles every

@@ -498,6 +498,30 @@ object Similarity {
       .orderBy("dim_idx")
   }
 
+  /** All-but-the-top debiasing audit: project every embedding onto the
+    * dominant PC ([[topPrincipalComponent]]) and report the projection and
+    * the residual norm — the standard anisotropy correction
+    * (x' = x − (x·v)v) expressed as its verifiable per-vector ledger.
+    * Residual norm comes from ‖x‖² − p² (v is unit), a fixed expression
+    * tree; the PC itself is the deterministic power-iteration result, so
+    * the whole audit is reproducible. Map-only after the PC jobs — the
+    * 64-float v rides in the expressions, nothing broadcasts or shuffles. */
+  def removeDominantPC(emb: DataFrame, iters: Int = 5, dim: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pc = topPrincipalComponent(emb, iters, dim, vecCol)
+      .select("loading").collect().map(_.getDouble(0))
+    val proj = (0 until dim).map(j =>
+      col(vecCol).getItem(j).cast("double") * lit(pc(j))).reduce(_ + _)
+    val n2 = dot(col(vecCol), col(vecCol))
+    emb.where(size(col(vecCol)) === dim)
+      .select(col(idCol), proj.as("p"), n2.as("n2"))
+      .select(col(idCol), round(col("p"), 9).as("proj"),
+        round(sqrt(col("n2")), 9).as("norm"),
+        round(sqrt(greatest(col("n2") - col("p") * col("p"), lit(0.0))), 9)
+          .as("residual_norm"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic sign-random-projection dimensionality reduction
     * (Achlioptas-style ±1 projection, the JL-lemma workhorse behind
     * fast near-dup prefilters and cheaper ANN tiers): each input vector

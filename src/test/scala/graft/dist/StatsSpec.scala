@@ -252,6 +252,23 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rm.getDouble(2) - (18.0 / 12.0 - 4.0 / 3.0)) < 1e-9)
   }
 
+  test("hllByGroup + hllUnionEstimate: merged sketches track exact distincts") {
+    // 3 "days" with overlapping user sets; union must dedupe across groups
+    val rows = (0 until 3).flatMap(day =>
+      (0 until 400).map(i => (day, (day * 200 + i).toLong))) // overlap 200
+    val df = rows.toDF("day", "user_id")
+    val daily = Stats.hllByGroup(df, "user_id", col("day"), "day")
+    assert(daily.count() == 3L)
+    val perDay = daily.select(col("day"),
+        hll_sketch_estimate(col("sketch")).as("est"))
+      .as[(Int, Double)].collect().toMap
+    (0 until 3).foreach(d =>
+      assert(math.abs(perDay(d) - 400.0) / 400.0 < 0.05, s"day $d: ${perDay(d)}"))
+    // exact distinct overall = 200*3 + 200 = 800
+    val total = Stats.hllUnionEstimate(daily).as[Double].head()
+    assert(math.abs(total - 800.0) / 800.0 < 0.05, s"union estimate $total")
+  }
+
   test("winsorize: interpolated bounds, tail clip counts, exact means") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val r = Stats.winsorize(df, "v", 0.01, 0.99).head()

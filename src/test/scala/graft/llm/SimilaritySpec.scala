@@ -251,6 +251,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pc4.sameElements(pc))
   }
 
+  test("removeDominantPC: residuals are orthogonal to the PC, ledger consistent") {
+    val rnd = new scala.util.Random(135)
+    val dim = 16
+    val d1 = {
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val vecsRaw = (0 until 80).map { i =>
+      val a = rnd.nextGaussian() * 5.0
+      (i.toLong, d1.map(c => (a * c + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val vecs = vecsRaw.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(vecs, iters = 6, dim = dim)
+      .select("loading").as[Double].collect()
+    val r = Similarity.removeDominantPC(vecs, iters = 6, dim = dim)
+      .as[(Long, Double, Double, Double)].collect()
+    val byId = vecsRaw.toMap
+    r.foreach { case (id, proj, norm, res) =>
+      val x = byId(id).map(_.toDouble)
+      // ledger matches hand-computed projection and Pythagoras
+      val p = x.zip(pc).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj - math.rint(p * 1e9) / 1e9) < 1e-9, s"id $id proj")
+      assert(math.abs(res * res + proj * proj - norm * norm) < 1e-5, s"id $id pyth")
+      // residual really is orthogonal to the PC
+      val resVec = x.zip(pc).map { case (a, b) => a - p * b }
+      val resDot = resVec.zip(pc).map { case (a, b) => a * b }.sum
+      assert(math.abs(resDot) < 1e-9, s"id $id residual not orthogonal")
+    }
+    // the strong direction absorbed most mass: residuals are small
+    assert(r.map(_._4).max < r.map(_._3).max / 2)
+  }
+
   test("rpReduce: signed sums match the integer sign matrix, no shuffle ops") {
     val df = Seq((1L, Array(1.0f, 2.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 4.0f)))
       .toDF("vec_id", "embedding")
