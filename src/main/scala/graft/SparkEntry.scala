@@ -1206,7 +1206,11 @@ object SparkEntry {
         |ORDER BY s.bin_id""".stripMargin,
 
     // raw power sums as exact DECIMAL(38,8); the central-moment algebra is
-    // the identical left-associated double tree the engine builds
+    // the identical left-associated double tree the engine builds. The
+    // sums convert decimal→double through VARCHAR: DuckDB's direct cast
+    // can land 1 ulp off correctly-rounded for >2^53-magnitude sums (seen
+    // at sf0.1 on Σx²), while the string path — like Java's
+    // BigDecimal.doubleValue on the engine side — rounds correctly
     "moments_lineitem" -> {
       def one(c: String): String =
         s"""SELECT '$c' AS col_name, n, mean, e2 - mean*mean AS variance,
@@ -1214,10 +1218,10 @@ object SparkEntry {
            |       e4 - 4*mean*e3 + 6*mean*mean*e2 - 3*mean*mean*mean*mean AS m4
            |FROM (
            |  SELECT count(*) AS n,
-           |         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean,
-           |         CAST(sum(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e2,
-           |         CAST(sum(CAST(x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e3,
-           |         CAST(sum(CAST(x*x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e4
+           |         CAST(CAST(sum(CAST(x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS mean,
+           |         CAST(CAST(sum(CAST(x*x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS e2,
+           |         CAST(CAST(sum(CAST(x*x*x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS e3,
+           |         CAST(CAST(sum(CAST(x*x*x*x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS e4
            |  FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem
            |        WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))))""".stripMargin
       val parts = Seq("l_quantity", "l_extendedprice", "l_discount")
@@ -1365,10 +1369,10 @@ object SparkEntry {
         |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
         |m AS (
         |  SELECT grp, count(*) AS n,
-        |         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean,
-        |         CAST(sum(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e2,
-        |         CAST(sum(CAST(x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e3,
-        |         CAST(sum(CAST(x*x*x*x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS e4
+        |         CAST(CAST(sum(CAST(x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS mean,
+        |         CAST(CAST(sum(CAST(x*x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS e2,
+        |         CAST(CAST(sum(CAST(x*x*x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS e3,
+        |         CAST(CAST(sum(CAST(x*x*x*x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS e4
         |  FROM src GROUP BY 1),
         |f AS (
         |  SELECT grp, n, mean, e2 - mean*mean AS variance,
