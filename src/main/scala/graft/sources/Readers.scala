@@ -50,6 +50,19 @@ object Readers {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Raw binary-file ingest — the media front door: each file becomes one
+    * row (path, modificationTime, length, content BinaryType), feeding
+    * straight into [[graft.llm.Multimodal]]'s per-partition decode. Use
+    * `pathGlobFilter` to select a media extension and
+    * `spark.sql.files.maxPartitionBytes` sized DOWN (media rows are big) so
+    * tasks stay balanced; at 100 TB prefer many medium files over millions
+    * of tiny ones (listing cost) or few huge ones (no parallelism). */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      globFilter: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
+
   /** Split an ingest frame into (clean rows without the quarantine column,
     * quarantined rows). The quarantine side keeps the FULL row — Spark
     * refuses a query over a raw JSON/CSV scan whose only referenced column

@@ -19,12 +19,35 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query executes end-to-end at sf0.001") {
+  // Queries ALLOWED to plan a BroadcastNestedLoopJoin, each for a declared
+  // reason: either the documented exact all-pairs tier (whose 100 TB path
+  // is a bucketed sibling), or a crossJoin against a 1-row aggregate
+  // (broadcasting a single summary row is the correct plan at any scale).
+  private val bnljAllowed = Set(
+    // all-pairs verifier tier (scale tier = srpBucket/lshAnn/knnGraphLSH)
+    "cosine_topk_embeddings", "emb_cosine_neardup", "knn_graph_embeddings",
+    "ann_brute_topk_embeddings", // broadcast(query-side), non-equi condition
+    "centroid_sim_embeddings",   // pair join over a one-row-per-GROUP frame
+    // crossJoin with a 1-row aggregate (corpus totals / bounds / stats row)
+    "clip_outliers_lineitem", "hist2d_quantity_discount", "bm25_documents",
+    "hll_daily_users_events", "hybrid_topk_documents", "pmi_top20_bigrams",
+    "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents")
+
+  test("every declared query executes end-to-end at sf0.001; no undeclared" +
+    " nested-loop or cartesian plans") {
     assume(testdataPresent)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         assert(df.schema.nonEmpty)
+        // scale-shape regression guard: a new query that silently plans a
+        // quadratic join must either get a bucketed rewrite or justify
+        // itself in bnljAllowed above
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          throw new AssertionError("plans a CartesianProduct")
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          throw new AssertionError("plans an undeclared BroadcastNestedLoopJoin")
         df.limit(5).collect()
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }

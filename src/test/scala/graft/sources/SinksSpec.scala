@@ -102,6 +102,28 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(fs.length == 4 && fs.map(_.getLong(1)).sum == 1000L)
   }
 
+  test("readBinaryFiles ingests media files into decode-ready rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
+    dir.deleteOnExit()
+    // one real PNG and one text file the glob must exclude
+    val img = new java.awt.image.BufferedImage(9, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "a.png"))
+    java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath,
+      "not media".getBytes)
+    val df = Readers.readBinaryFiles(spark, dir.getAbsolutePath, "*.png")
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length == 1 && rows(0).getString(0).endsWith("a.png"))
+    // bytes flow into the multimodal decode path and yield real dimensions
+    import graft.llm.{MediaRecord, Multimodal}
+    val feats = Multimodal.extractFeatures(
+      df.select(org.apache.spark.sql.functions.lit(7L).as("doc_id"),
+        org.apache.spark.sql.functions.col("content").as("media"),
+        org.apache.spark.sql.functions.lit("image").as("kind"))
+        .as[MediaRecord]).collect()
+    assert(feats.length == 1 && feats(0).width == 9 && feats(0).height == 4)
+  }
+
   test("zorderKey: bit interleave hand-checked on corners, axes, and a mix") {
     val df = Seq((0L, 0L), (15L, 15L), (1L, 0L), (0L, 1L), (3L, 5L))
       .toDF("bx", "by")
