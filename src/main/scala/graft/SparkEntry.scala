@@ -800,6 +800,9 @@ object SparkEntry {
     // language-ID confusion matrix vs the labeled lang column
     "langid_confusion_documents" -> ((s, d) =>
       TextAnalysis.langIdConfusion(t(s, d, "documents"))),
+    // robust median/MAD outliers per type (heavy-tail-safe z-score sibling)
+    "mad_outliers_events" -> ((s, d) =>
+      graft.dist.Stats.madOutliers(events(s, d), "value", "event_type")),
     // per-column profile: null rate, cardinality, range, exact mean — one scan
     "profile_columns_lineitem" -> ((s, d) =>
       graft.dist.Stats.profile(t(s, d, "lineitem"),
@@ -1447,6 +1450,22 @@ object SparkEntry {
          |FROM pred p JOIN documents d USING (doc_id)
          |GROUP BY 1, 2 ORDER BY label, pred_lang""".stripMargin
     },
+
+    // same three-pass median/MAD/count shape; quantile_cont = percentile
+    "mad_outliers_events" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g),
+        |mad AS (
+        |  SELECT b.g, quantile_cont(abs(b.v - m.med), 0.5) AS mad
+        |  FROM base b JOIN med m ON b.g = m.g GROUP BY b.g)
+        |SELECT b.g AS event_type, count(*) AS n, m.med, d.mad,
+        |       CAST(sum(CASE WHEN abs(b.v - m.med) > 3.0 * 1.4826 * d.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM base b JOIN med m ON b.g = m.g JOIN mad d ON b.g = d.g
+        |GROUP BY b.g, m.med, d.mad
+        |ORDER BY event_type""".stripMargin,
 
     // struct-explode long pivot keeps nulls; mean on DECIMAL(28,6)-exact sums
     "profile_columns_lineitem" ->

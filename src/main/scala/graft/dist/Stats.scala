@@ -374,6 +374,36 @@ object Stats {
         round(sqrt(chi2 / (n.cast("double") * minDim.cast("double"))), 9)).as("cramers_v"))
   }
 
+  /** Robust (median/MAD) outlier audit per group — the heavy-tail-safe
+    * sibling of [[zscoreOutliers]]: mean/stddev are themselves dragged by
+    * the outliers they're meant to flag, while the median and the median
+    * absolute deviation are not. Flags |x − med| > k·1.4826·MAD (1.4826
+    * makes MAD estimate σ under normality; k defaults to 3).
+    *
+    * Shape: three slim passes — (1) grouped exact median, (2) join back
+    * (group-keyed, broadcastable) → MAD as the median of absolute
+    * deviations, (3) join back → threshold count. Exact `percentile` is
+    * the verifier tier; at 100 TB swap `approx_percentile` into the same
+    * shape. Zero-MAD groups (over half the values identical) flag any
+    * deviation from the median. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.select(col(groupCol).as("g"), x.as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val med = base.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = base.join(med, Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("dev"))
+      .groupBy("g").agg(expr("percentile(dev, 0.5)").as("mad"))
+    base.join(med, Seq("g")).join(mad, Seq("g"))
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("v") - col("med")) > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as(groupCol), col("n"), col("med"), col("mad"), col("n_outliers"))
+      .orderBy(groupCol)
+  }
+
   /** Per-column data profile in ONE scan — the pre-flight audit before any
     * pipeline run (null rates, cardinality, range, exact mean per measure).
     * The columns unpivot into (col_name, v) long format via a struct-explode

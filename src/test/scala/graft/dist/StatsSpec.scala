@@ -252,6 +252,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rm.getDouble(2) - (18.0 / 12.0 - 4.0 / 3.0)) < 1e-9)
   }
 
+  test("madOutliers: robust flags where mean/stddev would be dragged") {
+    // group "a": 20 values near 10 plus one wild point at 1000 — classic
+    // case where the outlier inflates stddev but not the MAD
+    val a = (1 to 20).map(i => ("a", 10.0 + (i % 5 - 2) * 0.5)) :+ (("a", 1000.0))
+    // group "b": constant values -> MAD 0, any deviation flags
+    val b = Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 7.0))
+    val r = Stats.madOutliers((a ++ b).toDF("event_type", "value"), "value", "event_type")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))).toMap
+    val (na, medA, madA, outA) = r("a")
+    assert(na == 21L && medA == 10.0 && madA == 0.5 && outA == 1L)
+    val (nb, medB, madB, outB) = r("b")
+    assert(nb == 4L && medB == 5.0 && madB == 0.0 && outB == 1L)
+  }
+
   test("hllByGroup + hllUnionEstimate: merged sketches track exact distincts") {
     // 3 "days" with overlapping user sets; union must dedupe across groups
     val rows = (0 until 3).flatMap(day =>
