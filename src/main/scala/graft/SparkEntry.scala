@@ -631,6 +631,11 @@ object SparkEntry {
           col("n_events"), col("n_in_hour"))
         .orderBy("user_id", "s_lo", "busy_hour_us")
     }),
+    // temperature (α=1/2) mixture rebalancing toward a 400-doc budget
+    "sample_temperature_documents" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), "lang", totalDocs = 400)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
     // deterministic per-group k-sample on the Knuth key hash
     "sample_topk_hash_documents" -> ((s, d) =>
       Sampling.hashTopKPerGroup(t(s, d, "documents"), "source", k = 5)
@@ -2559,6 +2564,25 @@ object SparkEntry {
         |SELECT s.user_id, s.s_lo, b.b_lo AS busy_hour_us, s.n_events, b.n_in_hour
         |FROM sess s JOIN busy b ON s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi
         |ORDER BY user_id, s_lo, busy_hour_us""".stripMargin,
+
+    // √cnt shares with the total folded in sorted-stratum order (mirrors
+    // the engine's driver-side fold); same Knuth keep test as sample_mix
+    "sample_temperature_documents" -> {
+      val tot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(list_sort(list(struct_pack(s := s, cnt := cnt))), " +
+        "c -> sqrt(CAST(struct_extract(c, 'cnt') AS DOUBLE)))), (a, b) -> a + b)"
+      s"""WITH cnts AS (
+         |  SELECT CAST(lang AS VARCHAR) AS s, count(*) AS cnt
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |tt AS (SELECT $tot AS t FROM cnts),
+         |th AS (
+         |  SELECT s, CAST(floor(least(1.0, sqrt(CAST(cnt AS DOUBLE)) / t * 400 / cnt) * 10000) AS BIGINT) AS th
+         |  FROM cnts, tt)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN th ON th.s = CAST(d.lang AS VARCHAR)
+         |WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < th.th
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // same hash-rank-within-group arithmetic
     "sample_topk_hash_documents" ->

@@ -38,6 +38,35 @@ object Sampling {
     df.where(pmod(xxhash64(col(idCol)), lit(100)) < pct)
   }
 
+  /** Temperature-based mixture sampling — the standard multilingual/
+    * multi-source rebalancing method (UniMax-style): target share_i ∝
+    * cnt_i^α, so α=1 keeps natural proportions and α→0 approaches uniform;
+    * this implementation pins **α = 1/2** (√cnt shares) because `sqrt` is
+    * IEEE-correctly-rounded in every engine while general `pow` can differ
+    * by an ulp across libms — the cross-engine-checkable point on the
+    * temperature curve. Down-samples surplus strata to
+    * `share_i · totalDocs` via the same Knuth-hash keep test as
+    * [[targetMix]] (key-stable, reproducible, map-only after one tiny
+    * stratum-count agg). The √cnt total folds over strata in sorted-key
+    * order — mirrored verbatim in the oracle. Null strata drop. */
+  def temperatureMix(df: DataFrame, strataCol: String, totalDocs: Long,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(totalDocs >= 0, "totalDocs must be >= 0")
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("s")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val tot = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + math.sqrt(c.toDouble) }
+    val thresh = counts.map { case (s, cnt) =>
+      // mirrored verbatim: floor(least(1, sqrt(cnt)/tot*N/cnt)*10000)
+      s -> math.floor(math.min(1.0,
+        math.sqrt(cnt.toDouble) / tot * totalDocs / cnt) * 10000).toLong
+    }
+    val th = thresh.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
+      when(col(strataCol).cast("string") === s, lit(t)).otherwise(acc)
+    }
+    df.where(knuthBucket(col(idCol), 10000) < th)
+  }
+
   /** Deterministic per-group k-sample: rank each group's rows by the Knuth
     * key hash (ties by id) and keep the first k — the reproducible,
     * key-stable stand-in for per-group reservoir sampling (a row keeps or

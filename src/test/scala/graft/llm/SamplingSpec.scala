@@ -162,6 +162,29 @@ class SamplingSpec extends SparkSpec {
       s == (if (knuth(id) < 80) "train" else if (knuth(id) < 90) "val" else "test") })
   }
 
+  test("temperatureMix: sqrt shares flatten skew toward the budget, key-stable") {
+    // skewed corpus: 160 "en", 40 "de", 10 "fr"
+    val docs = ((0 until 160).map(i => (i.toLong, "en")) ++
+      (200 until 240).map(i => (i.toLong, "de")) ++
+      (300 until 310).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMix(docs, "lang", totalDocs = 100)
+      .as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // shares ∝ sqrt(cnt): en 12.65, de 6.32, fr 3.16 (tot 22.1) →
+    // expected keeps ≈ 57, 28, 14 — temperature flattens 16:4:1 to ~4:2:1
+    val expShare = Map("en" -> math.sqrt(160.0), "de" -> math.sqrt(40.0), "fr" -> math.sqrt(10.0))
+    val tot = expShare.toSeq.sortBy(_._1).map(_._2).sum
+    expShare.foreach { case (lang, sq) =>
+      val cnt = Map("en" -> 160, "de" -> 40, "fr" -> 10)(lang)
+      val rate = math.min(1.0, sq / tot * 100 / cnt)
+      // hash keep test is near-uniform: observed within ±12 of expectation
+      assert(math.abs(by(lang) - rate * cnt) <= 12, s"$lang: ${by(lang)} vs ${rate * cnt}")
+    }
+    // deterministic + key-stable: same membership on re-run
+    val again = Sampling.temperatureMix(docs, "lang", 100).as[(Long, String)].collect()
+    assert(again.toSet == kept.toSet)
+  }
+
   test("hashTopKPerGroup: k rows per group by hash rank, key-stable membership") {
     val docs = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "source")
