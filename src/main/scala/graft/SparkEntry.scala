@@ -805,6 +805,9 @@ object SparkEntry {
     // language-ID confusion matrix vs the labeled lang column
     "langid_confusion_documents" -> ((s, d) =>
       TextAnalysis.langIdConfusion(t(s, d, "documents"))),
+    // per-source language-mix entropy (per-slice diversity diagnostic)
+    "lang_entropy_by_source" -> ((s, d) =>
+      graft.dist.Stats.entropyBy(t(s, d, "documents"), "lang", "source")),
     // robust median/MAD outliers per type (heavy-tail-safe z-score sibling)
     "mad_outliers_events" -> ((s, d) =>
       graft.dist.Stats.madOutliers(events(s, d), "value", "event_type")),
@@ -1455,6 +1458,22 @@ object SparkEntry {
          |FROM pred p JOIN documents d USING (doc_id)
          |GROUP BY 1, 2 ORDER BY label, pred_lang""".stripMargin
     },
+
+    // the entropy_documents fold, keyed by source
+    "lang_entropy_by_source" ->
+      """WITH cells AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, CAST(lang AS VARCHAR) AS v, count(*) AS cnt
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_distinct,
+        |         list_sort(list(cnt)) AS cs
+        |  FROM cells GROUP BY 1)
+        |SELECT g AS source, n, n_distinct,
+        |       round(ln(CAST(n AS DOUBLE))
+        |             - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(cs, c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+        |                 (a, b) -> a + b) / CAST(n AS DOUBLE), 9) AS entropy
+        |FROM agg ORDER BY source""".stripMargin,
 
     // same three-pass median/MAD/count shape; quantile_cont = percentile
     "mad_outliers_events" ->

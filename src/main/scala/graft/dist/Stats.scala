@@ -332,6 +332,29 @@ object Stats {
       .orderBy("col_name")
   }
 
+  /** Per-group Shannon entropy of a categorical column — [[entropy]] keyed
+    * by a second column: "how mixed is each source's language profile",
+    * the per-slice diversity diagnostic behind mix rebalancing. Same
+    * pinned-order discipline: one (group, value) hash-agg (bounded by
+    * |groups|×|values|, both categorical), then per-group folds over the
+    * SORTED count array — bit-reproducible, oracle-mirrored. */
+  def entropyBy(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val cells = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = cells.groupBy("g").agg(
+      sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+      sort_array(collect_list(col("cnt"))).as("cs"))
+    val sumClnC = aggregate(col("cs"), lit(0.0),
+      (acc, c) => acc + c.cast("double") * log(c.cast("double")))
+    per.select(col("g").as(groupCol), col("n"), col("n_distinct"),
+        round(log(col("n").cast("double")) - sumClnC / col("n").cast("double"), 9)
+          .as("entropy"))
+      .orderBy(groupCol)
+  }
+
   /** Chi-square test of independence between two categorical columns
     * (lang × source, variant × outcome, …), plus Cramér's V effect size —
     * the "are these two labelings related" test behind corpus audits and

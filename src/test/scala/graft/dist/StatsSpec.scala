@@ -252,6 +252,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rm.getDouble(2) - (18.0 / 12.0 - 4.0 / 3.0)) < 1e-9)
   }
 
+  test("entropyBy: per-group mix entropy, uniform vs constant hand-checked") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "de"), ("s1", "fr"), ("s1", "es"), // uniform over 4
+      ("s2", "en"), ("s2", "en"), ("s2", "en"),               // constant
+      ("s3", "en"), ("s3", "en"), ("s3", "de")                // 2:1 mix
+    ).toDF("source", "lang")
+    val r = Stats.entropyBy(df, "lang", "source").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("s1") == ((4L, 4L, math.rint(math.log(4.0) * 1e9) / 1e9)))
+    assert(r("s2") == ((3L, 1L, 0.0)))
+    val h3 = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(r("s3")._3 - h3) < 1e-8 && r("s3")._2 == 2L)
+  }
+
   test("madOutliers: robust flags where mean/stddev would be dragged") {
     // group "a": 20 values near 10 plus one wild point at 1000 — classic
     // case where the outlier inflates stddev but not the MAD
