@@ -56,13 +56,22 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
     val results = sorted.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal per-query times keep the emitted line compact (~140 queries
+    // at full double precision overflow the driver's stdout tail window)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "cpus" makes scaling regressions visible round-over-round: rerun with
     // SPARK_GRAFT_CPUS=4 and compare — fixed overhead stays, parallel work 8x.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    // Also persist to disk, and print AFTER spark.stop(): the driver tails
+    // only the last ~2000 chars of stdout, and Spark's shutdown chatter was
+    // pushing the JSON line out of that window (BENCH_r01/r02 "parsed":null).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -67,8 +67,11 @@ object Multimodal {
     val img =
       if (!looksLikeImage(r.media)) null
       else
+        // NonFatal only: an OOM from a decompression-bomb image or a
+        // linkage error must fail the task, not silently fall back to
+        // the opaque-bytes hashing path
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-        catch { case _: Throwable => null }
+        catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) decodeStub(r)
     else MediaFeatures(r.doc_id, r.media.length, img.getWidth, img.getHeight,
       img.getColorModel.getNumComponents,
@@ -101,8 +104,11 @@ object Multimodal {
     val img =
       if (!looksLikeImage(r.media)) null
       else
+        // NonFatal only: an OOM from a decompression-bomb image or a
+        // linkage error must fail the task, not silently fall back to
+        // the opaque-bytes hashing path
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-        catch { case _: Throwable => null }
+        catch { case scala.util.control.NonFatal(_) => null }
     val cells: Array[Double] =
       if (img != null) {
         val w = img.getWidth; val h = img.getHeight

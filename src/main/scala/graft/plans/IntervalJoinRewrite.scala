@@ -42,18 +42,25 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Find `L.lo <= R.hi` and `R.lo <= L.hi` conjuncts; returns
-    * (loL, hiL, loR, hiR). */
+    * (loL, hiL, loR, hiR). Only matches when the pairing is UNAMBIGUOUS —
+    * exactly one cross-side `<=` in each direction. With several candidates
+    * (a 2D box-overlap join, or unrelated inequality conjuncts) an arbitrary
+    * pick could pair bounds across dimensions, producing a synthetic
+    * "interval" like [a.x_lo, a.y_hi] whose reversed rows make `Sequence`
+    * throw at runtime on queries this rule was never meant to touch — so we
+    * leave those joins to Catalyst untouched. */
   private def matchOverlap(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Expression, Expression)] = {
     val les = conjuncts.flatMap(le(_).toSeq)
     val numeric = (e: Expression) => e.dataType.isInstanceOf[NumericType]
     val c1s = les.filter { case (x, y) => from(x, l) && from(y, r) }
     val c2s = les.filter { case (x, y) => from(x, r) && from(y, l) }
-    (for {
-      (loL, hiR) <- c1s
-      (loR, hiL) <- c2s
-      if Seq(loL, hiL, loR, hiR).forall(numeric)
-    } yield (loL, hiL, loR, hiR)).headOption
+    (c1s, c2s) match {
+      case (Seq((loL, hiR)), Seq((loR, hiL)))
+          if Seq(loL, hiL, loR, hiR).forall(numeric) =>
+        Some((loL, hiL, loR, hiR))
+      case _ => None
+    }
   }
 
   private def hasEquiKey(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =

@@ -56,7 +56,8 @@ class SparkEntryContractSpec extends SparkSpec {
   }
 
   test("tpch_q6 pushes every predicate into the parquet scan") {
-    val plan = SparkEntry.queries("tpch_q6_lineitem")(spark, "/root/testdata/sf0.001")
+    assume(testdataPresent)
+    val plan = SparkEntry.queries("tpch_q6_lineitem")(spark, sfDir)
       .queryExecution.executedPlan.toString
     // date bounds, discount band, and quantity cap all reach the reader
     assert(plan.contains("PushedFilters"), "no pushdown section in scan")
@@ -66,7 +67,8 @@ class SparkEntryContractSpec extends SparkSpec {
   }
 
   test("tpch_q1 prunes to the seven referenced columns") {
-    val plan = SparkEntry.queries("tpch_q1_lineitem")(spark, "/root/testdata/sf0.001")
+    assume(testdataPresent)
+    val plan = SparkEntry.queries("tpch_q1_lineitem")(spark, sfDir)
       .queryExecution.executedPlan.toString
     val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",

@@ -55,6 +55,25 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(capped == uncapped.filter(_._1 < 100L)) // small buckets unaffected
   }
 
+  test("oracle-tested SFs have no shingle bucket above the default maxBucket cap") {
+    // dedup_containment/ngram_jaccard oracles (DuckDB) count EVERY shared
+    // shingle with no cap, while the engine drops buckets > maxBucket=200.
+    // The two agree iff the tested corpora have no hot shingle — assert
+    // that here so a future testdata regen that introduces one fails
+    // loudly instead of silently diverging from the oracle.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      assume(new java.io.File(dir).exists())
+      val docs = spark.read.parquet(dir)
+      val hottest = Dedup.shingleDF(docs, "doc_id", "text", 3)
+        .select(explode(col("sh")).as("h")).groupBy("h").count()
+        .agg(max("count")).as[Long].head()
+      assert(hottest <= 200L,
+        s"$sf has a shingle shared by $hottest docs (> maxBucket=200): " +
+          "capped engine output would diverge from the uncapped oracle")
+    }
+  }
+
   test("connectedComponents labels chains and separate components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap

@@ -49,6 +49,35 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("ambiguous pairings (2D box overlap) are left untouched, not mis-rewritten") {
+    // x-overlap AND y-overlap gives two candidate conjuncts per direction;
+    // an arbitrary pick could pair a.x_lo with b.y_hi, building reversed
+    // synthetic intervals that make Sequence throw at runtime. The rule
+    // must skip the join entirely and produce the naive (correct) answer.
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ IntervalJoinRewrite
+    try {
+      val boxesA = Seq((1L, 0.0, 10.0, 100.0, 110.0), (2L, 20.0, 30.0, 0.0, 5.0))
+        .toDF("aid", "ax_lo", "ax_hi", "ay_lo", "ay_hi")
+      val boxesB = Seq((10L, 8.0, 12.0, 105.0, 120.0), (20L, 25.0, 28.0, 50.0, 60.0))
+        .toDF("bid", "bx_lo", "bx_hi", "by_lo", "by_hi")
+      def boxJoin = boxesA.join(boxesB,
+        $"ax_lo" <= $"bx_hi" && $"bx_lo" <= $"ax_hi" &&
+        $"ay_lo" <= $"by_hi" && $"by_lo" <= $"ay_hi")
+      spark.conf.set(IntervalJoinRewrite.cellWidthConf, "4.0")
+      val out = boxJoin
+      assert(!out.queryExecution.optimizedPlan.toString.contains("__graft_icell"),
+        "ambiguous multi-conjunct join was rewritten")
+      // and it still runs — no 'Illegal sequence boundaries' from a
+      // cross-dimension synthetic interval
+      assert(out.select("aid", "bid").as[(Long, Long)].collect().toSet ==
+        Set((1L, 10L)))
+    } finally {
+      spark.conf.unset(IntervalJoinRewrite.cellWidthConf)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("rewrite equals the naive join on random intervals (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
