@@ -715,6 +715,12 @@ object SparkEntry {
     "moments_lineitem" -> ((s, d) =>
       graft.dist.Stats.moments(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // float fast tier of moments_lineitem: double power sums, same schema.
+    // No oracle — double addition is shuffle-order dependent in the last
+    // bits; StatsSpec pins 1e-9 relative agreement with the exact tier
+    "moments_fast_lineitem" -> ((s, d) =>
+      graft.dist.Stats.momentsFast(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // grouped higher moments: one scan, one group-keyed shuffle of decimals
     "moments_by_type_events" -> ((s, d) =>
       graft.dist.Stats.momentsBy(events(s, d), "value", "event_type")),
@@ -724,6 +730,11 @@ object SparkEntry {
     // deterministic ±1 random projection 64→16 dims, decimal-exact sums
     "rp_reduce_embeddings" -> ((s, d) =>
       Similarity.rpReduce(t(s, d, "embeddings"), outDims = 16)),
+    // float fast tier: same sign matrix, double folds (no 128-bit decimal
+    // adds in the inner loop). No oracle — decimal-vs-binary rounding;
+    // SimilaritySpec pins 1e-6 relative agreement with the exact tier
+    "rp_reduce_fast_embeddings" -> ((s, d) =>
+      Similarity.rpReduceFast(t(s, d, "embeddings"), outDims = 16)),
     // dominant PC by power iteration (anisotropy audit). No oracle —
     // iterative driver-normalized; planted-direction recovery + partition
     // invariance property-tested in SimilaritySpec

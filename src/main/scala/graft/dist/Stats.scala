@@ -231,6 +231,47 @@ object Stats {
       .orderBy("col_name")
   }
 
+  /** Float fast tier of [[moments]]: identical schema and algebra, but the
+    * four power sums accumulate as plain doubles. ~an order of magnitude
+    * cheaper per row than the DECIMAL(38,8) tier (no 128-bit arithmetic in
+    * the inner loop) at the cost of bit-determinism — double addition is
+    * not associative, so the low-order digits can vary with the shuffle
+    * schedule. Use when throughput matters more than cross-engine
+    * reproducibility; the exact tier remains the oracle-checkable sibling
+    * (SimilaritySpec/StatsSpec pin agreement to a relative tolerance). */
+  def momentsFast(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      val ok = x.isNotNull && !isnan(x)
+      Seq(
+        count(when(ok, 1)).as(s"n_$c"),
+        sum(when(ok, x)).as(s"s1_$c"),
+        sum(when(ok, x * x)).as(s"s2_$c"),
+        sum(when(ok, x * x * x)).as(s"s3_$c"),
+        sum(when(ok, x * x * x * x)).as(s"s4_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stats = cols.map { c =>
+      val n = col(s"n_$c").cast("double")
+      val e1 = col(s"s1_$c") / n
+      val e2 = col(s"s2_$c") / n
+      val e3 = col(s"s3_$c") / n
+      val e4 = col(s"s4_$c") / n
+      val m2 = e2 - e1 * e1
+      val m3 = e3 - lit(3.0) * e1 * e2 + lit(2.0) * e1 * e1 * e1
+      val m4 = e4 - lit(4.0) * e1 * e3 + lit(6.0) * e1 * e1 * e2 - lit(3.0) * e1 * e1 * e1 * e1
+      struct(lit(c).as("col_name"), col(s"n_$c").as("n"), e1.as("mean"), m2.as("variance"),
+        when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 9)).as("skewness"),
+        when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 9)).as("kurtosis"))
+    }
+    row.select(explode(array(stats: _*)).as("st"))
+      .select(col("st.col_name").as("col_name"), col("st.n").as("n"), col("st.mean").as("mean"),
+        col("st.variance").as("variance"), col("st.skewness").as("skewness"),
+        col("st.kurtosis").as("kurtosis"))
+      .orderBy("col_name")
+  }
+
   /** [[moments]] per group — one scan, one hash-agg shuffle keyed on the
     * group (map-side combine; the shuffle carries 4 decimals + a count per
     * group, never rows). Same exact-decimal discipline, same fixed double

@@ -229,41 +229,81 @@ object Dedup {
     * `id_a`, `id_b`): one (id, comp) row per vertex appearing in any pair,
     * where comp is the minimum id reachable in the vertex's component.
     *
-    * Min-label propagation: each round every vertex takes the min of its own
-    * label and its neighbors' labels — one join + one map-side-combined
-    * hash-agg per round, converging in O(diameter) rounds. Near-dup
-    * components are small tight clusters (diameter is single digits), so the
-    * large-star/small-star contraction of the Kiveris et al. CC algorithm is
-    * not worth its extra passes here; the shuffle rows are slim (id, id)
-    * pairs throughout. Lineage truncates each round via eager
+    * Alternating large-star/small-star contraction (the Kiveris et al.
+    * "Connected Components in MapReduce and Beyond" shape): each round every
+    * vertex hooks its larger neighbors (large-star), then its smaller
+    * neighbors and itself (small-star), onto the minimum of its closed
+    * neighborhood. The edge set contracts toward one star per component in
+    * O(log n) rounds REGARDLESS of diameter — min-label propagation needs
+    * O(diameter) rounds, so a 1000-link dup chain costs ~1000 joins there
+    * vs ~10 here — and the per-round group keys stay balanced as hubs
+    * contract, where label propagation keeps re-shuffling every hot
+    * component onto one key. Shuffle rows are slim (id, id) pairs
+    * throughout; each round's result truncates lineage via eager
     * localCheckpoint so the plan cannot grow with the iteration count; on a
     * real cluster prefer reliable `checkpoint` (survives executor loss
-    * between rounds). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = e.union(e.select(col("dst"), col("src"))).distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
-    var done = labels.isEmpty
-    var i = 0
-    while (!done && i < maxIters) {
-      // min over incoming neighbor labels, outer-joined back onto the
-      // current labels; `prev` rides along so the convergence check is a
-      // filter over the (already materialized) checkpoint — no second join
-      val propMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(edges("dst")).agg(min("comp").as("pcomp"))
-      val next = labels.join(propMin, labels("id") === propMin("dst"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint()
-      done = next.where(col("comp") =!= col("prev")).isEmpty
-      labels = next.select("id", "comp")
-      i += 1
+    * between rounds). Convergence is detected on an order-free edge-set
+    * fingerprint (count + Σ xxhash64 as decimal — one tiny agg, no
+    * set-difference join). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    ccWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of large+small-star rounds it
+    * took to converge — exposed for the O(log n) convergence property test. */
+  private[llm] def ccWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+    // star edges (u, v): u currently hooks onto v (v < u after small-star)
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // large-star: every vertex points its LARGER neighbors at the min of
+    // its closed neighborhood; connectivity is preserved, long chains fold
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("cu"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, sym("u") === col("cu"))
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
-    labels
+    // small-star: direct edges large→small, then every vertex rehooks its
+    // smaller neighbors AND itself onto its minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+                       least(col("u"), col("v")).as("v")).distinct()
+      val mins = d.groupBy("u").agg(min("v").as("m")).select(col("u").as("cu"), col("m"))
+      val moved = d.join(mins, d("u") === col("cu"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("cu").as("u"), col("m"))
+      moved.union(self).distinct()
+    }
+    // order-free multiset fingerprint: equal fingerprints ⇒ converged
+    // (2⁻⁶⁴ collision odds; decimal sum because ANSI long-sum can overflow)
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var done = fp._1 == 0L
+    while (!done && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      done = nfp == fp
+      edges = next
+      fp = nfp
+      rounds += 1
+    }
+    // converged edges are stars (u → component min). Roots appear only on
+    // the v side: label them with themselves.
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
+      .select(col("v").as("id"), col("v").as("comp"))
+    val labels = edges.select(col("u").as("id"), col("v").as("comp")).union(roots)
+    (labels, rounds)
   }
 
   /** Cluster-size distribution of the near-dup graph: how many transitive

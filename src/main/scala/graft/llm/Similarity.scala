@@ -556,6 +556,29 @@ object Similarity {
       .orderBy(idCol, "dim_idx")
   }
 
+  /** Float fast tier of [[rpReduce]]: identical sign matrix and output
+    * schema, but the per-component sums fold as plain doubles instead of
+    * DECIMAL(30,8). Still map-only / zero-shuffle; drops the 128-bit
+    * decimal adds from the inner loop (the dominant cost of the exact
+    * tier), trading bit-exact cross-engine reproducibility for throughput.
+    * The fold order inside one row's array IS fixed (left-to-right), so
+    * per-row results are stable for a given input — only cross-engine
+    * decimal-vs-binary rounding differs. SimilaritySpec pins agreement
+    * with the exact tier to 1e-6 relative. */
+  def rpReduceFast(emb: DataFrame, outDims: Int = 16, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val zs = (0 until outDims).map { k =>
+      val terms = transform(col(embCol), (x, j) => {
+        val h = lit(k.toLong * 2654435761L) + j.cast("long") * lit(40503L)
+        val sign = when(bit_count(h) % 2 === 0, lit(1)).otherwise(lit(-1))
+        x.cast("double") * sign
+      })
+      aggregate(terms, lit(0.0), (acc, t) => acc + t)
+    }
+    emb.select(col(idCol), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
+      .orderBy(idCol, "dim_idx")
+  }
+
   /** Pairwise cosine similarity between per-group centroids — the
     * group-level drift/affinity matrix (are two sources converging? did
     * this week's cluster move?). Builds on [[groupCentroids]]: gather each

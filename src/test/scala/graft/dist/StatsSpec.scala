@@ -176,6 +176,29 @@ class StatsSpec extends SparkSpec {
     assert(c.isNullAt(4) && c.isNullAt(5))               // null skew/kurt at zero variance
   }
 
+  test("momentsFast agrees with exact moments to 1e-9 relative (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(400, Gen.chooseNum(-1000.0, 1000.0))
+    for (trial <- 0 until 3) {
+      val xs = gen.apply(Gen.Parameters.default, Seed(900L + trial)).get
+      // round to the 2-decimal grid so the exact tier is a true reference
+      val df = xs.map(x => math.rint(x * 100) / 100).toDF("a").repartition(4)
+      val exact = Stats.moments(df, Seq("a")).collect().head
+      val fast = Stats.momentsFast(df, Seq("a")).collect().head
+      assert(fast.getLong(1) == exact.getLong(1))
+      for (i <- 2 to 5) {
+        val (e, f) = (exact.getDouble(i), fast.getDouble(i))
+        val tol = 1e-9 * math.max(1.0, math.abs(e))
+        assert(math.abs(f - e) <= tol, s"trial $trial field $i: fast=$f exact=$e")
+      }
+    }
+    // schemas are interchangeable between the tiers
+    val df1 = Seq(1.0, 2.0).toDF("a")
+    assert(Stats.momentsFast(df1, Seq("a")).schema ==
+      Stats.moments(df1, Seq("a")).schema)
+  }
+
   test("momentsBy: per-group moments match the single-column operator per slice") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
                  ("b", 5.0), ("b", 5.0)).toDF("g", "v")

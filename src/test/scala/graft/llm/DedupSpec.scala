@@ -80,6 +80,47 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents: 1000-node path converges in O(log n) rounds") {
+    // the worst case for min-label propagation (diameter 999 → ~999
+    // rounds); large-star/small-star must fold it in ≲ log2(1000) rounds
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.ccWithRounds(path, maxIters = 30)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 1000 && got.forall(_._2 == 0L),
+      s"path graph not fully labeled to component min 0")
+    val bound = math.ceil(math.log(1000.0) / math.log(2.0)).toInt + 1 // 11
+    assert(rounds <= bound, s"took $rounds rounds (> $bound)")
+  }
+
+  test("connectedComponents: random graphs match a driver-side union-find (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (trial <- 0 until 3) {
+      val n = 60
+      val gen = Gen.listOfN(80, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+      } yield (a, b))
+      val raw = gen.apply(Gen.Parameters.default, Seed(7100L + trial)).get
+      val pairs = raw.filter(p => p._1 != p._2)
+      // reference: plain union-find on the driver
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> { // min id in the component via a second resolve pass
+          val r = find(v.toInt)
+          pairs.flatMap(p => Seq(p._1, p._2)).distinct
+            .filter(u => find(u.toInt) == r).min
+        }).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial diverged")
+    }
+  }
+
   test("cleanCorpusCC collapses a whole component where greedy keeps two docs") {
     // star graph: 1~3 and 2~3 above threshold, 1!~2 below it. Words must be
     // purely alphabetic — the tokenizer drops digits, so "w1" would collapse

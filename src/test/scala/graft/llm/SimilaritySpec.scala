@@ -304,6 +304,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r4.sorted.sameElements(r.sorted))
   }
 
+  test("rpReduceFast agrees with exact rpReduce to 1e-6 relative; map-only plan") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(50, Gen.listOfN(64, Gen.chooseNum(-2.0f, 2.0f)))
+    val vecs = gen.apply(Gen.Parameters.default, Seed(901L)).get
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding").repartition(4)
+    val exact = Similarity.rpReduce(df, outDims = 8).as[(Long, Int, Double)]
+      .collect().map { case (id, k, z) => (id, k) -> z }.toMap
+    val fast = Similarity.rpReduceFast(df, outDims = 8).as[(Long, Int, Double)]
+      .collect()
+    assert(fast.length == exact.size)
+    fast.foreach { case (id, k, z) =>
+      val e = exact((id, k))
+      assert(math.abs(z - e) <= 1e-6 * math.max(1.0, math.abs(e)),
+        s"id=$id k=$k fast=$z exact=$e")
+    }
+    // the fast tier keeps the map-only shape: no aggregate, no join
+    val plan = Similarity.rpReduceFast(df, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
+    assert(Similarity.rpReduceFast(df, 4).schema == Similarity.rpReduce(df, 4).schema)
+  }
+
   test("groupCentroids: per-group per-dim exact means in long format") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
