@@ -116,16 +116,25 @@ object Similarity {
     * `nBits` so buckets hold ~√(corpus/executors) vectors. */
   def knnGraphLSH(emb: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64,
                   seed: Long = 42L, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding", nTables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"), srpBucket(col(vecCol), nBits, dim, seed).as("bkt"))
+    // nTables independent hyperplane sets (the standard multi-table recall
+    // knob): a true neighbor is found if it collides in ANY table, so
+    // recall compounds as 1-(1-p_table)^nTables while candidate volume
+    // grows only linearly in nTables. Bucket keys are (table, bucket) so
+    // tables never cross-pollinate candidates.
+    val base = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val tables = explode(array((0 until nTables).map(ti => struct(lit(ti).as("tbl"),
+      srpBucket(col("v"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
+    val e = base.select(col("id"), col("v"), col("nrm"), tables.as("tb"))
+      .select(col("id"), col("v"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val probes = explode(array(
       col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
     val src = e.select(col("id").as("src"), col("v").as("va"),
-      col("nrm").as("na"), probes.as("bkt"))
-    val cand = e.toDF("dst", "vb", "nb", "bkt")
-    val scored = src.join(cand, Seq("bkt")).where(col("src") =!= col("dst"))
+      col("nrm").as("na"), col("tbl"), probes.as("bkt"))
+    val cand = e.toDF("dst", "vb", "nb", "tbl", "bkt")
+    val scored = src.join(cand, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
       .dropDuplicates("src", "dst")
@@ -380,18 +389,26 @@ object Similarity {
     * bucket id, so total work is Σ_bucket |Q_b|·|C_b| instead of |Q|·|C|. */
   def lshAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5, nBits: Int = 8,
                  dim: Int = 64, seed: Long = 42L,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 nTables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // No spread() (see annBruteTopK): bucketed candidate work is far below n².
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"), srpBucket(col(vecCol), nBits, dim, seed).as("bkt"))
+    // nTables independent hyperplane sets (see knnGraphLSH) — recall
+    // compounds per table, candidates grow linearly.
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val tables = explode(array((0 until nTables).map(ti => struct(lit(ti).as("tbl"),
+      srpBucket(col("v"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
+    val e = base.select(col("id"), col("v"), col("nrm"), tables.as("tb"))
+      .select(col("id"), col("v"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     // multiprobe: each query probes its own bucket and every 1-bit flip
     val probes = explode(array(
       col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
     val q = e.where(col("id").isInCollection(queryIds))
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), probes.as("bkt"))
-    val cand = e.toDF("nid", "nv", "nn", "bkt")
-    val scored = broadcast(q).join(cand, Seq("bkt")).where(col("qid") =!= col("nid"))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl"), probes.as("bkt"))
+    val cand = e.toDF("nid", "nv", "nn", "tbl", "bkt")
+    val scored = broadcast(q).join(cand, Seq("tbl", "bkt")).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
       .dropDuplicates("qid", "nid")

@@ -219,6 +219,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize session state survives a checkpoint restart (file-source round-trip)") {
+    // the flatMapGroupsWithState analogue of the dedup restart test: an OPEN
+    // session crosses a full stop/start — the restarted query must extend
+    // it from restored state, not begin a fresh one
+    val in = java.nio.file.Files.createTempDirectory("graft_sess_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_sess_chk").toString
+    def start() = EventStreams.sessionize(
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(in).as[Event])
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    // phase 1: user 8's session opens (2 events, still live at shutdown)
+    Seq(Event(1, ts("2024-01-01 10:00:00"), 8, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 8, "view", 2.0))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2 (after the full stop): an event 10 minutes later extends the
+    // SAME session — only possible if the state store was restored — and a
+    // far-future event advances the watermark so the session closes
+    Seq(Event(3, ts("2024-01-01 10:20:00"), 8, "click", 4.0),
+        Event(4, ts("2024-01-01 12:00:00"), 9, "click", 0.0))
+      .toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .where($"user_id" === 8)
+      .select("n_events", "start", "end", "total_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getDouble(3))).toSeq
+    // ONE merged 3-event session spanning the restart, not 2+1 fragments
+    assert(rows == Seq((3L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 7.0)))
+  }
+
   test("sessionize closes a session when the gap breaks and emits its summary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
