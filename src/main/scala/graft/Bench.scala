@@ -44,6 +44,7 @@ object Bench {
     // its whole-stage-codegen compilation (janino) — the min reports the
     // steady-state cost a long-running cluster actually pays per query
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,9 +52,15 @@ object Bench {
         failed += name // a time-to-failure must never read as a fast query
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (verbose) System.err.println(f"[bench] $name%-40s $dt%8.2f s")
+      dt
     }
+    // optional regex filter for scale sweeps (SPARK_GRAFT_ONLY=".*lineitem");
+    // unset = the full declared inventory, the driver's per-round behavior
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val pass1 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
     val results = sorted.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }
     // 3-decimal per-query times keep the emitted line compact (~140 queries
