@@ -727,6 +727,11 @@ object SparkEntry {
     "moments_fast_lineitem" -> ((s, d) =>
       graft.dist.Stats.momentsFast(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // No oracle — built-in double co-moment corr is shuffle-order dependent
+    // in the last bits; StatsSpec pins 1e-9 relative agreement with exact
+    "corr_fast_lineitem" -> ((s, d) =>
+      graft.dist.Stats.correlationFast(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // grouped higher moments: one scan, one group-keyed shuffle of decimals
     "moments_by_type_events" -> ((s, d) =>
       graft.dist.Stats.momentsBy(events(s, d), "value", "event_type")),

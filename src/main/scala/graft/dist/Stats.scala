@@ -186,6 +186,30 @@ object Stats {
       .orderBy("col_a", "col_b")
   }
 
+  /** Float fast tier of [[correlation]]: identical output schema and the
+    * same table-wide null/NaN row filter, but each pair rides Spark's
+    * built-in `corr` aggregate — a single codegen'd pass of double
+    * co-moment updates (Welford-style, numerically stabler than raw power
+    * sums) instead of DECIMAL(38,8) accumulation. ~10× cheaper per row at
+    * the cost of bit-determinism across shuffle schedules; the exact tier
+    * stays the oracle-checkable sibling (StatsSpec pins agreement to 1e-9
+    * relative). */
+  def correlationFast(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val xs = cols.map(c => col(c).cast("double"))
+    val clean = df.where(xs.map(x => x.isNotNull && !isnan(x)).reduce(_ && _))
+    val pairCols = for { a <- cols; b <- cols; if a < b } yield (a, b)
+    val aggs = pairCols.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"c_${a}_$b") }
+    val row = clean.agg(aggs.head, aggs.tail: _*)
+    val pairs = pairCols.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(col(s"c_${a}_$b"), 9).as("corr")) }
+    row.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Higher-order distribution moments per column — mean, population
     * variance, skewness, excess kurtosis — in ONE scan: the four raw power
     * sums Σx..Σx⁴ accumulate as exact `decimal(38,8)` casts (the aggregate

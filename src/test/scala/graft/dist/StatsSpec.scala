@@ -199,6 +199,28 @@ class StatsSpec extends SparkSpec {
       Stats.moments(df1, Seq("a")).schema)
   }
 
+  test("correlationFast agrees with exact correlation to 1e-9 (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(400, Gen.zip(
+      Gen.chooseNum(-1000.0, 1000.0), Gen.chooseNum(-1000.0, 1000.0)))
+    for (trial <- 0 until 3) {
+      val xs = gen.apply(Gen.Parameters.default, Seed(910L + trial)).get
+      // 2-decimal grid + correlated second column so corr is far from 0
+      val df = xs.map { case (a, b) =>
+        val ar = math.rint(a * 100) / 100
+        (ar, math.rint((ar + b) * 100) / 100)
+      }.toDF("a", "b").repartition(4)
+      val exact = Stats.correlation(df, Seq("a", "b")).collect().head
+      val fast = Stats.correlationFast(df, Seq("a", "b")).collect().head
+      val (e, f) = (exact.getDouble(2), fast.getDouble(2))
+      assert(math.abs(f - e) <= 1e-9, s"trial $trial: fast=$f exact=$e")
+    }
+    val df1 = Seq((1.0, 2.0), (2.0, 5.0)).toDF("a", "b")
+    assert(Stats.correlationFast(df1, Seq("a", "b")).schema ==
+      Stats.correlation(df1, Seq("a", "b")).schema)
+  }
+
   test("momentsBy: per-group moments match the single-column operator per slice") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
                  ("b", 5.0), ("b", 5.0)).toDF("g", "v")
