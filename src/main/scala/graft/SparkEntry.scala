@@ -125,9 +125,14 @@ object SparkEntry {
     // CUBE aggregate: counts at every (event_type, hour-of-day) grouping
     // level — all four grouping sets in one pass
     "events_cube_type_hour" -> ((s, d) =>
+      // two-phase cube (same shape as revenue_rollup_nation_year): count at
+      // the finest grain first, then Expand 4x only the ~|types×hours|
+      // pre-agg rows, not the event stream; neither key is null in the data
       events(s, d)
-        .cube(col("event_type"), hour(col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .cube(col("event_type"), col("hr"))
+        .agg(sum(col("n")).as("n_events"))
         .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first)),
 
     // chi-square independence test lang x source (+ Cramér's V)
@@ -276,13 +281,23 @@ object SparkEntry {
       val ord = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
       val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
       val nat = t(s, d, "nation").select("n_nationkey", "n_name")
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      // two-phase rollup: aggregate at the FINEST grain first, then run the
+      // grouping sets over the ~|nations×years| pre-agg — Expand triples its
+      // input, so feeding it pre-agg rows instead of joined fact rows cuts
+      // the decimal-agg volume 3x (sf1: 16.4s -> ~8s; decimal sums of
+      // decimal sums are exact, so the oracle hash is unchanged). o_year is
+      // never null in the data, so base-grain rows and subtotal rows can't
+      // collide.
+      val base = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
-        .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+            .cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n"))
+      base.rollup(col("n_name"), col("o_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          sum(col("n")).as("n_items"))
         .orderBy(col("n_name").asc_nulls_first, col("o_year").asc_nulls_first)
     }),
 

@@ -68,6 +68,23 @@ object SkewBench {
     conf(aqe = false)
     val salted = run(graft.dist.Joins.saltedJoin(fact, dim, Seq("k"), salts = 32))
 
+    // aggregation under the same skew needs NO salt: partial aggregation
+    // collapses the hot key map-side, so the exchange carries one row per
+    // (task, key) — compare against a same-size uniform table to show the
+    // hot key costs nothing
+    def agg(df: DataFrame): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    val aggSkew = agg(fact)
+    val aggUniform = agg(spark.range(40000000L)
+      .select((col("id") % 40000 + 1).as("k"), col("id").as("v")))
+
     // the partition-balance mechanism behind the timings (rows in the
     // fullest hash partition, bare key vs key+salt)
     def maxPart(df: DataFrame): Long =
@@ -81,6 +98,7 @@ object SkewBench {
     val json =
       f"""{"fixture":"100:1 hot key, 40M rows","plain_sec":$plain%.3f,""" +
       f""""aqe_skewjoin_sec":$aqe%.3f,"salted_sec":$salted%.3f,""" +
+      f""""agg_skew_sec":$aggSkew%.3f,"agg_uniform_sec":$aggUniform%.3f,""" +
       f""""max_part_rows_plain":$maxPlain,"max_part_rows_salted":$maxSalted,""" +
       f""""hot_rows":$hotRows,"cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/skewbench.json"),
