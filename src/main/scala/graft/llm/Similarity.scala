@@ -574,23 +574,27 @@ object Similarity {
   }
 
   /** Float fast tier of [[rpReduce]]: identical sign matrix and output
-    * schema, but the per-component sums fold as plain doubles instead of
-    * DECIMAL(30,8). Still map-only / zero-shuffle; drops the 128-bit
-    * decimal adds from the inner loop (the dominant cost of the exact
-    * tier), trading bit-exact cross-engine reproducibility for throughput.
-    * The fold order inside one row's array IS fixed (left-to-right), so
-    * per-row results are stable for a given input — only cross-engine
-    * decimal-vs-binary rounding differs. SimilaritySpec pins agreement
-    * with the exact tier to 1e-6 relative. */
+    * schema, but each projection is one [[graft.functions.FloatDot]]
+    * against a PRECOMPUTED literal ±1 sign vector — a codegen'd
+    * float-multiply loop instead of the exact tier's per-element
+    * decimal-fold HOF lambdas (interpreted, 128-bit adds), and instead of
+    * an earlier double-fold HOF formulation that still paid outDims×dim
+    * interpreted lambda calls per row (sf1: 8.3 s → sub-second). Still
+    * map-only / zero-shuffle. float×(±1.0) is exact and the fold order is
+    * the same left-to-right, so this is bit-identical to the double-HOF
+    * form; vs the exact tier only decimal-vs-binary rounding differs
+    * (SimilaritySpec pins 1e-6 relative agreement). Sign vectors carry
+    * `maxDims` entries and FloatDot folds over min(|emb|, maxDims), so any
+    * embedding width up to the cap (default 4096, far above practical
+    * model widths) projects over its full length, same as the HOF form. */
   def rpReduceFast(emb: DataFrame, outDims: Int = 16, idCol: String = "vec_id",
-                   embCol: String = "embedding"): DataFrame = {
+                   embCol: String = "embedding", maxDims: Int = 4096): DataFrame = {
     val zs = (0 until outDims).map { k =>
-      val terms = transform(col(embCol), (x, j) => {
-        val h = lit(k.toLong * 2654435761L) + j.cast("long") * lit(40503L)
-        val sign = when(bit_count(h) % 2 === 0, lit(1)).otherwise(lit(-1))
-        x.cast("double") * sign
-      })
-      aggregate(terms, lit(0.0), (acc, t) => acc + t)
+      val signs = Array.tabulate(maxDims) { j =>
+        val h = k.toLong * 2654435761L + j.toLong * 40503L
+        if (java.lang.Long.bitCount(h) % 2 == 0) 1.0f else -1.0f
+      }
+      graft.functions.functions.float_dot(col(embCol), typedLit(signs))
     }
     emb.select(col(idCol), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
       .orderBy(idCol, "dim_idx")
