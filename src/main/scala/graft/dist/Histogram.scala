@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *   - `build()` (idempotent, ~L95)   → `build()` (cached)
   *   - `to_pandas('hist')`            → `toHistDF` (wide counts + labels)
   *   - `to_pandas('density')`         → `toDensityDF` (bin centers × counts)
-  *   - `plot_hist` / `plot_density`   → out of engine scope (matplotlib
-  *     presentation; the contract ends at the DataFrame — SURVEY.md §1)
+  *   - `plot_hist` / `plot_density`   → `plotHist` / `plotDensity`
+  *     (self-contained SVG via [[Plotting]]; the JVM has no matplotlib, so
+  *     the Axes becomes an SVG string and the DataFrame stays canonical)
   *
   * The free functions `hist` / `distplot` / `pandasHistogram` in
   * [[DistExplore]] mirror the reference's module-level entry points.
@@ -69,6 +70,16 @@ class Histogram(bins: Bins = Bins.Count(10), range: Option[(Double, Double)] = N
     val cnts = b.columns.filter(_.endsWith("_cnt")).map(col)
     b.select(Seq(col("bin_id"), ((col("bin_lo") + col("bin_hi")) / 2).as("bin_center")) ++ cnts: _*)
   }
+
+  /** Rendered grouped-bar histogram (reference plot_hist, ~L240-280) as a
+    * self-contained SVG string — see [[Plotting.svgHistogram]]. */
+  def plotHist(title: String = "", width: Int = 640, height: Int = 400): String =
+    Plotting.svgHistogram(build(), title, width, height)
+
+  /** Rendered density polylines (reference plot_density, ~L280-320) as a
+    * self-contained SVG string — see [[Plotting.svgDensity]]. */
+  def plotDensity(title: String = "", width: Int = 640, height: Int = 400): String =
+    Plotting.svgDensity(toDensityDF, title, width, height)
 }
 
 /** Module-level entry points mirroring the reference's public functions

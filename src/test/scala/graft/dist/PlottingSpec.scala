@@ -1,0 +1,61 @@
+package graft.dist
+
+import graft.SparkSpec
+
+/** SVG rendering of histogram/density frames (the reference's
+  * plot_hist/plot_density surface). Asserts structure — the drawing is a
+  * pure function of the collected frame, so the bar/line/tick counts and
+  * tooltip values pin the geometry without an image diff. */
+class PlottingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def twoSeries: Histogram = {
+    val a = (1 to 100).map(_.toDouble).toDF("a")
+    val b = (40 to 160).map(_.toDouble).toDF("b")
+    new Histogram(Bins.Count(10)).addColumn(a, "a").addColumn(b, "b")
+  }
+
+  test("svgHistogram: one rounded bar per (bin, series), legend, tooltips") {
+    val svg = twoSeries.plotHist(title = "a vs b")
+    assert(svg.startsWith("<svg ") && svg.endsWith("</svg>"))
+    assert(svg.contains("a vs b"))
+    // 10 bins x 2 series bars, each with a native <title> tooltip
+    assert("<path d=\"M".r.findAllIn(svg).size == 20)
+    assert("<title>".r.findAllIn(svg).size == 20)
+    // legend present for 2 series (one swatch rect per series)
+    assert("rx=\"2\"".r.findAllIn(svg).size == 2)
+    // series colors in fixed order, text never in series color
+    assert(svg.contains("#2a78d6") && svg.contains("#eb6834"))
+    assert(!svg.contains("""fill="#2a78d6">a<"""))
+  }
+
+  test("svgHistogram: single series has no legend; counts reach tooltips") {
+    val h = new Histogram(Bins.Count(4))
+      .addColumn((1 to 8).map(_.toDouble).toDF("x"), "x")
+    val svg = h.plotHist()
+    assert(!svg.contains("rx=\"2\"")) // no legend swatch
+    // 4 equal bins over 1..8 hold 2 values each
+    assert("<title>x \\[[^\\]]*\\]: 2</title>".r.findAllIn(svg).size == 4)
+  }
+
+  test("svgDensity: one 2px polyline per series over bin centers") {
+    val svg = twoSeries.plotDensity(title = "density")
+    assert("<polyline ".r.findAllIn(svg).size == 2)
+    assert(svg.contains("stroke-width=\"2\""))
+    assert(svg.contains("fill=\"none\""))
+  }
+
+  test("more than 8 series is refused, never repainted") {
+    val df = (1 to 10).map(_.toDouble).toDF("c")
+    val h = new Histogram(Bins.Count(3))
+    (0 to 8).foreach(i => h.addColumn(df, "c", s"s$i"))
+    val e = intercept[IllegalArgumentException](h.plotHist())
+    assert(e.getMessage.contains("fold series or facet"))
+  }
+
+  test("niceTicks are 1/2/5-stepped and cover the max") {
+    assert(Plotting.niceTicks(97.0) == Seq(0.0, 20.0, 40.0, 60.0, 80.0, 100.0))
+    assert(Plotting.niceTicks(4.0) == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    assert(Plotting.niceTicks(0.0) == Seq(0.0, 1.0))
+  }
+}

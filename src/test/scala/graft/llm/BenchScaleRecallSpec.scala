@@ -13,7 +13,8 @@ object Slow extends Tag("graft.Slow")
 /** Bench-scale recall bounds for the approximate (LSH/IVF/MinHash) tiers.
   *
   * The unit specs assert recall on small planted fixtures; this suite
-  * re-asserts at sf0.1 bench scale (8000 real 64-dim vectors / 5000 docs).
+  * re-asserts at sf0.1 bench scale (2000 real 64-dim vectors, augmented to
+  * 8000 with planted twins below / 5000 docs).
   *
   * Measured ground truth about the bench embeddings: they are
   * isotropic-random — a vector's brute-force top-5 cosines are ≈ 0.33-0.45
