@@ -71,10 +71,11 @@ class Histogram(bins: Bins = Bins.Count(10), range: Option[(Double, Double)] = N
     b.select(Seq(col("bin_id"), ((col("bin_lo") + col("bin_hi")) / 2).as("bin_center")) ++ cnts: _*)
   }
 
-  /** Rendered grouped-bar histogram (reference plot_hist, ~L240-280) as a
-    * self-contained SVG string — see [[Plotting.svgHistogram]]. */
-  def plotHist(title: String = "", width: Int = 640, height: Int = 400): String =
-    Plotting.svgHistogram(build(), title, width, height)
+  /** Rendered histogram (reference plot_hist incl. its `overlapping` flag,
+    * ~L240-280) as a self-contained SVG string — [[Plotting.svgHistogram]]. */
+  def plotHist(title: String = "", width: Int = 640, height: Int = 400,
+               overlapping: Boolean = false): String =
+    Plotting.svgHistogram(build(), title, width, height, overlapping)
 
   /** Rendered density polylines (reference plot_density, ~L280-320) as a
     * self-contained SVG string — see [[Plotting.svgDensity]]. */
@@ -101,4 +102,15 @@ object DistExplore {
   def distplot(dfs: Seq[DataFrame], bins: Bins = Bins.Count(10),
                range: Option[(Double, Double)] = None): DataFrame =
     new Histogram(bins, range).addData(dfs).toDensityDF
+
+  /** reference `hist(ax, x, **kw)` WITH the drawing — SVG string. */
+  def plotHist(dfs: Seq[DataFrame], bins: Bins = Bins.Count(10),
+               range: Option[(Double, Double)] = None, title: String = "",
+               overlapping: Boolean = false): String =
+    new Histogram(bins, range).addData(dfs).plotHist(title, overlapping = overlapping)
+
+  /** reference `distplot(ax, x, **kw)` WITH the drawing — SVG string. */
+  def plotDistplot(dfs: Seq[DataFrame], bins: Bins = Bins.Count(10),
+                   range: Option[(Double, Double)] = None, title: String = ""): String =
+    new Histogram(bins, range).addData(dfs).plotDensity(title)
 }

@@ -53,16 +53,36 @@ object Plotting {
   private def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else f"$v%.2f"
 
-  /** Bar with a 4px-rounded data-end anchored to the baseline. */
+  /** Human-readable axis values (the reference's formatted_yaxis
+    * FuncFormatter, ≈L250): 1500 → "1.5K", 2000000 → "2M". */
+  private[dist] def fmtHuman(v: Double): String = {
+    def scaled(s: Double, suffix: String) = {
+      val x = v / s
+      (if (x == math.rint(x)) x.toLong.toString else f"$x%.1f") + suffix
+    }
+    math.abs(v) match {
+      case a if a >= 1e9 => scaled(1e9, "B")
+      case a if a >= 1e6 => scaled(1e6, "M")
+      case a if a >= 1e3 => scaled(1e3, "K")
+      case _             => fmt(v)
+    }
+  }
+
+  /** Bar with a 4px-rounded data-end anchored to the baseline. Overlapping
+    * marks get translucent fill plus a 2px surface ring so each series'
+    * outline stays readable where they stack. */
   private def bar(x: Double, y: Double, w: Double, h: Double, fill: String,
-                  tooltip: String): String = {
+                  tooltip: String, overlapping: Boolean = false): String = {
     val r = math.min(4.0, w / 2)
     val hh = math.max(h, 0.0)
     val rr = math.min(r, hh)
     val d = f"M$x%.2f,${y + hh}%.2f L$x%.2f,${y + rr}%.2f Q$x%.2f,$y%.2f ${x + rr}%.2f,$y%.2f " +
       f"L${x + w - rr}%.2f,$y%.2f Q${x + w}%.2f,$y%.2f ${x + w}%.2f,${y + rr}%.2f " +
       f"L${x + w}%.2f,${y + hh}%.2f Z"
-    s"""<path d="$d" fill="$fill"><title>${esc(tooltip)}</title></path>"""
+    val style = if (overlapping)
+      s"""fill="$fill" fill-opacity="0.6" stroke="$surface" stroke-width="2""""
+    else s"""fill="$fill""""
+    s"""<path d="$d" $style><title>${esc(tooltip)}</title></path>"""
   }
 
   private case class Frame(title: String, width: Int, height: Int,
@@ -95,7 +115,7 @@ object Plotting {
       val svg = ticks.map { t =>
         val y = yOf(t)
         f"""<line x1="$mL" y1="$y%.2f" x2="${mL + plotW}" y2="$y%.2f" stroke="$gridline" stroke-width="1"/>""" +
-        f"""<text x="${mL - 6}" y="${y + 4}%.2f" font-size="10" fill="$inkSecondary" text-anchor="end">${fmt(t)}</text>"""
+        f"""<text x="${mL - 6}" y="${y + 4}%.2f" font-size="10" fill="$inkSecondary" text-anchor="end">${fmtHuman(t)}</text>"""
       }.mkString
       (svg, yOf)
     }
@@ -124,9 +144,12 @@ object Plotting {
   }
 
   /** Grouped-bar histogram SVG from a [[Histogram]] `build()`/`toHistDF`
-    * frame (`bin_lo`, `bin_hi`, one `<label>_cnt` per series). */
+    * frame (`bin_lo`, `bin_hi`, one `<label>_cnt` per series).
+    * `overlapping` draws full-width translucent bars per series instead of
+    * side-by-side groups (the reference plot_hist's overlapping=True). */
   def svgHistogram(hist: DataFrame, title: String = "",
-                   width: Int = 640, height: Int = 400): String = {
+                   width: Int = 640, height: Int = 400,
+                   overlapping: Boolean = false): String = {
     val series = cntCols(hist)
     val rows = hist.select("bin_lo" +: "bin_hi" +: series map hist.col: _*)
       .orderBy("bin_lo").collect().toSeq
@@ -136,13 +159,16 @@ object Plotting {
     val maxV = rows.iterator.flatMap(r => series.indices.map(s => num(r, 2 + s))).max
     val (grid, yOf) = f.yAxis(maxV)
     val groupW = f.plotW.toDouble / rows.size
-    val barW = math.max(1.0, (groupW - 2.0 * (series.size - 1) - 4.0) / series.size)
+    val barW =
+      if (overlapping) math.max(1.0, groupW - 4.0)
+      else math.max(1.0, (groupW - 2.0 * (series.size - 1) - 4.0) / series.size)
     val bars = rows.zipWithIndex.flatMap { case (r, b) =>
       series.indices.map { s =>
         val v = num(r, 2 + s)
-        val x = f.mL + b * groupW + 2.0 + s * (barW + 2.0)
+        val x = f.mL + b * groupW + 2.0 + (if (overlapping) 0.0 else s * (barW + 2.0))
         bar(x, yOf(v), barW, yOf(0) - yOf(v), seriesColors(s),
-          s"${series(s).stripSuffix("_cnt")} [${fmt(num(r, 0))} - ${fmt(num(r, 1))}]: ${fmt(v)}")
+          s"${series(s).stripSuffix("_cnt")} [${fmt(num(r, 0))} - ${fmt(num(r, 1))}]: ${fmt(v)}",
+          overlapping && series.size > 1)
       }
     }.mkString
     val xl = f.xLabels(rows.map(r => fmt(num(r, 0))), i => f.mL + i * groupW + groupW / 2)

@@ -53,6 +53,24 @@ class PlottingSpec extends SparkSpec {
     assert(e.getMessage.contains("fold series or facet"))
   }
 
+  test("overlapping mode: full-width translucent bars with a surface ring") {
+    val svg = twoSeries.plotHist(overlapping = true)
+    assert("fill-opacity=\"0.6\"".r.findAllIn(svg).size == 20)
+    assert(svg.contains("stroke-width=\"2\""))
+    // a single overlapping series needs no translucency
+    val one = new Histogram(Bins.Count(3))
+      .addColumn((1 to 9).map(_.toDouble).toDF("x"), "x")
+      .plotHist(overlapping = true)
+    assert(!one.contains("fill-opacity"))
+  }
+
+  test("y ticks use K/M/B formatting on large counts") {
+    assert(Plotting.fmtHuman(1500.0) == "1.5K")
+    assert(Plotting.fmtHuman(2000000.0) == "2M")
+    assert(Plotting.fmtHuman(3.5e9) == "3.5B")
+    assert(Plotting.fmtHuman(999.0) == "999")
+  }
+
   test("niceTicks are 1/2/5-stepped and cover the max") {
     assert(Plotting.niceTicks(97.0) == Seq(0.0, 20.0, 40.0, 60.0, 80.0, 100.0))
     assert(Plotting.niceTicks(4.0) == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
