@@ -36,6 +36,13 @@ object ScaleGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, reps)
+    spark.stop()
+  }
+
+  /** Session-agnostic body (ScaleGenSpec drives it on the test session;
+    * the session must set spark.sql.legacy.parquet.nanosAsLong=true). */
+  def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -100,6 +107,5 @@ object ScaleGen {
         transform(col("embedding"), x => x + col("__rep").cast("float") * lit(0.001f))))
 
     println(s"[scalegen] done: $out (reps=$reps from $src)")
-    spark.stop()
   }
 }
