@@ -766,10 +766,19 @@ object SparkEntry {
     // invariance property-tested in SimilaritySpec
     "top_pc_embeddings" -> ((s, d) =>
       Similarity.topPrincipalComponent(t(s, d, "embeddings"), iters = 5)),
+    // one-scan Gram-matrix fast tier: same power iteration run driver-side
+    // on the d×d scatter matrix — 1 job vs 2+iters. No oracle — double
+    // partial sums; SimilaritySpec pins agreement with the exact tier
+    "top_pc_fast_embeddings" -> ((s, d) =>
+      Similarity.topPrincipalComponentFast(t(s, d, "embeddings"), iters = 5)),
     // all-but-the-top debias ledger: projection + residual norm per vector
     // (no oracle — built on the iterative PC; residual⊥PC property-tested)
     "debias_embeddings" -> ((s, d) =>
       Similarity.removeDominantPC(t(s, d, "embeddings"), iters = 5)),
+    // the same ledger on the one-scan fast PC: 2 jobs total (no oracle —
+    // fast-PC rounding; ledger agreement with exact tier property-tested)
+    "debias_fast_embeddings" -> ((s, d) =>
+      Similarity.removeDominantPCFast(t(s, d, "embeddings"), iters = 5)),
     // mergeable daily HLL sketches of active users + the unioned overall
     // estimate — the incremental rollup shape (no oracle: sketch estimate;
     // within-rsd-of-exact property-tested)

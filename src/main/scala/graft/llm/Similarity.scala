@@ -515,6 +515,94 @@ object Similarity {
       .orderBy("dim_idx")
   }
 
+  /** One-scan Gram-matrix fast tier of [[topPrincipalComponent]]: a single
+    * `treeAggregate` pass accumulates n, the per-dim sums and the
+    * upper-triangle second-moment matrix Σ x·xᵀ (1 + d + d(d+1)/2 doubles
+    * ≈ 17 KB at d = 64 — per-PARTITION state, independent of row count),
+    * then the driver forms the scatter matrix Σ(x−m)(x−m)ᵀ = Σx·xᵀ − n·m·mᵀ
+    * and runs the SAME power iteration (same init, iteration count, sign
+    * pin and Rayleigh eigenvalue) on the d×d matrix locally. Identical math
+    * to the exact tier modulo double-vs-decimal rounding, in ONE Spark job
+    * instead of 2+iters — at 1000 executors the exact tier's per-iteration
+    * scan is the dominant cost and this collapses it. The O(d²) per-row
+    * flops run in a tight JIT loop (no row inflation); standard RowMatrix
+    * guidance applies (fine to d ≈ 2k). No oracle — double partial sums
+    * are combine-order dependent in the last bits; SimilaritySpec pins
+    * agreement with the exact tier. */
+  def topPrincipalComponentFast(emb: DataFrame, iters: Int = 5, dim: Int = 64,
+                                vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && dim >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    // acc layout: [0]=n, [1..dim]=Σx_j, [1+dim..]=upper-triangle Σ x_i·x_j
+    val acc = emb.where(size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>")).as[Array[Double]]
+      .rdd.treeAggregate(new Array[Double](1 + dim + tri))(
+        seqOp = { (a, v) =>
+          a(0) += 1.0
+          var i = 0; var k = 1 + dim
+          while (i < dim) {
+            a(1 + i) += v(i)
+            var j = i
+            while (j < dim) { a(k) += v(i) * v(j); k += 1; j += 1 }
+            i += 1
+          }
+          a
+        },
+        combOp = { (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        },
+        depth = 2)
+    val n = acc(0)
+    val m = Array.tabulate(dim)(j => acc(1 + j) / math.max(n, 1.0))
+    val scat = Array.ofDim[Double](dim, dim)
+    var k = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val s = acc(k) - n * m(i) * m(j)
+        scat(i)(j) = s; scat(j)(i) = s; k += 1; j += 1
+      }
+      i += 1
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(dim) { r =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += scat(r)(j) * v(j); j += 1 }
+        s
+      }
+      val nrm = math.sqrt(u.map(c => c * c).sum)
+      lambda = nrm / math.max(n, 1.0)
+      if (nrm > 0) v = u.map(_ / nrm)
+    }
+    val kMax = v.indices.maxBy(j => (math.abs(v(j)), -j))
+    if (v(kMax) < 0) v = v.map(-_)
+    v.zipWithIndex.map { case (l, j) => (j, l, lambda) }.toSeq
+      .toDF("dim_idx", "loading", "eigenvalue")
+      .orderBy("dim_idx")
+  }
+
+  /** The per-vector projection/residual ledger shared by both debias tiers:
+    * map-only, the unit PC rides in the expression tree — nothing
+    * broadcasts or shuffles. */
+  private def pcLedger(emb: DataFrame, pc: Array[Double], dim: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    val proj = (0 until dim).map(j =>
+      col(vecCol).getItem(j).cast("double") * lit(pc(j))).reduce(_ + _)
+    val n2 = dot(col(vecCol), col(vecCol))
+    emb.where(size(col(vecCol)) === dim)
+      .select(col(idCol), proj.as("p"), n2.as("n2"))
+      .select(col(idCol), round(col("p"), 9).as("proj"),
+        round(sqrt(col("n2")), 9).as("norm"),
+        round(sqrt(greatest(col("n2") - col("p") * col("p"), lit(0.0))), 9)
+          .as("residual_norm"))
+      .orderBy(idCol)
+  }
+
   /** All-but-the-top debiasing audit: project every embedding onto the
     * dominant PC ([[topPrincipalComponent]]) and report the projection and
     * the residual norm — the standard anisotropy correction
@@ -527,16 +615,17 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pc = topPrincipalComponent(emb, iters, dim, vecCol)
       .select("loading").collect().map(_.getDouble(0))
-    val proj = (0 until dim).map(j =>
-      col(vecCol).getItem(j).cast("double") * lit(pc(j))).reduce(_ + _)
-    val n2 = dot(col(vecCol), col(vecCol))
-    emb.where(size(col(vecCol)) === dim)
-      .select(col(idCol), proj.as("p"), n2.as("n2"))
-      .select(col(idCol), round(col("p"), 9).as("proj"),
-        round(sqrt(col("n2")), 9).as("norm"),
-        round(sqrt(greatest(col("n2") - col("p") * col("p"), lit(0.0))), 9)
-          .as("residual_norm"))
-      .orderBy(idCol)
+    pcLedger(emb, pc, dim, idCol, vecCol)
+  }
+
+  /** [[removeDominantPC]] on the one-scan [[topPrincipalComponentFast]] PC:
+    * 2 jobs total (Gram scan + ledger scan) vs 3+iters. Same schema and
+    * ledger expressions; no oracle for the same reason as the fast PC. */
+  def removeDominantPCFast(emb: DataFrame, iters: Int = 5, dim: Int = 64,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pc = topPrincipalComponentFast(emb, iters, dim, vecCol)
+      .select("loading").collect().map(_.getDouble(0))
+    pcLedger(emb, pc, dim, idCol, vecCol)
   }
 
   /** Deterministic sign-random-projection dimensionality reduction

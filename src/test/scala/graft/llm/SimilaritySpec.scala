@@ -283,6 +283,62 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._4).max < r.map(_._3).max / 2)
   }
 
+  test("topPrincipalComponentFast agrees with the exact tier; one-job scan") {
+    val rnd = new scala.util.Random(246)
+    val dim = 16
+    val d1 = {
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    // non-zero mean so the scatter-matrix centering is actually exercised
+    val vecs = (0 until 150).map { i =>
+      val a = rnd.nextGaussian() * 5.0
+      (i.toLong,
+        d1.indices.map(j => (2.0 + a * d1(j) + rnd.nextGaussian() * 0.3).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.topPrincipalComponent(vecs, iters = 6, dim = dim)
+      .select("loading", "eigenvalue").as[(Double, Double)].collect()
+    val fast = Similarity.topPrincipalComponentFast(vecs, iters = 6, dim = dim)
+      .select("loading", "eigenvalue").as[(Double, Double)].collect()
+    // same iteration sequence modulo double-vs-decimal rounding: loadings
+    // agree to 1e-6 absolute, eigenvalue to 1e-6 relative
+    exact.map(_._1).zip(fast.map(_._1)).zipWithIndex.foreach { case ((e, f), j) =>
+      assert(math.abs(e - f) < 1e-6, s"loading[$j] exact=$e fast=$f")
+    }
+    assert(math.abs(exact.head._2 - fast.head._2) / exact.head._2 < 1e-6)
+    assert(math.abs(fast.map(x => x._1 * x._1).sum - 1.0) < 1e-9) // unit norm
+    // repartitioning changes combine order only in the last bits
+    val fast4 = Similarity.topPrincipalComponentFast(vecs.repartition(4), iters = 6, dim = dim)
+      .select("loading").as[Double].collect()
+    fast.map(_._1).zip(fast4).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("removeDominantPCFast ledger agrees with the exact tier") {
+    val rnd = new scala.util.Random(357)
+    val dim = 16
+    val d1 = {
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val vecs = (0 until 90).map { i =>
+      val a = rnd.nextGaussian() * 5.0
+      (i.toLong, d1.map(c => (a * c + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.removeDominantPC(vecs, iters = 6, dim = dim)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val fast = Similarity.removeDominantPCFast(vecs, iters = 6, dim = dim)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(fast.length == exact.size)
+    fast.foreach { case (id, proj, norm, res) =>
+      val (_, ep, en, er) = exact(id)
+      assert(math.abs(proj - ep) < 1e-5, s"id $id proj")
+      assert(norm == en, s"id $id norm") // norm doesn't involve the PC
+      assert(math.abs(res - er) < 1e-5, s"id $id residual")
+    }
+    assert(Similarity.removeDominantPCFast(vecs, 6, dim).schema ==
+      Similarity.removeDominantPC(vecs, 6, dim).schema)
+  }
+
   test("rpReduce: signed sums match the integer sign matrix, no shuffle ops") {
     val df = Seq((1L, Array(1.0f, 2.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 4.0f)))
       .toDF("vec_id", "embedding")
