@@ -44,6 +44,13 @@ object GraftFunctions {
         require(args.size == 2, "float_dot(a, b) takes 2 arguments")
         FloatDot(args(0), args(1))
       }),
+    (FunctionIdentifier("float_double_dot"),
+      info("float_double_dot",
+        "float_double_dot(a, b) - dot of array<float> a against array<double> b in double"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "float_double_dot(a, b) takes 2 arguments")
+        FloatDoubleDot(args(0), args(1))
+      }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hashes, k[, seed]) - k-wide MinHash signature of array<long>"),
       (args: Seq[Expression]) => {

@@ -48,7 +48,38 @@ class GraftFunctionsSpec extends SparkSpec {
     val builder = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(builder) // must not throw; descriptors are well-formed
     assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
-      Seq("compress_ratio", "float_dot", "hist_counts", "minhash_sig", "nfc_normalize", "simhash_pack"))
+      Seq("compress_ratio", "float_dot", "float_double_dot", "hist_counts",
+        "minhash_sig", "nfc_normalize", "simhash_pack").sorted)
+  }
+
+  test("float_double_dot is bit-identical to the chained getItem/cast tree") {
+    GraftFunctions.register(spark)
+    // arbitrary doubles (not float-representable) exercise the mixed widths
+    val pc = Array(0.1234567890123, -0.9876543210987, 0.3333333333333)
+    val df = Seq((1L, Seq(1.5f, -2.25f, 0.875f)), (2L, Seq(0.1f, 0.2f, 0.3f)))
+      .toDF("id", "v")
+    val tree = (0 until 3).map(j =>
+      col("v").getItem(j).cast("double") * lit(pc(j))).reduce(_ + _)
+    val rows = df.select(
+        functions.float_double_dot(col("v"), typedLit(pc.toSeq)).as("loop"),
+        tree.as("tree"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (loop, t) => assert(loop == t) } // bitwise, not approx
+    // SQL surface matches the Column API
+    df.createOrReplaceTempView("fdd")
+    val sql = spark.sql(
+      "SELECT float_double_dot(v, array(0.1234567890123D, -0.9876543210987D, 0.3333333333333D)) FROM fdd WHERE id = 1")
+      .as[Double].collect()(0)
+    assert(sql == rows(0)._1)
+    // null array → null out; length mismatch folds over the shorter
+    val nulls = Seq((Option.empty[Seq[Float]], Seq(1.0)))
+      .toDF("v", "w")
+      .select(functions.float_double_dot(col("v"), col("w"))).collect()
+    assert(nulls(0).isNullAt(0))
+    val short = Seq((Seq(2.0f, 3.0f), Seq(10.0)))
+      .toDF("v", "w")
+      .select(functions.float_double_dot(col("v"), col("w"))).as[Double].collect()
+    assert(short(0) == 20.0)
   }
 
   test("nfc_normalize composes decomposed sequences; ASCII and nulls pass through") {
