@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * a small warmup job runs first so JIT/classloading doesn't land in the
   * first measured query. */
 object Bench {
+  // the f interpolator formats with the JVM default locale — on a
+  // comma-decimal locale f"$v%.3f" renders "12,345" and corrupts the JSON
+  private def s3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,13 +70,13 @@ object Bench {
     val results = sorted.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }
     // 3-decimal per-query times keep the emitted line compact (~140 queries
     // at full double precision overflow the driver's stdout tail window)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "cpus" makes scaling regressions visible round-over-round: rerun with
     // SPARK_GRAFT_CPUS=4 and compare — fixed overhead stays, parallel work 8x.
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // Also persist to disk, and print AFTER spark.stop(): the driver tails
     // only the last ~2000 chars of stdout, and Spark's shutdown chatter was
     // pushing the JSON line out of that window (BENCH_r01/r02 "parsed":null).

@@ -50,15 +50,22 @@ object Plotting {
     (0 to count).map(_ * step)
   }
 
+  // SVG numbers and axis text must be locale-independent — the f
+  // interpolator's default-locale %.2f emits a comma decimal point on e.g.
+  // de_DE, which breaks path/points parsing ("M12,34,56,78 ...")
+  private def p2(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
   private def fmt(v: Double): String =
-    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else f"$v%.2f"
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else p2(v)
 
   /** Human-readable axis values (the reference's formatted_yaxis
     * FuncFormatter, ≈L250): 1500 → "1.5K", 2000000 → "2M". */
   private[dist] def fmtHuman(v: Double): String = {
     def scaled(s: Double, suffix: String) = {
       val x = v / s
-      (if (x == math.rint(x)) x.toLong.toString else f"$x%.1f") + suffix
+      (if (x == math.rint(x)) x.toLong.toString
+       else "%.1f".formatLocal(java.util.Locale.ROOT, x)) + suffix
     }
     math.abs(v) match {
       case a if a >= 1e9 => scaled(1e9, "B")
@@ -76,9 +83,9 @@ object Plotting {
     val r = math.min(4.0, w / 2)
     val hh = math.max(h, 0.0)
     val rr = math.min(r, hh)
-    val d = f"M$x%.2f,${y + hh}%.2f L$x%.2f,${y + rr}%.2f Q$x%.2f,$y%.2f ${x + rr}%.2f,$y%.2f " +
-      f"L${x + w - rr}%.2f,$y%.2f Q${x + w}%.2f,$y%.2f ${x + w}%.2f,${y + rr}%.2f " +
-      f"L${x + w}%.2f,${y + hh}%.2f Z"
+    val d = s"M${p2(x)},${p2(y + hh)} L${p2(x)},${p2(y + rr)} Q${p2(x)},${p2(y)} ${p2(x + rr)},${p2(y)} " +
+      s"L${p2(x + w - rr)},${p2(y)} Q${p2(x + w)},${p2(y)} ${p2(x + w)},${p2(y + rr)} " +
+      s"L${p2(x + w)},${p2(y + hh)} Z"
     val style = if (overlapping)
       s"""fill="$fill" fill-opacity="0.6" stroke="$surface" stroke-width="2""""
     else s"""fill="$fill""""
@@ -114,8 +121,8 @@ object Plotting {
       val yOf = (v: Double) => plotY + plotH - (v / top) * plotH
       val svg = ticks.map { t =>
         val y = yOf(t)
-        f"""<line x1="$mL" y1="$y%.2f" x2="${mL + plotW}" y2="$y%.2f" stroke="$gridline" stroke-width="1"/>""" +
-        f"""<text x="${mL - 6}" y="${y + 4}%.2f" font-size="10" fill="$inkSecondary" text-anchor="end">${fmtHuman(t)}</text>"""
+        s"""<line x1="$mL" y1="${p2(y)}" x2="${mL + plotW}" y2="${p2(y)}" stroke="$gridline" stroke-width="1"/>""" +
+        s"""<text x="${mL - 6}" y="${p2(y + 4)}" font-size="10" fill="$inkSecondary" text-anchor="end">${fmtHuman(t)}</text>"""
       }.mkString
       (svg, yOf)
     }
@@ -124,7 +131,7 @@ object Plotting {
     def xLabels(names: Seq[String], xOf: Int => Double): String = {
       val every = math.max(1, math.ceil(names.size / 8.0).toInt)
       names.zipWithIndex.collect { case (n, i) if i % every == 0 =>
-        f"""<text x="${xOf(i)}%.2f" y="${plotY + plotH + 16}" font-size="10" fill="$inkSecondary" text-anchor="middle">${esc(n)}</text>"""
+        s"""<text x="${p2(xOf(i))}" y="${plotY + plotH + 16}" font-size="10" fill="$inkSecondary" text-anchor="middle">${esc(n)}</text>"""
       }.mkString
     }
   }
@@ -172,7 +179,7 @@ object Plotting {
       }
     }.mkString
     val xl = f.xLabels(rows.map(r => fmt(num(r, 0))), i => f.mL + i * groupW + groupW / 2)
-    val baseline = f"""<line x1="${f.mL}" y1="${yOf(0)}%.2f" x2="${f.mL + f.plotW}" y2="${yOf(0)}%.2f" stroke="$inkSecondary" stroke-width="1"/>"""
+    val baseline = s"""<line x1="${f.mL}" y1="${p2(yOf(0))}" x2="${f.mL + f.plotW}" y2="${p2(yOf(0))}" stroke="$inkSecondary" stroke-width="1"/>"""
     f.header + grid + bars + baseline + xl + "</svg>"
   }
 
@@ -192,7 +199,7 @@ object Plotting {
     val span = if (cHi > cLo) cHi - cLo else 1.0
     val xOf = (c: Double) => f.mL + (c - cLo) / span * f.plotW
     val lines = series.indices.map { s =>
-      val pts = rows.map(r => f"${xOf(num(r, 0))}%.2f,${yOf(num(r, 1 + s))}%.2f").mkString(" ")
+      val pts = rows.map(r => s"${p2(xOf(num(r, 0)))},${p2(yOf(num(r, 1 + s)))}").mkString(" ")
       s"""<polyline points="$pts" fill="none" stroke="${seriesColors(s)}" stroke-width="2" stroke-linejoin="round"/>"""
     }.mkString
     val xl = f.xLabels(rows.map(r => fmt(num(r, 0))),

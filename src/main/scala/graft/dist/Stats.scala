@@ -202,9 +202,13 @@ object Stats {
     val aggs = pairCols.map { case (a, b) =>
       corr(col(a).cast("double"), col(b).cast("double")).as(s"c_${a}_$b") }
     val row = clean.agg(aggs.head, aggs.tail: _*)
+    // built-in corr yields NaN on a zero-variance column; the exact tier's
+    // when(den > 0, ...) guard yields null there — map NaN to null so the
+    // tiers stay drop-in interchangeable on degenerate inputs
     val pairs = pairCols.map { case (a, b) =>
+      val c = col(s"c_${a}_$b")
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(col(s"c_${a}_$b"), 9).as("corr")) }
+        when(!isnan(c), round(c, 9)).as("corr")) }
     row.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
       .orderBy("col_a", "col_b")
@@ -221,39 +225,8 @@ object Stats {
     * column (each column's moments cover its own clean values). Zero-variance
     * columns yield null skewness/kurtosis. Skew/kurtosis are rounded to 9 dp
     * (O(1) magnitudes); mean/variance are raw doubles from the fixed tree. */
-  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "need at least one column")
-    val dec = "decimal(38,8)"
-    val aggs = cols.flatMap { c =>
-      val x = col(c).cast("double")
-      val ok = x.isNotNull && !isnan(x)
-      Seq(
-        count(when(ok, 1)).as(s"n_$c"),
-        sum(when(ok, x).cast(dec)).as(s"s1_$c"),
-        sum(when(ok, x * x).cast(dec)).as(s"s2_$c"),
-        sum(when(ok, x * x * x).cast(dec)).as(s"s3_$c"),
-        sum(when(ok, x * x * x * x).cast(dec)).as(s"s4_$c"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stats = cols.map { c =>
-      val n = col(s"n_$c").cast("double")
-      val e1 = col(s"s1_$c").cast("double") / n
-      val e2 = col(s"s2_$c").cast("double") / n
-      val e3 = col(s"s3_$c").cast("double") / n
-      val e4 = col(s"s4_$c").cast("double") / n
-      val m2 = e2 - e1 * e1
-      val m3 = e3 - lit(3.0) * e1 * e2 + lit(2.0) * e1 * e1 * e1
-      val m4 = e4 - lit(4.0) * e1 * e3 + lit(6.0) * e1 * e1 * e2 - lit(3.0) * e1 * e1 * e1 * e1
-      struct(lit(c).as("col_name"), col(s"n_$c").as("n"), e1.as("mean"), m2.as("variance"),
-        when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 9)).as("skewness"),
-        when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 9)).as("kurtosis"))
-    }
-    row.select(explode(array(stats: _*)).as("st"))
-      .select(col("st.col_name").as("col_name"), col("st.n").as("n"), col("st.mean").as("mean"),
-        col("st.variance").as("variance"), col("st.skewness").as("skewness"),
-        col("st.kurtosis").as("kurtosis"))
-      .orderBy("col_name")
-  }
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame =
+    momentsFromPowerSums(df, cols, _.cast("decimal(38,8)"))
 
   /** Float fast tier of [[moments]]: identical schema and algebra, but the
     * four power sums accumulate as plain doubles. ~an order of magnitude
@@ -263,25 +236,35 @@ object Stats {
     * schedule. Use when throughput matters more than cross-engine
     * reproducibility; the exact tier remains the oracle-checkable sibling
     * (SimilaritySpec/StatsSpec pin agreement to a relative tolerance). */
-  def momentsFast(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def momentsFast(df: DataFrame, cols: Seq[String]): DataFrame =
+    momentsFromPowerSums(df, cols, identity)
+
+  /** The shared shape of both moment tiers: the tiers differ ONLY in the
+    * accumulator the power sums ride (`decimal(38,8)` vs plain double) —
+    * the null/NaN filter, the central-moment algebra, and the output
+    * schema are this one function, so a formula fix cannot drift between
+    * them. The `.cast("double")` on each sum is what reads the decimal
+    * accumulator back; for double sums Catalyst folds it away. */
+  private def momentsFromPowerSums(df: DataFrame, cols: Seq[String],
+                                   accum: Column => Column): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = cols.flatMap { c =>
       val x = col(c).cast("double")
       val ok = x.isNotNull && !isnan(x)
       Seq(
         count(when(ok, 1)).as(s"n_$c"),
-        sum(when(ok, x)).as(s"s1_$c"),
-        sum(when(ok, x * x)).as(s"s2_$c"),
-        sum(when(ok, x * x * x)).as(s"s3_$c"),
-        sum(when(ok, x * x * x * x)).as(s"s4_$c"))
+        sum(accum(when(ok, x))).as(s"s1_$c"),
+        sum(accum(when(ok, x * x))).as(s"s2_$c"),
+        sum(accum(when(ok, x * x * x))).as(s"s3_$c"),
+        sum(accum(when(ok, x * x * x * x))).as(s"s4_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stats = cols.map { c =>
       val n = col(s"n_$c").cast("double")
-      val e1 = col(s"s1_$c") / n
-      val e2 = col(s"s2_$c") / n
-      val e3 = col(s"s3_$c") / n
-      val e4 = col(s"s4_$c") / n
+      val e1 = col(s"s1_$c").cast("double") / n
+      val e2 = col(s"s2_$c").cast("double") / n
+      val e3 = col(s"s3_$c").cast("double") / n
+      val e4 = col(s"s4_$c").cast("double") / n
       val m2 = e2 - e1 * e1
       val m3 = e3 - lit(3.0) * e1 * e2 + lit(2.0) * e1 * e1 * e1
       val m4 = e4 - lit(4.0) * e1 * e3 + lit(6.0) * e1 * e1 * e2 - lit(3.0) * e1 * e1 * e1 * e1

@@ -27,13 +27,65 @@ private[functions] object ArgCheck {
   * order (compose built-ins > custom Expression > custom plan > RDD).
   */
 
+/** Shared shape of the two dot-product loops: null ELEMENT handling must
+  * match the expression trees they replace (`aggregate(zip_with(...))` HOFs,
+  * chained `getItem` Adds), where a null element nulls the whole sum — so a
+  * null slot in either array yields a null result, not a silent 0.0. The
+  * per-element check is only emitted when the schema says elements can
+  * actually be null; `containsNull=false` arrays keep the branch-free loop. */
+private[functions] trait NullAwareDotLoop { self: BinaryExpression =>
+  protected def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
+  /** Java expression reading element `$i` of array variable `$a` as double. */
+  protected def readLeft(a: String, i: String): String
+  protected def readRight(b: String, i: String): String
+  protected def evalStep(x: ArrayData, y: ArrayData, i: Int): Double
+
+  final override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += evalStep(x, y, i); i += 1
+    }
+    acc
+  }
+
+  final override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val nullCheck = if (elementsNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  $acc += ${readLeft(a, i)} * ${readRight(b, i)};
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+}
+
 /** Dot product of two `array<float>` columns, accumulated in double with a
   * deterministic left-to-right fold. float→double widening is exact and each
   * float×float product is exactly representable in double, so results are
   * bit-identical to the equivalent `aggregate(zip_with(...))` HOF chain (and
   * to the DuckDB oracle's explicit fold). */
 case class FloatDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullAwareDotLoop {
   override def checkInputDataTypes(): TypeCheckResult = {
     val l = ArgCheck.arrayOf(left, FloatType, prettyName)
     if (l != TypeCheckResult.TypeCheckSuccess) l
@@ -42,30 +94,10 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    acc
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+  protected def readLeft(a: String, i: String): String = s"(double) $a.getFloat($i)"
+  protected def readRight(b: String, i: String): String = s"(double) $b.getFloat($i)"
+  protected def evalStep(x: ArrayData, y: ArrayData, i: Int): Double =
+    x.getFloat(i).toDouble * y.getFloat(i).toDouble
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
     copy(left = newLeft, right = newRight)
@@ -80,9 +112,10 @@ case class FloatDot(left: Expression, right: Expression)
   * instead of d nested Adds, which keeps per-row cost at d fused ops where
   * the deep tree pays d null-checked branches (and, under a global sort,
   * gets re-evaluated by the range-sampling pass: measured 13.2 s → 2.5 s
-  * for the 200k-row debias ledger at the 100× scale factor). */
+  * for the 200k-row debias ledger at the 100× scale factor). A null
+  * ELEMENT nulls the whole sum, exactly as it nulls the chained tree. */
 case class FloatDoubleDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullAwareDotLoop {
   override def checkInputDataTypes(): TypeCheckResult = {
     val l = ArgCheck.arrayOf(left, FloatType, prettyName)
     if (l != TypeCheckResult.TypeCheckSuccess) l
@@ -91,30 +124,10 @@ case class FloatDoubleDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_double_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
-    acc
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+  protected def readLeft(a: String, i: String): String = s"(double) $a.getFloat($i)"
+  protected def readRight(b: String, i: String): String = s"$b.getDouble($i)"
+  protected def evalStep(x: ArrayData, y: ArrayData, i: Int): Double =
+    x.getFloat(i).toDouble * y.getDouble(i)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDoubleDot =
     copy(left = newLeft, right = newRight)

@@ -251,6 +251,11 @@ object Dedup {
   /** [[connectedComponents]] plus the number of large+small-star rounds it
     * took to converge — exposed for the O(log n) convergence property test. */
   private[llm] def ccWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+    // every endpoint gets a label row, including vertices whose only pairs
+    // are reflexive (id_a == id_b) — those carry no edge but are still "in
+    // a pair" per the contract, and must come out labeled with themselves
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     // star edges (u, v): u currently hooks onto v (v < u after small-star)
     var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -297,13 +302,16 @@ object Dedup {
       fp = nfp
       rounds += 1
     }
-    // converged edges are stars (u → component min). Roots appear only on
-    // the v side: label them with themselves.
-    val roots = edges.select(col("v")).distinct()
-      .join(edges.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
-      .select(col("v").as("id"), col("v").as("comp"))
-    val labels = edges.select(col("u").as("id"), col("v").as("comp")).union(roots)
-    (labels, rounds)
+    // converged edges are stars (u → component min, one row per u); min()
+    // is then a no-op, but if the iteration cap fired first it collapses a
+    // still-multi-edged vertex to ONE (possibly stale) label instead of
+    // leaking conflicting (id, comp) rows. Vertices never on the u side —
+    // component roots, and reflexive-pair-only vertices — label themselves.
+    val hooked = edges.groupBy(col("u")).agg(min(col("v")).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    val selfLabeled = verts.join(hooked, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (hooked.union(selfLabeled), rounds)
   }
 
   /** Cluster-size distribution of the near-dup graph: how many transitive

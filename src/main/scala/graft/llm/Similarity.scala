@@ -125,14 +125,9 @@ object Similarity {
     // tables never cross-pollinate candidates.
     val base = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
-    val tables = explode(array((0 until nTables).map(ti => struct(lit(ti).as("tbl"),
-      srpBucket(col("v"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
-    val e = base.select(col("id"), col("v"), col("nrm"), tables.as("tb"))
-      .select(col("id"), col("v"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val probes = explode(array(
-      col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
+    val e = bucketedTables(base, nBits, dim, seed, nTables)
     val src = e.select(col("id").as("src"), col("v").as("va"),
-      col("nrm").as("na"), col("tbl"), probes.as("bkt"))
+      col("nrm").as("na"), col("tbl"), multiprobe(nBits).as("bkt"))
     val cand = e.toDF("dst", "vb", "nb", "tbl", "bkt")
     val scored = src.join(cand, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
@@ -381,6 +376,26 @@ object Similarity {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** One row per vector per hash table over a `(id, v, nrm)` frame:
+    * `nTables` independent SRP hyperplane sets with table-derived seeds
+    * (`seed + ti·1000003`), keyed `(tbl, bkt)` so tables never
+    * cross-pollinate candidates. Both LSH tiers ([[knnGraphLSH]],
+    * [[lshAnnTopK]]) build candidates from this one frame, so the seed
+    * derivation and bucket-key shape cannot drift between them. */
+  private def bucketedTables(base: DataFrame, nBits: Int, dim: Int,
+                             seed: Long, nTables: Int): DataFrame = {
+    val tables = explode(array((0 until nTables).map(ti => struct(lit(ti).as("tbl"),
+      srpBucket(col("v"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
+    base.select(col("id"), col("v"), col("nrm"), tables.as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** Multiprobe expansion of a `bkt` column: the bucket itself plus every
+    * 1-bit flip — the standard recall-recovery probe set for SRP buckets. */
+  private def multiprobe(nBits: Int): Column = explode(array(
+    col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
+
   /** Approximate per-query top-k: candidates restricted to the query's SRP
     * bucket (plus all 1-bit-flip neighbor buckets — multiprobe — to recover
     * recall), then exact cosine within candidates.
@@ -397,16 +412,10 @@ object Similarity {
     // compounds per table, candidates grow linearly.
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
-    val tables = explode(array((0 until nTables).map(ti => struct(lit(ti).as("tbl"),
-      srpBucket(col("v"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
-    val e = base.select(col("id"), col("v"), col("nrm"), tables.as("tb"))
-      .select(col("id"), col("v"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    // multiprobe: each query probes its own bucket and every 1-bit flip
-    val probes = explode(array(
-      col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
+    val e = bucketedTables(base, nBits, dim, seed, nTables)
     val q = e.where(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("tbl"), probes.as("bkt"))
+        col("tbl"), multiprobe(nBits).as("bkt"))
     val cand = e.toDF("nid", "nv", "nn", "tbl", "bkt")
     val scored = broadcast(q).join(cand, Seq("tbl", "bkt")).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

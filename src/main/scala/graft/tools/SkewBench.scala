@@ -95,12 +95,16 @@ object SkewBench {
       fact.withColumn("__salt", (rand(42L) * 32).cast("int"))
         .repartition(cpus.toInt, col("k"), col("__salt")))
 
+    // Locale.ROOT: the f interpolator's default-locale %.3f renders a comma
+    // decimal point on e.g. de_DE and corrupts the JSON
+    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json =
-      f"""{"fixture":"100:1 hot key, 40M rows","plain_sec":$plain%.3f,""" +
-      f""""aqe_skewjoin_sec":$aqe%.3f,"salted_sec":$salted%.3f,""" +
-      f""""agg_skew_sec":$aggSkew%.3f,"agg_uniform_sec":$aggUniform%.3f,""" +
-      f""""max_part_rows_plain":$maxPlain,"max_part_rows_salted":$maxSalted,""" +
-      f""""hot_rows":$hotRows,"cpus":$cpus}"""
+      s"""{"fixture":"100:1 hot key, 40M rows","plain_sec":${s3(plain)},""" +
+      s""""aqe_skewjoin_sec":${s3(aqe)},"salted_sec":${s3(salted)},""" +
+      s""""agg_skew_sec":${s3(aggSkew)},"agg_uniform_sec":${s3(aggUniform)},""" +
+      s""""max_part_rows_plain":$maxPlain,"max_part_rows_salted":$maxSalted,""" +
+      s""""hot_rows":$hotRows,"cpus":$cpus}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(java.nio.file.Paths.get("target/skewbench.json"),
       json.getBytes("UTF-8"))
     spark.stop()

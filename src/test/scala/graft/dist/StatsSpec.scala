@@ -219,6 +219,12 @@ class StatsSpec extends SparkSpec {
     val df1 = Seq((1.0, 2.0), (2.0, 5.0)).toDF("a", "b")
     assert(Stats.correlationFast(df1, Seq("a", "b")).schema ==
       Stats.correlation(df1, Seq("a", "b")).schema)
+    // zero-variance column: built-in corr yields NaN, the exact tier
+    // yields null — the fast tier must map NaN to null to stay drop-in
+    val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("a", "b")
+    val fr = Stats.correlationFast(const, Seq("a", "b")).collect().head
+    val er = Stats.correlation(const, Seq("a", "b")).collect().head
+    assert(fr.isNullAt(2) && er.isNullAt(2))
   }
 
   test("momentsBy: per-group moments match the single-column operator per slice") {

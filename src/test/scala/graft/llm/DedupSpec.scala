@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents: reflexive-pair vertices keep their label row") {
+    // (9,9) carries no edge but vertex 9 is still "in a pair" — it must
+    // come out labeled with itself, not silently vanish
+    val pairs = Seq((1L, 2L), (9L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
+
+  test("connectedComponents: one label row per vertex even at the iteration cap") {
+    // maxIters=1 leaves a long path un-contracted; labels must still be
+    // unique per vertex (stale is acceptable, conflicting rows are not)
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, _) = Dedup.ccWithRounds(path, maxIters = 1)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 64, s"expected 64 label rows, got ${got.length}")
+    assert(got.map(_._1).distinct.length == 64, "conflicting labels for a vertex")
+  }
+
   test("connectedComponents: 1000-node path converges in O(log n) rounds") {
     // the worst case for min-label propagation (diameter 999 → ~999
     // rounds); large-star/small-star must fold it in ≲ log2(1000) rounds
