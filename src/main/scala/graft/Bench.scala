@@ -67,7 +67,20 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val pass1 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
-    val results = sorted.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }
+    val pass2 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
+    // iterative multi-job queries (star-contraction rounds, Lloyd/power
+    // iterations) jitter run-to-run far more than single-job plans —
+    // r3 saw semdedup move 2.55→4.40 s on byte-identical code. A third
+    // pass for that tier makes the reported min a stable round-over-round
+    // signal instead of scheduler noise.
+    val iterative = Set(
+      "dedup_components", "dedup_cluster_sizes", "dedup_clean_corpus_cc",
+      "semdedup_embeddings", "debias_embeddings", "debias_fast_embeddings",
+      "top_pc_embeddings", "top_pc_fast_embeddings", "ann_ivf_topk_embeddings")
+    val pass3 = sorted.collect { case (n, f) if iterative(n) => n -> once(n, f) }.toMap
+    val passes: Map[String, Seq[Double]] =
+      sorted.map { case (n, _) => n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n)) }.toMap
+    val results = sorted.map { case (n, _) => n -> passes(n).min }
     // 3-decimal per-query times keep the emitted line compact (~140 queries
     // at full double precision overflow the driver's stdout tail window)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
@@ -77,13 +90,23 @@ object Bench {
     // "cpus" makes scaling regressions visible round-over-round: rerun with
     // SPARK_GRAFT_CPUS=4 and compare — fixed overhead stays, parallel work 8x.
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
-    // Also persist to disk, and print AFTER spark.stop(): the driver tails
-    // only the last ~2000 chars of stdout, and Spark's shutdown chatter was
-    // pushing the JSON line out of that window (BENCH_r01/r02 "parsed":null).
+    // The full per-query map (~4.4 KB at 145 queries) cannot fit the
+    // driver's 2000-char stdout tail, so the LAST printed line is a compact
+    // summary that always fits; the full map persists to target/bench.json
+    // (with raw per-pass times so jitter is auditable, not just the min).
+    val passesJson = passes.toSeq.sortBy(_._1)
+      .map { case (k, vs) => "\"" + k + "\":" + vs.map(s3).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
+      json.dropRight(1) + s""","passes":$passesJson}""")
     spark.stop()
+    // Print order matters: the big line first, compact line LAST — a tail
+    // scan for {"metric": then finds the complete compact line even when
+    // the big line's head has scrolled out of the window.
     println(json)
+    println(compact)
     System.out.flush()
   }
 }

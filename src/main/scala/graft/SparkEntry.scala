@@ -1767,7 +1767,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1785,7 +1787,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1804,7 +1808,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1825,7 +1831,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1849,7 +1857,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1875,7 +1885,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1919,7 +1931,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
          |  FROM tt WHERE len(toks) >= 3),
-         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
          |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

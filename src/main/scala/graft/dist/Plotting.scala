@@ -106,13 +106,19 @@ object Plotting {
       (if (title.nonEmpty)
         s"""<text x="$mL" y="22" font-size="14" font-weight="600" fill="$inkPrimary">${esc(title)}</text>"""
       else "") +
-      (if (nSeries >= 2)
-        labels.zipWithIndex.map { case (l, i) =>
-          val x = mL + i * (plotW / math.max(nSeries, 1))
+      (if (nSeries >= 2) {
+        // width-aware legend layout: entries advance by their own estimated
+        // width (~6px/char at 11px type) instead of a fixed plotW/nSeries
+        // stride, so long labels can't overlap their neighbor; labels are
+        // ellipsis-capped so eight worst-case entries still fit the row
+        val shown = labels.map(l => if (l.length <= 18) l else l.take(17) + "…")
+        val xs = shown.map(l => 14 + l.length * 6 + 12).scanLeft(mL)(_ + _)
+        shown.zipWithIndex.map { case (l, i) =>
+          val x = xs(i)
           s"""<rect x="$x" y="${mT + 2}" width="10" height="10" rx="2" fill="${seriesColors(i)}"/>""" +
           s"""<text x="${x + 14}" y="${mT + 11}" font-size="11" fill="$inkSecondary">${esc(l)}</text>"""
         }.mkString
-      else "")
+      } else "")
 
     /** Recessive horizontal gridlines + y tick labels; returns (svg, yOf). */
     def yAxis(maxV: Double): (String, Double => Double) = {

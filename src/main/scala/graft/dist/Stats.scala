@@ -187,28 +187,36 @@ object Stats {
   }
 
   /** Float fast tier of [[correlation]]: identical output schema and the
-    * same table-wide null/NaN row filter, but each pair rides Spark's
-    * built-in `corr` aggregate — a single codegen'd pass of double
-    * co-moment updates (Welford-style, numerically stabler than raw power
-    * sums) instead of DECIMAL(38,8) accumulation. ~10× cheaper per row at
-    * the cost of bit-determinism across shuffle schedules; the exact tier
-    * stays the oracle-checkable sibling (StatsSpec pins agreement to 1e-9
-    * relative). */
+    * same table-wide null/NaN row filter, but the pair moments ride Spark's
+    * built-in `covar_pop`/`stddev_pop` aggregates — a single codegen'd pass
+    * of double co-moment updates (Welford-style, numerically stabler than
+    * raw power sums) instead of DECIMAL(38,8) accumulation. ~10× cheaper
+    * per row at the cost of bit-determinism across shuffle schedules; the
+    * exact tier stays the oracle-checkable sibling (StatsSpec pins
+    * agreement to 1e-9 relative).
+    *
+    * The ratio cov/(σa·σb) is guarded by `when(σa > 0 && σb > 0, ...)` so
+    * a zero-variance column yields null — matching the exact tier's
+    * `when(den > 0, ...)` — and the division is unreachable on the
+    * degenerate path even under ANSI mode (built-in `corr` instead throws
+    * DIVIDE_BY_ZERO there; covar_pop/stddev_pop themselves null out on
+    * n=0 via an internal If, never an unguarded divide). */
   def correlationFast(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val xs = cols.map(c => col(c).cast("double"))
     val clean = df.where(xs.map(x => x.isNotNull && !isnan(x)).reduce(_ && _))
     val pairCols = for { a <- cols; b <- cols; if a < b } yield (a, b)
-    val aggs = pairCols.map { case (a, b) =>
-      corr(col(a).cast("double"), col(b).cast("double")).as(s"c_${a}_$b") }
+    // listwise deletion means every column sees the same clean rows, so one
+    // stddev_pop per column serves all its pairs in the same single pass
+    val aggs =
+      cols.map(c => stddev_pop(col(c).cast("double")).as(s"sd_$c")) ++
+      pairCols.map { case (a, b) =>
+        covar_pop(col(a).cast("double"), col(b).cast("double")).as(s"cov_${a}_$b") }
     val row = clean.agg(aggs.head, aggs.tail: _*)
-    // built-in corr yields NaN on a zero-variance column; the exact tier's
-    // when(den > 0, ...) guard yields null there — map NaN to null so the
-    // tiers stay drop-in interchangeable on degenerate inputs
     val pairs = pairCols.map { case (a, b) =>
-      val c = col(s"c_${a}_$b")
+      val sa = col(s"sd_$a"); val sb = col(s"sd_$b")
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        when(!isnan(c), round(c, 9)).as("corr")) }
+        when(sa > 0 && sb > 0, round(col(s"cov_${a}_$b") / (sa * sb), 9)).as("corr")) }
     row.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
       .orderBy("col_a", "col_b")

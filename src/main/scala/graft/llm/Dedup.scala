@@ -283,12 +283,17 @@ object Dedup {
       val self = mins.select(col("cu").as("u"), col("m"))
       moved.union(self).distinct()
     }
-    // order-free multiset fingerprint: equal fingerprints ⇒ converged
-    // (2⁻⁶⁴ collision odds; decimal sum because ANSI long-sum can overflow)
-    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+    // order-free multiset fingerprint: equal fingerprints ⇒ converged.
+    // TWO independently-salted hash sums in the one tiny agg: a premature
+    // stop now needs both 64-bit sums to collide between different edge
+    // sets (~2⁻¹²⁸) — insurance over the single-sum 2⁻⁶⁴ at the cost of
+    // one extra column on a one-row aggregate. Decimal sums because ANSI
+    // long-sum can overflow.
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(lit(0x9e3779b9L), col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
 
     var fp = fingerprint(edges)

@@ -544,8 +544,12 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val tri = dim * (dim + 1) / 2
-    // acc layout: [0]=n, [1..dim]=Σx_j, [1+dim..]=upper-triangle Σ x_i·x_j
-    val acc = emb.where(size(col(vecCol)) === dim)
+    // acc layout: [0]=n, [1..dim]=Σx_j, [1+dim..]=upper-triangle Σ x_i·x_j.
+    // Rows with a null ELEMENT are dropped — as[Array[Double]] would throw
+    // on them, and the exact tier's per-dim sums just skip null terms; on
+    // dirty input dropping the whole row is the defensible shared contract.
+    val acc = emb.where(size(col(vecCol)) === dim &&
+        !exists(col(vecCol), _.isNull))
       .select(col(vecCol).cast("array<double>")).as[Array[Double]]
       .rdd.treeAggregate(new Array[Double](1 + dim + tri))(
         seqOp = { (a, v) =>
@@ -688,9 +692,20 @@ object Similarity {
     * (SimilaritySpec pins 1e-6 relative agreement). Sign vectors carry
     * `maxDims` entries and FloatDot folds over min(|emb|, maxDims), so any
     * embedding width up to the cap (default 4096, far above practical
-    * model widths) projects over its full length, same as the HOF form. */
+    * model widths) projects over its full length, same as the HOF form;
+    * an embedding WIDER than the cap fails loudly at scan time (a silent
+    * prefix projection would quietly break the 1e-6 agreement contract
+    * with the exact tier, which always covers the full width). */
   def rpReduceFast(emb: DataFrame, outDims: Int = 16, idCol: String = "vec_id",
                    embCol: String = "embedding", maxDims: Int = 4096): DataFrame = {
+    // assert_true rides the row pipeline as a filter predicate (null = pass,
+    // throw = over-wide row): a loud per-row guard with zero extra jobs,
+    // unlike an eager max(size) pre-scan
+    val widthOk = isnull(assert_true(size(col(embCol)) <= maxDims,
+      format_string(
+        s"rpReduceFast: embedding of %s dims exceeds maxDims=$maxDims; " +
+          "raise maxDims to cover the full width",
+        size(col(embCol)).cast("string"))))
     val zs = (0 until outDims).map { k =>
       val signs = Array.tabulate(maxDims) { j =>
         val h = k.toLong * 2654435761L + j.toLong * 40503L
@@ -698,7 +713,8 @@ object Similarity {
       }
       graft.functions.functions.float_dot(col(embCol), typedLit(signs))
     }
-    emb.select(col(idCol), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
+    emb.where(widthOk)
+      .select(col(idCol), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
       .orderBy(idCol, "dim_idx")
   }
 

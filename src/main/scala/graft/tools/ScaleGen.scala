@@ -48,9 +48,15 @@ object ScaleGen {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
-    // strides computed on the SOURCE tables so both sides of an FK agree
-    def stride(name: String, key: String): Long =
-      read(name).agg(max(col(key))).head().getLong(0) + 1L
+    // strides computed on the SOURCE tables so both sides of an FK agree;
+    // cast-to-long tolerates int-typed keys and the require turns an empty
+    // table / all-null key into a named failure instead of a bare NPE
+    def stride(name: String, key: String): Long = {
+      val r = read(name).agg(max(col(key).cast("long"))).head()
+      require(!r.isNullAt(0),
+        s"[scalegen] $name.$key is empty or all-null — cannot derive a key stride")
+      r.getLong(0) + 1L
+    }
 
     val oStride = stride("orders", "o_orderkey")
     val cStride = stride("customer", "c_custkey")
@@ -87,7 +93,7 @@ object ScaleGen {
       .withColumn("l_suppkey", bump("l_suppkey", sStride)))
 
     val eStride = stride("events", "event_id")
-    val uStride = read("events").agg(max(col("user_id"))).head().getLong(0) + 1L
+    val uStride = stride("events", "user_id")
     emit("events", reps10(read("events"))
       .withColumn("event_id", bump("event_id", eStride))
       .withColumn("user_id", bump("user_id", uStride)))

@@ -219,8 +219,8 @@ class StatsSpec extends SparkSpec {
     val df1 = Seq((1.0, 2.0), (2.0, 5.0)).toDF("a", "b")
     assert(Stats.correlationFast(df1, Seq("a", "b")).schema ==
       Stats.correlation(df1, Seq("a", "b")).schema)
-    // zero-variance column: built-in corr yields NaN, the exact tier
-    // yields null — the fast tier must map NaN to null to stay drop-in
+    // zero-variance column: both tiers must yield null (under ANSI mode the
+    // unguarded built-in corr would instead throw DIVIDE_BY_ZERO here)
     val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("a", "b")
     val fr = Stats.correlationFast(const, Seq("a", "b")).collect().head
     val er = Stats.correlation(const, Seq("a", "b")).collect().head
