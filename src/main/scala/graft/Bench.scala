@@ -61,11 +61,37 @@ object Bench {
       if (verbose) System.err.println(f"[bench] $name%-40s $dt%8.2f s")
       dt
     }
-    // optional regex filter for scale sweeps (SPARK_GRAFT_ONLY=".*lineitem");
-    // unset = the full declared inventory, the driver's per-round behavior
+    // optional regex filters for scale sweeps: SPARK_GRAFT_ONLY keeps
+    // matching names, SPARK_GRAFT_SKIP drops matching names; unset = the
+    // full declared inventory, the driver's per-round behavior. A filtered
+    // run emits every dropped query WITH a reason ("excluded" in the JSON)
+    // so a sweep artifact self-describes its subset — a regression can't
+    // hide behind an undocumented skip.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.r)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = all.filter { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined) && skip.forall(_.findFirstIn(n).isEmpty) }
+    // declared design reasons for the standing sweep exclusions (SCALE.md);
+    // anything else dropped by a filter gets the generic subset reason
+    val exclusionReason: Map[String, String] = Map(
+      "emb_cosine_neardup" -> "exact all-pairs cosine verifier tier, quadratic by design; LSH sibling is the scale path",
+      "knn_graph_embeddings" -> "exact all-pairs kNN verifier tier, quadratic by design; knn_graph_lsh is the scale path",
+      "cosine_topk_embeddings" -> "exact brute-force top-k verifier; ann_lsh/ann_ivf are the scale path",
+      "semdedup_embeddings" -> "iterative cell-join tier, job-count-bound locally; growth signal carried by its cell pair work, see SCALE.md",
+      "events_value_quartiles" -> "exact global-percentile tier (sort-bound by design); quantiles_approx is the scale sibling",
+      "events_value_pctrank" -> "global-rank window (sort-bound by design); swept siblings cover window growth",
+      "debias_embeddings" -> "multi-iteration exact PC verifier tier; debias_fast (one-scan Gram) is the swept scale path",
+      "top_pc_fast_embeddings" -> "driver-side power iteration on the one-scan Gram matrix; cost is the Gram scan already swept via debias_fast",
+      "dedup_components" -> "log-round star contraction: locally job-count-bound, not data-bound; convergence rounds are property-tested instead",
+      "dedup_cluster_sizes" -> "rollup over dedup_components, same job-count-bound shape",
+      "dedup_clean_corpus_cc" -> "pipeline over dedup_components, same job-count-bound shape",
+      "mm_features_documents" -> "mapPartitions byte-decode stub tier; per-row cost dominated by the stubbed codec, not a data-scale signal",
+      "mm_frames_documents" -> "mapPartitions byte-decode stub tier; per-row cost dominated by the stubbed codec, not a data-scale signal",
+      "mm_phash_neardup_documents" -> "byte-decode stub tier feeding a bucketed near-dup; codec stub dominates")
+    val excluded = all.map(_._1).filterNot(sorted.map(_._1).toSet)
+      .map(n => n -> exclusionReason.getOrElse(n,
+        "out of this sweep subset (overhead-bound at the target SF or covered by a swept sibling; see SCALE.md)"))
     val pass1 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
     val pass2 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
     // iterative multi-job queries (star-contraction rounds, Lloyd/power
@@ -89,7 +115,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "cpus" makes scaling regressions visible round-over-round: rerun with
     // SPARK_GRAFT_CPUS=4 and compare — fixed overhead stays, parallel work 8x.
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val excludedJson = excluded
+      .map { case (n, why) => jstr(n) + ":" + jstr(why) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // The full per-query map (~4.4 KB at 145 queries) cannot fit the
     // driver's 2000-char stdout tail, so the LAST printed line is a compact
     // summary that always fits; the full map persists to target/bench.json
@@ -97,7 +126,7 @@ object Bench {
     val passesJson = passes.toSeq.sortBy(_._1)
       .map { case (k, vs) => "\"" + k + "\":" + vs.map(s3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"n_excluded":${excluded.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       json.dropRight(1) + s""","passes":$passesJson}""")

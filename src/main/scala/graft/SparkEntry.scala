@@ -275,6 +275,30 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // 2-D box-overlap join: per-row (quantity, price) rectangles × literal
+    // query zones via grid-cell bucketing — hash join on the cell pair,
+    // never a BNLJ (the zorder_lineitem natural sibling)
+    "box_join_lineitem" -> ((s, d) => {
+      import s.implicits._
+      val zones = Seq(
+        (0, 0.0, 10.0, 0.0, 20000.0), (1, 5.0, 20.0, 15000.0, 40000.0),
+        (2, 18.0, 35.0, 30000.0, 70000.0), (3, 30.0, 50.0, 60000.0, 120000.0))
+        .toDF("zone_id", "zxlo", "zxhi", "zylo", "zyhi")
+      val boxes = t(s, d, "lineitem").select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"))
+        .select(col("p"),
+          (col("q") - 1.0).as("xlo"), (col("q") + 1.0).as("xhi"),
+          (col("p") - 500.0).as("ylo"), (col("p") + 500.0).as("yhi"))
+      graft.dist.Joins.boxJoin(boxes, "xlo", "xhi", "ylo", "yhi",
+          zones, "zxlo", "zxhi", "zylo", "zyhi",
+          cellWidthX = 2.0, cellWidthY = 1000.0)
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_boxes"),
+          sum(col("p").cast("decimal(18,6)")).cast("double").as("sum_price"))
+        .orderBy("zone_id")
+    }),
+
     // ROLLUP: revenue at (nation, year), per-nation subtotals, grand total
     "revenue_rollup_nation_year" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
@@ -1749,6 +1773,23 @@ object SparkEntry {
         |       CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM p JOIN bands ON price >= lo AND price <= hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "box_join_lineitem" ->
+      """WITH zones(zone_id, zxlo, zxhi, zylo, zyhi) AS (VALUES
+        |  (0, 0.0, 10.0, 0.0, 20000.0), (1, 5.0, 20.0, 15000.0, 40000.0),
+        |  (2, 18.0, 35.0, 30000.0, 70000.0), (3, 30.0, 50.0, 60000.0, 120000.0)),
+        |boxes AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS p,
+        |         CAST(l_quantity AS DOUBLE) - 1.0 AS xlo,
+        |         CAST(l_quantity AS DOUBLE) + 1.0 AS xhi,
+        |         CAST(l_extendedprice AS DOUBLE) - 500.0 AS ylo,
+        |         CAST(l_extendedprice AS DOUBLE) + 500.0 AS yhi
+        |  FROM lineitem)
+        |SELECT CAST(zone_id AS INTEGER) AS zone_id, count(*) AS n_boxes,
+        |       CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM boxes JOIN zones
+        |  ON xlo <= zxhi AND zxlo <= xhi AND ylo <= zyhi AND zylo <= yhi
+        |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
 
     "dedup_exact_documents" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,

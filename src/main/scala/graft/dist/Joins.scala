@@ -147,6 +147,46 @@ object Joins {
       .drop("__cell")
   }
 
+  /** 2-D box-overlap join: pairs whose axis-aligned rectangles
+    * [xlo, xhi] × [ylo, yhi] intersect — bounding boxes × query regions,
+    * value/time band products, the join behind `zorder_lineitem`'s
+    * locality story. Spark plans the 4-inequality conjunction as a
+    * nested-loop join (quadratic), and [[graft.plans.IntervalJoinRewrite]]
+    * deliberately refuses it (bound pairing across two dimensions is
+    * ambiguous in a WHERE clause — see its scaladoc); this operator takes
+    * the dimensions EXPLICITLY and plans as a hash equi-join on a 2-D grid
+    * cell id.
+    *
+    * The 1-D cell-bucketing of [[intervalJoin]] lifted to a grid: each
+    * rectangle explodes to every (x-cell, y-cell) it covers, the sides
+    * equi-join on the cell pair, and only the cell containing
+    * (max(xloA, xloB), max(yloA, yloB)) — the first grid cell every
+    * intersecting pair shares — emits, so each pair appears exactly once
+    * with no downstream distinct. Replication is |x-cells| × |y-cells| per
+    * row: size each width near that dimension's typical box extent, and
+    * split the rare giant rectangle upstream. Column names must be
+    * distinct across the two sides (same contract as [[intervalJoin]]). */
+  def boxJoin(a: DataFrame, xloA: String, xhiA: String, yloA: String, yhiA: String,
+              b: DataFrame, xloB: String, xhiB: String, yloB: String, yhiB: String,
+              cellWidthX: Double, cellWidthY: Double): DataFrame = {
+    require(cellWidthX > 0 && cellWidthY > 0, "cell widths must be positive")
+    def cellOf(w: Double)(c: Column) = floor(c.cast("double") / lit(w)).cast("long")
+    val cx = cellOf(cellWidthX) _
+    val cy = cellOf(cellWidthY) _
+    val ea = a
+      .withColumn("__cx", explode(sequence(cx(col(xloA)), cx(col(xhiA)))))
+      .withColumn("__cy", explode(sequence(cy(col(yloA)), cy(col(yhiA)))))
+    val eb = b
+      .withColumn("__cx", explode(sequence(cx(col(xloB)), cx(col(xhiB)))))
+      .withColumn("__cy", explode(sequence(cy(col(yloB)), cy(col(yhiB)))))
+    ea.join(eb, Seq("__cx", "__cy"))
+      .where(col(xloA) <= col(xhiB) && col(xloB) <= col(xhiA) &&
+        col(yloA) <= col(yhiB) && col(yloB) <= col(yhiA) &&
+        col("__cx") === cx(greatest(col(xloA), col(xloB))) &&
+        col("__cy") === cy(greatest(col(yloA), col(yloB))))
+      .drop("__cx", "__cy")
+  }
+
   def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
                 loCol: String, hiCol: String, cellWidth: Double): DataFrame = {
     require(cellWidth > 0, "cellWidth must be positive")

@@ -48,7 +48,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * pick could pair bounds across dimensions, producing a synthetic
     * "interval" like [a.x_lo, a.y_hi] whose reversed rows make `Sequence`
     * throw at runtime on queries this rule was never meant to touch — so we
-    * leave those joins to Catalyst untouched. */
+    * leave those joins to Catalyst untouched. This refusal is DELIBERATE
+    * and permanent for the multi-conjunct case: nothing in a WHERE clause
+    * says which lo goes with which hi (column provenance can't distinguish
+    * `[x_lo, x_hi] × [y_lo, y_hi]` from the mispairing), so a genuine 2-D
+    * box join must name its dimensions explicitly —
+    * [[graft.dist.Joins.boxJoin]] is that operator (grid-cell bucketed,
+    * exactly-once emission; `box_join_lineitem` is the declared query). */
   private def matchOverlap(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Expression, Expression)] = {
     val les = conjuncts.flatMap(le(_).toSeq)

@@ -156,6 +156,58 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("boxJoin: intersecting rectangles exactly once, closed bounds, equi-join plan") {
+    val a = Seq(
+      (1L, 0.0, 10.0, 0.0, 10.0),   // overlaps b10 in both dims
+      (2L, 20.0, 30.0, 20.0, 30.0), // corner-touches b20 at (30, 30)
+      (3L, 5.0, 25.0, 40.0, 50.0)   // x overlaps b10/b20, y only b30
+    ).toDF("aid", "a_xlo", "a_xhi", "a_ylo", "a_yhi")
+    val b = Seq(
+      (10L, 8.0, 12.0, 6.0, 14.0),
+      (20L, 30.0, 35.0, 30.0, 36.0),
+      (30L, 0.0, 50.0, 45.0, 55.0)
+    ).toDF("bid", "b_xlo", "b_xhi", "b_ylo", "b_yhi")
+    val out = Joins.boxJoin(a, "a_xlo", "a_xhi", "a_ylo", "a_yhi",
+      b, "b_xlo", "b_xhi", "b_ylo", "b_yhi", cellWidthX = 4.0, cellWidthY = 7.0)
+    val got = out.select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    // (1,10): both dims overlap; (2,20): closed-bound corner touch;
+    // (3,30): y-overlap with x inside the wide box. (1,30) fails y; (3,10) fails y.
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("boxJoin equals the naive cross-filter on random rectangles (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val boxGen = (n: Int) => Gen.listOfN(n, for {
+      xlo <- Gen.chooseNum(-60.0, 55.0); xw <- Gen.chooseNum(0.0, 25.0)
+      ylo <- Gen.chooseNum(-60.0, 55.0); yw <- Gen.chooseNum(0.0, 25.0)
+    } yield (xlo, xlo + xw, ylo, ylo + yw))
+    val widthGen = Gen.chooseNum(0.5, 20.0)
+    for (trial <- 0 until 6) {
+      val seed = Seed(2042L + trial)
+      val aVals = boxGen(25).apply(Gen.Parameters.default, seed).get
+      val bVals = boxGen(15).apply(Gen.Parameters.default, seed.next).get
+      val wx = widthGen.apply(Gen.Parameters.default, seed.next.next).get
+      val wy = widthGen.apply(Gen.Parameters.default, seed.next.next.next).get
+      val a = aVals.zipWithIndex.map { case ((xl, xh, yl, yh), i) => (i.toLong, xl, xh, yl, yh) }
+        .toDF("aid", "a_xlo", "a_xhi", "a_ylo", "a_yhi")
+      val b = bVals.zipWithIndex.map { case ((xl, xh, yl, yh), i) => (i.toLong, xl, xh, yl, yh) }
+        .toDF("bid", "b_xlo", "b_xhi", "b_ylo", "b_yhi")
+      val got = Joins.boxJoin(a, "a_xlo", "a_xhi", "a_ylo", "a_yhi",
+          b, "b_xlo", "b_xhi", "b_ylo", "b_yhi", wx, wy)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      // exactly-once: the first-shared-cell rule must hold in BOTH dims
+      assert(got.length == got.toSet.size, s"trial $trial emitted duplicates")
+      val naive = a.crossJoin(b)
+        .where($"a_xlo" <= $"b_xhi" && $"b_xlo" <= $"a_xhi" &&
+          $"a_ylo" <= $"b_yhi" && $"b_ylo" <= $"a_yhi")
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      assert(got.toSet == naive, s"trial $trial (cells $wx x $wy) diverged from naive")
+    }
+  }
+
   test("asOfJoinForward: earliest at-or-after match, inclusive at equal ts, ties by tieBreak") {
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
       .toDF("k", "ts", "lid")
