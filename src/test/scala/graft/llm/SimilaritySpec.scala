@@ -383,6 +383,41 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.rpReduceFast(df, 4).schema == Similarity.rpReduce(df, 4).schema)
   }
 
+  test("rpReduceFast fails loudly on an embedding wider than maxDims") {
+    val df = Seq((1L, Array.fill(5)(1.0f)), (2L, Array.fill(3)(1.0f)))
+      .toDF("vec_id", "embedding")
+    // a silent prefix projection would quietly break the exact-tier
+    // agreement contract; the guard must throw, naming the cap
+    val e = intercept[Exception] {
+      Similarity.rpReduceFast(df, outDims = 2, maxDims = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxDims=4")), messages(e).mkString(" | "))
+    // width == maxDims passes untouched
+    assert(Similarity.rpReduceFast(df.where(col("vec_id") === 2L),
+      outDims = 2, maxDims = 3).count() == 2L)
+  }
+
+  test("topPrincipalComponentFast drops rows with null vector elements") {
+    val rnd = new scala.util.Random(468)
+    val dim = 8
+    val clean = (0 until 60).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextGaussian() * 2.0).toFloat)))
+    val cleanDF = clean.toDF("vec_id", "embedding")
+    val dirty = cleanDF.union(
+      Seq((999L, Array[java.lang.Float](1.0f, null, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)))
+        .toDF("vec_id", "embedding"))
+    // the dirty row must be dropped, not crash the treeAggregate decode —
+    // result equals the clean-input run up to combine-order last bits
+    // (the union changes the partitioning, so exact equality is too strong)
+    val a = Similarity.topPrincipalComponentFast(dirty, iters = 4, dim = dim)
+      .select("loading").as[Double].collect()
+    val b = Similarity.topPrincipalComponentFast(cleanDF, iters = 4, dim = dim)
+      .select("loading").as[Double].collect()
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+  }
+
   test("groupCentroids: per-group per-dim exact means in long format") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
