@@ -276,10 +276,17 @@ object SparkEntry {
     }),
 
     // 2-D box-overlap join: per-row (quantity, price) rectangles × literal
-    // query zones via grid-cell bucketing — hash join on the cell pair,
-    // never a BNLJ (the zorder_lineitem natural sibling)
+    // query zones, written as the NAIVE 4-inequality overlap join and
+    // rewritten by plans.BoxJoinRewrite into a grid-cell hash equi-join —
+    // never a BNLJ (plan-asserted). The manual API with explicit dimensions
+    // is graft.dist.Joins.boxJoin (same cell machinery, JoinsSpec-tested).
     "box_join_lineitem" -> ((s, d) => {
       import s.implicits._
+      // the graft confs are read only by the rewrite rules (no-ops on any
+      // join carrying an equi-key), so leaving them set is harmless to
+      // every other query in the session
+      s.conf.set(graft.plans.BoxJoinRewrite.cellWidthXConf, "2.0")
+      s.conf.set(graft.plans.BoxJoinRewrite.cellWidthYConf, "1000.0")
       val zones = Seq(
         (0, 0.0, 10.0, 0.0, 20000.0), (1, 5.0, 20.0, 15000.0, 40000.0),
         (2, 18.0, 35.0, 30000.0, 70000.0), (3, 30.0, 50.0, 60000.0, 120000.0))
@@ -290,9 +297,9 @@ object SparkEntry {
         .select(col("p"),
           (col("q") - 1.0).as("xlo"), (col("q") + 1.0).as("xhi"),
           (col("p") - 500.0).as("ylo"), (col("p") + 500.0).as("yhi"))
-      graft.dist.Joins.boxJoin(boxes, "xlo", "xhi", "ylo", "yhi",
-          zones, "zxlo", "zxhi", "zylo", "zyhi",
-          cellWidthX = 2.0, cellWidthY = 1000.0)
+      boxes.join(zones,
+          col("xlo") <= col("zxhi") && col("zxlo") <= col("xhi") &&
+          col("ylo") <= col("zyhi") && col("zylo") <= col("yhi"))
         .groupBy("zone_id")
         .agg(count(lit(1)).as("n_boxes"),
           sum(col("p").cast("decimal(18,6)")).cast("double").as("sum_price"))

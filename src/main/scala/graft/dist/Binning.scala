@@ -43,9 +43,17 @@ object Binning {
     * of once (measured 40% slowdown on the shingle-based dedup operators).
     * Generate with outer=false already skips null/empty inputs, so the
     * exclusion is semantics-neutral. */
-  def tuneSession(spark: org.apache.spark.sql.SparkSession): Unit =
+  def tuneSession(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // the engine's rewrite rules, for sessions built without
+    // spark.sql.extensions=graft.functions.GraftExtensions; each is a
+    // no-op unless its spark.graft.*.cellWidth conf is set (idempotent add)
+    val rules = Seq(graft.plans.RangeJoinRewrite,
+      graft.plans.IntervalJoinRewrite, graft.plans.BoxJoinRewrite)
+    val cur = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = cur ++ rules.filterNot(cur.contains)
+  }
 
   /** Equal-width edges: `[i*inc + lo for i in 0 until n] :+ hi` — the last
     * edge is the exact max, absorbing float error (rdd.py:2311-2312). The

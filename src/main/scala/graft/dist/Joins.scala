@@ -136,6 +136,12 @@ object Joins {
                    b: DataFrame, loB: String, hiB: String,
                    cellWidth: Double): DataFrame = {
     require(cellWidth > 0, "cellWidth must be positive")
+    // __cell is the operator's working column; a pre-existing one on either
+    // input would be silently replaced by withColumn and corrupt the join
+    Seq(a -> "a", b -> "b").foreach { case (df, side) =>
+      require(!df.columns.contains("__cell"),
+        s"intervalJoin: side '$side' already has a __cell column (reserved); rename it first")
+    }
     val cellOf = (c: Column) => floor(c.cast("double") / lit(cellWidth)).cast("long")
     val ea = a.withColumn("__cell",
       explode(sequence(cellOf(col(loA)), cellOf(col(hiA)))))

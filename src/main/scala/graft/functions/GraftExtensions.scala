@@ -17,9 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
-    // no-op unless spark.graft.rangeJoin.cellWidth is set
+    // no-ops unless their spark.graft.*.cellWidth confs are set
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BoxJoinRewrite)
   }
 }
 

@@ -29,13 +29,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val cellWidthConf = "spark.graft.intervalJoin.cellWidth"
 
-  private def cellOf(e: Expression, w: Double): Expression =
+  private[plans] def cellOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
-  private def from(e: Expression, side: LogicalPlan): Boolean =
+  private[plans] def from(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
-  private def le(c: Expression): Option[(Expression, Expression)] = c match {
+  private[plans] def le(c: Expression): Option[(Expression, Expression)] = c match {
     case LessThanOrEqual(x, y) => Some((x, y))
     case GreaterThanOrEqual(y, x) => Some((x, y))
     case _ => None
@@ -47,14 +47,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * (a 2D box-overlap join, or unrelated inequality conjuncts) an arbitrary
     * pick could pair bounds across dimensions, producing a synthetic
     * "interval" like [a.x_lo, a.y_hi] whose reversed rows make `Sequence`
-    * throw at runtime on queries this rule was never meant to touch — so we
-    * leave those joins to Catalyst untouched. This refusal is DELIBERATE
-    * and permanent for the multi-conjunct case: nothing in a WHERE clause
-    * says which lo goes with which hi (column provenance can't distinguish
-    * `[x_lo, x_hi] × [y_lo, y_hi]` from the mispairing), so a genuine 2-D
-    * box join must name its dimensions explicitly —
-    * [[graft.dist.Joins.boxJoin]] is that operator (grid-cell bucketed,
-    * exactly-once emission; `box_join_lineitem` is the declared query). */
+    * throw at runtime on queries this rule was never meant to touch — so
+    * THIS rule leaves those joins untouched. The 2-D box case (exactly two
+    * `<=` each way) is handled by its sibling [[BoxJoinRewrite]], which
+    * resolves the bound pairing by column-name affinity and refuses when
+    * the pairing is ambiguous; the always-explicit manual operator is
+    * [[graft.dist.Joins.boxJoin]] (`box_join_lineitem` is the declared
+    * query, now exercised through the rule path). */
   private def matchOverlap(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Expression, Expression)] = {
     val les = conjuncts.flatMap(le(_).toSeq)
@@ -69,7 +68,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def hasEquiKey(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
+  private[plans] def hasEquiKey(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
     conjuncts.exists {
       case EqualTo(a, b) => (from(a, l) && from(b, r)) || (from(a, r) && from(b, l))
       case _ => false
