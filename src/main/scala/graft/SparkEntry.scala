@@ -17,14 +17,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as LONG (legacy conf) and rebuild a proper
-    * TimestampType column (µs precision — sub-µs is irrelevant at hour
-    * granularity and the truncation is deterministic). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events.parquet's `ts` physical type has drifted across fixture
+    * generations (TIMESTAMP(NANOS) → TIMESTAMP_NTZ micros); the
+    * schema-adaptive normalization lives at the ingest boundary in
+    * [[graft.sources.Readers.readEvents]] so every consumer sees one
+    * logical type: TimestampType at µs precision. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Readers.readEvents(s, dir)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Source-side ingest tooling: schema-enforced reads that quarantine
   * malformed records instead of dropping them silently or failing the job.
@@ -49,6 +49,35 @@ object Readers {
     * torn file fails the read instead of yielding rows. */
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** Events ingest with timestamp physical-type normalization: the `ts`
+    * column has shipped as parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects unless read as a raw LONG via the legacy conf — and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark TIMESTAMP_NTZ). A feed's
+    * physical timestamp encoding is producer-controlled and WILL drift over a
+    * pipeline's lifetime; hard-coding one flavor turns an upstream library
+    * bump into a full outage of every downstream query (this engine lost 28
+    * queries to exactly that). Normalizing at the ingest boundary means every
+    * consumer sees one logical type: TimestampType at microsecond precision
+    * (sessions run UTC, so the NTZ→instant cast is the identity and sub-µs
+    * truncation of the nanos flavor is deterministic). The branch inspects
+    * the LOADED schema, not a config — the data says what it is. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // must be set before the footer is parsed: a NANOS column fails the read
+    // outright otherwise; for MICROS/NTZ files the conf is a no-op
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as raw nanos-since-epoch
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType => // micros flavors, either TZ form
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other " +
+            "(expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
 
   /** Raw binary-file ingest — the media front door: each file becomes one
     * row (path, modificationTime, length, content BinaryType), feeding

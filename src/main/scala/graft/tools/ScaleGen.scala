@@ -32,7 +32,10 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long, write as long
+      // some fixture generations carry TIMESTAMP(NANOS) in events.parquet;
+      // the conf lets those read as long (no-op for micros fixtures) —
+      // ts passes through untouched either way, so the output keeps the
+      // source's physical type and Readers.readEvents normalizes on read
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

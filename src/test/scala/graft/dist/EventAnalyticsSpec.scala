@@ -52,10 +52,7 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(ev("step1_view") >= ev("step2_click"))
     assert(ev("step2_click") >= ev("step3_purchase_in_window"))
     // a tighter conversion window can never convert MORE users
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    import org.apache.spark.sql.functions._
-    val evd = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evd = graft.sources.Readers.readEvents(spark, "/root/testdata/sf0.001")
     val tight = EventAnalytics.funnel(evd, windowSeconds = 60L)
       .as[(String, Long)].collect().toMap
     assert(tight("step3_purchase_in_window") <= ev("step3_purchase_in_window"))
