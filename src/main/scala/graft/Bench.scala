@@ -16,6 +16,23 @@ object Bench {
   private def s3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Wall-clock one run; a failure yields Left, never a time — a
+    * time-to-exception is not a query time, and letting it into a min()
+    * silently flatters the total while the query is actually down. */
+  private[graft] def timed(run: () => Unit): Either[Throwable, Double] = {
+    val t0 = System.nanoTime()
+    try { run(); Right((System.nanoTime() - t0) / 1e9) }
+    catch { case e: Throwable => Left(e) }
+  }
+
+  /** Min over the SUCCESSFUL passes only (failures are NaN); None when every
+    * pass failed, so the query is excluded from the total instead of
+    * contributing its time-to-failure. */
+  private[graft] def minSuccessful(times: Seq[Double]): Option[Double] = {
+    val ok = times.filterNot(_.isNaN)
+    if (ok.isEmpty) None else Some(ok.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,17 +67,16 @@ object Bench {
     // steady-state cost a long-running cluster actually pays per query
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name // a time-to-failure must never read as a fast query
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timed(() => fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
+        case Right(dt) =>
+          if (verbose) System.err.println(f"[bench] $name%-40s $dt%8.2f s")
+          dt
+        case Left(e) =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN // excluded from the min; never reads as a fast query
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (verbose) System.err.println(f"[bench] $name%-40s $dt%8.2f s")
-      dt
-    }
     // optional regex filters for scale sweeps: SPARK_GRAFT_ONLY keeps
     // matching names, SPARK_GRAFT_SKIP drops matching names; unset = the
     // full declared inventory, the driver's per-round behavior. A filtered
@@ -106,7 +122,11 @@ object Bench {
     val pass3 = sorted.collect { case (n, f) if iterative(n) => n -> once(n, f) }.toMap
     val passes: Map[String, Seq[Double]] =
       sorted.map { case (n, _) => n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n)) }.toMap
-    val results = sorted.map { case (n, _) => n -> passes(n).min }
+    // a query with NO successful pass contributes nothing to the per-query
+    // map or the total — a regression must make the bench number scream
+    // (missing query + "failed" entry), not whisper (tiny failure time)
+    val results = sorted.flatMap { case (n, _) =>
+      minSuccessful(passes(n)).map(n -> _) }
     // 3-decimal per-query times keep the emitted line compact (~140 queries
     // at full double precision overflow the driver's stdout tail window)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
@@ -118,15 +138,18 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val excludedJson = excluded
       .map { case (n, why) => jstr(n) + ":" + jstr(why) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // The full per-query map (~4.4 KB at 145 queries) cannot fit the
     // driver's 2000-char stdout tail, so the LAST printed line is a compact
     // summary that always fits; the full map persists to target/bench.json
     // (with raw per-pass times so jitter is auditable, not just the min).
     val passesJson = passes.toSeq.sortBy(_._1)
-      .map { case (k, vs) => "\"" + k + "\":" + vs.map(s3).mkString("[", ",", "]") }
+      // a failed pass is NaN, which is not valid JSON — emit null so the
+      // per-pass audit trail stays machine-readable
+      .map { case (k, vs) => "\"" + k + "\":" +
+        vs.map(v => if (v.isNaN) "null" else s3(v)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"n_excluded":${excluded.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       json.dropRight(1) + s""","passes":$passesJson}""")
