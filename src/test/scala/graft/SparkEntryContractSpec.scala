@@ -55,6 +55,22 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("box_join_lineitem scopes its rewrite confs: no spark.graft residue," +
+    " rewritten plan survives the unset") {
+    assume(testdataPresent)
+    val df = SparkEntry.queries("box_join_lineitem")(spark, sfDir)
+    // the cell-width confs must not outlive the query build — a later
+    // mismatched-scale box join in this long-lived session would inherit
+    // lineitem-tuned widths and explode its per-row cell sequence
+    val residue = spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+    assert(residue.isEmpty, s"conf residue after box_join_lineitem: $residue")
+    // the rewrite must still be baked into the returned frame (a fresh
+    // QueryExecution after the unset would otherwise fall back to a BNLJ)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "rewrite did not survive conf unset")
+    assert(df.count() == 4) // all four zones match rows at sf0.001
+  }
+
   test("tpch_q6 pushes every predicate into the parquet scan") {
     assume(testdataPresent)
     val plan = SparkEntry.queries("tpch_q6_lineitem")(spark, sfDir)
