@@ -157,10 +157,12 @@ object Joins {
     * [xlo, xhi] × [ylo, yhi] intersect — bounding boxes × query regions,
     * value/time band products, the join behind `zorder_lineitem`'s
     * locality story. Spark plans the 4-inequality conjunction as a
-    * nested-loop join (quadratic), and [[graft.plans.IntervalJoinRewrite]]
-    * deliberately refuses it (bound pairing across two dimensions is
-    * ambiguous in a WHERE clause — see its scaladoc); this operator takes
-    * the dimensions EXPLICITLY and plans as a hash equi-join on a 2-D grid
+    * nested-loop join (quadratic). The automatic plan path is
+    * [[graft.plans.BoxJoinRewrite]], which rewrites the naive WHERE-clause
+    * form when its column-name-affinity heuristic finds an unambiguous
+    * axis pairing (and refuses otherwise — see its scaladoc); this
+    * operator takes the dimensions EXPLICITLY, so it has no naming
+    * restriction, and plans as the same hash equi-join on a 2-D grid
     * cell id.
     *
     * The 1-D cell-bucketing of [[intervalJoin]] lifted to a grid: each
@@ -176,6 +178,14 @@ object Joins {
               b: DataFrame, xloB: String, xhiB: String, yloB: String, yhiB: String,
               cellWidthX: Double, cellWidthY: Double): DataFrame = {
     require(cellWidthX > 0 && cellWidthY > 0, "cell widths must be positive")
+    // __cx/__cy are the operator's working columns; a pre-existing one on
+    // either input would be silently replaced by withColumn and corrupt the join
+    Seq(a -> "a", b -> "b").foreach { case (df, side) =>
+      Seq("__cx", "__cy").foreach { c =>
+        require(!df.columns.contains(c),
+          s"boxJoin: side '$side' already has a $c column (reserved); rename it first")
+      }
+    }
     def cellOf(w: Double)(c: Column) = floor(c.cast("double") / lit(w)).cast("long")
     val cx = cellOf(cellWidthX) _
     val cy = cellOf(cellWidthY) _
@@ -196,6 +206,11 @@ object Joins {
   def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
                 loCol: String, hiCol: String, cellWidth: Double): DataFrame = {
     require(cellWidth > 0, "cellWidth must be positive")
+    // same reserved-column contract as intervalJoin/boxJoin
+    Seq(points -> "points", intervals -> "intervals").foreach { case (df, side) =>
+      require(!df.columns.contains("__cell"),
+        s"rangeJoin: side '$side' already has a __cell column (reserved); rename it first")
+    }
     val cellOf = (c: Column) => floor(c.cast("double") / lit(cellWidth)).cast("long")
     val iv = intervals.withColumn("__cell",
       explode(sequence(cellOf(col(loCol)), cellOf(col(hiCol)))))

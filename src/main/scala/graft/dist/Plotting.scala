@@ -95,7 +95,25 @@ object Plotting {
   private case class Frame(title: String, width: Int, height: Int,
                            nSeries: Int, labels: Seq[String]) {
     val (mL, mR, mT, mB) = (56, 16, if (title.nonEmpty) 34 else 16, 44)
-    val legendH = if (nSeries >= 2) 22 else 0
+    // width-aware legend layout with row wrap: entries advance by their own
+    // estimated width (~6px/char at 11px type) and wrap to a new 22px row
+    // when the next entry would cross the right margin — many/long series
+    // labels stack instead of running off the canvas; labels are
+    // ellipsis-capped so a single pathological label still fits a row
+    private val legendEntries: Seq[(String, Int, Int)] = if (nSeries >= 2) {
+      val shown = labels.map(l => if (l.length <= 18) l else l.take(17) + "…")
+      var x = mL
+      var row = 0
+      shown.map { l =>
+        val w = 14 + l.length * 6 + 12
+        if (x + w > width - mR && x > mL) { row += 1; x = mL }
+        val e = (l, x, row)
+        x += w
+        e
+      }
+    } else Seq.empty
+    private val legendRows = if (legendEntries.isEmpty) 0 else legendEntries.map(_._3).max + 1
+    val legendH = legendRows * 22
     val plotW = width - mL - mR
     val plotH = height - mT - mB - legendH
     val plotY = mT + legendH
@@ -106,19 +124,11 @@ object Plotting {
       (if (title.nonEmpty)
         s"""<text x="$mL" y="22" font-size="14" font-weight="600" fill="$inkPrimary">${esc(title)}</text>"""
       else "") +
-      (if (nSeries >= 2) {
-        // width-aware legend layout: entries advance by their own estimated
-        // width (~6px/char at 11px type) instead of a fixed plotW/nSeries
-        // stride, so long labels can't overlap their neighbor; labels are
-        // ellipsis-capped so eight worst-case entries still fit the row
-        val shown = labels.map(l => if (l.length <= 18) l else l.take(17) + "…")
-        val xs = shown.map(l => 14 + l.length * 6 + 12).scanLeft(mL)(_ + _)
-        shown.zipWithIndex.map { case (l, i) =>
-          val x = xs(i)
-          s"""<rect x="$x" y="${mT + 2}" width="10" height="10" rx="2" fill="${seriesColors(i)}"/>""" +
-          s"""<text x="${x + 14}" y="${mT + 11}" font-size="11" fill="$inkSecondary">${esc(l)}</text>"""
-        }.mkString
-      } else "")
+      legendEntries.zipWithIndex.map { case ((l, x, row), i) =>
+        val y = mT + row * 22
+        s"""<rect x="$x" y="${y + 2}" width="10" height="10" rx="2" fill="${seriesColors(i)}"/>""" +
+        s"""<text x="${x + 14}" y="${y + 11}" font-size="11" fill="$inkSecondary">${esc(l)}</text>"""
+      }.mkString
 
     /** Recessive horizontal gridlines + y tick labels; returns (svg, yOf). */
     def yAxis(maxV: Double): (String, Double => Double) = {

@@ -700,8 +700,12 @@ object Similarity {
                    embCol: String = "embedding", maxDims: Int = 4096): DataFrame = {
     // assert_true rides the row pipeline as a filter predicate (null = pass,
     // throw = over-wide row): a loud per-row guard with zero extra jobs,
-    // unlike an eager max(size) pre-scan
-    val widthOk = isnull(assert_true(size(col(embCol)) <= maxDims,
+    // unlike an eager max(size) pre-scan. A NULL embedding passes the guard
+    // (assert_true throws on null conditions, which would surface as a
+    // misleading maxDims error) and propagates as null z components —
+    // exactly what the exact tier's HOF fold does with a null array.
+    val widthOk = isnull(assert_true(
+      col(embCol).isNull || size(col(embCol)) <= maxDims,
       format_string(
         s"rpReduceFast: embedding of %s dims exceeds maxDims=$maxDims; " +
           "raise maxDims to cover the full width",

@@ -208,6 +208,28 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("cell-bucketing joins refuse inputs carrying their reserved working columns") {
+    // withColumn would silently REPLACE a pre-existing working column and
+    // corrupt the join; all three operators must refuse loudly instead
+    val iv = Seq((1L, 0.0, 10.0)).toDF("id", "lo", "hi")
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.intervalJoin(iv.withColumn("__cell", lit(0L)), "lo", "hi", iv, "lo", "hi", 4.0)
+    }
+    assert(msg(e1).contains("__cell"))
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(pts.withColumn("__cell", lit(0L)), "p", iv, "lo", "hi", 4.0)
+    }
+    assert(msg(e2).contains("__cell"))
+    val box = Seq((1L, 0.0, 1.0, 0.0, 1.0)).toDF("id", "xlo", "xhi", "ylo", "yhi")
+    val e3 = intercept[IllegalArgumentException] {
+      Joins.boxJoin(box, "xlo", "xhi", "ylo", "yhi",
+        box.withColumn("__cy", lit(0L)), "xlo", "xhi", "ylo", "yhi", 1.0, 1.0)
+    }
+    assert(msg(e3).contains("__cy"))
+  }
+
   test("asOfJoinForward: earliest at-or-after match, inclusive at equal ts, ties by tieBreak") {
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
       .toDF("k", "ts", "lid")

@@ -38,6 +38,24 @@ class PlottingSpec extends SparkSpec {
     assert("<title>x \\[[^\\]]*\\]: 2</title>".r.findAllIn(svg).size == 4)
   }
 
+  test("legend wraps to new rows instead of overflowing the right margin") {
+    // 8 long-labeled series at default width cannot fit one 22px row;
+    // entries must wrap (multiple distinct swatch y values) and every
+    // swatch must stay inside the right margin (x + 10 <= width - 16)
+    val cols = (0 until 8).map(i => s"series_label_$i")
+    val h = cols.foldLeft(new Histogram(Bins.Count(4))) { (acc, c) =>
+      acc.addColumn((1 to 8).map(_.toDouble).toDF(c), c)
+    }
+    val svg = h.plotHist()
+    val swatches = """<rect x="(\d+)" y="(\d+)" width="10" height="10" rx="2"""".r
+      .findAllMatchIn(svg).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(swatches.size == 8)
+    assert(swatches.map(_._2).distinct.size >= 2, "long legend did not wrap")
+    assert(swatches.forall(_._1 + 10 <= 640 - 16), "legend entry overflows the margin")
+    // plot area moved down by one extra legend row, bars still render
+    assert("<path d=\"M".r.findAllIn(svg).size == 4 * 8)
+  }
+
   test("svgDensity: one 2px polyline per series over bin centers") {
     val svg = twoSeries.plotDensity(title = "density")
     assert("<polyline ".r.findAllIn(svg).size == 2)

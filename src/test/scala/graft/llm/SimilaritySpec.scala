@@ -399,6 +399,21 @@ class SimilaritySpec extends SparkSpec {
       outDims = 2, maxDims = 3).count() == 2L)
   }
 
+  test("rpReduceFast propagates null embeddings as null z, like the exact tier") {
+    // a null array used to hit the width guard as assert_true(null), which
+    // throws a MISLEADING maxDims error; the contract is the exact tier's:
+    // null in, null z components out, non-null rows unaffected
+    val df = Seq((1L, Some(Array.fill(4)(1.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val fast = Similarity.rpReduceFast(df, outDims = 3)
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+    val exact = Similarity.rpReduce(df, outDims = 3)
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+    assert(fast === exact)
+    assert(fast.filter(_._1 == 2L).forall(_._2), "null embedding must yield null z")
+    assert(fast.filter(_._1 == 1L).forall(!_._2), "real embedding must yield real z")
+  }
+
   test("topPrincipalComponentFast drops rows with null vector elements") {
     val rnd = new scala.util.Random(468)
     val dim = 8
