@@ -164,20 +164,52 @@ object Multimodal {
                    maxBucket: Int = 200): DataFrame =
     Dedup.hammingNearDup(perceptualHashes(media), maxHamming, maxBucket)
 
-  /** STUB resize — a real deployment decodes, resamples, and re-encodes
-    * (`??? -> imaging codec`, absent in this container); the fake keeps the
-    * contract honest: output byte budget is exactly `w*h*3` (3 bytes/pixel),
-    * derived deterministically by truncating or zero-padding the payload,
-    * and the per-partition batch shape is identical to the real thing. */
+  /** STUB resize for OPAQUE payloads — keeps the contract honest when the
+    * bytes aren't a decodable image: output byte budget is exactly `w*h*3`
+    * (3 bytes/pixel), derived deterministically by truncating or
+    * zero-padding the payload. Real encoded images take [[resizeImage]]. */
   def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord =
     MediaRecord(r.doc_id, java.util.Arrays.copyOf(r.media, w * h * 3), r.kind)
 
+  /** Real resize via the JDK imaging stack (no external codec needed):
+    * decode (javax.imageio) → bilinear rescale onto a w×h RGB canvas
+    * (java.awt Graphics2D) → re-encode as PNG. Deterministic for a fixed
+    * JDK (software raster pipeline, no GPU path); output is a valid PNG
+    * that round-trips through [[decode]] with the requested dimensions.
+    * Opaque / corrupt payloads fall back to [[resizeStub]] so the batch
+    * never throws on a bad record — the same quarantine-not-crash posture
+    * as [[Readers.splitCorrupt]]. Audio/video resampling would need
+    * ffmpeg bindings, absent in this container, and stays stubbed. */
+  def resizeImage(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+    val img =
+      if (!looksLikeImage(r.media)) null
+      else
+        // NonFatal only: decompression-bomb OOMs must fail the task loudly
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) resizeStub(r, w, h)
+    else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      MediaRecord(r.doc_id, baos.toByteArray, r.kind)
+    }
+  }
+
   /** Resize as a per-partition batch pass (see [[extractFeatures]]): media
     * bytes never hit the driver, and downstream operators see the same
-    * (doc_id, media, kind) schema with the new byte budget. */
+    * (doc_id, media, kind) schema — real images re-encoded at w×h, opaque
+    * payloads at the stub's exact `w*h*3` byte budget. */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(resizeStub(_, w, h)))
+    media.mapPartitions(_.map(resizeImage(_, w, h)))
   }
 
   /** Frame sampling for video-like binary payloads: split the byte stream

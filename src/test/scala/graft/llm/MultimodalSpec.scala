@@ -38,6 +38,30 @@ class MultimodalSpec extends SparkSpec {
     assert(up.media.length == 12 && up.media.drop(8).forall(_ == 0)) // zero-pad
   }
 
+  test("resizeImage rescales a real PNG: output decodes at the target size," +
+    " luminance pattern survives") {
+    // 16x16 left-half-white test card
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0xffffff else 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rec = MediaRecord(1L, baos.toByteArray, "image")
+    val out = Multimodal.resizeImage(rec, 8, 8)
+    // output is a real PNG at the requested dimensions
+    val f = Multimodal.decode(out)
+    assert(f.width == 8 && f.height == 8)
+    // and the same image content: a downscaled left-white card keeps its
+    // luminance layout, so the perceptual hash matches the original's
+    assert(java.lang.Long.bitCount(
+      Multimodal.aHash(rec) ^ Multimodal.aHash(out)) <= 2)
+    // the distributed path re-encodes, never truncates, a real image
+    val viaDs = Multimodal.resize(Seq(rec).toDS(), 8, 8).collect()(0)
+    assert(Multimodal.decode(viaDs).width == 8)
+    assert(Multimodal.looksLikeImage(viaDs.media))
+  }
+
   test("decode reads real PNG dimensions via javax.imageio; opaque bytes fall back to stub") {
     val img = new java.awt.image.BufferedImage(5, 7,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
