@@ -260,6 +260,18 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("revenue"))
     }),
 
+    // bloom-prefiltered drop-list anti-join: the curation mirror of the
+    // semi — fact rows that MISS the bloom are provably clean and skip the
+    // join entirely; only the probe-positive sliver takes the exact anti
+    "bloom_anti_join_lineitem" -> ((s, d) => {
+      val drop = t(s, d, "orders").where(col("o_totalprice") > 400000.0)
+      graft.dist.Joins.bloomAntiJoin(
+          t(s, d, "lineitem"), drop, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 1048576L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
     // range join: prices matched to OVERLAPPING bands (a point can land in
     // several) via cell bucketing — hash join on cell id, never a BNLJ
     "range_join_lineitem" -> ((s, d) => {
@@ -439,6 +451,14 @@ object SparkEntry {
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "top20_tokens" -> ((s, d) => TextAnalysis.topTokens(t(s, d, "documents"))),
+    // exact heavy hitters (output bounded by 1/support regardless of corpus
+    // size); the sketch sibling below is the single-pass scale path
+    "heavy_hitters_tokens" -> ((s, d) =>
+      TextAnalysis.heavyHitters(t(s, d, "documents"), support = 0.005)),
+    // Karp counter sketch: superset-of-exact guarantee property-tested in
+    // TextAnalysisSpec; no oracle by design (sketch internals)
+    "heavy_hitters_approx_tokens" -> ((s, d) =>
+      TextAnalysis.frequentItemsApprox(t(s, d, "documents"), support = 0.005)),
     "token_count_documents" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "lang_id_documents" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
@@ -2017,6 +2037,18 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token FROM documents)
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
+    // share = CAST(cnt AS DOUBLE) / total on both engines — one IEEE
+    // division of exact integers, bit-deterministic
+    "heavy_hitters_tokens" ->
+      """WITH t2 AS (SELECT token FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM t2)
+        |SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS share
+        |FROM c, tot WHERE cnt > total * 0.005
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
+
     "token_count_documents" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -2434,6 +2466,14 @@ object SparkEntry {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+
+    // same exactness argument, anti direction: bloom-negative rows are
+    // provably clean, bloom-positives go through the exact anti-join
+    "bloom_anti_join_lineitem" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
 
     // revenue: double product cast to DECIMAL(18,6) BEFORE the sum on both
     // engines — exact decimal summation, order-independent

@@ -244,6 +244,40 @@ object Joins {
                     factKey: String, dimKey: String,
                     expectedItems: Long = 1000000L,
                     numBits: Long = 8388608L): DataFrame = {
+    val (probe, keys) = bloomProbe(dim, factKey, dimKey, expectedItems, numBits)
+    fact.where(probe)
+      .join(keys, col(factKey) === col("__bloom_key"), "left_semi")
+  }
+
+  /** Bloom-prefiltered ANTI-join: drop every `fact` row whose key appears in
+    * `dim` — the drop-list shape of large-scale curation (dedup winners'
+    * victim lists, contaminated-id sets, opt-out users) — without shuffling
+    * the rows that obviously survive.
+    *
+    * The bloom has NO false negatives, so a fact row whose probe misses is
+    * PROVABLY absent from the drop list and is kept with zero join work;
+    * only the probe-positive sliver (true matches + fpp-rate false
+    * positives) takes the exact anti-join that removes false positives.
+    * Output equals `fact EXCEPT keys-match` exactly (null fact keys match
+    * nothing and are kept, same as a plain left_anti). At 100 TB with a
+    * ~1% drop list, ~99% of the fact table never reaches an exchange —
+    * the same shuffle-avoidance win as [[bloomSemiJoin]], mirrored. */
+  def bloomAntiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedItems: Long = 1000000L,
+                    numBits: Long = 8388608L): DataFrame = {
+    val (probe, keys) = bloomProbe(dim, factKey, dimKey, expectedItems, numBits)
+    val clean = fact.where(!probe) // bloom-negative: provably not in dim
+    val suspects = fact.where(probe)
+      .join(keys, col(factKey) === col("__bloom_key"), "left_anti")
+    clean.unionByName(suspects)
+  }
+
+  /** Shared bloom build: aggregate `dim`'s hashed keys into a bloom literal
+    * (driver-side hop, same as Spark's own runtime filter) and return the
+    * probe predicate plus the distinct key frame for the exact finish. */
+  private def bloomProbe(dim: DataFrame, factKey: String, dimKey: String,
+                         expectedItems: Long, numBits: Long): (Column, DataFrame) = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
@@ -254,10 +288,15 @@ object Joins {
     val bloomBytes = dim
       .select(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val probe = Bridge.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType), Bridge.expression(xxhash64(col(factKey)))))
-    val keys = dim.select(col(dimKey).as("__bloom_key")).distinct()
-    fact.where(probe)
-      .join(keys, col(factKey) === col("__bloom_key"), "left_semi")
+    // an EMPTY dim aggregates to a null bloom; might_contain(null, …) is
+    // null, and where(null)/where(!null) both drop every row — which is
+    // right for the semi side but silently empties the anti side. A
+    // constant-false probe gives both joins their correct empty-dim
+    // behavior: semi keeps nothing, anti keeps everything.
+    val probe =
+      if (bloomBytes == null) lit(false)
+      else Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), Bridge.expression(xxhash64(col(factKey)))))
+    (probe, dim.select(col(dimKey).as("__bloom_key")).distinct())
   }
 }

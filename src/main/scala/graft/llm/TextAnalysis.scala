@@ -30,6 +30,46 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** Exact heavy hitters: every token whose frequency exceeds `support`
+    * (a fraction of ALL token occurrences), with counts and shares —
+    * the vocabulary skew report behind tokenizer/stopword decisions.
+    *
+    * Scale: one explode + hash-agg with map-side combine (same shape as
+    * [[topTokens]]), then a broadcast of the 1-row total for the share
+    * filter. Unlike a top-k, the output size is data-driven but bounded by
+    * 1/support rows (at most ⌊1/s⌋ items can each exceed share s), so even
+    * support=0.001 caps the result at 1000 rows regardless of corpus size.
+    * The sketch sibling is [[frequentItemsApprox]]. */
+  def heavyHitters(docs: DataFrame, support: Double = 0.005,
+                   textCol: String = "text"): DataFrame = {
+    require(support > 0 && support < 1, "support must be in (0, 1)")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("cnt") > col("__total") * support)
+      .select(col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("__total")).as("share"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /** Sketch tier of [[heavyHitters]]: single-pass frequent-items via
+    * Spark's `stat.freqItems` (Karp/Shenker/Papadimitriou counter sketch).
+    * Returns a SUPERSET of the items above `support` — the algorithm's
+    * guarantee is no false negatives; false positives are expected and
+    * callers filter with one exact count pass over just the candidate set
+    * (bounded by 1/support items) when they need precision. No oracle by
+    * design (sketch internals are engine-specific); the superset guarantee
+    * vs [[heavyHitters]] is property-tested. */
+  def frequentItemsApprox(docs: DataFrame, support: Double = 0.005,
+                          textCol: String = "text"): DataFrame = {
+    require(support > 0 && support < 1, "support must be in (0, 1)")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    toks.stat.freqItems(Seq("token"), support)
+      .select(explode(col("token_freqItems")).as("token"))
+      .orderBy("token")
+  }
+
   /** Per-language corpus stats: doc count, mean char length, distinct
     * sources. The mean is computed as exact integer sum ÷ count (one double
     * division at the end) so the result is bit-deterministic under any

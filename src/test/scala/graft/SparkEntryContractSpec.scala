@@ -31,7 +31,8 @@ class SparkEntryContractSpec extends SparkSpec {
     // crossJoin with a 1-row aggregate (corpus totals / bounds / stats row)
     "clip_outliers_lineitem", "hist2d_quantity_discount", "bm25_documents",
     "hll_daily_users_events", "hybrid_topk_documents", "pmi_top20_bigrams",
-    "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents")
+    "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents",
+    "heavy_hitters_tokens") // crossJoin(broadcast(1-row token total))
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {

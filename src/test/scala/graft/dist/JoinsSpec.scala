@@ -258,6 +258,33 @@ class JoinsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("bloomAntiJoin equals the plain anti-join, keeps null keys, survives an empty drop list") {
+    val fact = ((0L until 50L).map(k => (Some(k), s"row$k")) :+ (None, "rownull"))
+      .toDF("k", "payload")
+    val drop = Seq(3L, 7L, 11L, 999L).toDF("dk")
+    val plain = fact.join(drop, fact("k") === drop("dk"), "left_anti")
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    val bloomed = Joins.bloomAntiJoin(fact, drop, "k", "dk")
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    assert(bloomed == plain)
+    assert(bloomed.exists(_(1) == "rownull"), "null-key row must be kept")
+    assert(bloomed.size == 48) // 51 rows - 3 present drop keys
+    // empty drop list: the null bloom must not empty the output
+    val none = Joins.bloomAntiJoin(fact, drop.where(lit(false)), "k", "dk")
+    assert(none.count() == 51)
+  }
+
+  test("bloomAntiJoin stays exact under a saturated (all-positive) bloom") {
+    // 1-bit-ish bloom: every probe is positive, so the fast clean path is
+    // empty and correctness rests entirely on the exact anti-join
+    val fact = (0L until 100L).map(k => (k, s"r$k")).toDF("k", "payload")
+    val drop = (0L until 100L by 10L).toDF("dk")
+    val out = Joins.bloomAntiJoin(fact, drop, "k", "dk",
+      expectedItems = 4L, numBits = 8L)
+    assert(out.count() == 90)
+    assert(out.where(col("k") % 10 === 0).count() == 0)
+  }
+
   test("bloomSemiJoin stays exact even when the bloom is saturated with false positives") {
     // 64-bit bloom for 500 keys: nearly every probe passes; the exact
     // semi-join must still strip every false positive

@@ -25,6 +25,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(1) == (("der", 2L))) // count-2 tie (der/spark/und) broken by token asc
   }
 
+  test("heavyHitters: exact counts, shares, and the 1/support output bound") {
+    // 22 tokens total; support 0.1 → threshold 2.2 occurrences, only "the"
+    // (5) clears it ("der"/"und"/"spark" sit at 2)
+    val hh = TextAnalysis.heavyHitters(docs, support = 0.1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hh.map(t => (t._1, t._2)) == Seq(("the", 5L)))
+    assert(hh.head._3 == 5.0 / 22.0) // one IEEE division of exact integers
+    val lower = TextAnalysis.heavyHitters(docs, support = 0.05).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(lower == Seq(("the", 5L), ("der", 2L), ("spark", 2L), ("und", 2L)))
+    assert(hh.size <= (1.0 / 0.1).toInt) // ≤ 1/support rows by construction
+  }
+
+  test("frequentItemsApprox is a superset of the exact heavy hitters (sketch guarantee)") {
+    for (support <- Seq(0.05, 0.1, 0.3)) {
+      val exact = TextAnalysis.heavyHitters(docs, support).select("token")
+        .as[String].collect().toSet
+      val approx = TextAnalysis.frequentItemsApprox(docs, support)
+        .as[String].collect().toSet
+      assert(exact.subsetOf(approx),
+        s"support=$support: sketch missed ${exact -- approx} (false negatives are forbidden)")
+    }
+  }
+
   test("textStats aggregates per lang with exact mean") {
     val r = TextAnalysis.textStats(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
