@@ -495,6 +495,10 @@ object SparkEntry {
     // best-3 exemplar documents per language by composite quality score
     "top3_quality_per_lang" -> ((s, d) =>
       TextAnalysis.topQualityDocs(t(s, d, "documents"), "lang", k = 3)),
+    // aggregate tier of the same result: bounded-heap TopKAgg, no window
+    // sort — the exchange carries ≤ k·|groups| pairs instead of all rows
+    "top3_quality_per_lang_agg" -> ((s, d) =>
+      TextAnalysis.topQualityDocsAgg(t(s, d, "documents"), "lang", k = 3)),
 
     // per-domain URL occurrence / document counts. The synthetic corpus
     // contains no URLs, so the declared query injects a deterministic
@@ -2131,6 +2135,35 @@ object SparkEntry {
          |SELECT bg AS bigram, bc AS cnt, pmi FROM j ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
 
     "top3_quality_per_lang" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    AS quality_score
+         |  FROM m),
+         |r AS (
+         |  SELECT lang, doc_id, quality_score,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM q)
+         |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= 3
+         |ORDER BY lang, rnk""".stripMargin
+    },
+
+    // identical result contract to the window tier — same oracle text; the
+    // aggregate is deterministic under the same (ord desc, id asc) order
+    "top3_quality_per_lang_agg" -> {
       val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH base AS (
          |  SELECT doc_id, lang, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,

@@ -45,7 +45,10 @@ object TextAnalysis {
     require(support > 0 && support < 1, "support must be in (0, 1)")
     val toks = docs.select(explode(tokens(col(textCol))).as("token"))
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("__total"))
+    // total occurrences = Σ cnt over the vocab-sized counts frame — NOT a
+    // second corpus scan; at 100 TB re-tokenizing the text column to count
+    // it would double the dominant cost of the query
+    val total = counts.agg(sum(col("cnt")).as("__total"))
     counts.crossJoin(broadcast(total))
       .where(col("cnt") > col("__total") * support)
       .select(col("token"), col("cnt"),
@@ -142,6 +145,26 @@ object TextAnalysis {
     q.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col(groupCol), col("rnk"), col("doc_id"), col("quality_score"))
+      .orderBy(groupCol, "rnk")
+  }
+
+  /** Aggregate tier of [[topQualityDocs]]: identical output (group, rnk,
+    * doc_id, quality_score; ord desc, doc_id asc on ties), but computed
+    * with the bounded-heap [[graft.functions.TopKAgg]] instead of a window
+    * sort. The window formulation shuffles and sorts EVERY row of every
+    * group; the aggregate's map-side partial keeps ≤ k pairs per group per
+    * task, so the exchange carries ≤ k·|groups| pairs — the 100 TB path
+    * for "top N per group". */
+  def topQualityDocsAgg(docs: DataFrame, groupCol: String, k: Int = 3,
+                        textCol: String = "text"): DataFrame = {
+    val q = qualityScore(docs, textCol, keepCols = Seq(groupCol))
+      .select(col(groupCol), col("doc_id"), col("quality_score"))
+    q.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        col("quality_score"), col("doc_id"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rnk"),
+        col("p.id").as("doc_id"), col("p.ord").as("quality_score"))
       .orderBy(groupCol, "rnk")
   }
 
