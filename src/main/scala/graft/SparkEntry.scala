@@ -105,6 +105,12 @@ object SparkEntry {
     "quantiles_approx_extendedprice" -> ((s, d) =>
       graft.dist.Stats.quantilesApprox(t(s, d, "lineitem"), "l_extendedprice",
         Seq(0.25, 0.5, 0.75, 0.99))),
+    // sketch tier: KLL quantiles (DataSketches — mergeable partials with a
+    // provable rank-error bound) — no cross-engine oracle (sketch-specific);
+    // rank-error property-tested against the exact tier in StatsSpec
+    "quantiles_kll_extendedprice" -> ((s, d) =>
+      graft.dist.Stats.quantilesKll(t(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99))),
     // sketch tier: HLL++ distinct counts, one scan for three columns —
     // engine-specific registers, property-tested vs exact in StatsSpec
     "approx_distinct_lineitem" -> ((s, d) =>
@@ -517,6 +523,12 @@ object SparkEntry {
     // cross-source contamination matrix: distinct 8-grams shared per pair
     "source_overlap_documents" -> ((s, d) =>
       Dedup.sourceOverlap(t(s, d, "documents"), n = 8)),
+    // sketch tier of the same matrix: per-source theta sketches, pairwise
+    // intersection/union estimates — one mergeable agg over the corpus, all
+    // pairwise work on a |sources|-row sketch frame (no oracle: sketch
+    // estimates; exact-mode equality property-tested vs the exact tier)
+    "source_overlap_theta" -> ((s, d) =>
+      Dedup.sourceOverlapTheta(t(s, d, "documents"), n = 8)),
 
     // eval split = doc_id < 50 (deterministic); train = the rest
     "decontaminate_documents" -> ((s, d) => {
@@ -981,7 +993,17 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.withFakeMedia(t(s, d, "documents")),
           frameBytes = 128, stride = 2)
         .select("doc_id", "frame_idx", "n_bytes")
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    // REAL audio tier: spec-valid WAV fixtures decoded through the JDK's
+    // javax.sound codec (no oracle: binary decode isn't SQL-expressible;
+    // sine RMS/zero-crossing analytics property-tested in MultimodalSpec)
+    "mm_audio_features_documents" -> ((s, d) =>
+      Multimodal.extractAudioFeatures(
+          Multimodal.withFakeAudio(t(s, d, "documents"))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("channels"), col("n_samples"), round(col("rms"), 3).as("rms"),
+          col("zero_crossings"))
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracle SQL

@@ -658,4 +658,46 @@ object Dedup {
       .groupBy(col("p").getField("a").as("source_a"), col("p").getField("b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy("source_a", "source_b")
+
+  /** Sketch tier of [[sourceOverlap]]: pairwise source overlap estimated
+    * from per-source theta sketches (DataSketches, built into Spark 4) of
+    * the distinct n-gram hash sets.
+    *
+    * Output per pair (a < b): estimated `|A∩B|` (`est_shared_ngrams`,
+    * via `theta_intersection`), estimated `|A∪B|`, and the estimated
+    * n-gram Jaccard — the quantities a curation pass uses to decide which
+    * corpus sources are near-copies of each other.
+    *
+    * Scale design — this is the 100 TB path where [[sourceOverlap]] is the
+    * verifier: the exact tier shuffles every multi-source n-gram hash and
+    * expands per-hash source pairs (corpus-sized exchange, quadratic in the
+    * sources sharing a hash). Here the corpus is consumed by ONE mergeable
+    * hash aggregate producing a ≤ 2^lgK-entry sketch (KBs) per source;
+    * everything pairwise happens on a |sources|-row frame of sketch blobs.
+    * The pairwise self-join is a broadcast nested loop by construction —
+    * bounded by the source count, never by the corpus, so it is the correct
+    * plan at any data scale (declared in SparkEntryContractSpec).
+    *
+    * Error: theta sketches are EXACT below 2^lgK distinct entries per
+    * source; above that, intersections carry the documented relative
+    * standard error (~1/√(2^lgK) per operand). Estimates are rounded to 3
+    * decimals so results are stable across partitionings (theta estimates
+    * themselves are deterministic for a fixed input set — the sketch keeps
+    * the k smallest hashes, an order-insensitive set). */
+  def sourceOverlapTheta(docs: DataFrame, n: Int = 8, lgK: Int = 12,
+                         textCol: String = "text"): DataFrame = {
+    val sk = docs.select(col("source"),
+        explode(array_distinct(
+          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
+      .select(col("source"), xxhash64(col("ngs")).as("ng"))
+      .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
+    val inter = theta_sketch_estimate(theta_intersection(col("a.sk"), col("b.sk")))
+    val union = theta_sketch_estimate(theta_union(col("a.sk"), col("b.sk")))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        round(inter, 3).as("est_shared_ngrams"),
+        round(union, 3).as("est_union_ngrams"),
+        round(inter / union, 6).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

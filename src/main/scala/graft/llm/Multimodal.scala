@@ -15,6 +15,15 @@ case class MediaRecord(doc_id: Long, media: Array[Byte], kind: String)
 case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                          channels: Int, byte_sum: Long)
 
+/** Extracted audio features: decoded via the JDK's javax.sound.sampled when
+  * the payload is a real RIFF/WAV container; all-zero register block (with
+  * the true byte count) for opaque/corrupt payloads — quarantine-not-crash,
+  * same posture as the image path. `rms` and `zcr_hz` are per-record scalars
+  * computed map-side, so they are deterministic under any partitioning. */
+case class AudioFeatures(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                         channels: Int, n_samples: Long, rms: Double,
+                         zero_crossings: Long)
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * Pattern: keep media as opaque `BinaryType` columns next to typed metadata;
@@ -210,6 +219,116 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(resizeImage(_, w, h)))
+  }
+
+  /** Magic-byte sniff for RIFF/WAV containers (the audio format the JDK
+    * decodes without external codecs). */
+  private[llm] def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Synthesize a REAL playable WAV payload per document: 16-bit mono PCM
+    * sine wave, frequency and length derived deterministically from the doc.
+    * The container has no audio assets, so this is the fixture generator —
+    * but unlike a byte-blob stub the output is a spec-valid RIFF file whose
+    * decoded features are analytically known (sine RMS = A/√2, zero-crossing
+    * rate = 2f), which is what the property tests assert. */
+  def sineWav(freqHz: Double, nSamples: Int, amplitude: Int = 16384,
+              sampleRate: Int = 8000): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(math.round(
+        amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a fake audio column: a real WAV per document, tone frequency
+    * keyed off doc_id (200–1150 Hz in 50 Hz steps) and length off the text
+    * size (1000–4000 samples) — deterministic, schema-true BinaryType. */
+  def withFakeAudio(docs: DataFrame, textCol: String = "text"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col(textCol)).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        MediaRecord(id, sineWav(200.0 + (id % 20) * 50.0,
+          1000 + (n % 3001)), kind = "audio")
+      })
+  }
+
+  /** Real audio decode via javax.sound.sampled (pure JDK — no external
+    * codec): parse the RIFF container, stream the PCM frames once, and
+    * reduce to per-record registers — sample count, RMS amplitude, and
+    * channel-0 zero crossings (the cheap pitch/silence signals an audio
+    * curation pass filters on). Only 16-bit PCM takes the sample loop
+    * (the fixture format and by far the common real-world case); other
+    * encodings and opaque/corrupt payloads return the zeroed register
+    * block rather than crashing the task. */
+  def decodeAudio(r: MediaRecord): AudioFeatures = {
+    val none = AudioFeatures(r.doc_id, r.media.length, 0, 0, 0L, 0.0, 0L)
+    if (!looksLikeWav(r.media)) none
+    else {
+      // NonFatal only: a codec OOM must fail the task, not quarantine
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) none
+      else try {
+        val f = in.getFormat
+        val ok = f.getSampleSizeInBits == 16 &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!ok) none.copy(sample_rate = f.getSampleRate.toInt,
+          channels = f.getChannels)
+        else {
+          val ch = f.getChannels
+          val frameBytes = f.getFrameSize
+          val buf = new Array[Byte](frameBytes * 4096)
+          var nFrames = 0L; var sumSq = 0.0; var zc = 0L; var prev = 0
+          var first = true
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameBytes <= read) {
+              // channel 0 sample of this frame (16-bit, container endianness)
+              val lo = buf(off) & 0xff; val hi = buf(off + 1) & 0xff
+              val s = (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+              sumSq += s.toDouble * s
+              if (!first && (s > 0) != (prev > 0) && s != 0 && prev != 0) zc += 1
+              if (s != 0) { prev = s; first = false }
+              nFrames += 1
+              off += frameBytes
+            }
+            read = in.read(buf)
+          }
+          AudioFeatures(r.doc_id, r.media.length, f.getSampleRate.toInt, ch,
+            nFrames, if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames), zc)
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Audio feature extraction as a per-partition batch pass (see
+    * [[extractFeatures]]): bytes decoded exactly once per record, features
+    * (not bytes) are what shuffles downstream. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAudio))
   }
 
   /** Frame sampling for video-like binary payloads: split the byte stream

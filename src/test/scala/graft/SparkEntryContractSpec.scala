@@ -32,7 +32,11 @@ class SparkEntryContractSpec extends SparkSpec {
     "clip_outliers_lineitem", "hist2d_quantity_discount", "bm25_documents",
     "hll_daily_users_events", "hybrid_topk_documents", "pmi_top20_bigrams",
     "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents",
-    "heavy_hitters_tokens") // crossJoin(broadcast(1-row token total))
+    "heavy_hitters_tokens", // crossJoin(broadcast(1-row token total))
+    // pairwise join over a |sources|-row frame of KB-sized theta sketches:
+    // bounded by source cardinality, never by the corpus — correct plan at
+    // any data scale
+    "source_overlap_theta")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {

@@ -29,6 +29,27 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("quantilesKll tracks the exact tier within its provable rank-error bound") {
+    // same skewed shape as the GK test: a rank slip moves the value visibly
+    val df = spark.range(20000).select((pow($"id".cast("double"), 2.0)).as("x")).toDF()
+    val exact = Stats.quantiles(df, "x", Seq(0.25, 0.5, 0.75, 0.99)).collect()(0)
+    val kll = Stats.quantilesKll(df, "x", Seq(0.25, 0.5, 0.75, 0.99)).collect()(0)
+    for (i <- 0 until 4) {
+      val (e, a) = (exact.getDouble(i), kll.getDouble(i))
+      // k=800 => normalized rank error < 0.4%; on x=id^2 a 0.4% rank slip
+      // moves the value by < ~2% at these percentiles
+      assert(math.abs(a - e) <= math.max(1.0, e * 0.02), s"p$i: kll $a vs exact $e")
+    }
+  }
+
+  test("quantilesKll ignores nulls and NaNs like the exact tier") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None,
+      Some(Double.NaN)).toDF("x")
+    val r = Stats.quantilesKll(df, "x", Seq(0.5)).collect()(0)
+    // 4 clean values; KLL at this size is exact-mode: p50 ∈ {2.0, 3.0}
+    assert(r.getDouble(0) == 2.0 || r.getDouble(0) == 3.0, r.toString)
+  }
+
   test("approxDistinct is within HLL error of exact counts, one row out") {
     val df = spark.range(50000).select(
       ($"id" % 1000).as("a"), ($"id" % 17).as("b"), $"id".as("c")).toDF()

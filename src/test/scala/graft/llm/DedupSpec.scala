@@ -262,6 +262,34 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[(String, String, Long)].collect().toSeq
     assert(r == Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
   }
+  test("sourceOverlapTheta: exact-mode sketches reproduce the exact tier;" +
+    " jaccard = inter/union") {
+    // enough shared/unique bigrams to be non-trivial, far below the 2^12
+    // sketch capacity — theta sketches are exact in this regime, so the
+    // estimates must EQUAL the exact tier's counts
+    val docs = Seq(
+      (1L, "a b c d e f g h", "s1"),
+      (2L, "a b c d x y z w", "s2"), // shares bigrams "a b","b c","c d" with s1
+      (3L, "e f g h q r s t", "s3"), // shares "e f","f g","g h" with s1
+      (4L, "m n o p m n o p", "s4")  // shares nothing
+    ).toDF("doc_id", "text", "source")
+    val exact = Dedup.sourceOverlap(docs, n = 2)
+      .as[(String, String, Long)].collect().toSeq
+    val est = Dedup.sourceOverlapTheta(docs, n = 2)
+      .as[(String, String, Double, Double, Double)].collect().toSeq
+    assert(exact == Seq(("s1", "s2", 3L), ("s1", "s3", 3L)))
+    // theta emits ALL pairs (including zero-overlap ones); the exact tier
+    // only emits pairs sharing >= 1 n-gram — check the overlap subset
+    val estMap = est.map(e => (e._1, e._2) -> e).toMap
+    assert(estMap.size == 6) // C(4,2) pairs
+    exact.foreach { case (a, b, n) =>
+      val (_, _, inter, union, jac) = estMap((a, b))
+      assert(inter == n.toDouble, s"$a-$b: est $inter vs exact $n")
+      assert(math.abs(jac - inter / union) < 1e-6)
+    }
+    assert(estMap(("s1", "s4"))._3 == 0.0)
+  }
+
   test("spanDedup: global first occurrence survives, others drop, docs rebuild in order") {
     val docs = Seq(
       (1L, "a b c d"), // spans "a b", "c d" -- both canonical

@@ -117,6 +117,47 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)) && pairs.head._3 == 0)
   }
 
+  test("decodeAudio reads a real WAV through javax.sound: header fields exact," +
+    " sine RMS and zero-crossings match the analytic values") {
+    val f = 440.0; val n = 8000; val amp = 16384 // 1 s of A440 at 8 kHz
+    val r = Multimodal.decodeAudio(MediaRecord(7L, Multimodal.sineWav(f, n, amp), "audio"))
+    assert(r.doc_id == 7L && r.sample_rate == 8000 && r.channels == 1)
+    assert(r.n_samples == n)
+    assert(r.n_bytes == 44 + n * 2)
+    // sine RMS = A/sqrt(2); quantization to 16-bit shifts it < 1%
+    val expectedRms = amp / math.sqrt(2.0)
+    assert(math.abs(r.rms - expectedRms) < expectedRms * 0.01, s"rms ${r.rms}")
+    // a sine crosses zero 2f times per second (880); sampling/quantization
+    // jitter is at most a few crossings
+    assert(math.abs(r.zero_crossings - 2 * f * n / 8000) <= 4, s"zc ${r.zero_crossings}")
+  }
+
+  test("decodeAudio quarantines opaque and corrupt payloads instead of crashing") {
+    val opaque = Multimodal.decodeAudio(MediaRecord(1L, "not audio at all".getBytes, "audio"))
+    assert(opaque == AudioFeatures(1L, 16, 0, 0, 0L, 0.0, 0L))
+    // valid RIFF magic but truncated/garbage body
+    val junk = "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](20)(99)
+    val corrupt = Multimodal.decodeAudio(MediaRecord(2L, junk, "audio"))
+    assert(corrupt.doc_id == 2L && corrupt.n_samples == 0L)
+  }
+
+  test("withFakeAudio -> extractAudioFeatures: distributed decode of" +
+    " spec-valid WAVs; frequency keyed by doc_id shows in the ZCR") {
+    val docs = spark.range(40).selectExpr(
+      "id AS doc_id", "repeat('x', CAST(10 + id AS INT)) AS text").repartition(4)
+    val feats = Multimodal.extractAudioFeatures(Multimodal.withFakeAudio(docs.toDF()))
+    val rows = feats.collect().sortBy(_.doc_id)
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.sample_rate == 8000 && r.channels == 1 && r.n_samples >= 1000)
+      // tone frequency for this doc: 200 + (id % 20) * 50 Hz
+      val freq = 200.0 + (r.doc_id % 20) * 50.0
+      val expectZc = 2 * freq * r.n_samples / 8000
+      assert(math.abs(r.zero_crossings - expectZc) <= expectZc * 0.02 + 2,
+        s"doc ${r.doc_id}: zc ${r.zero_crossings} vs $expectZc")
+    }
+  }
+
   test("feature extraction runs distributed (per-partition, not driver)") {
     val docs = spark.range(100).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT)) AS text")
       .repartition(8)
