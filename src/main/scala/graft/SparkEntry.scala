@@ -126,6 +126,13 @@ object SparkEntry {
     "quantiles_by_type_events" -> ((s, d) =>
       graft.dist.Stats.quantilesBy(events(s, d), "value", "event_type",
         Seq(0.25, 0.5, 0.75))),
+    // sketch tier: one KLL sketch per group (few KB each, mergeable) — the
+    // shape that survives a skewed 100 TB groupBy where the exact per-group
+    // sort-agg cannot (no oracle: sketch-specific; per-group rank-error
+    // property-tested vs the exact tier in StatsSpec)
+    "quantiles_kll_by_type_events" -> ((s, d) =>
+      graft.dist.Stats.quantilesKllBy(events(s, d), "value", "event_type",
+        Seq(0.25, 0.5, 0.75))),
 
     // CUBE aggregate: counts at every (event_type, hour-of-day) grouping
     // level — all four grouping sets in one pass
@@ -534,6 +541,15 @@ object SparkEntry {
     "decontaminate_documents" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.decontaminate(docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
+    }),
+    // sketch-tier decontamination preflight: per-source eval-overlap
+    // estimates from theta sketches — decides which sources need the exact
+    // join at 100 TB (no oracle: sketch estimates; exact-mode agreement
+    // with the exact join property-tested in DedupSpec)
+    "decontam_theta_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateTheta(docs.where(col("doc_id") >= 50),
+        docs.where(col("doc_id") < 50), n = 8)
     }),
 
     // -------- deterministic sampling (corpus curation)

@@ -168,6 +168,21 @@ object Stats {
     }: _*).orderBy(groupCol)
   }
 
+  /** Per-group KLL quantiles: one mergeable sketch per group, so each
+    * group's state is a few KB regardless of its row count — the shape that
+    * survives a skewed 100 TB groupBy where the exact [[quantilesBy]]
+    * (sort-aggregate per group) cannot. Sketch-specific output; per-group
+    * rank-error property-tested against the exact tier in StatsSpec. */
+  def quantilesKllBy(df: DataFrame, colName: String, groupCol: String,
+                     ps: Seq[Double], k: Int = 800): DataFrame = {
+    val sk = df.select(col(groupCol), col(colName).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .groupBy(groupCol).agg(kll_sketch_agg_double(col("v"), lit(k)).as("sk"))
+    sk.select(col(groupCol) +: ps.zipWithIndex.map { case (p, _) =>
+      kll_sketch_get_quantile_double(col("sk"), lit(p)).as(s"p${(p * 100).round}")
+    }: _*).orderBy(groupCol)
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE scan.
     * All moments (Σx, Σx², Σxy) accumulate as DECIMAL(38,8) — exact under
     * any partitioning, unlike Spark's own `corr` which sums doubles in

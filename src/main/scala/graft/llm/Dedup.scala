@@ -582,6 +582,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sketch-tier decontamination PREFLIGHT: per train source, estimate how
+    * many of its distinct n-grams also occur in the eval split — from theta
+    * sketches, before anything joins. At 100 TB this is the pass that
+    * decides which sources even need the exact [[decontaminate]] join (and
+    * in what order): the corpus is consumed by one mergeable hash aggregate
+    * per side, and the per-source estimates come from intersecting a
+    * source-count-row frame of KB sketches against ONE broadcast eval
+    * sketch. Output per source: estimated distinct n-grams, estimated
+    * eval-shared n-grams, and the shared fraction.
+    *
+    * Same error contract as [[sourceOverlapTheta]]: exact below 2^lgK
+    * distinct entries per operand, documented relative standard error
+    * above. Property-tested against the exact join in DedupSpec. */
+  def decontaminateTheta(train: DataFrame, eval: DataFrame, n: Int = 8,
+                         lgK: Int = 12, textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(array_distinct(
+          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"): _*)
+        .withColumn("ng", xxhash64(col("ngs"))).drop("ngs")
+    val trainSk = grams(train, col("source"))
+      .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
+    val evalSk = grams(eval).agg(theta_sketch_agg(col("ng"), lgK).as("esk"))
+    val own = theta_sketch_estimate(col("sk"))
+    val shared = theta_sketch_estimate(theta_intersection(col("sk"), col("esk")))
+    trainSk.crossJoin(broadcast(evalSk))
+      .select(col("source"),
+        round(own, 3).as("est_ngrams"),
+        round(shared, 3).as("est_eval_shared"),
+        round(shared / own, 6).as("est_shared_frac"))
+      .orderBy("source")
+  }
+
   /** Cross-source contamination matrix: for every source pair (a < b), the
     * number of distinct token n-grams appearing in BOTH sources — the
     * "which of my corpus feeds copy from each other" audit that decides

@@ -57,6 +57,21 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming distinct active users per tumbling window via the HLL++
+    * sketch behind `approx_count_distinct` — the streaming sibling of the
+    * batch `hll_daily_users_events` rollup. Exact streaming distinct would
+    * need per-user state (unbounded); the sketch keeps a few KB per window
+    * regardless of user cardinality, and the watermark expires window state
+    * — the only formulation that is safe on an unbounded stream. */
+  def distinctUsersStream(events: DataFrame, watermark: String = "2 hours",
+                          rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("est_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("est_users"), col("n_events"))
+
   /** Stream-static enrichment: join the event stream against a slowly
     * changing dimension table (user profile, geo lookup, model-version
     * routing) with an explicit broadcast of the static side — the standard

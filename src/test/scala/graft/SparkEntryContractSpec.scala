@@ -36,7 +36,10 @@ class SparkEntryContractSpec extends SparkSpec {
     // pairwise join over a |sources|-row frame of KB-sized theta sketches:
     // bounded by source cardinality, never by the corpus — correct plan at
     // any data scale
-    "source_overlap_theta")
+    "source_overlap_theta",
+    // crossJoin(broadcast(1-row eval theta sketch)) against the
+    // source-count-row train sketch frame — same bounded shape
+    "decontam_theta_documents")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {

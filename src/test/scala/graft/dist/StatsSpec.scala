@@ -42,6 +42,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("quantilesKllBy: per-group sketches track the exact per-group tier") {
+    val df = spark.range(30000).select(
+      ($"id" % 3).cast("string").as("g"),
+      (pow($"id".cast("double"), 1.5) + ($"id" % 3).cast("double") * 1e5).as("x")).toDF()
+    val exact = Stats.quantilesBy(df, "x", "g", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val kll = Stats.quantilesKllBy(df, "x", "g", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(kll.keySet == exact.keySet)
+    exact.foreach { case (g, (e1, e2, e3)) =>
+      val (a1, a2, a3) = kll(g)
+      Seq((e1, a1), (e2, a2), (e3, a3)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= math.max(1.0, math.abs(e) * 0.02), s"$g: $a vs $e")
+      }
+    }
+  }
+
   test("quantilesKll ignores nulls and NaNs like the exact tier") {
     val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None,
       Some(Double.NaN)).toDF("x")

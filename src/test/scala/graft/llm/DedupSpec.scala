@@ -290,6 +290,23 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(estMap(("s1", "s4"))._3 == 0.0)
   }
 
+  test("decontaminateTheta: exact-mode sketch preflight agrees with the" +
+    " exact decontamination join") {
+    // train sources with known eval overlap, well below sketch capacity
+    val train = Seq(
+      (100L, "a b c d e f", "s1"), // bigrams ab,bc,cd,de,ef — 3 shared w/ eval
+      (101L, "x y z w v u", "s2"), // none shared
+      (102L, "a b c q r t", "s3")  // ab,bc shared
+    ).toDF("doc_id", "text", "source")
+    val eval = Seq((1L, "a b c d", "e1")).toDF("doc_id", "text", "source")
+    // eval bigrams: ab, bc, cd
+    val r = Dedup.decontaminateTheta(train, eval, n = 2)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._3)) == Seq(
+      ("s1", 5.0, 3.0), ("s2", 5.0, 0.0), ("s3", 5.0, 2.0)))
+    r.foreach(x => assert(math.abs(x._4 - x._3 / x._2) < 1e-6))
+  }
+
   test("spanDedup: global first occurrence survives, others drop, docs rebuild in order") {
     val docs = Seq(
       (1L, "a b c d"), // spans "a b", "c d" -- both canonical

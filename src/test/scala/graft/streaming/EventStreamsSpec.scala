@@ -28,6 +28,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct users per window: HLL sketch tracks exact" +
+    " cardinality at test scale; bounded state via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.distinctUsersStream(in.toDF())
+      .writeStream.format("memory").queryName("distusers").outputMode("complete").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // same user
+        Event(3, ts("2024-01-01 10:20:00"), 2, "view", 1.0),
+        Event(4, ts("2024-01-01 10:30:00"), 3, "view", 1.0),
+        Event(5, ts("2024-01-01 11:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT hour, est_users, n_events FROM distusers ORDER BY hour")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSeq
+      // HLL++ at rsd=0.05 is exact at these cardinalities
+      assert(rows == Seq(
+        ("2024-01-01 10:00:00.0", 3L, 4L),
+        ("2024-01-01 11:00:00.0", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming histogram bins with closed last bucket, complete mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
