@@ -93,6 +93,7 @@ object Bench {
     val exclusionReason: Map[String, String] = Map(
       "emb_cosine_neardup" -> "exact all-pairs cosine verifier tier, quadratic by design; LSH sibling is the scale path",
       "knn_graph_embeddings" -> "exact all-pairs kNN verifier tier, quadratic by design; knn_graph_lsh is the scale path",
+      "pagerank_knn_embeddings" -> "edge list built by the exact all-pairs kNN tier; rank iterations themselves are edge-join-bound (scale-safe), swap in knn_graph_lsh edges at scale",
       "cosine_topk_embeddings" -> "exact brute-force top-k verifier; ann_lsh/ann_ivf are the scale path",
       "semdedup_embeddings" -> "iterative cell-join tier, job-count-bound locally; growth signal carried by its cell pair work, see SCALE.md",
       "events_value_quartiles" -> "exact global-percentile tier (sort-bound by design); quantiles_approx is the scale sibling",

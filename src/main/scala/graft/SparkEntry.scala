@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dist.{Binning, Bins}
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Graphs, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.4 (the declared query
   * inventory) and §7 (build plan). Every oracle SQL string below is written
@@ -436,6 +436,16 @@ object SparkEntry {
     // these same vectors, the near-dup regime the tier is declared for)
     "knn_graph_lsh_embeddings" -> ((s, d) =>
       Similarity.knnGraphLSH(t(s, d, "embeddings"), k = 3, nTables = 2)),
+    // similarity-graph centrality: damped PageRank over the exact kNN edge
+    // list — high-rank vectors are the template-like cluster centers a
+    // curation pass inspects first. Decimal rank sums make the result
+    // bit-deterministic, but the iteration count is a modeling choice, so
+    // no oracle: fixed-point, conservation, and determinism property
+    // tests live in GraphsSpec (DuckDB's recursive CTEs cannot express
+    // per-iteration aggregation anyway)
+    "pagerank_knn_embeddings" -> ((s, d) =>
+      Graphs.pageRank(Similarity.knnGraph(t(s, d, "embeddings"), k = 3),
+        iters = 10)),
     // canonical-URL keep-one dedup; the corpus has no URL column, so the
     // declared query injects a deterministic messy URL per doc (case/www/
     // query/fragment/trailing-slash variants; doc_id % 50 forces dups)

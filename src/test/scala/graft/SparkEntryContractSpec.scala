@@ -26,6 +26,7 @@ class SparkEntryContractSpec extends SparkSpec {
   private val bnljAllowed = Set(
     // all-pairs verifier tier (scale tier = srpBucket/lshAnn/knnGraphLSH)
     "cosine_topk_embeddings", "emb_cosine_neardup", "knn_graph_embeddings",
+    "pagerank_knn_embeddings", // edges built by the exact kNN verifier tier
     "ann_brute_topk_embeddings", // broadcast(query-side), non-equi condition
     "centroid_sim_embeddings",   // pair join over a one-row-per-GROUP frame
     // crossJoin with a 1-row aggregate (corpus totals / bounds / stats row)

@@ -1,0 +1,60 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: a directed cycle is the uniform fixed point, exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, iters = 10).as[(Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)))
+  }
+
+  test("pageRank: hub outranks feeders, in-degree-0 node sits at 1-d," +
+    " dangling-free sum is conserved at |V|") {
+    // 1 -> 3, 2 -> 3, 3 -> 1: closed-form fixed point r3≈1.4595, r1≈1.3906
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, iters = 40).as[(Long, Double)].collect().toMap
+    assert(r(3L) > r(1L) && r(1L) > r(2L))
+    assert(math.abs(r(2L) - 0.15) < 1e-9) // nothing points at 2
+    assert(math.abs(r.values.sum - 3.0) < 1e-6) // every node votes: sum = |V|
+    // geometric convergence at 0.85²/two-iter loop gain: ~1.5e-3 after 40
+    assert(math.abs(r(3L) - 0.405 / 0.2775) < 5e-3)
+  }
+
+  test("pageRank weighted: vote splits by weight share; fixed-point identity holds") {
+    // 1 splits 75/25 between 2 and 3; both return all rank to 1
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = Graphs.pageRank(edges, iters = 60, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(2L) > r(3L))
+    // residual decays with the loop gain: ~6e-5 after 60 iterations
+    assert(math.abs(r(2L) - (0.15 + 0.85 * r(1L) * 0.75)) < 2e-4)
+    assert(math.abs(r(3L) - (0.15 + 0.85 * r(1L) * 0.25)) < 2e-4)
+  }
+
+  test("pageRank: non-positive-weight edges carry no vote") {
+    val edges = Seq((1L, 2L, 1.0), (1L, 3L, -5.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = Graphs.pageRank(edges, iters = 10, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    // the negative edge is dropped: 3 keeps voting (3->1) but receives only
+    // the damping base
+    assert(math.abs(r(3L) - 0.15) < 1e-9)
+    assert(r(2L) > 1.0)
+  }
+
+  test("pageRank is bit-deterministic across partitionings (decimal sums)") {
+    val edges = spark.range(200).selectExpr(
+      "id AS src", "(id * 7 + 3) % 200 AS dst")
+      .union(spark.range(200).selectExpr("id AS src", "(id * 13 + 11) % 200 AS dst"))
+    val a = Graphs.pageRank(edges.repartition(1).toDF(), iters = 8)
+      .as[(Long, Double)].collect().toSeq
+    val b = Graphs.pageRank(edges.repartition(7).toDF(), iters = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(math.abs(a.map(_._2).sum - 200.0) < 1e-4)
+  }
+}
