@@ -104,6 +104,22 @@ class SparkEntryContractSpec extends SparkSpec {
       assert(!read.contains(c), s"$c scanned though unused"))
   }
 
+  test("sketch-tier scans prune to the sketched column(s)") {
+    assume(testdataPresent)
+    val kll = SparkEntry.queries("quantiles_kll_extendedprice")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val read = kll.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_extendedprice"))
+    Seq("l_orderkey", "l_quantity", "l_comment").foreach(c =>
+      assert(!read.contains(c), s"$c scanned though unused"))
+    // grouped sketch: only the value and grouping columns reach the scan
+    val kllBy = SparkEntry.queries("quantiles_kll_by_type_events")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readBy = kllBy.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readBy.contains("value") && readBy.contains("event_type"))
+    assert(!readBy.contains("user_id"), "user_id scanned though unused")
+  }
+
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {
     // the doc is the judged coverage contract: a query shipped without its
     // SURVEY row (or a row without code) must fail here, not in the verdict
