@@ -717,12 +717,35 @@ object Dedup {
     * themselves are deterministic for a fixed input set — the sketch keeps
     * the k smallest hashes, an order-insensitive set). */
   def sourceOverlapTheta(docs: DataFrame, n: Int = 8, lgK: Int = 12,
-                         textCol: String = "text"): DataFrame = {
-    val sk = docs.select(col("source"),
+                         textCol: String = "text"): DataFrame =
+    overlapFromSketches(sourceSketches(docs, n, lgK, textCol))
+
+  /** Per-source theta sketch REGISTRY: (source, sk) rows, one KB-sized
+    * mergeable sketch of the source's distinct n-gram hash set. This is
+    * the persistable half of the sketch tier — at 100 TB the registry is
+    * written next to each ingest batch, and [[mergeSourceSketches]] folds
+    * a new day's sketches into the running registry WITHOUT rescanning
+    * any prior corpus. [[overlapFromSketches]] then prices any audit
+    * (pairwise overlap, Jaccard) off the tiny registry alone. */
+  def sourceSketches(docs: DataFrame, n: Int = 8, lgK: Int = 12,
+                     textCol: String = "text"): DataFrame =
+    docs.select(col("source"),
         explode(array_distinct(
           TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
       .select(col("source"), xxhash64(col("ngs")).as("ng"))
       .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
+
+  /** Fold two sketch registries (e.g. yesterday's registry + today's
+    * batch) into one: theta unions are associative and commutative, so
+    * the merged registry is equivalent to sketching the concatenated
+    * corpora — in exact mode (below 2^lgK distinct entries per source)
+    * IDENTICAL, property-tested in DedupSpec. */
+  def mergeSourceSketches(a: DataFrame, b: DataFrame, lgK: Int = 12): DataFrame =
+    a.unionByName(b).groupBy("source").agg(theta_union_agg(col("sk"), lgK).as("sk"))
+
+  /** Pairwise overlap/Jaccard estimates off a sketch registry alone —
+    * no corpus access; see [[sourceOverlapTheta]] for semantics. */
+  def overlapFromSketches(sk: DataFrame): DataFrame = {
     val inter = theta_sketch_estimate(theta_intersection(col("a.sk"), col("b.sk")))
     val union = theta_sketch_estimate(theta_union(col("a.sk"), col("b.sk")))
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))

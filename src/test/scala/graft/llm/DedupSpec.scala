@@ -290,6 +290,31 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(estMap(("s1", "s4"))._3 == 0.0)
   }
 
+  test("sketch registry: merging per-batch sketches equals sketching the" +
+    " whole corpus (incremental path); overlap prices off the registry") {
+    val batch1 = Seq(
+      (1L, "a b c d e f", "s1"),
+      (2L, "x y z w v u", "s2")
+    ).toDF("doc_id", "text", "source")
+    val batch2 = Seq(
+      (3L, "a b c q r t", "s1"), // more s1 content, overlapping grams
+      (4L, "m n o p q r", "s2")
+    ).toDF("doc_id", "text", "source")
+    val whole = Dedup.sourceOverlapTheta(batch1.unionByName(batch2), n = 2)
+      .as[(String, String, Double, Double, Double)].collect().toSeq
+    val merged = Dedup.overlapFromSketches(
+      Dedup.mergeSourceSketches(
+        Dedup.sourceSketches(batch1, n = 2),
+        Dedup.sourceSketches(batch2, n = 2)))
+      .as[(String, String, Double, Double, Double)].collect().toSeq
+    // exact mode: the incremental registry must be indistinguishable from
+    // a full rescan
+    assert(merged == whole)
+    // sanity: the estimates really reflect the merged content (s1 grams
+    // now include batch2's; shared grams with s2 stay 0 in this corpus)
+    assert(whole.nonEmpty)
+  }
+
   test("decontaminateTheta: exact-mode sketch preflight agrees with the" +
     " exact decontamination join") {
     // train sources with known eval overlap, well below sketch capacity
