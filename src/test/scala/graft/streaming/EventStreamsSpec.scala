@@ -242,6 +242,55 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctUsersStream sketch state survives a checkpoint restart" +
+    " (file-source round-trip)") {
+    // the sketch-state analogue of the dedup/sessionize restart tests: an
+    // OPEN window's HLL sketch crosses a full stop/start — the restarted
+    // query must keep counting distinct users into the restored sketch,
+    // not open a fresh one (2+1 users across the restart must read 3)
+    val in = java.nio.file.Files.createTempDirectory("graft_du_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_du_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_du_chk").toString
+    def start() = EventStreams.distinctUsersStream(
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    // phase 1: hour-10 window complete (2 users); hour-13 window OPEN with
+    // users 7 and 8 at shutdown
+    Seq(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:20:00"), 2, "view", 1.0),
+        Event(3, ts("2024-01-01 13:05:00"), 7, "click", 1.0),
+        Event(4, ts("2024-01-01 13:10:00"), 8, "click", 1.0))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2 (after the full stop): a THIRD distinct user lands in the
+    // restored hour-13 window, then far-future events advance the
+    // watermark so both windows close and emit
+    val q2 = start()
+    try {
+      Seq(Event(5, ts("2024-01-01 13:20:00"), 9, "click", 1.0),
+          Event(6, ts("2024-01-01 16:30:00"), 99, "click", 1.0))
+        .toDF().write.mode("append").parquet(in)
+      q2.processAllAvailable()
+      // one more batch so the append sink flushes windows closed by the
+      // watermark advance above
+      Seq(Event(7, ts("2024-01-01 19:00:00"), 99, "click", 1.0))
+        .toDF().write.mode("append").parquet(in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("hour", "est_users", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 2L)))
+    // users 7+8 (pre-restart) + 9 (post-restart) in ONE merged sketch
+    assert(rows.contains(("2024-01-01 13:00:00.0", 3L, 3L)))
+  }
+
   test("sessionize session state survives a checkpoint restart (file-source round-trip)") {
     // the flatMapGroupsWithState analogue of the dedup restart test: an OPEN
     // session crosses a full stop/start — the restarted query must extend
