@@ -25,6 +25,12 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Readers.readEvents(s, dir)
 
+  /** embeddings.parquet behind [[graft.sources.Readers.readEmbeddings]]:
+    * element type normalized to float at the ingest boundary (see the
+    * events `ts` drift history — same hardening). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Readers.readEmbeddings(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Binning.histogram(t(spark, "/root/testdata/sf0.001", "lineitem"), "l_extendedprice")
@@ -425,7 +431,7 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, d, "documents"), threshold = 0.8)),
     // exact k-NN graph (verifier tier of the bucketed/cell graph builders)
     "knn_graph_embeddings" -> ((s, d) =>
-      Similarity.knnGraph(t(s, d, "embeddings"), k = 3)),
+      Similarity.knnGraph(emb(s, d), k = 3)),
     // the 100 TB tier: SRP-bucketed approximate k-NN graph, same edge
     // schema; recall property-tested vs the exact graph (no oracle —
     // approximate by design)
@@ -435,7 +441,7 @@ object SparkEntry {
     // recall ≥ 0.8 at bench scale on planted near-neighbors derived from
     // these same vectors, the near-dup regime the tier is declared for)
     "knn_graph_lsh_embeddings" -> ((s, d) =>
-      Similarity.knnGraphLSH(t(s, d, "embeddings"), k = 3, nTables = 2)),
+      Similarity.knnGraphLSH(emb(s, d), k = 3, nTables = 2)),
     // similarity-graph centrality: damped PageRank over the exact kNN edge
     // list — high-rank vectors are the template-like cluster centers a
     // curation pass inspects first. Decimal rank sums make the result
@@ -444,7 +450,7 @@ object SparkEntry {
     // tests live in GraphsSpec (DuckDB's recursive CTEs cannot express
     // per-iteration aggregation anyway)
     "pagerank_knn_embeddings" -> ((s, d) =>
-      Graphs.pageRank(Similarity.knnGraph(t(s, d, "embeddings"), k = 3),
+      Graphs.pageRank(Similarity.knnGraph(emb(s, d), k = 3),
         iters = 10)),
     // canonical-URL keep-one dedup; the corpus has no URL column, so the
     // declared query injects a deterministic messy URL per doc (case/www/
@@ -810,23 +816,23 @@ object SparkEntry {
       graft.llm.Curation.curate(t(s, d, "documents"))),
 
     // -------- similarity search
-    "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 10)),
+    "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(emb(s, d), 10)),
     "ann_brute_topk_embeddings" -> ((s, d) =>
-      Similarity.annBruteTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
+      Similarity.annBruteTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
     "ann_lsh_topk_embeddings" -> ((s, d) =>
-      Similarity.lshAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5,
+      Similarity.lshAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5,
         nTables = 2)),
     "ann_ivf_topk_embeddings" -> ((s, d) =>
-      Similarity.ivfAnnTopK(t(s, d, "embeddings"), queryIds = 0L until 10L, k = 5)),
+      Similarity.ivfAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
     "emb_cosine_neardup" -> ((s, d) =>
-      Similarity.embCosineNearDup(t(s, d, "embeddings"), threshold = 0.5)),
+      Similarity.embCosineNearDup(emb(s, d), threshold = 0.5)),
     // the bucketed 100 TB sibling of emb_cosine_neardup. nBits=3/nTables=8
     // is tuned for this corpus's near-random vectors (top pair sim ≈ 0.51 ⇒
     // per-bit agreement p ≈ 0.67 ⇒ measured recall 13/14 at sf0.1 for half
     // the candidate volume of 16 tables); real near-dup corpora (sims ≥ 0.9)
     // keep the wider default bucketing and prune far harder.
     "emb_cosine_neardup_lsh" -> ((s, d) =>
-      Similarity.embCosineNearDupLSH(t(s, d, "embeddings"), threshold = 0.5,
+      Similarity.embCosineNearDupLSH(emb(s, d), threshold = 0.5,
         nTables = 8, nBits = 3)),
 
     // -------- round-3 additions
@@ -859,30 +865,30 @@ object SparkEntry {
       graft.dist.Stats.entropy(t(s, d, "documents"), Seq("lang", "source"))),
     // deterministic ±1 random projection 64→16 dims, decimal-exact sums
     "rp_reduce_embeddings" -> ((s, d) =>
-      Similarity.rpReduce(t(s, d, "embeddings"), outDims = 16)),
+      Similarity.rpReduce(emb(s, d), outDims = 16)),
     // float fast tier: same sign matrix, double folds (no 128-bit decimal
     // adds in the inner loop). No oracle — decimal-vs-binary rounding;
     // SimilaritySpec pins 1e-6 relative agreement with the exact tier
     "rp_reduce_fast_embeddings" -> ((s, d) =>
-      Similarity.rpReduceFast(t(s, d, "embeddings"), outDims = 16)),
+      Similarity.rpReduceFast(emb(s, d), outDims = 16)),
     // dominant PC by power iteration (anisotropy audit). No oracle —
     // iterative driver-normalized; planted-direction recovery + partition
     // invariance property-tested in SimilaritySpec
     "top_pc_embeddings" -> ((s, d) =>
-      Similarity.topPrincipalComponent(t(s, d, "embeddings"), iters = 5)),
+      Similarity.topPrincipalComponent(emb(s, d), iters = 5)),
     // one-scan Gram-matrix fast tier: same power iteration run driver-side
     // on the d×d scatter matrix — 1 job vs 2+iters. No oracle — double
     // partial sums; SimilaritySpec pins agreement with the exact tier
     "top_pc_fast_embeddings" -> ((s, d) =>
-      Similarity.topPrincipalComponentFast(t(s, d, "embeddings"), iters = 5)),
+      Similarity.topPrincipalComponentFast(emb(s, d), iters = 5)),
     // all-but-the-top debias ledger: projection + residual norm per vector
     // (no oracle — built on the iterative PC; residual⊥PC property-tested)
     "debias_embeddings" -> ((s, d) =>
-      Similarity.removeDominantPC(t(s, d, "embeddings"), iters = 5)),
+      Similarity.removeDominantPC(emb(s, d), iters = 5)),
     // the same ledger on the one-scan fast PC: 2 jobs total (no oracle —
     // fast-PC rounding; ledger agreement with exact tier property-tested)
     "debias_fast_embeddings" -> ((s, d) =>
-      Similarity.removeDominantPCFast(t(s, d, "embeddings"), iters = 5)),
+      Similarity.removeDominantPCFast(emb(s, d), iters = 5)),
     // mergeable daily HLL sketches of active users + the unioned overall
     // estimate — the incremental rollup shape (no oracle: sketch estimate;
     // within-rsd-of-exact property-tested)
@@ -986,21 +992,21 @@ object SparkEntry {
     // across engines ("element" vs "l") and the compare is schema-strict,
     // so list-typed outputs would mismatch on metadata despite equal values.
     "quantize_embeddings" -> ((s, d) =>
-      Similarity.quantizeInt8(t(s, d, "embeddings"))
+      Similarity.quantizeInt8(emb(s, d))
         .select(col("vec_id"), col("scale"), array_join(col("qvec"), ",").as("qvec_csv"))
         .orderBy("vec_id")),
 
     // hybrid retrieval: RRF fusion of the BM25 pool and the cosine pool
     "hybrid_topk_documents" -> ((s, d) =>
-      Similarity.hybridTopK(t(s, d, "documents"), t(s, d, "embeddings"),
+      Similarity.hybridTopK(t(s, d, "documents"), emb(s, d),
         Seq("hash", "join", "scan"), queryVecId = 0L)),
 
     // per-label centroid, long format; decimal-exact per-dim means
     "centroid_embeddings" -> ((s, d) =>
-      Similarity.groupCentroids(t(s, d, "embeddings"), "label")),
+      Similarity.groupCentroids(emb(s, d), "label")),
     // label-pair centroid cosine matrix (drift/affinity between groups)
     "centroid_sim_embeddings" -> ((s, d) =>
-      Similarity.centroidSimMatrix(t(s, d, "embeddings"), "label")),
+      Similarity.centroidSimMatrix(emb(s, d), "label")),
 
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
@@ -1008,7 +1014,7 @@ object SparkEntry {
     // corpora use ≥ 0.95. No oracle (centroid-dependent); property-tested
     // against the exact near-dup pairs in SimilaritySpec.
     "semdedup_embeddings" -> ((s, d) =>
-      Similarity.semDedup(t(s, d, "embeddings"), threshold = 0.45)),
+      Similarity.semDedup(emb(s, d), threshold = 0.45)),
 
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>

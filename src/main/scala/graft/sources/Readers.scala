@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Source-side ingest tooling: schema-enforced reads that quarantine
   * malformed records instead of dropping them silently or failing the job.
@@ -76,6 +76,26 @@ object Readers {
         throw new IllegalStateException(
           s"events.parquet ts column has unsupported type $other " +
             "(expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
+  /** embeddings.parquet front door: normalize the `embedding` column to
+    * `array<float>` regardless of the fixture's physical element type.
+    * Today's fixtures store float32, but a regenerated fixture surfacing
+    * float64 would break every similarity query at analysis time (the
+    * codegen `FloatDot` tier requires FloatType elements) — the same class
+    * of silent drift [[readEvents]] absorbs for `events.ts`, so the same
+    * normalize-at-the-ingest-boundary treatment. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.parquet embedding column has unsupported type $other " +
+            "(expected array<float> or array<double>)")
     }
   }
 

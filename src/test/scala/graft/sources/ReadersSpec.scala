@@ -68,4 +68,35 @@ class ReadersSpec extends SparkSpec {
     val e = intercept[IllegalStateException](Readers.readEvents(spark, dir))
     assert(e.getMessage.contains("unsupported type"))
   }
+
+  test("readEmbeddings normalizes float and double element fixtures to" +
+    " array<float> with identical values") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val vecs = Seq((0L, Seq(0.5f, -1.25f, 3.0f), "a"), (1L, Seq(2.0f, 0.0f, -0.125f), "b"))
+    def write(asDouble: Boolean): String = {
+      val dir = Files.createTempDirectory("graft_emb").toString
+      val df = vecs.toDF("vec_id", "embedding", "label")
+      val out = if (asDouble) df.withColumn("embedding", col("embedding").cast("array<double>")) else df
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val f = Readers.readEmbeddings(spark, write(asDouble = false))
+    val d = Readers.readEmbeddings(spark, write(asDouble = true))
+    Seq(f, d).foreach(df =>
+      assert(df.schema("embedding").dataType === ArrayType(FloatType, containsNull = true) ||
+        df.schema("embedding").dataType === ArrayType(FloatType, containsNull = false)))
+    val fv = f.orderBy("vec_id").select("embedding").as[Seq[Float]].collect().toSeq
+    val dv = d.orderBy("vec_id").select("embedding").as[Seq[Float]].collect().toSeq
+    // the fixture values are exactly representable in float32, so the
+    // double round-trip must be lossless
+    assert(fv === dv && fv === vecs.map(_._2))
+  }
+
+  test("readEmbeddings rejects a non-numeric-array embedding column") {
+    val dir = Files.createTempDirectory("graft_emb_bad").toString
+    Seq((0L, "not a vector")).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Readers.readEmbeddings(spark, dir))
+    assert(e.getMessage.contains("unsupported type"))
+  }
 }
