@@ -140,6 +140,13 @@ object SparkEntry {
       graft.dist.Stats.quantilesKllBy(events(s, d), "value", "event_type",
         Seq(0.25, 0.5, 0.75))),
 
+    // quantity-weighted exact median price per return flag: decimal cumsum
+    // window, deterministic under ties (see Stats.weightedQuantileBy)
+    "weighted_median_extendedprice" -> ((s, d) =>
+      graft.dist.Stats.weightedQuantileBy(t(s, d, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_returnflag", p = 0.5,
+        outCol = "wmedian")),
+
     // CUBE aggregate: counts at every (event_type, hour-of-day) grouping
     // level — all four grouping sets in one pass
     "events_cube_type_hour" -> ((s, d) =>
@@ -252,6 +259,38 @@ object SparkEntry {
         .agg(sum((col("l_extendedprice") * col("l_discount"))
             .cast("decimal(18,6)")).cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))),
+    // TPC-H Q5 shape: the deep join chain — fact scans shuffle only on
+    // their own keys (orders⋈customer on custkey, then lineitem on
+    // orderkey, then supplier on suppkey) while the tiny geo dims
+    // (nation⋈region) ride along as one broadcast; the local-supplier
+    // predicate c_nationkey = s_nationkey is evaluated INSIDE the supplier
+    // join so mismatched rows die before the aggregate. The completeness
+    // marker for multi-table join planning: 6 tables, 2 broadcasts,
+    // 3 shuffle joins, decimal-exact money
+    "tpch_q5_region" -> ((s, d) => {
+      val geo = t(s, d, "nation")
+        .join(t(s, d, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(geo), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1015,6 +1054,13 @@ object SparkEntry {
     // against the exact near-dup pairs in SimilaritySpec.
     "semdedup_embeddings" -> ((s, d) =>
       Similarity.semDedup(emb(s, d), threshold = 0.45)),
+
+    // MMR diverse selection: 20 picks balancing centroid-relevance against
+    // redundancy. No oracle (iterative greedy — not SQL-expressible);
+    // λ-degeneracy, cluster-coverage, and determinism property-tested in
+    // SimilaritySpec.
+    "curate_mmr_embeddings" -> ((s, d) =>
+      Similarity.mmrSelect(emb(s, d), k = 20, lambda = 0.7)),
 
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>
@@ -2536,6 +2582,39 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "tpch_q5_region" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // lower weighted median: decimal cumsum makes the threshold test exact,
+    // RANGE-frame ties make min(v) order-independent — both engines use the
+    // identical default window frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW)
+    "weighted_median_extendedprice" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+        |         CAST(l_quantity AS DECIMAL(18,6)) AS wt
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w)
+        |SELECT l_returnflag, min(v) AS wmedian
+        |FROM c WHERE cum >= tot * 0.5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "promo_revenue_lineitem" ->
       """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'

@@ -156,6 +156,41 @@ object Stats {
       .select((keepCols.map(col) :+ col(groupCol) :+ x.as(valueCol) :+ col("z")): _*)
   }
 
+  /** Per-group exact WEIGHTED quantile: the smallest value whose cumulative
+    * weight reaches `p` of the group's total weight (the lower weighted
+    * quantile — no interpolation, so the answer is always an observed
+    * value). Weights accumulate as DECIMAL(18,6): the cumulative sums, the
+    * totals, and the `cum >= tot*p` threshold test are all exact under any
+    * partitioning, making the result bit-deterministic and cross-engine
+    * oracle-checkable — a double cumsum would make rows near the threshold
+    * flip with summation order. The cumulative window uses Spark's default
+    * RANGE frame, so tied values share one cumulative weight (the sum
+    * through the whole tie group) — which is exactly what makes the
+    * qualifying set, and hence `min(v)`, independent of intra-tie row
+    * order. This is the exact tier: one per-group sort (the same cost shape
+    * as [[quantilesBy]]); at 100 TB per-group state use the KLL sketch
+    * sibling [[quantilesKllBy]] on pre-weighted expansion or accept
+    * unweighted ranks. */
+  def weightedQuantileBy(df: DataFrame, valueCol: String, weightCol: String,
+                         groupCol: String, p: Double = 0.5,
+                         outCol: String = "wq"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0,1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !isnan(v) && col(weightCol).isNotNull)
+      .select(col(groupCol), v.as("__v"),
+        col(weightCol).cast("decimal(18,6)").as("__wt"))
+    val cumW = Window.partitionBy(groupCol).orderBy("__v") // RANGE: ties share cum
+    val totW = Window.partitionBy(groupCol)
+    base
+      .withColumn("__cum", sum(col("__wt")).over(cumW))
+      .withColumn("__tot", sum(col("__wt")).over(totW))
+      .where(col("__cum") >= col("__tot") * lit(BigDecimal(p)))
+      .groupBy(groupCol).agg(min(col("__v")).as(outCol))
+      .orderBy(groupCol)
+  }
+
   /** Per-group exact interpolated quantiles — [[quantiles]] with a group
     * key (O(group-size) memory per group: the verifier tier; the sketch
     * tier is `approx_percentile` with the same call shape). */

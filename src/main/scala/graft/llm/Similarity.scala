@@ -746,4 +746,80 @@ object Similarity {
           .as("sim"))
       .orderBy(s"${groupCol}_a", s"${groupCol}_b")
   }
+
+  /** Maximal-Marginal-Relevance diverse top-k: greedily pick the item
+    * maximizing `λ·rel − (1−λ)·max-cosine-to-already-selected`, where
+    * relevance is cosine to `queryVec` (or, by default, to the corpus
+    * centroid). The standard redundancy-aware selection for curation —
+    * top-k-by-relevance returns k near-copies of the same best item; MMR
+    * trades relevance for coverage, with λ=1 degenerating to plain top-k.
+    *
+    * Distributed shape: relevance is computed ONCE (map-only, cached);
+    * each of the k rounds is one scan — the marginal term is an
+    * `array_max` over ≤k codegen'd [[dot]]s against the selected vectors
+    * as expression LITERALS (selected state is k·dim floats on the driver,
+    * bounded by construction), and the argmax is a TakeOrdered(1), not a
+    * sort. Deterministic: cosines round at 9 digits and ties break by id
+    * ascending, so the selection is reproducible across partitionings.
+    *
+    * Scale: cost is k scans of an id/vec/rel projection — the right shape
+    * for k in the hundreds over an arbitrarily large corpus (driver state
+    * never grows with corpus size). For corpus-sized selections, run MMR
+    * per [[semDedup]]-style centroid cell instead (same greedy, cell-local
+    * literals) and union the cells. */
+  def mmrSelect(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
+                queryVec: Option[Seq[Float]] = None,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // centroid components are double means narrowed to float so the literal
+    // query rides the same codegen'd float-dot as every stored vector;
+    // toFloat narrowing is deterministic, and relevance stays a 9-digit
+    // rounded cosine either way
+    val q: Seq[Float] = queryVec.getOrElse {
+      groupCentroids(emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)),
+          "__g", vecCol)
+        .orderBy("dim_idx").collect()
+        .map(_.getAs[Double]("centroid").toFloat).toSeq
+    }
+    val qn = foldNorm(q)
+    require(qn > 0.0, "mmrSelect: query/centroid vector has zero norm")
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .where(col("v").isNotNull && col("nrm") > lit(0.0))
+      .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
+      .persist()
+    try {
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Double, Double)]
+      var exhausted = false
+      while (sel.size < k && !exhausted) {
+        val remaining =
+          if (sel.isEmpty) base
+          else base.where(!col("id").isInCollection(sel.map(_._1)))
+        val marginal =
+          if (sel.isEmpty) col("rel")
+          else {
+            val simsToSel = sel.toSeq.map { case (_, sv, sn, _) =>
+              cosine9(dot(col("v"), typedLit(sv)), col("nrm"), lit(sn))
+            }
+            lit(lambda) * col("rel") -
+              lit(1.0 - lambda) * array_max(array(simsToSel: _*))
+          }
+        val pick = remaining.select(col("id"), col("v"), col("nrm"),
+            round(marginal, 9).as("score"))
+          .orderBy(col("score").desc, col("id")).limit(1).collect()
+        if (pick.isEmpty) exhausted = true
+        else {
+          val r = pick(0)
+          sel += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getDouble(3)))
+        }
+      }
+      sel.toSeq.zipWithIndex
+        .map { case ((id, _, _, score), i) => (i + 1, id, score) }
+        .toDF("rnk", idCol, "mmr_score")
+    } finally base.unpersist()
+  }
 }

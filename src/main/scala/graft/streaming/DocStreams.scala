@@ -17,6 +17,20 @@ case class HeavyHitter(win_start: java.sql.Timestamp, shard: Int,
 
 private case class HHState(counts: Map[String, (Long, Long)])
 
+/** One banded MinHash observation routed to its LSH bucket. `ts` is the
+  * watermarked event-time column (same survival rule as [[TokenObs]]). */
+private case class BandObs(band: Int, bh: Long,
+                           ts: java.sql.Timestamp, docId: Long)
+
+/** A streaming near-dup candidate: `doc_id` collided with its bucket's
+  * representative `rep_id` in LSH band `band`. Candidates, not verdicts —
+  * band collision bounds Jaccard only probabilistically; verification
+  * (exact Jaccard over the two texts) runs downstream where both texts are
+  * addressable. */
+case class NearDupCandidate(doc_id: Long, rep_id: Long, band: Int)
+
+private case class BucketState(repId: Long, lastSeenMs: Long)
+
 /** Streaming faces of the document/text operators — the ingest half of a
   * training-data pipeline: documents arrive as a stream (with an ingest
   * timestamp), get exact-deduped on content hash within a watermark, and
@@ -131,6 +145,75 @@ object DocStreams {
             state.update(HHState(counts))
             state.setTimeoutTimestamp(math.max(winEnd, wm + 1))
             Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATES — the streaming face of
+    * [[graft.llm.Dedup.minHashNearDup]]'s banding stage: each arriving
+    * document's k-hash signature (the identical codegen'd
+    * [[graft.llm.Dedup.minHashSignature]] the batch op uses, so batch and
+    * stream bucket identically) explodes into `bands` (band, band-hash)
+    * bucket keys; the FIRST document into a bucket becomes its
+    * representative, and every later arrival emits a
+    * (doc_id, rep_id, band) candidate row.
+    *
+    * State is ONE (repId, lastSeen) pair per live bucket — NOT the texts,
+    * not the signatures, not the member list — so state size tracks the
+    * number of distinct buckets inside the TTL horizon, independent of both
+    * document length and bucket popularity; a boilerplate bucket that would
+    * need `maxBucket` capping in batch costs a streaming bucket exactly one
+    * pair. Buckets expire via event-time timeout `bucketTtlMinutes` after
+    * their last arrival.
+    *
+    * Determinism/replay: within a micro-batch, arrivals fold in (ts, docId)
+    * order; across batches the earlier batch's representative wins
+    * (first-wins, like `dropDuplicatesWithinWatermark`). Checkpoint replays
+    * re-run the same batch boundaries, so recovery emits identical rows.
+    * The same (doc, rep) pair may surface from several bands — downstream
+    * verification dedups pairs as its first step (batch does the same with
+    * `dropDuplicates` before its Jaccard verify). */
+  def nearDupStream(docs: DataFrame, k: Int = 128, bands: Int = 16,
+                    seed: Long = 42L, w: Int = 3, bucketTtlMinutes: Int = 120,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    tsCol: String = "ts",
+                    watermark: String = "1 hour"): Dataset[NearDupCandidate] = {
+    require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = bucketTtlMinutes * 60000L
+    val sig = docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"), col(idCol).cast("long").as("docId"),
+        graft.llm.Dedup.minHashSignature(
+          graft.llm.Dedup.shingleHashes(col(textCol), w), k, seed).as("sig"))
+    val bandStructs = (0 until bands).map(bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(slice(col("sig"), bIdx * r + 1, r)).as("bh")))
+    val banded = sig
+      .select(col("ts"), col("docId"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("ts"), col("docId"))
+      .as[BandObs]
+    banded.groupByKey(o => (o.band, o.bh))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+            var lastMs = if (st == null) 0L else st.lastSeenMs
+            for (o <- it.toSeq.sortBy(o => (o.ts.getTime, o.docId))) {
+              lastMs = math.max(lastMs, o.ts.getTime)
+              if (st == null) st = BucketState(o.docId, lastMs)
+              else if (o.docId != st.repId)
+                out += NearDupCandidate(o.docId, st.repId, band)
+            }
+            state.update(BucketState(st.repId, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
       }
   }

@@ -16,6 +16,31 @@ class StatsSpec extends SparkSpec {
     assert(r2.getDouble(0) == 1.5)
   }
 
+  test("weightedQuantileBy: hand-computed lower weighted median, ties, null drop") {
+    // group a: values 1,2,3 with weights 1,1,4 → total 6, half 3; cum at
+    // v=1 is 1, v=2 is 2, v=3 is 6 → first v with cum>=3 is 3.
+    // group b: tied values 5,5 (w 1,3) then 7 (w 1) → total 5, half 2.5;
+    // RANGE frame gives BOTH v=5 rows cum=4 >= 2.5 → wmedian 5 regardless
+    // of intra-tie order.
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 4.0),
+      ("b", 5.0, 1.0), ("b", 5.0, 3.0), ("b", 7.0, 1.0)
+    ).toDF("g", "v", "w")
+      .union(Seq(("a", Double.NaN, 9.0)).toDF("g", "v", "w")) // dropped
+    val r = Stats.weightedQuantileBy(df, "v", "w", "g", 0.5, "wm")
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(r == Map("a" -> 3.0, "b" -> 5.0))
+    // p=1.0 is the weighted max; equal weights degrade to the plain
+    // lower median (v where cum >= n/2)
+    val rMax = Stats.weightedQuantileBy(df, "v", "w", "g", 1.0, "wm")
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(rMax == Map("a" -> 3.0, "b" -> 7.0))
+    val eq = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 1.0))
+      .toDF("g", "v", "w")
+    val rEq = Stats.weightedQuantileBy(eq, "v", "w", "g", 0.5, "wm").collect()
+    assert(rEq(0).getDouble(1) == 2.0)
+  }
+
   test("quantilesApprox tracks the exact tier within rank-error bounds") {
     // skewed data so rank error actually bites if the sketch is wrong
     val df = spark.range(20000).select((pow($"id".cast("double"), 2.0)).as("x")).toDF()

@@ -444,4 +444,46 @@ class SimilaritySpec extends SparkSpec {
       ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
   }
 
+  // two tight clusters around orthogonal axes, slightly asymmetric so the
+  // centroid leans toward cluster X and pure relevance ranks all of X first
+  private def mmrClusters = Seq(
+    (0L, Seq(1.0f, 0.10f, 0f, 0f)),  // X
+    (1L, Seq(1.0f, 0.12f, 0f, 0f)),  // X
+    (2L, Seq(1.0f, 0.08f, 0f, 0f)),  // X
+    (3L, Seq(0.10f, 1.0f, 0f, 0f)),  // Y
+    (4L, Seq(0.12f, 1.0f, 0f, 0f))   // Y
+  ).toDF("vec_id", "embedding")
+
+  test("mmrSelect: lambda=1 degenerates to exact top-k by relevance") {
+    val q = Some(Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    val got = Similarity.mmrSelect(mmrClusters, k = 3, lambda = 1.0, queryVec = q)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // relevance to e1: ids 2 (cos highest: smallest off-axis), 0, 1
+    // cos = 1/sqrt(1+y^2): y=0.08 > y=0.10 > y=0.12
+    assert(got == Seq((1, 2L), (2, 0L), (3, 1L)))
+  }
+
+  test("mmrSelect: diversity term pulls in the far cluster; top-k does not") {
+    val q = Some(Seq(1.0f, 0.3f, 0.0f, 0.0f))
+    val topk = Similarity.mmrSelect(mmrClusters, k = 2, lambda = 1.0, queryVec = q)
+      .collect().map(_.getLong(1)).toSet
+    val mmr = Similarity.mmrSelect(mmrClusters, k = 2, lambda = 0.5, queryVec = q)
+      .collect().map(_.getLong(1)).toSet
+    // pure relevance keeps both picks inside cluster X; MMR's second pick
+    // must cross to cluster Y (intra-X cosines ~0.999 make the marginal
+    // score of a second X pick collapse)
+    assert(topk.subsetOf(Set(0L, 1L, 2L)))
+    assert(mmr.exists(Set(3L, 4L).contains) && mmr.exists(Set(0L, 1L, 2L).contains))
+  }
+
+  test("mmrSelect: centroid default, deterministic across runs, k caps at corpus") {
+    val a = Similarity.mmrSelect(mmrClusters, k = 10, lambda = 0.7)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = Similarity.mmrSelect(mmrClusters, k = 10, lambda = 0.7)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b)
+    assert(a.size == 5 && a.map(_._2).distinct.size == 5) // exhausts corpus, no repeats
+    assert(a.map(_._1) == (1 to 5))
+  }
+
 }

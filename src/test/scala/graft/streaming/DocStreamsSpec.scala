@@ -154,4 +154,67 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private val baseText = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm windowsill every single morning"
+  private val nearText = "the quick brown fox leaps over the lazy dog " +
+    "while the cat watches from the warm windowsill every single morning"
+  private val farText = "completely unrelated content about distributed " +
+    "query engines shuffling partitioned columnar data across executors"
+
+  test("nearDupStream flags band collisions against the first-arrived representative") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocStreams.nearDupStream(in.toDF())
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      in.addData(
+        Doc(0, baseText, "en", ts("2024-01-01 10:00:00")),
+        Doc(1, farText, "en", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      // nothing collides yet: base and far share no bands (w=3 shingles)
+      assert(spark.sql("SELECT count(*) FROM neardup").as[Long].collect()(0) == 0L)
+      in.addData(Doc(2, nearText, "en", ts("2024-01-01 10:00:05")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT DISTINCT doc_id, rep_id FROM neardup")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // the near-dup flags against doc 0 (its bucket representative), and
+      // the far doc never pairs with anything
+      assert(rows == Seq((2L, 0L)))
+      // batch agreement: the same pair is exactly what the batch LSH op
+      // verifies at this threshold
+      val batch = graft.llm.Dedup.minHashNearDup(
+          Seq((0L, baseText), (1L, farText), (2L, nearText)).toDF("doc_id", "text"),
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch == Seq((0L, 2L)))
+    } finally q.stop()
+  }
+
+  test("nearDupStream: bucket representatives survive a checkpointed restart") {
+    val in = java.nio.file.Files.createTempDirectory("graft_nd_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_nd_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_nd_chk").toString
+    def start() = DocStreams.nearDupStream(
+        spark.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, ts TIMESTAMP")
+          .parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    Seq(Doc(0, baseText, "en", ts("2024-01-01 10:00:00")))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // after a full stop, a near-dup arrives: its bucket representative
+    // (doc 0) must come back from the state store, not be re-derived
+    Seq(Doc(5, nearText, "en", ts("2024-01-01 10:10:00")))
+      .toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("doc_id", "rep_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((5L, 0L)))
+  }
+
 }
