@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through for forked run output: the bench/verify harness parses
+// stdout JSON lines, and sbt's default LoggedOutput prefixes every line
+// with "[info] " — which means no line ever starts with '{' and downstream
+// json parsing of the output tail silently fails (observed: BENCH_r04/r05
+// artifacts carry parsed:null). StdoutOutput emits the child's streams
+// verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -291,6 +291,35 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q18 shape: semi-join on an aggregate — the "large orders" filter
+    // is a groupBy over the fact table itself, then the slim qualifying-key
+    // frame drives the joins; quantities sum as exact decimal
+    "tpch_q18_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      t(s, d, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("orderdate_ms"), col("o_orderkey"))
+        .limit(100)
+    }),
+    // GROUPING SETS: explicit per-flag and per-status marginals plus the
+    // grand total in ONE pass (the general form behind cube/rollup);
+    // grouping() flags disambiguate real nulls from set-level nulls
+    "grouping_sets_lineitem" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("gf"),
+          grouping(col("l_linestatus")).cast("int").as("gs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy("gf", "gs", "l_returnflag", "l_linestatus")),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -515,6 +544,20 @@ object SparkEntry {
         docs.where(col("doc_id") >= 250),
         Dedup.hashIndex(docs.where(col("doc_id") < 250)))
     }),
+    // CDC snapshot delta: snapshot B is derived from A deterministically
+    // (drop id%7==3, append " v2" to text when id%5==0, add id%11==0 docs
+    // under shifted ids), then classified added/removed/changed on 16-byte
+    // (id, hash) rows — churn-sized output, corpus never shuffles as text
+    "snapshot_diff_documents" -> ((s, d) => {
+      val a = t(s, d, "documents")
+      val b = a.where(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(a.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.snapshotDiff(a, b)
+    }),
 
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
@@ -529,6 +572,23 @@ object SparkEntry {
       TextAnalysis.frequentItemsApprox(t(s, d, "documents"), support = 0.005)),
     "token_count_documents" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
+    // decile lift table over the quality score: the calibration view a
+    // curator reads before setting keep-rates. ntile is a GLOBAL sort —
+    // exact-tier semantics for the oracle; at 100 TB assign buckets from
+    // approx-quantile cut-points instead (map-only after one sketch pass)
+    "quality_deciles_documents" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextAnalysis.qualityScore(t(s, d, "documents"))
+      val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+      q.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("mean_chars"),
+          min(col("quality_score")).as("min_score"),
+          max(col("quality_score")).as("max_score"))
+        .orderBy("decile")
+    }),
     "lang_id_documents" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "fingerprint_documents" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
     // BM25 top-20 for a fixed query — the lexical retrieval tier
@@ -1088,6 +1148,31 @@ object SparkEntry {
 
   /** Shared token expression (DuckDB) matching TextAnalysis.tokens. */
   private val toksSql = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** The quality-score pipeline as a reusable CTE chain ending in `qscore`
+    * — shared by the per-doc score oracle and the decile-lift oracle so the
+    * two can never drift apart. */
+  private lazy val qualityCteSql: String = {
+    val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_chars,
+       |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+       |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+       |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio,
+       |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio
+       |  FROM base),
+       |qscore AS (
+       |  SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio, alpha_ratio,
+       |    (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       |     + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       |     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |    AS quality_score
+       |  FROM m)""".stripMargin
+  }
 
   /** Equal-width histogram oracle: identical arithmetic to Binning — bins by
     * least(floor((x-lo)/((hi-lo)/n)), n-1), dense spine, closed last bucket.
@@ -2160,26 +2245,26 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "quality_score_documents" -> {
-      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH base AS (
-         |  SELECT doc_id, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
-         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_chars,
-         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
-         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
-         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio,
-         |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio
-         |  FROM base)
+    "quality_score_documents" ->
+      s"""$qualityCteSql
          |SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio, alpha_ratio,
-         |  (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-         |   + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-         |   + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-         |  AS quality_score
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |       quality_score
+         |FROM qscore ORDER BY doc_id""".stripMargin,
+
+    // shares the qscore CTE op-for-op with quality_score_documents; ntile
+    // total order pinned by (score desc, doc_id) so bucket membership is
+    // deterministic in both engines
+    "quality_deciles_documents" ->
+      s"""$qualityCteSql,
+         |d AS (
+         |  SELECT doc_id, n_chars, quality_score,
+         |         CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INTEGER) AS decile
+         |  FROM qscore)
+         |SELECT decile, count(*) AS n_docs,
+         |       CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_chars,
+         |       min(quality_score) AS min_score,
+         |       max(quality_score) AS max_score
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "tfidf_top3_documents" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
@@ -2597,6 +2682,47 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "tpch_q18_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+        |       o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "grouping_sets_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INTEGER) AS gf,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS gs,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gf, gs, l_returnflag, l_linestatus""".stripMargin,
+
+    // text inequality in SQL vs 64-bit hash inequality in the engine:
+    // identical verdicts barring an xxhash64 collision (see snapshotDiff)
+    "snapshot_diff_documents" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text <> b.text THEN 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        |ORDER BY doc_id""".stripMargin,
 
     // lower weighted median: decimal cumsum makes the threshold test exact,
     // RANGE-frame ties make min(v) order-independent — both engines use the

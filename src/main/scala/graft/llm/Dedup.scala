@@ -483,6 +483,33 @@ object Dedup {
       .select(keys.map(col) ++ rest.map(c => col(s"__latest.$c")): _*)
   }
 
+  /** Snapshot delta: classify every id as added / removed / changed between
+    * two corpus snapshots — the CDC audit that tells an incremental
+    * pipeline what actually moved between crawls (and how much recompute
+    * the downstream near-dup/index stages owe).
+    *
+    * Scale shape: each side reduces to (id, 64-bit content hash) BEFORE the
+    * full-outer join, so the exchange carries 16 bytes/row instead of
+    * document text — "changed" means hash inequality, which at 64 bits
+    * misclassifies a changed pair only on an xxhash64 collision (~n²/2⁶⁵;
+    * for byte-exact certainty diff the texts of the emitted "changed"
+    * sliver downstream, the same verify-the-candidates discipline as the
+    * near-dup operators). Unchanged ids are dropped — the output is the
+    * actionable delta, sized by churn, not by corpus. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val ha = a.select(col(idCol).as("id"), xxhash64(col(textCol)).as("__ha"))
+    val hb = b.select(col(idCol).as("id"), xxhash64(col(textCol)).as("__hb"))
+    ha.join(hb, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"))
+      .orderBy(idCol)
+  }
+
   /** Content-hash index of a corpus snapshot — the stored artifact an
     * incremental ingest pipeline deduplicates new batches against. Slim by
     * construction: one 8-byte hash per distinct document. */

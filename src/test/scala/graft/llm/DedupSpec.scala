@@ -472,4 +472,19 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((1L, "a.com/x", 3L), (3L, "a.com/y", 1L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged rows vanish") {
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"),            // unchanged → absent from output
+                (2L, "beta prime"),       // changed
+                (4L, "delta"), (5L, "epsilon")) // 3 removed, 5 added
+      .toDF("doc_id", "text")
+    val r = Dedup.snapshotDiff(a, b).as[(Long, String)].collect().toSeq
+    assert(r == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+    // diff against self is empty; diff direction flips added/removed
+    assert(Dedup.snapshotDiff(a, a).count() == 0)
+    val rev = Dedup.snapshotDiff(b, a).as[(Long, String)].collect().toSeq
+    assert(rev == Seq((2L, "changed"), (3L, "added"), (5L, "removed")))
+  }
+
 }
