@@ -320,6 +320,59 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
         .orderBy("gf", "gs", "l_returnflag", "l_linestatus")),
+    // TPC-H Q10 shape: returned-item revenue per customer — aggregate on the
+    // slim o_custkey BEFORE the customer join so the wide name/acctbal
+    // columns join against an already-reduced frame; geo dim broadcast
+    "tpch_q10_returns" -> ((s, d) => {
+      val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      ord.join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_items"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("rev").cast("double").as("revenue"), col("n_items"),
+          col("c_acctbal"), col("n_name").as("nation"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+    // TPC-H Q4 shape: EXISTS-subquery as a left-semi join — orders with at
+    // least one returned line, counted by priority (the fixture carries no
+    // commit/receipt dates, so the Q4 lateness predicate is re-expressed on
+    // l_returnflag; the plan shape — dated fact scan, semi join on the fact
+    // key, tiny-group count — is Q4's)
+    "tpch_q4_priority" -> ((s, d) => {
+      val flagged = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // 2-D Pareto front: cheapest-price / largest-quantity undominated
+    // points — the multi-objective "best tradeoff" operator (dedup to
+    // distinct points, local per-partition sweep, tiny global pass)
+    "skyline_lineitem" -> ((s, d) =>
+      graft.dist.Stats.skyline2d(t(s, d, "lineitem"),
+        "l_extendedprice", "l_quantity")),
+    // co-purchase graph + exact triangle census: degree-oriented wedge
+    // counting (each triangle closed exactly once from its lowest-degree
+    // vertex) over parts sharing >= 2 orders
+    "copurchase_triangles_lineitem" -> ((s, d) => {
+      val e = graft.llm.Graphs.coOccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
+      graft.llm.Graphs.triangleStats(e)
+    }),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1066,6 +1119,16 @@ object SparkEntry {
     // robust median/MAD outliers per type (heavy-tail-safe z-score sibling)
     "mad_outliers_events" -> ((s, d) =>
       graft.dist.Stats.madOutliers(events(s, d), "value", "event_type")),
+    // seasonal z-score: every event judged against its OWN (type, hour-of-
+    // day) baseline cell — broadcast of a 24×|types| frame, no row shuffle
+    "seasonal_anomaly_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.seasonalAnomalies(events(s, d), zThresh = 2.5)
+        .orderBy("event_id")),
+    // exact rolling median of the last 7 values per user (robust baseline);
+    // one user-keyed shuffle, constant-k frame memory per row
+    "rolling_median_value_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.rollingMedian(events(s, d), k = 7)
+        .orderBy("event_id")),
     // per-column profile: null rate, cardinality, range, exact mean — one scan
     "profile_columns_lineitem" -> ((s, d) =>
       graft.dist.Stats.profile(t(s, d, "lineitem"),
@@ -1787,6 +1850,45 @@ object SparkEntry {
         |FROM base b JOIN med m ON b.g = m.g JOIN mad d ON b.g = d.g
         |GROUP BY b.g, m.med, d.mad
         |ORDER BY event_type""".stripMargin,
+
+    // same exact-decimal power-sum arithmetic as zscore_outliers_events,
+    // keyed by (event_type, hour-of-day) instead of the global per-type cell
+    "seasonal_anomaly_events" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |         CAST(value AS DOUBLE) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE))),
+        |m AS (
+        |  SELECT event_type, hod, count(*) AS n,
+        |         sum(CAST(x AS DECIMAL(30,8))) AS s1,
+        |         sum(CAST(x * x AS DECIMAL(30,8))) AS s2
+        |  FROM src GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT event_type, hod, CAST(s1 AS DOUBLE) / n AS mean,
+        |         (CAST(s2 AS DOUBLE) / n)
+        |           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance
+        |  FROM m)
+        |SELECT event_id, s.event_type, s.hod, x AS value,
+        |       round((x - mean) / sqrt(variance), 9) AS z
+        |FROM src s JOIN mm ON s.event_type = mm.event_type AND s.hod = mm.hod
+        |WHERE variance > 0 AND abs(round((x - mean) / sqrt(variance), 9)) >= 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    // discrete lower median (quantile_disc) by contract: always an observed
+    // value, so no cross-engine interpolation rounding — see
+    // EventAnalytics.rollingMedian
+    "rolling_median_value_events" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, ts
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))
+        |SELECT event_id, user_id, value,
+        |       quantile_disc(value, 0.5) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_med
+        |FROM base ORDER BY event_id""".stripMargin,
 
     // struct-explode long pivot keeps nulls; mean on DECIMAL(28,6)-exact sums
     "profile_columns_lineitem" ->
@@ -2705,6 +2807,62 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gf, gs, l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q10_returns" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS rev,
+        |         count(*) AS n_items
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, n_items,
+        |       c_acctbal, n_name AS nation
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |       JOIN nation   ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle runs the same sorted-sweep formulation (linear), which the
+    // StatsSpec property test separately proves equivalent to the NOT-EXISTS
+    // dominance definition on randomized points
+    "skyline_lineitem" ->
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |         CAST(l_quantity AS DOUBLE) AS y, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT x, y, n, max(y) OVER (ORDER BY x ASC, y DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM pts)
+        |SELECT x AS l_extendedprice, y AS l_quantity, n
+        |FROM s WHERE mx IS NULL OR mx < y
+        |ORDER BY 1, 2""".stripMargin,
+
+    "copurchase_triangles_lineitem" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT v FROM (
+        |     SELECT pa AS v FROM e UNION ALL SELECT pb FROM e))) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e1.pb = e2.pa
+        |     JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles""".stripMargin,
 
     // text inequality in SQL vs 64-bit hash inequality in the engine:
     // identical verdicts barring an xxhash64 collision (see snapshotDiff)

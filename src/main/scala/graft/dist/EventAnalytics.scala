@@ -181,4 +181,73 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_ms", "day_offset")
   }
+
+  /** Seasonal (hour-of-day) anomaly detection: baseline mean/variance per
+    * (event_type, hour-of-day) cell from exact decimal power sums, then
+    * every event is z-scored against ITS OWN cell — "a metric value normal
+    * at peak hour is anomalous at 3 AM". The same exact-sum arithmetic as
+    * [[Stats.zscoreOutliers]] so results are bit-deterministic and
+    * cross-engine comparable; z rounded to 9 places at the boundary.
+    *
+    * Scale shape: the baseline is #types × 24 rows — broadcast back to the
+    * scan, so the whole operator is one map-side-combined aggregate plus a
+    * broadcast-join map pass; no row-keyed shuffle at any size. */
+  def seasonalAnomalies(events: DataFrame, valueCol: String = "value",
+                        zThresh: Double = 3.0): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val clean = events
+      .where(col("event_type").isNotNull && x.isNotNull && !isnan(x))
+      .withColumn("hod", hour(col("ts")))
+    val dec = "decimal(30,8)"
+    val base = clean.groupBy(col("event_type"), col("hod")).agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(dec)).as("s1"),
+        sum((x * x).cast(dec)).as("s2"))
+      .select(col("event_type"), col("hod"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        ((col("s2").cast("double") / col("n"))
+          - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          .as("variance"))
+    val z = when(col("variance") > 0,
+      round((x - col("mean")) / sqrt(col("variance")), 9))
+    clean.join(broadcast(base), Seq("event_type", "hod"))
+      .withColumn("z", z)
+      .where(abs(col("z")) >= lit(zThresh))
+      .select(col("event_id"), col("event_type"), col("hod"),
+        x.as(valueCol), col("z"))
+  }
+
+  /** Exact rolling median of the last `k` values per user (event-time
+    * order, event_id tiebreak): the windowed robust-baseline primitive for
+    * metric streams — unlike a rolling mean, one corrupt spike cannot drag
+    * the baseline. The DISCRETE lower median (the ⌈m/2⌉-th sorted frame
+    * value — DuckDB's `quantile_disc(…, 0.5)`) by deliberate contract: it
+    * is always an observed value, so the result is bit-identical across
+    * engines, where an interpolated even-frame midpoint would inherit
+    * each engine's FP summation rounding.
+    *
+    * Scale shape: one shuffle on user_id (the window partition key); the
+    * frame buffer is k values — constant memory per row regardless of user
+    * history length. k stays small by contract (it's a smoothing width),
+    * so the sort_array-per-row cost is k log k on ≤ k elements. */
+  def rollingMedian(events: DataFrame, valueCol: String = "value",
+                    k: Int = 7): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(k - 1), 0)
+    val x = col(valueCol).cast("double")
+    val arr = sort_array(collect_list(x).over(w))
+    // null/NaN rows are dropped BEFORE the window so both engines sweep the
+    // identical value sequence and every frame is non-empty (an all-null
+    // frame would make the median undefined and element_at(…, 0) an ANSI
+    // error); ⌈m/2⌉ via truncation of (m+1)/2.0 — element_at is 1-based
+    val mid = ((col("m") + 1) / 2).cast("int")
+    events.where(x.isNotNull && !isnan(x))
+      .withColumn("window_vals", arr)
+      .withColumn("m", size(col("window_vals")))
+      .select(col("event_id"), col("user_id"), x.as(valueCol),
+        element_at(col("window_vals"), mid).as("roll_med"))
+  }
 }

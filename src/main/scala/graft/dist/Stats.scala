@@ -697,4 +697,48 @@ object Stats {
     df.agg(
       approx_count_distinct(col(cols.head), rsd).as(s"n_${cols.head}"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"n_$c")): _*)
+
+  /** 2-D skyline (Pareto front): the distinct (x, y) points not dominated by
+    * any other point, where p dominates q iff p.x ≤ q.x ∧ p.y ≥ q.y with at
+    * least one strict — "x is a cost, y is a benefit". Output is each
+    * surviving point with its row multiplicity `n`.
+    *
+    * Algorithm: after deduplicating to distinct points, sort by (x asc,
+    * y desc); a point survives iff the running max of y over strictly
+    * preceding points is < its own y (every preceding point has smaller x,
+    * or equal x with larger y — either way dominance ⟺ maxPrev ≥ y).
+    * Exact-duplicate rows were collapsed by the dedup, so the tie case
+    * (equal x AND equal y, which does NOT dominate) never reaches the scan.
+    *
+    * Scale design: the groupBy shrinks data to distinct points; a local
+    * per-partition sweep (same running-max scan, no shuffle) then prunes
+    * everything locally dominated — sound because local dominance implies
+    * global — so the final global sorted sweep sees only per-partition
+    * fronts, O(partitions × front-size), not the distinct-point count.
+    * Skylines of real measures are tiny (single-digit on TPC-H lineitem),
+    * so the last window is a formality, not a bottleneck. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val pts = df.where(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y))
+      .groupBy(x.as("x"), y.as("y")).agg(count(lit(1)).as("n"))
+    // local prune: sort within each partition and keep the partition-local
+    // front — an iterator sweep with one double of state, zero shuffle
+    val localFront = pts.sortWithinPartitions(col("x").asc, col("y").desc)
+      .mapPartitions { rows =>
+        var best = Double.NegativeInfinity
+        rows.filter { r =>
+          val keep = r.getDouble(1) > best
+          if (keep) best = r.getDouble(1)
+          keep
+        }
+      }(org.apache.spark.sql.Encoders.row(pts.schema))
+    val w = Window.orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    localFront.withColumn("mx", max(col("y")).over(w))
+      .where(col("mx").isNull || col("mx") < col("y"))
+      .select(col("x").as(xCol), col("y").as(yCol), col("n"))
+      .orderBy(xCol, yCol)
+  }
 }

@@ -61,4 +61,67 @@ object Graphs {
     ranks.select(col("id"), round(col("rank").cast("double"), 9).as("rank"))
       .orderBy("id")
   }
+
+  /** Co-occurrence edge list from (group, item) memberships: an undirected
+    * edge (a, b), a < b, for every item pair sharing at least `minGroups`
+    * distinct groups. The classic market-basket / co-citation graph builder
+    * (here: parts co-purchased in the same order).
+    *
+    * Scale shape: the self-join shuffles on the group key, so pair work is
+    * Σ_g |g|² — bounded by per-group membership size (≤ 7 lines per TPC-H
+    * order), never corpus². The `minGroups` support threshold is applied in
+    * the same aggregate that dedups pairs (one shuffle on the pair key). */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        minGroups: Long = 2): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    m.as("x").join(m.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("n_groups"))
+      .where(col("n_groups") >= minGroups)
+  }
+
+  /** Exact triangle count over an undirected edge list, the
+    * degree-orientation ("node-iterator++") algorithm: orient every edge
+    * from its lower-(degree, id) endpoint to the higher one, enumerate
+    * wedges only from out-neighborhoods, and close each wedge against the
+    * canonical edge set. Every triangle has exactly one vertex with two
+    * out-edges into it under a total order, so each is counted once.
+    *
+    * Scale design: orientation bounds per-vertex wedge fan-out by the
+    * out-degree, which the (degree, id) order caps at O(√m) on any graph
+    * (the arboricity bound) — a star of degree 10⁶ generates ZERO wedges at
+    * its hub instead of 10¹² pairs. All three steps are plain shuffles on
+    * edge/vertex keys; nothing collects to the driver. Returns one row:
+    * (n_nodes, n_edges, n_triangles). */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    // canonical undirected set: (a < b), self-loops and duplicates dropped
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b); ties impossible (same id ⇒
+    // self-loop, already dropped); struct comparison gives the lexicographic
+    // (degree, id) total order directly
+    val oriented = e
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges centered at u: out-pairs (v1, v2); close against canonical e
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    val tri = wedges.join(e, Seq("a", "b"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
 }

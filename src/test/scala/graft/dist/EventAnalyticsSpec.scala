@@ -106,4 +106,65 @@ class EventAnalyticsSpec extends SparkSpec {
     val d2 = ts("2024-01-02 00:00:00").getTime
     assert(r == Seq((d1, 0, 1L), (d1, 2, 1L), (d2, 0, 1L), (d2, 1, 1L)))
   }
+
+  test("seasonalAnomalies: an event is judged by its own hour-of-day cell") {
+    // hour 10 baseline {10,10,10,40}; hour 3 baseline {10,10,10,10,10,40}:
+    // the SAME value 40 z-scores differently per cell; constant cells
+    // (variance 0) yield no anomalies
+    def e(id: Long, h: String, v: Double) = (id, 1L, ts(h), "m", v)
+    val ev = (Seq(
+      e(1, "2024-01-01 10:00:00", 10), e(2, "2024-01-02 10:00:00", 10),
+      e(3, "2024-01-03 10:00:00", 10), e(4, "2024-01-04 10:30:00", 40),
+      e(5, "2024-01-01 03:00:00", 10), e(6, "2024-01-02 03:00:00", 10),
+      e(7, "2024-01-03 03:00:00", 10), e(8, "2024-01-04 03:00:00", 10),
+      e(9, "2024-01-05 03:00:00", 10), e(10, "2024-01-06 03:10:00", 40),
+      e(11, "2024-01-01 05:00:00", 7), e(12, "2024-01-02 05:00:00", 7))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    // hour 10: mean 17.5, var 168.75 -> z(40) = 22.5/12.990 = 1.7320...
+    // hour 3: mean 15, var 125 -> z(40) = 25/11.180 = 2.2360...
+    val r15 = EventAnalytics.seasonalAnomalies(ev, zThresh = 1.5)
+      .select("event_id", "z").as[(Long, Double)].collect().toMap
+    assert(r15.keySet == Set(4L, 10L))
+    assert(math.abs(r15(4L) - 22.5 / math.sqrt(168.75)) < 1e-8)
+    assert(math.abs(r15(10L) - 25.0 / math.sqrt(125.0)) < 1e-8)
+    // raising the threshold between the two z values keeps only hour 3's
+    val r20 = EventAnalytics.seasonalAnomalies(ev, zThresh = 2.0)
+      .select("event_id").as[Long].collect().toSeq
+    assert(r20 == Seq(10L))
+  }
+
+  test("rollingMedian: lower-median frames, per-user isolation, null drop") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 5.0),
+      (2L, 1L, ts("2024-01-01 10:01:00"), 1.0),
+      (3L, 1L, ts("2024-01-01 10:02:00"), 9.0),
+      (4L, 1L, ts("2024-01-01 10:03:00"), 3.0),
+      (5L, 2L, ts("2024-01-01 10:00:30"), 100.0), // other user: own frames
+      (6L, 1L, ts("2024-01-01 10:04:00"), Double.NaN) // dropped pre-window
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = EventAnalytics.rollingMedian(ev, k = 3)
+      .select("event_id", "roll_med").as[(Long, Double)].collect().toMap
+    // frames (k=3, lower median): [5]->5; [1,5]->1; [1,5,9]->5; [1,9,3]->3
+    assert(r == Map(1L -> 5.0, 2L -> 1.0, 3L -> 5.0, 4L -> 3.0, 5L -> 100.0))
+  }
+
+  test("rollingMedian matches a brute-force sliding sort on random data") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (i % 5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+        rnd.nextInt(50).toDouble)
+    }
+    val got = EventAnalytics.rollingMedian(
+        rows.toDF("event_id", "user_id", "ts", "value"), k = 7)
+      .select("event_id", "roll_med").as[(Long, Double)].collect().toMap
+    rows.groupBy(_._2).values.foreach { g =>
+      val seq = g.sortBy(r => (r._3.getTime, r._1))
+      seq.indices.foreach { i =>
+        val frame = seq.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        val expect = frame((frame.size - 1) / 2) // lower median, 0-based
+        assert(got(seq(i)._1) == expect, s"event ${seq(i)._1}")
+      }
+    }
+  }
 }

@@ -424,4 +424,35 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 50.5) < 1e-12)
   }
 
+  test("skyline2d: hand case — dominance, x-ties, exact duplicates") {
+    // minimize x, maximize y. (1,5) and (3,7) survive; (2,4) is dominated by
+    // (1,5); (3,6) dominated by (3,7) via the x-tie; (1,5) duplicate row
+    // collapses to multiplicity 2, not a dominance casualty
+    val df = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 4.0), (3.0, 7.0), (3.0, 6.0))
+      .toDF("x", "y")
+    val r = Stats.skyline2d(df, "x", "y").as[(Double, Double, Long)]
+      .collect().toSeq
+    assert(r == Seq((1.0, 5.0, 2L), (3.0, 7.0, 1L)))
+  }
+
+  test("skyline2d matches the NOT-EXISTS dominance definition on random points") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(400)((rnd.nextInt(30).toDouble, rnd.nextInt(30).toDouble))
+    val dist = pts.distinct
+    val brute = dist.filter { case (x, y) =>
+      !dist.exists { case (px, py) =>
+        px <= x && py >= y && (px < x || py > y)
+      }
+    }.sorted
+    val got = Stats.skyline2d(pts.toDF("x", "y"), "x", "y")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)).sorted == brute)
+    // multiplicities: every skyline point carries its full duplicate count
+    val counts = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach(p => assert(p._3 == counts((p._1, p._2))))
+    // result is invariant to partitioning (the local prune is sound)
+    val got1 = Stats.skyline2d(pts.toDF("x", "y").repartition(13), "x", "y")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(got1 == got)
+  }
 }

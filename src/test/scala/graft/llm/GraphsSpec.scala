@@ -57,4 +57,60 @@ class GraphsSpec extends SparkSpec {
     assert(a == b)
     assert(math.abs(a.map(_._2).sum - 200.0) < 1e-4)
   }
+
+  test("triangleStats: known graphs — triangle, square, K4, star") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      Graphs.triangleStats(edges.toDF("src", "dst"))
+        .as[(Long, Long, Long)].collect().head
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == ((3L, 3L, 1L)))
+    // 4-cycle: no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((4L, 4L, 0L)))
+    // K4: C(4,3) = 4 triangles
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      == ((4L, 6L, 4L)))
+    // star: hub generates zero wedges under degree orientation
+    assert(tri(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (9L, 5L)))
+      == ((6L, 5L, 0L)))
+  }
+
+  test("triangleStats: canonicalization — direction, duplicates, self-loops") {
+    // the same triangle declared with mixed directions, a repeated edge, and
+    // a self-loop must still count once over 3 canonical edges
+    val edges = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val r = Graphs.triangleStats(edges).as[(Long, Long, Long)].collect().head
+    assert(r == ((3L, 3L, 1L)))
+  }
+
+  test("triangleStats matches the brute-force census on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val pairs = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (a.toLong, b.toLong)).toSeq
+    val eSet = pairs.toSet
+    val brute = (for {
+      a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if eSet((a.toLong, b.toLong)) && eSet((b.toLong, c.toLong)) &&
+        eSet((a.toLong, c.toLong))
+    } yield 1).size.toLong
+    val r = Graphs.triangleStats(pairs.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r._2 == pairs.size.toLong)
+    assert(r._3 == brute)
+  }
+
+  test("coOccurrenceEdges: support threshold and pair canonicalization") {
+    // items 1,2 share groups g1,g2 (support 2); 1,3 share only g1
+    val m = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 1L), ("g2", 2L),
+      ("g2", 2L)) // duplicate membership must not inflate support
+      .toDF("g", "item")
+    val e2 = Graphs.coOccurrenceEdges(m, "g", "item", minGroups = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(e2 == Set((1L, 2L, 2L)))
+    val e1 = Graphs.coOccurrenceEdges(m, "g", "item", minGroups = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(e1 == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }
