@@ -40,7 +40,9 @@ class SparkEntryContractSpec extends SparkSpec {
     "source_overlap_theta",
     // crossJoin(broadcast(1-row eval theta sketch)) against the
     // source-count-row train sketch frame — same bounded shape
-    "decontam_theta_documents")
+    "decontam_theta_documents",
+    // crossJoin of three 1-row count aggregates (nodes/edges/triangles)
+    "copurchase_triangles_lineitem")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {
