@@ -373,6 +373,26 @@ object SparkEntry {
         t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
       graft.llm.Graphs.triangleStats(e)
     }),
+    // per-node clustering coefficient over the same co-purchase graph:
+    // dense-cluster members vs bridging hubs, top 20 by triangle count
+    "clustering_coeff_copurchase" -> ((s, d) => {
+      val e = graft.llm.Graphs.coOccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
+      graft.llm.Graphs.localClustering(e)
+        .orderBy(col("n_tri").desc, col("id")).limit(20)
+    }),
+    // distributed BFS from the smallest part in the graph: hop-distance
+    // histogram (frontier-join rounds, node-sized state, fixed job count)
+    "bfs_hops_copurchase" -> ((s, d) => {
+      val e = graft.llm.Graphs.coOccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
+      // the smallest node id always appears on the canonical src side
+      // (it is smaller than every neighbor) — one bounded driver scalar
+      val src = e.agg(min(col("src"))).head.getLong(0)
+      graft.llm.Graphs.bfsHops(e, src, maxHops = 6)
+        .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hops")
+    }),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1129,6 +1149,10 @@ object SparkEntry {
     "rolling_median_value_events" -> ((s, d) =>
       graft.dist.EventAnalytics.rollingMedian(events(s, d), k = 7)
         .orderBy("event_id")),
+    // first-touch attribution: purchases credited to their session's entry
+    // event type (30-min-gap sessions, one user-keyed sort window)
+    "attribution_first_touch_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.firstTouchAttribution(events(s, d))),
     // per-column profile: null rate, cardinality, range, exact mean — one scan
     "profile_columns_lineitem" -> ((s, d) =>
       graft.dist.Stats.profile(t(s, d, "lineitem"),
@@ -1889,6 +1913,28 @@ object SparkEntry {
         |         PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_med
         |FROM base ORDER BY event_id""".stripMargin,
+
+    // same gap-cumsum sessionization as the engine (30-min break, micros
+    // arithmetic, ts+event_id sort) so session ids align row-for-row
+    "attribution_first_touch_events" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk FROM s),
+        |c AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b),
+        |f AS (
+        |  SELECT *, first_value(event_type) OVER (
+        |    PARTITION BY user_id, sess ORDER BY ts, event_id) AS first_touch
+        |  FROM c)
+        |SELECT first_touch, count(*) AS n_conversions
+        |FROM f WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // struct-explode long pivot keeps nulls; mean on DECIMAL(28,6)-exact sums
     "profile_columns_lineitem" ->
@@ -2863,6 +2909,53 @@ object SparkEntry {
         |  (SELECT count(*) FROM e e1
         |     JOIN e e2 ON e1.pb = e2.pa
         |     JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles""".stripMargin,
+
+    // the a<b<c triple join counts each triangle once; exploding the three
+    // corners gives per-node counts — the same census the engine computes
+    // from its degree-oriented wedges
+    "clustering_coeff_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c FROM e e1
+        |    JOIN e e2 ON e1.pb = e2.pa
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tpn AS (
+        |  SELECT v AS id, count(*) AS n_tri FROM (
+        |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (
+        |  SELECT v AS id, count(*) AS deg FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY 1)
+        |SELECT d.id, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+        |       round(coalesce(t.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 9) AS coeff
+        |FROM deg d LEFT JOIN tpn t ON d.id = t.id
+        |WHERE d.deg >= 2
+        |ORDER BY n_tri DESC, d.id LIMIT 20""".stripMargin,
+
+    // bounded recursive CTE: (id, hops) pairs are UNION-deduped so the
+    // working set is finite; min(hops) per id is the BFS distance
+    "bfs_hops_copurchase" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS f, pb AS t FROM e
+        |        UNION ALL SELECT pb, pa FROM e),
+        |bfs AS (
+        |  SELECT (SELECT min(pa) FROM e) AS id, 0 AS hops
+        |  UNION
+        |  SELECT a.t, b.hops + 1 FROM bfs b JOIN adj a ON a.f = b.id
+        |  WHERE b.hops < 6)
+        |SELECT hops, count(*) AS n_nodes
+        |FROM (SELECT id, min(hops) AS hops FROM bfs GROUP BY id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // text inequality in SQL vs 64-bit hash inequality in the engine:
     // identical verdicts barring an xxhash64 collision (see snapshotDiff)

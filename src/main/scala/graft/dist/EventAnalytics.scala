@@ -78,6 +78,39 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** First-touch attribution: every conversion event (`convType`) is
+    * credited to the FIRST event type of its session (30-min-gap
+    * sessionization, same break rule as [[topSessionPaths]]). Output: one
+    * row per first-touch channel with its conversion count — "which entry
+    * behavior leads to purchases".
+    *
+    * Shape: one user-keyed sort window computes both the session id (gap
+    * cumsum) and, per session, the first event type (`first_value` over the
+    * same window — no second shuffle, the window partitioning is reused);
+    * the conversion filter then feeds a tiny per-channel count. */
+  def firstTouchAttribution(events: DataFrame, convType: String = "purchase",
+                            gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60000000L // micros
+    val sessioned = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapMs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "sess")
+      .orderBy(col("ts"), col("event_id"))
+    sessioned
+      .withColumn("first_touch", first(col("event_type")).over(bySess))
+      .where(col("event_type") === convType)
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("first_touch")
+  }
+
   /** Event-type transition matrix: for consecutive events of the same user
     * within `maxGapMinutes`, count each (from_type, to_type) pair — the
     * Markov-chain view of user behavior. One window of slim rows, exact

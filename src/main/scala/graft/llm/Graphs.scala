@@ -96,16 +96,37 @@ object Graphs {
     * (n_nodes, n_edges, n_triangles). */
   def triangleStats(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
-    // canonical undirected set: (a < b), self-loops and duplicates dropped
+    val (e, deg) = canonical(edges, srcCol, dstCol)
+    // wedges centered at u: out-pairs (v1, v2); close against canonical e
+    val wedges = closedTriangles(e, deg)
+      .select(col("a"), col("b"))
+    val tri = wedges
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  /** Canonical undirected edge set + degree frame shared by the triangle
+    * operators: (a < b), self-loops and duplicate edges dropped. */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame) = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
     val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    // orient a→b iff (deg(a), a) < (deg(b), b); ties impossible (same id ⇒
-    // self-loop, already dropped); struct comparison gives the lexicographic
-    // (degree, id) total order directly
+    (e, deg)
+  }
+
+  /** Closed triangles (u, a, b) from a canonical edge set: orient a→b iff
+    * (deg(a), a) < (deg(b), b) — ties impossible (same id ⇒ self-loop,
+    * already dropped); struct comparison gives the lexicographic
+    * (degree, id) total order directly — then enumerate out-neighborhood
+    * wedges and close each against the canonical set. Every triangle
+    * appears exactly once, centered at its lowest-(degree, id) vertex. */
+  private def closedTriangles(e: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = e
       .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
@@ -114,14 +135,70 @@ object Graphs {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    // wedges centered at u: out-pairs (v1, v2); close against canonical e
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.v").as("a"), col("e2.v").as("b"))
-    val tri = wedges.join(e, Seq("a", "b"), "left_semi")
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nTri)
+      .select(col("e1.u").as("u"), col("e1.v").as("a"), col("e2.v").as("b"))
+      .join(e, Seq("a", "b"), "left_semi")
+  }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (deg(v)·(deg(v)−1)) —
+    * how close each node's neighborhood is to a clique. The curation read:
+    * on a near-dup/co-occurrence graph, high-coefficient nodes sit inside
+    * dense template clusters; low-coefficient high-degree nodes are hubs
+    * bridging unrelated content (prime manual-review candidates).
+    *
+    * Same degree-oriented wedge enumeration as [[triangleStats]], but each
+    * closed triangle is exploded back to its three corners so tri(v) comes
+    * from one node-keyed count. Degree-1 nodes have an undefined
+    * coefficient and are excluded (deg ≥ 2 only). */
+  def localClustering(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    val (e, deg) = canonical(edges, srcCol, dstCol)
+    // a closed (u, a, b) is one triangle, credited to all three corners
+    val triPerNode = closedTriangles(e, deg)
+      .select(explode(array(col("u"), col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("deg") >= 2)
+      .join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(coalesce(col("n_tri"), lit(0L)) * lit(2.0) /
+          (col("deg") * (col("deg") - 1)), 9).as("coeff"))
+  }
+
+  /** Hop distances from a source node by iterative frontier expansion
+    * (distributed BFS): each round joins the current frontier against the
+    * adjacency list and anti-joins already-visited nodes. `maxHops` bounds
+    * the rounds, so the job count is fixed up front; per-round state is the
+    * (id, hops) visited frame — node-sized, never edge-sized, lineage
+    * truncated each round like [[pageRank]]. Returns (id, hops) for every
+    * node reached within `maxHops`. */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int = 6,
+              srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val (e, _) = canonical(edges, srcCol, dstCol)
+    // undirected adjacency: both directions of each canonical edge
+    val adj = e.select(col("a").as("from"), col("b").as("to"))
+      .union(e.select(col("b").as("from"), col("a").as("to")))
+      .localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((source, 0)).toDF("id", "hops")
+    var frontier = visited.select(col("id"))
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = adj.join(frontier, adj("from") === frontier("id"))
+        .select(col("to").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint() // also materializes: an empty frontier ends early
+      if (next.isEmpty) { hop = maxHops }
+      else {
+        visited = visited.union(next.select(col("id"), lit(hop).as("hops")))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
   }
 }

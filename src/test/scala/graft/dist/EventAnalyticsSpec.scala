@@ -107,6 +107,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r == Seq((d1, 0, 1L), (d1, 2, 1L), (d2, 0, 1L), (d2, 1, 1L)))
   }
 
+  test("firstTouchAttribution: session entry type gets the conversion credit") {
+    val ev = Seq(
+      // u1 session 1: view -> purchase (credit view); session 2 after a
+      // 2-hour gap: click -> purchase (credit click)
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (3L, 1L, ts("2024-01-01 12:30:00"), "click"),
+      (4L, 1L, ts("2024-01-01 12:40:00"), "purchase"),
+      // u2: purchase opens its own session (credit purchase)
+      (5L, 2L, ts("2024-01-01 09:00:00"), "purchase"),
+      // u2 second session: view only — no conversion, no credit
+      (6L, 2L, ts("2024-01-01 11:00:00"), "view"),
+      // u3: exactly at the 30-min boundary stays in-session (> not >=)
+      (7L, 3L, ts("2024-01-01 08:00:00"), "signup"),
+      (8L, 3L, ts("2024-01-01 08:30:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.firstTouchAttribution(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("click", 1L), ("purchase", 1L), ("signup", 1L), ("view", 1L)))
+  }
+
   test("seasonalAnomalies: an event is judged by its own hour-of-day cell") {
     // hour 10 baseline {10,10,10,40}; hour 3 baseline {10,10,10,10,10,40}:
     // the SAME value 40 z-scores differently per cell; constant cells

@@ -101,6 +101,76 @@ class GraphsSpec extends SparkSpec {
     assert(r._3 == brute)
   }
 
+  test("localClustering: clique = 1, pendant excluded, bridge node diluted") {
+    // K3 {1,2,3} plus a pendant 4 hanging off 3: nodes 1,2 have coeff 1;
+    // 3 has deg 3, one triangle -> 2*1/(3*2) = 1/3; 4 has deg 1 -> excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val r = Graphs.localClustering(edges).as[(Long, Long, Long, Double)]
+      .collect().map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((2L, 1L, 1.0)))
+    assert(r(2L) == ((2L, 1L, 1.0)))
+    assert(r(3L) == ((3L, 1L, math.rint(1.0 / 3.0 * 1e9) / 1e9)))
+  }
+
+  test("localClustering matches a brute-force count on a random graph") {
+    val rnd = new scala.util.Random(5)
+    val n = 25
+    val pairs = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.2
+    } yield (a.toLong, b.toLong)).toSeq
+    val eSet = pairs.toSet
+    def adj(u: Long, v: Long) =
+      eSet((math.min(u, v), math.max(u, v)))
+    val nbrs = (0 until n).map(v =>
+      v.toLong -> (0 until n).map(_.toLong).filter(u => u != v && adj(u, v))).toMap
+    val got = Graphs.localClustering(pairs.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    nbrs.foreach { case (v, ns) =>
+      if (ns.size >= 2) {
+        val tri = ns.combinations(2).count { case Seq(a, b) => adj(a, b) }
+        assert(got(v) == ((ns.size.toLong, tri.toLong)), s"node $v")
+      } else assert(!got.contains(v))
+    }
+  }
+
+  test("bfsHops: path graph distances, early stop, unreachable component") {
+    // path 1-2-3-4-5 plus a disconnected edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val r = Graphs.bfsHops(edges, source = 1L, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // maxHops truncates the frontier
+    val r2 = Graphs.bfsHops(edges, source = 1L, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(r2 == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfsHops matches brute-force BFS on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 30
+    val pairs = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.08
+    } yield (a.toLong, b.toLong)).toSeq
+    val nbrs = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // reference BFS
+    var dist = Map(0L -> 0)
+    var frontier = Set(0L)
+    for (h <- 1 to 6) {
+      frontier = frontier.flatMap(v => nbrs.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    val got = Graphs.bfsHops(pairs.toDF("src", "dst"), source = 0L, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(got == dist)
+  }
+
   test("coOccurrenceEdges: support threshold and pair canonicalization") {
     // items 1,2 share groups g1,g2 (support 2); 1,3 share only g1
     val m = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 1L), ("g2", 2L),
