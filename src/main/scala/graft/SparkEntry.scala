@@ -388,7 +388,7 @@ object SparkEntry {
         t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
       // the smallest node id always appears on the canonical src side
       // (it is smaller than every neighbor) — one bounded driver scalar
-      val src = e.agg(min(col("src"))).head.getLong(0)
+      val src = e.agg(min(col("src"))).head().getLong(0)
       graft.llm.Graphs.bfsHops(e, src, maxHops = 6)
         .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
         .orderBy("hops")
@@ -753,6 +753,28 @@ object SparkEntry {
       Sampling.assignSplits(t(s, d, "documents"),
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // leakage-safe split: every source's docs land in ONE split (group rep =
+    // min doc_id, broadcast back); per-split doc and source tallies
+    "split_by_source_documents" -> ((s, d) =>
+      Sampling.assignSplitsBy(t(s, d, "documents"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10), "source")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("split")),
+
+    // leakage audit for the PER-DOC split: texts whose exact duplicates
+    // straddle more than one split (64-bit hash groups; same collision
+    // caveat as snapshot_diff)
+    "split_leakage_exact_documents" -> ((s, d) =>
+      Sampling.assignSplits(t(s, d, "documents"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(xxhash64(col("text")).as("h"))
+        .agg(count_distinct(col("split")).as("ns"), count(lit(1)).as("nd"))
+        .where(col("ns") > 1)
+        .agg(count(lit(1)).as("n_leaky_texts"),
+          coalesce(sum(col("nd")), lit(0L)).as("n_docs_involved"))),
 
     // quality-weighted deterministic sampling: keep-probability = the
     // doc's own composite quality score (key-hash membership, map-only)
@@ -2607,6 +2629,35 @@ object SparkEntry {
         |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
         |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 100 THEN 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // group representative = min doc_id per source, same Knuth thresholds
+    "split_by_source_documents" ->
+      """WITH rep AS (SELECT source, min(doc_id) AS r FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT source,
+        |         CASE WHEN ((r * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |              WHEN ((r * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |              WHEN ((r * 2654435761) % 4294967296) % 100 < 100 THEN 'test' END AS split
+        |  FROM rep)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT d.source) AS n_sources
+        |FROM documents d JOIN a USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // text equality in SQL vs 64-bit hash groups in the engine (identical
+    // barring an xxhash64 collision — the snapshot_diff caveat)
+    "split_leakage_exact_documents" ->
+      """WITH s AS (
+        |  SELECT text,
+        |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 100 THEN 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT text, count(DISTINCT split) AS ns, count(*) AS nd
+        |  FROM s GROUP BY text HAVING count(DISTINCT split) > 1)
+        |SELECT count(*) AS n_leaky_texts,
+        |       CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs_involved
+        |FROM g""".stripMargin,
 
     // quality CTE + the Knuth-hash keep test with the score as probability
     "sample_weighted_documents" -> {

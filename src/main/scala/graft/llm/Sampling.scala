@@ -183,4 +183,31 @@ object Sampling {
       }
     df.withColumn("split", assign)
   }
+
+  /** GROUP-keyed split assignment — the leakage-safe variant of
+    * [[assignSplits]]: every row of a group (domain, source, author, dedup
+    * cluster…) lands in the SAME split, so near-identical documents from one
+    * origin can never straddle train/eval. The group's representative key is
+    * its MINIMUM `idCol` — a stable int64 every engine derives identically —
+    * fed through the same Knuth-hash bucket thresholds.
+    *
+    * Shape: one slim (group → min id) aggregate joined back on the group
+    * column; group cardinality is origins, not rows, so the join side
+    * broadcasts at any corpus size where the origin set fits (millions of
+    * domains = a few MB of longs). */
+  def assignSplitsBy(df: DataFrame, splits: Seq[(String, Int)],
+                     groupCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      "split pcts must be positive and sum to 100")
+    val rep = df.groupBy(col(groupCol))
+      .agg(min(col(idCol)).as("__rep"))
+    val b = knuthBucket(col("__rep"))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).tail
+      .foldLeft(when(b < cum.head, lit(splits.head._1))) {
+        case (acc, ((name, _), hi)) => acc.when(b < hi, lit(name))
+      }
+    df.join(broadcast(rep.withColumn("split", assign).drop("__rep")),
+      Seq(groupCol))
+  }
 }

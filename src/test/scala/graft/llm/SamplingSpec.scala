@@ -162,6 +162,34 @@ class SamplingSpec extends SparkSpec {
       s == (if (knuth(id) < 80) "train" else if (knuth(id) < 90) "val" else "test") })
   }
 
+  test("assignSplitsBy: whole groups move together, rep = min id, growth-stable") {
+    val docs = ((0L until 40L).map(i => (i, s"s${i % 7}"))).toDF("doc_id", "source")
+    val r = Sampling.assignSplitsBy(docs,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), "source")
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect()
+    assert(r.length == 40)
+    // one split per source — the leakage-safety contract
+    val perSource = r.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(perSource.values.forall(_.size == 1))
+    // the split is the plain assignSplits verdict on the group's min doc_id
+    def knuth(id: Long) = ((id * 2654435761L) % 4294967296L) % 100L
+    (0 until 7).foreach { g =>
+      val minId = (0L until 40L).filter(_ % 7 == g).min
+      val expect =
+        if (knuth(minId) < 80) "train" else if (knuth(minId) < 90) "val" else "test"
+      assert(perSource(s"s$g") == Set(expect), s"source s$g")
+    }
+    // growth-stable: new docs in an existing group inherit its split; the
+    // min-id rep only changes if a SMALLER id appears (append-only ids don't)
+    val more = docs.union(Seq((1000L, "s3")).toDF("doc_id", "source"))
+    val r2 = Sampling.assignSplitsBy(more,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), "source")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(r2(1000L) == perSource("s3").head)
+    r.foreach { case (id, _, s) => assert(r2(id) == s) }
+  }
+
   test("temperatureMix: sqrt shares flatten skew toward the budget, key-stable") {
     // skewed corpus: 160 "en", 40 "de", 10 "fr"
     val docs = ((0 until 160).map(i => (i.toLong, "en")) ++
