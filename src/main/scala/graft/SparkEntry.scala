@@ -381,6 +381,13 @@ object SparkEntry {
       graft.llm.Graphs.localClustering(e)
         .orderBy(col("n_tri").desc, col("id")).limit(20)
     }),
+    // k-core peel: the hard kernel of the co-purchase graph (every
+    // surviving part co-bought with >= 3 other core parts)
+    "kcore_copurchase" -> ((s, d) => {
+      val e = graft.llm.Graphs.coOccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
+      graft.llm.Graphs.kCore(e, k = 3).orderBy("id")
+    }),
     // distributed BFS from the smallest part in the graph: hop-distance
     // histogram (frontier-join rounds, node-sized state, fixed job count)
     "bfs_hops_copurchase" -> ((s, d) => {

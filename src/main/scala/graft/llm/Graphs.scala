@@ -166,6 +166,46 @@ object Graphs {
           (col("deg") * (col("deg") - 1)), 9).as("coeff"))
   }
 
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k,
+    * computed by iterative peeling — drop all nodes with degree < k,
+    * recompute degrees on the surviving subgraph, repeat to fixpoint. The
+    * curation read on a near-dup graph: the k-core is the hard kernel of
+    * heavily-duplicated content (boilerplate/template families) that
+    * survives even after fringe members are removed; it's also the standard
+    * densest-region seed for community mining.
+    *
+    * Each round is one degree aggregate plus two semi-joins of the edge
+    * list against the survivor set — edge-keyed shuffles, node-sized
+    * survivor state, lineage truncated per round. Peeling converges in at
+    * most |V| rounds but in practice a handful (each round must delete ≥1
+    * node or stop); `maxRounds` bounds the job count — if hit before the
+    * fixpoint the result is a documented SUPERSET of the k-core (peeling
+    * only ever removes nodes). Returns surviving (id, deg) with the
+    * within-core degree. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var (e, deg) = canonical(edges, srcCol, dstCol)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val keep = deg.where(col("deg") >= k).select(col("id")).localCheckpoint()
+      // fixpoint ⟺ nothing fell below k this round
+      if (deg.where(col("deg") < k).isEmpty) { converged = true }
+      else {
+        e = e
+          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .localCheckpoint()
+        deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+      }
+    }
+    deg.where(col("deg") >= k)
+  }
+
   /** Hop distances from a source node by iterative frontier expansion
     * (distributed BFS): each round joins the current frontier against the
     * adjacency list and anti-joins already-visited nodes. `maxHops` bounds

@@ -171,6 +171,45 @@ class GraphsSpec extends SparkSpec {
     assert(got == dist)
   }
 
+  test("kCore: clique survives, pendants and chains peel, cascade handled") {
+    // K4 core {1,2,3,4} + chain 4-5-6 + pendant 3-7: peeling at k=3 must
+    // cascade (7 and 6 fall first, then 5) and leave exactly the K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (3L, 7L)).toDF("src", "dst")
+    val r = Graphs.kCore(edges, k = 3).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=1 keeps everything with at least one edge
+    assert(Graphs.kCore(edges, k = 1).count() == 7L)
+    // k above the max degree empties the graph
+    assert(Graphs.kCore(edges, k = 10).isEmpty)
+  }
+
+  test("kCore matches brute-force peeling on a random graph") {
+    val rnd = new scala.util.Random(17)
+    val n = 35
+    val pairs = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (a.toLong, b.toLong)).toSeq
+    // reference peel
+    var edges = pairs.toSet
+    var changed = true
+    val k = 3
+    while (changed) {
+      val deg = edges.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(p => keep(p._1) && keep(p._2))
+      changed = next != edges
+      edges = next
+    }
+    val expect = edges.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graphs.kCore(pairs.toDF("src", "dst"), k)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("coOccurrenceEdges: support threshold and pair canonicalization") {
     // items 1,2 share groups g1,g2 (support 2); 1,3 share only g1
     val m = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 1L), ("g2", 2L),
