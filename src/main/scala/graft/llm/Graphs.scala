@@ -67,16 +67,26 @@ object Graphs {
     * distinct groups. The classic market-basket / co-citation graph builder
     * (here: parts co-purchased in the same order).
     *
-    * Scale shape: the self-join shuffles on the group key, so pair work is
-    * Σ_g |g|² — bounded by per-group membership size (≤ 7 lines per TPC-H
-    * order), never corpus². The `minGroups` support threshold is applied in
-    * the same aggregate that dedups pairs (one shuffle on the pair key). */
+    * Scale shape: one shuffle collects each group's distinct item set, pair
+    * expansion is a map-side nested `transform` over the sorted array (no
+    * self-join — a join formulation would shuffle the membership table a
+    * second time and materialize the same pairs through a join operator),
+    * then one shuffle counts support per pair. Pair work is Σ_g |g|²,
+    * bounded by per-group membership size (≤ 7 lines per TPC-H order),
+    * never corpus²; groups too large for that bound should be capped
+    * upstream exactly like dedup shingle buckets. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minGroups: Long = 2): DataFrame = {
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
-    m.as("x").join(m.as("y"),
-        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+    df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy("g").agg(sort_array(collect_set(col("i"))).as("items"))
+      // ordered pairs from the sorted set: (items[ix], y) for y after ix —
+      // canonical src < dst by construction
+      .select(explode(expr(
+        """flatten(transform(items, (x, ix) ->
+          |  transform(slice(items, ix + 2, size(items)),
+          |            y -> struct(x AS src, y AS dst))))""".stripMargin)).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("n_groups"))
       .where(col("n_groups") >= minGroups)
   }
