@@ -1182,6 +1182,11 @@ object SparkEntry {
     // event type (30-min-gap sessions, one user-keyed sort window)
     "attribution_first_touch_events" -> ((s, d) =>
       graft.dist.EventAnalytics.firstTouchAttribution(events(s, d))),
+    // trailing-frame EWMA per user: identical left-fold in both engines
+    // (aggregate ↔ list_reduce) — bit-exact, no boundary rounding
+    "ewma_value_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.ewma(events(s, d), alpha = 0.3, k = 10)
+        .orderBy("event_id")),
     // per-column profile: null rate, cardinality, range, exact mean — one scan
     "profile_columns_lineitem" -> ((s, d) =>
       graft.dist.Stats.profile(t(s, d, "lineitem"),
@@ -1942,6 +1947,22 @@ object SparkEntry {
         |         PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_med
         |FROM base ORDER BY event_id""".stripMargin,
+
+    // list_reduce seeds with the first list element and folds left — the
+    // same operation order as Spark's aggregate(), so no rounding is needed
+    "ewma_value_events" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, ts
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |fr AS (
+        |  SELECT event_id, user_id, value,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM base)
+        |SELECT event_id, user_id, value,
+        |       list_reduce(arr, (s, x) -> 0.3 * x + 0.7 * s) AS ewma
+        |FROM fr ORDER BY event_id""".stripMargin,
 
     // same gap-cumsum sessionization as the engine (30-min break, micros
     // arithmetic, ts+event_id sort) so session ids align row-for-row

@@ -111,6 +111,37 @@ object EventAnalytics {
       .orderBy("first_touch")
   }
 
+  /** Exponentially weighted moving average of the last `k` values per user
+    * (event-time order, event_id tiebreak): the trailing-frame EWMA —
+    * the fold restarts from the frame's oldest value, so it equals the
+    * classic full-history EWMA for users with ≤ k events and a k-windowed
+    * restart beyond that. Bounding the frame is what makes the operator
+    * scale: state per row is k values, independent of history length, and
+    * the weight of anything older than k frames is ≤ (1−α)^k anyway.
+    *
+    * The fold `s ← α·x + (1−α)·s` runs left-to-right over the frame array
+    * (`aggregate` higher-order function, seeded with the first element) —
+    * the identical operation order DuckDB's `list_reduce` applies, so the
+    * result is bit-exact cross-engine with NO rounding at the boundary.
+    * One user-keyed shuffle, k-bounded per-row work. */
+  def ewma(events: DataFrame, valueCol: String = "value",
+           alpha: Double = 0.3, k: Int = 10): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(k - 1), 0)
+    val x = col(valueCol).cast("double")
+    events.where(x.isNotNull && !isnan(x))
+      .withColumn("window_vals", collect_list(x).over(w)) // frame order
+      .select(col("event_id"), col("user_id"), x.as(valueCol),
+        expr(s"""aggregate(slice(window_vals, 2, size(window_vals)),
+                |          element_at(window_vals, 1),
+                |          (s, x) -> $alpha * x + ${1 - alpha} * s)""".stripMargin)
+          .as("ewma"))
+  }
+
   /** Event-type transition matrix: for consecutive events of the same user
     * within `maxGapMinutes`, count each (from_type, to_type) pair — the
     * Markov-chain view of user behavior. One window of slim rows, exact

@@ -169,6 +169,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r == Map(1L -> 5.0, 2L -> 1.0, 3L -> 5.0, 4L -> 3.0, 5L -> 100.0))
   }
 
+  test("ewma: hand case and exact equality with an in-memory left fold") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 10:01:00"), 20.0),
+      (3L, 1L, ts("2024-01-01 10:02:00"), 30.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = EventAnalytics.ewma(ev, alpha = 0.5, k = 3)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // s1=10; s2=.5*20+.5*10=15; s3=.5*30+.5*15=22.5
+    assert(r == Map(1L -> 10.0, 2L -> 15.0, 3L -> 22.5))
+    // random data: bit-exact vs the same fold computed in memory
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (i % 4).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L),
+        rnd.nextDouble() * 100)
+    }
+    val got = EventAnalytics.ewma(
+        rows.toDF("event_id", "user_id", "ts", "value"), alpha = 0.3, k = 10)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    rows.groupBy(_._2).values.foreach { g =>
+      val seq = g.sortBy(x => (x._3.getTime, x._1))
+      seq.indices.foreach { i =>
+        val frame = seq.slice(math.max(0, i - 9), i + 1).map(_._4)
+        val expect = frame.tail.foldLeft(frame.head)((s, x) => 0.3 * x + 0.7 * s)
+        assert(got(seq(i)._1) == expect, s"event ${seq(i)._1}") // == : bit-exact
+      }
+    }
+  }
+
   test("rollingMedian matches a brute-force sliding sort on random data") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 300).map { i =>
