@@ -201,10 +201,13 @@ object Graphs {
     var converged = false
     while (round < maxRounds && !converged) {
       round += 1
-      val keep = deg.where(col("deg") >= k).select(col("id")).localCheckpoint()
-      // fixpoint ⟺ nothing fell below k this round
+      // fixpoint ⟺ nothing fell below k this round (checked FIRST so a
+      // converged graph costs one scan, not a checkpoint); the e checkpoint
+      // below is the only per-round materialization — keep/deg recompute
+      // from it, which is cheaper than persisting them each round
       if (deg.where(col("deg") < k).isEmpty) { converged = true }
       else {
+        val keep = deg.where(col("deg") >= k).select(col("id"))
         e = e
           .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
