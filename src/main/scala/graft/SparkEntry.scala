@@ -391,14 +391,23 @@ object SparkEntry {
     // distributed BFS from the smallest part in the graph: hop-distance
     // histogram (frontier-join rounds, node-sized state, fixed job count)
     "bfs_hops_copurchase" -> ((s, d) => {
+      // checkpoint: the min-src scalar and the BFS adjacency build are
+      // separate actions that would otherwise rebuild the co-occurrence
+      // aggregation from raw lineitem twice
       val e = graft.llm.Graphs.coOccurrenceEdges(
-        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
+        .localCheckpoint()
       // the smallest node id always appears on the canonical src side
-      // (it is smaller than every neighbor) — one bounded driver scalar
-      val src = e.agg(min(col("src"))).head().getLong(0)
-      graft.llm.Graphs.bfsHops(e, src, maxHops = 6)
-        .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
-        .orderBy("hops")
+      // (it is smaller than every neighbor) — one bounded driver scalar;
+      // null ⟺ empty graph, where BFS has no source and the answer is
+      // the empty histogram (the oracle's id IS NOT NULL filter agrees)
+      val srcRow = e.agg(min(col("src"))).head()
+      if (srcRow.isNullAt(0))
+        e.select(lit(0).as("hops"), lit(0L).as("n_nodes")).limit(0)
+      else
+        graft.llm.Graphs.bfsHops(e, srcRow.getLong(0), maxHops = 6)
+          .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("hops")
     }),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -3033,7 +3042,8 @@ object SparkEntry {
         |  SELECT a.t, b.hops + 1 FROM bfs b JOIN adj a ON a.f = b.id
         |  WHERE b.hops < 6)
         |SELECT hops, count(*) AS n_nodes
-        |FROM (SELECT id, min(hops) AS hops FROM bfs GROUP BY id)
+        |FROM (SELECT id, min(hops) AS hops FROM bfs
+        |      WHERE id IS NOT NULL GROUP BY id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // text inequality in SQL vs 64-bit hash inequality in the engine:

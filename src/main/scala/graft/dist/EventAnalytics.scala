@@ -60,22 +60,32 @@ object EventAnalytics {
     * per-session arrays are bounded by session length — inherent to path
     * analysis, which needs the ordered sequence. */
   def topSessionPaths(events: DataFrame, gapMinutes: Int = 30, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapMs = gapMinutes * 60000000L // micros
-    val sessioned = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("ts"), 1).over(byUser))
-      .withColumn("brk",
-        when(col("prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev")) > gapMs, 1L).otherwise(0L))
-      .withColumn("sess", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessioned.groupBy("user_id", "sess")
+    sessionized(events, gapMinutes).groupBy("user_id", "sess")
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       .select(concat_ws(">", transform(col("evs"), _.getField("event_type"))).as("path"))
       .groupBy("path").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("path").asc)
       .limit(k)
+  }
+
+  /** Gap-based sessionization shared by [[topSessionPaths]] and
+    * [[firstTouchAttribution]] (and mirrored verbatim by their SQL
+    * oracles): a session breaks when the gap to the user's previous event
+    * exceeds `gapMinutes` (strict >, micros arithmetic); the session id is
+    * the running count of breaks. One user-keyed sort window over slim
+    * (user, ts, id, type) rows. */
+  private def sessionized(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60000000L
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapMicros, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** First-touch attribution: every conversion event (`convType`) is
@@ -91,19 +101,9 @@ object EventAnalytics {
   def firstTouchAttribution(events: DataFrame, convType: String = "purchase",
                             gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapMs = gapMinutes * 60000000L // micros
-    val sessioned = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("ts"), 1).over(byUser))
-      .withColumn("brk",
-        when(col("prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev")) > gapMs, 1L).otherwise(0L))
-      .withColumn("sess", sum(col("brk")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bySess = Window.partitionBy("user_id", "sess")
       .orderBy(col("ts"), col("event_id"))
-    sessioned
+    sessionized(events, gapMinutes)
       .withColumn("first_touch", first(col("event_type")).over(bySess))
       .where(col("event_type") === convType)
       .groupBy(col("first_touch"))

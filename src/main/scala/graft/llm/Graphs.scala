@@ -77,7 +77,10 @@ object Graphs {
     * upstream exactly like dedup shingle buckets. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minGroups: Long = 2): DataFrame = {
+    // a null group is no group: rows with a null key must not vote support
+    // (Spark's groupBy would otherwise pool them into one phantom group)
     df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .where(col("g").isNotNull)
       .groupBy("g").agg(sort_array(collect_set(col("i"))).as("items"))
       // ordered pairs from the sorted set: (items[ix], y) for y after ix —
       // canonical src < dst by construction
@@ -107,10 +110,7 @@ object Graphs {
   def triangleStats(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
     val (e, deg) = canonical(edges, srcCol, dstCol)
-    // wedges centered at u: out-pairs (v1, v2); close against canonical e
-    val wedges = closedTriangles(e, deg)
-      .select(col("a"), col("b"))
-    val tri = wedges
+    val tri = closedTriangles(e, deg)
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
@@ -197,6 +197,12 @@ object Graphs {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var (e, deg) = canonical(edges, srcCol, dstCol)
+    // materialize the canonical edges once: the fixpoint check, the
+    // semi-joins, and the degree recompute are separate actions that would
+    // otherwise each rebuild the (possibly expensive) upstream edge lineage
+    e = e.localCheckpoint()
+    deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {

@@ -194,20 +194,20 @@ object Sampling {
     * Shape: one slim (group → min id) aggregate joined back on the group
     * column; group cardinality is origins, not rows, so the join side
     * broadcasts at any corpus size where the origin set fits (millions of
-    * domains = a few MB of longs). */
+    * domains = a few MB of longs). Rows with a NULL group key are kept as
+    * one group of their own (null-safe join) — a split assigner must never
+    * drop rows. */
   def assignSplitsBy(df: DataFrame, splits: Seq[(String, Int)],
                      groupCol: String, idCol: String = "doc_id"): DataFrame = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
-      "split pcts must be positive and sum to 100")
-    val rep = df.groupBy(col(groupCol))
-      .agg(min(col(idCol)).as("__rep"))
-    val b = knuthBucket(col("__rep"))
-    val cum = splits.scanLeft(0)(_ + _._2).tail
-    val assign = splits.zip(cum).tail
-      .foldLeft(when(b < cum.head, lit(splits.head._1))) {
-        case (acc, ((name, _), hi)) => acc.when(b < hi, lit(name))
-      }
-    df.join(broadcast(rep.withColumn("split", assign).drop("__rep")),
-      Seq(groupCol))
+    // one copy of the threshold logic: the representative frame goes
+    // through plain assignSplits keyed on the min-id column
+    val rep = assignSplits(
+      df.groupBy(col(groupCol)).agg(min(col(idCol)).as("__rep")),
+      splits, idCol = "__rep").drop("__rep")
+    // null-safe join: rows with a null group key form ONE group (keyed by
+    // the smallest id among them) rather than silently vanishing — a split
+    // assigner must never drop rows
+    df.join(broadcast(rep), df(groupCol) <=> rep(groupCol))
+      .drop(rep(groupCol))
   }
 }

@@ -211,9 +211,11 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("coOccurrenceEdges: support threshold and pair canonicalization") {
-    // items 1,2 share groups g1,g2 (support 2); 1,3 share only g1
-    val m = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 1L), ("g2", 2L),
+    // items 1,2 share groups g1,g2 (support 2); 1,3 share only g1; the
+    // null-group rows must not vote (a null key is no group)
+    val m = (Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 1L), ("g2", 2L),
       ("g2", 2L)) // duplicate membership must not inflate support
+      ++ Seq((null, 1L), (null, 3L)).map { case (g, i) => (g: String, i) })
       .toDF("g", "item")
     val e2 = Graphs.coOccurrenceEdges(m, "g", "item", minGroups = 2)
       .as[(Long, Long, Long)].collect().toSet

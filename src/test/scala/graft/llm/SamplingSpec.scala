@@ -188,6 +188,15 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(r2(1000L) == perSource("s3").head)
     r.foreach { case (id, _, s) => assert(r2(id) == s) }
+    // null group keys: kept (never dropped), and they move as ONE group
+    val withNull = docs.union(
+      Seq((500L, null), (501L, null)).map { case (i, g) => (i, g: String) }
+        .toDF("doc_id", "source"))
+    val r3 = Sampling.assignSplitsBy(withNull,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), "source")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(r3.size == 42)
+    assert(r3(500L) == r3(501L))
   }
 
   test("temperatureMix: sqrt shares flatten skew toward the budget, key-stable") {
