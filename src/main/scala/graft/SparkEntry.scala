@@ -409,6 +409,20 @@ object SparkEntry {
           .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
           .orderBy("hops")
     }),
+    // declarative data-quality gate: all row-local rules share ONE scan;
+    // uniqueness and referential integrity get their own aggregates — the
+    // pre-promotion validation a training-data batch runs
+    "dq_checks_lineitem" -> ((s, d) => {
+      import graft.dist.Checks._
+      graft.dist.Checks.validate(t(s, d, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_discount", 0, 0.05), // deliberately tight: FAILS, proving
+                                        // violations are reported not masked
+        Satisfies("l_extendedprice > 0", "price_positive"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        SubsetOf("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+    }),
     "promo_revenue_lineitem" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2941,6 +2955,43 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gf, gs, l_returnflag, l_linestatus""".stripMargin,
+
+    // each engine-side rule replayed literally: row-local conditional
+    // counts, duplicate-tuple overflow, NOT EXISTS orphans
+    "dq_checks_lineitem" ->
+      """WITH rl AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |                   AND (CAST(l_quantity AS DOUBLE) < 1.0 OR CAST(l_quantity AS DOUBLE) > 50.0)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_q,
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |                   AND (CAST(l_discount AS DOUBLE) < 0.0 OR CAST(l_discount AS DOUBLE) > 0.05)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_d,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_p
+        |  FROM lineitem),
+        |uq AS (
+        |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS v
+        |  FROM (SELECT count(*) AS cnt FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |ri AS (
+        |  SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n,
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE l_orderkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey)) AS v),
+        |allrows AS (
+        |  SELECT 'not_null(l_orderkey)' AS check, n, v_nn AS v, 0.0 AS tol FROM rl
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', n, v_q, 0.0 FROM rl
+        |  UNION ALL SELECT 'in_range(l_discount,0.0,0.05)', n, v_d, 0.0 FROM rl
+        |  UNION ALL SELECT 'satisfies(price_positive)', n, v_p, 0.0 FROM rl
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n, v, 0.0 FROM uq
+        |  UNION ALL SELECT 'subset_of(l_orderkey)', n, v, 0.0 FROM ri)
+        |SELECT "check", n AS n_rows, v AS n_violations,
+        |       CASE WHEN n > 0 THEN round(CAST(v AS DOUBLE) / n, 9) ELSE 0.0 END AS metric,
+        |       (CASE WHEN n > 0 THEN CAST(v AS DOUBLE) / n ELSE 0.0 END) <= tol AS pass
+        |FROM allrows ORDER BY "check"""".stripMargin,
 
     "tpch_q10_returns" ->
       """WITH r AS (
