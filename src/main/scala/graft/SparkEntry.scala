@@ -651,6 +651,28 @@ object SparkEntry {
     // (drop id%7==3, append " v2" to text when id%5==0, add id%11==0 docs
     // under shifted ids), then classified added/removed/changed on 16-byte
     // (id, hash) rows — churn-sized output, corpus never shuffles as text
+    // SCD Type-2 merge: apply a derived upsert batch (modified texts +
+    // brand-new docs) to a v1 dimension — changed keys close and reopen,
+    // history stays queryable; churn-sized growth like MERGE INTO
+    "scd2_apply_documents" -> ((s, d) => {
+      val src = t(s, d, "documents")
+      def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), xxhash64(col("text")).as("h"),
+        length(col("text")).as("len"))
+      val dim = shape(src)
+        .withColumn("valid_from_ms", lit(0L))
+        .withColumn("valid_to_ms", lit(null).cast("long"))
+      val changes = shape(
+        src.where(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+        ).unionByName(shape(
+          src.where(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000)))
+      graft.dist.Scd.applyChanges(dim, changes, "doc_id", "h",
+          asOfMs = 86400000L)
+        .select("doc_id", "len", "valid_from_ms", "valid_to_ms")
+        .orderBy("doc_id", "valid_from_ms")
+    }),
     "snapshot_diff_documents" -> ((s, d) => {
       val a = t(s, d, "documents")
       val b = a.where(col("doc_id") % 7 =!= 3)
@@ -3096,6 +3118,33 @@ object SparkEntry {
         |FROM (SELECT id, min(hops) AS hops FROM bfs
         |      WHERE id IS NOT NULL GROUP BY id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // text inequality in SQL vs hash inequality in the engine (snapshotDiff
+    // collision caveat); the three UNION branches are exactly the keep /
+    // close / open cases the engine emits from its array-explode
+    "scd2_apply_documents" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT a.doc_id AS ak, a.text AS at, b.doc_id AS bk, b.text AS bt
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        |out AS (
+        |  SELECT ak AS doc_id, CAST(length(at) AS INTEGER) AS len,
+        |         CAST(0 AS BIGINT) AS valid_from_ms, CAST(NULL AS BIGINT) AS valid_to_ms
+        |  FROM j WHERE ak IS NOT NULL AND (bk IS NULL OR at = bt)
+        |  UNION ALL
+        |  SELECT ak, CAST(length(at) AS INTEGER), CAST(0 AS BIGINT),
+        |         CAST(86400000 AS BIGINT)
+        |  FROM j WHERE ak IS NOT NULL AND bk IS NOT NULL AND at <> bt
+        |  UNION ALL
+        |  SELECT bk, CAST(length(bt) AS INTEGER), CAST(86400000 AS BIGINT),
+        |         CAST(NULL AS BIGINT)
+        |  FROM j WHERE bk IS NOT NULL AND (ak IS NULL OR at <> bt))
+        |SELECT doc_id, len, valid_from_ms, valid_to_ms
+        |FROM out ORDER BY doc_id, valid_from_ms""".stripMargin,
 
     // text inequality in SQL vs 64-bit hash inequality in the engine:
     // identical verdicts barring an xxhash64 collision (see snapshotDiff)

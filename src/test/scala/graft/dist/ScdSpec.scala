@@ -1,0 +1,49 @@
+package graft.dist
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim(rows: Seq[(Long, Long, Long, Option[Long])]) =
+    rows.toDF("k", "h", "valid_from_ms", "valid_to_ms")
+  private def batch(rows: Seq[(Long, Long)]) = rows.toDF("k", "h")
+
+  test("applyChanges: keep, close+open, insert, and history passthrough") {
+    val d = dim(Seq(
+      (1L, 10L, 0L, None),           // unchanged by the batch
+      (2L, 20L, 0L, None),           // will change: hash 20 -> 21
+      (2L, 19L, -5L, Some(0L)),      // closed history: must pass through
+      (3L, 30L, 0L, None)))          // absent from batch: passes through
+    val b = batch(Seq((1L, 10L), (2L, 21L), (4L, 40L)))
+    val out = Scd.applyChanges(d, b, "k", "h", asOfMs = 100L)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, 0L, None),           // same hash: untouched
+      (2L, 19L, -5L, Some(0L)),      // history intact
+      (2L, 20L, 0L, Some(100L)),     // superseded version closed at asOf
+      (2L, 21L, 100L, None),         // new current version opened
+      (3L, 30L, 0L, None),           // no change row: untouched
+      (4L, 40L, 100L, None)))        // brand-new key
+  }
+
+  test("applyChanges is idempotent: re-applying the same batch is a no-op") {
+    val d = dim(Seq((1L, 10L, 0L, None), (2L, 20L, 0L, None)))
+    val b = batch(Seq((1L, 11L), (3L, 30L)))
+    val once = Scd.applyChanges(d, b, "k", "h", asOfMs = 50L)
+    val twice = Scd.applyChanges(once, b, "k", "h", asOfMs = 99L)
+    assert(twice.collect().toSet == once.collect().toSet)
+    // exactly one current version per key after any number of applications
+    val perKey = twice.where(col("valid_to_ms").isNull)
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(perKey == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("applyChanges rejects a dimension whose schema drifts from the batch") {
+    val d = dim(Seq((1L, 10L, 0L, None))).withColumnRenamed("h", "hash")
+    intercept[IllegalArgumentException] {
+      Scd.applyChanges(d, batch(Seq((1L, 10L))), "k", "h", asOfMs = 1L)
+    }
+  }
+}
