@@ -673,6 +673,34 @@ object SparkEntry {
         .select("doc_id", "len", "valid_from_ms", "valid_to_ms")
         .orderBy("doc_id", "valid_from_ms")
     }),
+    // point-in-time (as-of) dimension lookup: every lineitem priced by the
+    // part version valid AT ITS SHIP DATE — the temporal-join pattern that
+    // makes SCD2 history useful; dim broadcast, validity range as a join
+    // residual on the equi key (hash join, never a nested loop)
+    "scd2_asof_lookup_lineitem" -> ((s, d) => {
+      val t2 = lit(836179200000L) // 1996-07-01 UTC: the v2 cutover
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+      val dim = p.select(col("p_partkey"),
+          col("p_retailprice").as("price"), lit(0L).as("vf"),
+          when(col("p_partkey") % 4 === 0, t2)
+            .otherwise(lit(null).cast("long")).as("vt"),
+          lit(1).as("ver"))
+        .unionByName(p.where(col("p_partkey") % 4 === 0)
+          .select(col("p_partkey"), (col("p_retailprice") * 1.1).as("price"),
+            t2.as("vf"), lit(null).cast("long").as("vt"), lit(2).as("ver")))
+      val li = t(s, d, "lineitem").select(col("l_partkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("l_quantity"))
+      li.join(broadcast(dim),
+          col("l_partkey") === col("p_partkey") &&
+            col("ship_ms") >= col("vf") &&
+            (col("vt").isNull || col("ship_ms") < col("vt")))
+        .groupBy("ver")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_quantity") * col("price")).cast("decimal(18,6)"))
+            .cast("double").as("value"))
+        .orderBy("ver")
+    }),
     "snapshot_diff_documents" -> ((s, d) => {
       val a = t(s, d, "documents")
       val b = a.where(col("doc_id") % 7 =!= 3)
@@ -3117,6 +3145,24 @@ object SparkEntry {
         |SELECT hops, count(*) AS n_nodes
         |FROM (SELECT id, min(hops) AS hops FROM bfs
         |      WHERE id IS NOT NULL GROUP BY id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd2_asof_lookup_lineitem" ->
+      """WITH dim AS (
+        |  SELECT p_partkey, p_retailprice AS price, CAST(0 AS BIGINT) AS vf,
+        |         CASE WHEN p_partkey % 4 = 0 THEN CAST(836179200000 AS BIGINT) END AS vt,
+        |         1 AS ver
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, p_retailprice * 1.1, CAST(836179200000 AS BIGINT),
+        |         CAST(NULL AS BIGINT), 2
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |f AS (SELECT l_partkey, epoch_ms(l_shipdate) AS ship_ms, l_quantity
+        |      FROM lineitem)
+        |SELECT ver, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity * price AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM f JOIN dim ON l_partkey = p_partkey
+        |             AND ship_ms >= vf AND (vt IS NULL OR ship_ms < vt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // text inequality in SQL vs hash inequality in the engine (snapshotDiff
