@@ -49,7 +49,10 @@ object Checks {
                             tolerance: Double = 0.0)
       extends Check { val name = s"subset_of($colName)" }
 
-  private def isViolated(df: DataFrame, c: Check): Option[Column] = c match {
+  /** Row-local violation predicate for `c`, or None when the rule needs its
+    * own aggregate/join (Unique, SubsetOf). Shared with the streaming gate,
+    * which can only evaluate row-local rules inside a windowed aggregate. */
+  private[graft] def isViolated(df: DataFrame, c: Check): Option[Column] = c match {
     case NotNull(cn, _) =>
       val x = df(cn)
       Some(if (df.schema(cn).dataType == org.apache.spark.sql.types.DoubleType)

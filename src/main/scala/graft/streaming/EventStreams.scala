@@ -158,6 +158,42 @@ object EventStreams {
         tot.cast("long").as("n_events"), tvd.as("tvd"))
   }
 
+  /** Streaming data-quality gate: per event-time tumbling window, evaluate
+    * the ROW-LOCAL subset of [[graft.dist.Checks]] rules (null / range /
+    * predicate — uniqueness and referential integrity need unbounded state
+    * and stay batch-side) as conditional counts inside one windowed
+    * aggregate, and emit a verdict row per (window, rule) with the same
+    * metric/pass semantics as the batch gate. The alarm face of
+    * `Checks.validate`: a feed whose violation rate crosses a rule's
+    * tolerance flips `pass` to false in that window.
+    *
+    * State = one count pair per (open window × rule) — rule-count-bounded,
+    * watermark-closed, append-mode exactly-once per window. */
+  def qualityGateStream(events: DataFrame, checks: Seq[graft.dist.Checks.Check],
+                        windowDur: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val rowLocal = checks.flatMap(c =>
+      graft.dist.Checks.isViolated(events, c).map(c -> _))
+    require(rowLocal.nonEmpty,
+      "qualityGateStream needs at least one row-local rule (null/range/predicate)")
+    val aggs = count(lit(1)).as("n") +:
+      rowLocal.zipWithIndex.map { case ((_, v), i) =>
+        sum(when(v, 1L).otherwise(0L)).as(s"v$i") }
+    val entries = rowLocal.zipWithIndex.map { case ((c, _), i) =>
+      struct(lit(c.name).as("check"), col("n").as("n_rows"),
+        col(s"v$i").as("n_violations"), lit(c.tolerance).as("tol"))
+    }
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("win_start"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("win_start"), col("e.check").as("check"),
+        col("e.n_rows").as("n_rows"), col("e.n_violations").as("n_violations"),
+        (col("e.n_violations").cast("double") / col("e.n_rows") <= col("e.tol"))
+          .as("pass"))
+  }
+
   /** Streaming z-score anomaly detection: per event type, maintain running
     * moments (count, Σx, Σx²) in keyed state and flag each arriving event
     * whose z-score against the moments SO FAR exceeds `zThresh` — the

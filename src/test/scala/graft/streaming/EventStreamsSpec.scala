@@ -217,6 +217,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGateStream: per-window rule verdicts match batch Checks semantics") {
+    import graft.dist.Checks.{InRange, NotNull}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.qualityGateStream(in.toDF(),
+        Seq(NotNull("value"), InRange("value", 0, 10, tolerance = 0.25)),
+        windowDur = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("dq").outputMode("append").start()
+    try {
+      // window 10:00: 4 rows, one NaN (null-rule violation), one 99
+      // (range violation; 1/4 = 0.25 <= tolerance passes)
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "a", Double.NaN),
+        Event(3, ts("2024-01-01 10:20:00"), 1, "a", 99.0),
+        Event(4, ts("2024-01-01 10:30:00"), 1, "a", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(9, ts("2024-01-01 13:30:00"), 1, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT `check`, n_rows, n_violations, pass FROM dq ORDER BY `check`")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(rows == Seq(
+        ("in_range(value,0.0,10.0)", 4L, 1L, true), // 0.25 <= 0.25
+        ("not_null(value)", 4L, 1L, false)))
+    } finally q.stop()
+  }
+
   test("anomalyStream flags only post-warmup outliers against running moments") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
