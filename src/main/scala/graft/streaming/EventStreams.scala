@@ -89,6 +89,29 @@ object EventStreams {
                    how: String = "left"): DataFrame =
     events.join(broadcast(dim), Seq(key), how)
 
+  /** Stream-static POINT-IN-TIME enrichment: each event joins the SCD2
+    * dimension version valid AT ITS EVENT TIME (`valid_from_ms ≤ ts <
+    * valid_to_ms`, null valid_to = current) — the streaming face of the
+    * batch as-of lookup, and the difference between "decorate with today's
+    * dim" and "decorate with the dim as it was when the event happened"
+    * (what training-data reproducibility actually needs: replaying
+    * yesterday's events must yield yesterday's features).
+    *
+    * Scale: stateless like [[enrichStream]] — the versioned dim broadcasts
+    * (versions multiply the dim, not the stream), the validity range is a
+    * join residual on the equi key, and the static side re-reads per
+    * micro-batch so newly applied [[graft.dist.Scd]] batches are picked up
+    * without a restart. */
+  def enrichAsOfStream(events: DataFrame, dim: DataFrame, key: String,
+                       dimKey: String): DataFrame = {
+    val tsMs = unix_millis(col("ts").cast("timestamp"))
+    events.join(broadcast(dim),
+      col(key) === dim(dimKey) &&
+        tsMs >= dim("valid_from_ms") &&
+        (dim("valid_to_ms").isNull || tsMs < dim("valid_to_ms")),
+      "left")
+  }
+
   /** Streaming exact dedup: first occurrence of each key wins; watermark
     * expires the seen-set state. This is the streaming face of
     * Dedup.dropExactDups (built-in stateful dropDuplicates — no custom

@@ -8,6 +8,7 @@ class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+  private def tsMs(s: String) = ts(s).getTime
 
   test("streaming hourly tumbling window aggregates per (hour, type)") {
     implicit val sqlCtx = spark.sqlContext
@@ -214,6 +215,31 @@ class EventStreamsSpec extends SparkSpec {
       val rows = spark.sql("SELECT win_start, n_events, tvd FROM drift ORDER BY win_start")
         .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSeq
       assert(rows == Seq(("2024-01-01 10:00:00.0", 3L, 0.5)))
+    } finally q.stop()
+  }
+
+  test("enrichAsOfStream: events pick the dimension version valid at event time") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: price 10 until 10:30, then 20; user 2: never in the dim
+    val dim = Seq(
+      (1L, 10.0, 0L, Some(tsMs("2024-01-01 10:30:00"))),
+      (1L, 20.0, tsMs("2024-01-01 10:30:00"), None: Option[Long])
+    ).toDF("uid", "price", "valid_from_ms", "valid_to_ms")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrichAsOfStream(in.toDF(), dim, "user_id", "uid")
+      .select("event_id", "price")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0), // v1 window
+        Event(2, ts("2024-01-01 10:30:00"), 1, "a", 1.0), // boundary: v2 (>= from, < to)
+        Event(3, ts("2024-01-01 11:00:00"), 1, "a", 1.0), // current version
+        Event(4, ts("2024-01-01 11:00:00"), 2, "a", 1.0)) // no dim row: left-kept
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, price FROM asof ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      assert(rows == Seq(
+        (1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)), (4L, None)))
     } finally q.stop()
   }
 
