@@ -54,14 +54,35 @@ object Checks {
     * which can only evaluate row-local rules inside a windowed aggregate. */
   private[graft] def isViolated(df: DataFrame, c: Check): Option[Column] = c match {
     case NotNull(cn, _) =>
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
       val x = df(cn)
-      Some(if (df.schema(cn).dataType == org.apache.spark.sql.types.DoubleType)
-        x.isNull || isnan(x) else x.isNull)
+      Some(df.schema(cn).dataType match {
+        case DoubleType | FloatType => x.isNull || isnan(x)
+        case _ => x.isNull
+      })
     case InRange(cn, lo, hi, _) =>
       val x = df(cn).cast("double")
       Some(x.isNotNull && !isnan(x) && (x < lo || x > hi))
     case Satisfies(e, _, _) => Some(!coalesce(expr(e), lit(false)))
     case _ => None // needs its own aggregate/join
+  }
+
+  /** The shared conditional-count aggregation columns and per-rule result
+    * structs for a set of row-local rules — used by both [[validate]] and
+    * the streaming gate so the two stay semantically identical. The sum is
+    * coalesced: over a 0-row frame `sum` is NULL while a rule over nothing
+    * has zero violations. Internal aliases are positional (rule names carry
+    * dots, which column resolution would read as nested-field access). */
+  private[graft] def ruleCounts(rowLocal: Seq[(Check, Column)])
+      : (Seq[Column], Seq[Column]) = {
+    val aggs = count(lit(1)).as("n") +:
+      rowLocal.zipWithIndex.map { case ((_, v), i) =>
+        coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(s"v$i") }
+    val entries = rowLocal.zipWithIndex.map { case ((c, _), i) =>
+      struct(lit(c.name).as("check"), col("n").as("n_rows"),
+        col(s"v$i").as("n_violations"), lit(c.tolerance).as("tol"))
+    }
+    (aggs, entries)
   }
 
   /** Evaluate all checks. Output: (check, n_rows, n_violations, metric,
@@ -75,16 +96,8 @@ object Checks {
         // one shared scan: every row-local rule is a conditional count in
         // the SAME aggregate, and the single result row is exploded into
         // per-rule rows — re-selecting the aggregate once per rule would
-        // let Catalyst clone the whole scan per union branch. Internal
-        // aliases are positional (rule names carry dots, which column
-        // resolution would read as nested-field access).
-        val aggs = count(lit(1)).as("n") +:
-          rowLocal.zipWithIndex.map { case ((_, v), i) =>
-            sum(when(v, 1L).otherwise(0L)).as(s"v$i") }
-        val entries = rowLocal.zipWithIndex.map { case ((c, _), i) =>
-          struct(lit(c.name).as("check"), col("n").as("n_rows"),
-            col(s"v$i").as("n_violations"), lit(c.tolerance).as("tol"))
-        }
+        // let Catalyst clone the whole scan per union branch.
+        val (aggs, entries) = ruleCounts(rowLocal)
         Seq(df.agg(aggs.head, aggs.tail: _*)
           .select(explode(array(entries: _*)).as("e"))
           .select(col("e.check").as("check"), col("e.n_rows").as("n_rows"),
@@ -99,11 +112,16 @@ object Checks {
           .select(lit(c.name).as("check"), col("n").as("n_rows"),
             col("v").as("n_violations"), lit(c.tolerance).as("tol"))
       case c @ SubsetOf(cn, ref, refCol, _) =>
-        val present = df.where(df(cn).isNotNull)
-        val orphans = present.join(ref.select(ref(refCol).as(cn)).distinct(),
-          Seq(cn), "left_anti")
-        present.agg(count(lit(1)).as("n")).crossJoin(
-            orphans.agg(count(lit(1)).as("v")))
+        // one scan of the validated frame: a left join against the distinct
+        // reference keys yields the row count AND the orphan count in the
+        // same aggregate (a separate anti-join would scan the fact twice)
+        val refKeys = ref.select(ref(refCol).as(cn)).distinct()
+          .withColumn("__ref_present", lit(true))
+        df.where(df(cn).isNotNull)
+          .join(refKeys, Seq(cn), "left")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("__ref_present").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("v"))
           .select(lit(c.name).as("check"), col("n").as("n_rows"),
             col("v").as("n_violations"), lit(c.tolerance).as("tol"))
     }

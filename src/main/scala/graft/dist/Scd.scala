@@ -38,11 +38,18 @@ object Scd {
       s"dim schema must be the change schema + valid_from_ms/valid_to_ms; " +
         s"got dim=${dim.columns.mkString(",")} changes=${payload.mkString(",")}")
     val hist = dim.where(col("valid_to_ms").isNotNull)
+    // side-presence markers, not key-null tests: a NULL business key joins
+    // nothing, and without the markers a null-key change row would read as
+    // "no change" and emit an all-null version while the upsert vanished.
+    // With them it classifies as an insert: a null key is a key that
+    // matches nothing, and no row is ever dropped.
     val cur = dim.where(col("valid_to_ms").isNull)
+      .withColumn("__cur_present", lit(true))
     val ch = payload.foldLeft(changes)((d, n) => d.withColumnRenamed(n, s"__c_$n"))
+      .withColumn("__c_present", lit(true))
     val j = cur.join(ch, col(keyCol) === col(s"__c_$keyCol"), "full_outer")
-    val noChange = col(s"__c_$keyCol").isNull
-    val isNew = col(keyCol).isNull
+    val noChange = col("__c_present").isNull
+    val isNew = col("__cur_present").isNull
     val same = col(hashCol) === col(s"__c_$hashCol")
     def version(cols: Seq[Column], vf: Column, vt: Column) =
       struct((cols :+ vf.as("valid_from_ms") :+ vt.as("valid_to_ms")): _*)

@@ -104,9 +104,12 @@ object EventStreams {
     * without a restart. */
   def enrichAsOfStream(events: DataFrame, dim: DataFrame, key: String,
                        dimKey: String): DataFrame = {
-    val tsMs = unix_millis(col("ts").cast("timestamp"))
+    // frame-qualified references: a dim sharing the stream's key or ts
+    // column name (the natural Scd-maintained shape) must not make the
+    // join condition ambiguous
+    val tsMs = unix_millis(events("ts").cast("timestamp"))
     events.join(broadcast(dim),
-      col(key) === dim(dimKey) &&
+      events(key) === dim(dimKey) &&
         tsMs >= dim("valid_from_ms") &&
         (dim("valid_to_ms").isNull || tsMs < dim("valid_to_ms")),
       "left")
@@ -197,15 +200,15 @@ object EventStreams {
                         watermark: String = "2 hours"): DataFrame = {
     val rowLocal = checks.flatMap(c =>
       graft.dist.Checks.isViolated(events, c).map(c -> _))
-    require(rowLocal.nonEmpty,
-      "qualityGateStream needs at least one row-local rule (null/range/predicate)")
-    val aggs = count(lit(1)).as("n") +:
-      rowLocal.zipWithIndex.map { case ((_, v), i) =>
-        sum(when(v, 1L).otherwise(0L)).as(s"v$i") }
-    val entries = rowLocal.zipWithIndex.map { case ((c, _), i) =>
-      struct(lit(c.name).as("check"), col("n").as("n_rows"),
-        col(s"v$i").as("n_violations"), lit(c.tolerance).as("tol"))
-    }
+    // reject rather than silently drop: a caller passing Unique/SubsetOf
+    // would otherwise believe those rules are being gated when they are
+    // never evaluated (they need unbounded state — batch-side only)
+    require(rowLocal.size == checks.size,
+      "qualityGateStream accepts only row-local rules (null/range/predicate); " +
+        "got: " + checks.filterNot(c =>
+          graft.dist.Checks.isViolated(events, c).isDefined)
+          .map(_.name).mkString(", "))
+    val (aggs, entries) = graft.dist.Checks.ruleCounts(rowLocal)
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur))
       .agg(aggs.head, aggs.tail: _*)

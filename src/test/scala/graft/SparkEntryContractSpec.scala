@@ -42,9 +42,7 @@ class SparkEntryContractSpec extends SparkSpec {
     // source-count-row train sketch frame — same bounded shape
     "decontam_theta_documents",
     // crossJoin of three 1-row count aggregates (nodes/edges/triangles)
-    "copurchase_triangles_lineitem",
-    // SubsetOf rule: crossJoin of two 1-row count aggregates (rows/orphans)
-    "dq_checks_lineitem")
+    "copurchase_triangles_lineitem")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {

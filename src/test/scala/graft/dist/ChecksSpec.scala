@@ -54,6 +54,23 @@ class ChecksSpec extends SparkSpec {
     assert(clean.values.forall(_._4))
   }
 
+  test("0-row frame: zero violations everywhere, not NULL counts") {
+    val df = Seq((1L, 2.0)).toDF("id", "v").where($"id" < 0)
+    val r = run(df, Seq(NotNull("id"), InRange("v", 0, 10),
+      Unique(Seq("id")), SubsetOf("id", Seq(1L).toDF("rk"), "rk")))
+    r.values.foreach { case (n, v, m, pass) =>
+      assert(n == 0L && v == 0L && m == 0.0 && pass)
+    }
+  }
+
+  test("NotNull counts NaN on float columns too, not just double") {
+    val df = Seq(Some(1.0f), Some(Float.NaN), None).toDF("f")
+    val r = run(df, Seq(NotNull("f")))
+    assert(r("not_null(f)") == ((3L, 2L, round2(2.0 / 3), false)))
+  }
+
+  private def round2(x: Double) = math.rint(x * 1e9) / 1e9
+
   test("row-local rules share one aggregate: a single scan of the source") {
     val df = Seq((1L, 2.0)).toDF("id", "v")
     val plan = Checks.validate(df,

@@ -40,6 +40,21 @@ class ScdSpec extends SparkSpec {
     assert(perKey == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("applyChanges: null-key rows are never dropped and never misclassified") {
+    // a null business key joins nothing: the null-key current row passes
+    // through untouched and the null-key change row opens its own version
+    val d = Seq((Option(1L), 10L, 0L, None: Option[Long]),
+        (None: Option[Long], 77L, 0L, None: Option[Long]))
+      .toDF("k", "h", "valid_from_ms", "valid_to_ms")
+    val b = Seq((None: Option[Long], 88L)).toDF("k", "h")
+    val out = Scd.applyChanges(d, b, "k", "h", asOfMs = 100L)
+      .as[(Option[Long], Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (Some(1L), 10L, 0L, None),
+      (None, 77L, 0L, None),    // untouched, NOT closed, NOT nulled out
+      (None, 88L, 100L, None))) // the change row survives as an insert
+  }
+
   test("applyChanges rejects a dimension whose schema drifts from the batch") {
     val d = dim(Seq((1L, 10L, 0L, None))).withColumnRenamed("h", "hash")
     intercept[IllegalArgumentException] {

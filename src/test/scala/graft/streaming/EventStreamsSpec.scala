@@ -272,6 +272,17 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGateStream rejects non-row-local rules instead of dropping them") {
+    import graft.dist.Checks.{NotNull, Unique}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.qualityGateStream(in.toDF(),
+        Seq(NotNull("value"), Unique(Seq("event_id"))))
+    }
+    assert(e.getMessage.contains("unique(event_id)"))
+  }
+
   test("anomalyStream flags only post-warmup outliers against running moments") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
