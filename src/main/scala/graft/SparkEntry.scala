@@ -90,6 +90,11 @@ object SparkEntry {
     "dist_tvd_events" -> ((s, d) =>
       graft.dist.Stats.distributionDistance(events(s, d), "value", "event_type")),
 
+    // pairwise PSI drift between event-type value distributions (Laplace-
+    // smoothed shares, per-term 9-decimal rounding then exact decimal sum)
+    "psi_drift_events" -> ((s, d) =>
+      graft.dist.Stats.psiMatrix(events(s, d), "value", "event_type")),
+
     // per-type z-score outliers with exact decimal moments (sum/sum-of-
     // squares as DECIMAL(30,8)); |z| >= 1.5 keeps the distribution tails
     "zscore_outliers_events" -> ((s, d) =>
@@ -2239,6 +2244,39 @@ object SparkEntry {
         |       CAST(sum(term) AS DOUBLE) / (2.0 * CAST(any_value(tota) AS DOUBLE) * CAST(any_value(totb) AS DOUBLE)) AS tvd,
         |       CAST(max(ksterm) AS DOUBLE) / (CAST(any_value(tota) AS DOUBLE) * CAST(any_value(totb) AS DOUBLE)) AS ks
         |FROM terms GROUP BY grp_a, grp_b ORDER BY grp_a, grp_b""".stripMargin,
+
+    // same binning spine as dist_tvd; each PSI term rounded to 9 decimals
+    // BEFORE the sum (the operator's declared contract — makes the result
+    // bin-order-independent despite the transcendental ln)
+    "psi_drift_events" ->
+      """WITH src AS (
+        |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        |cnts AS (
+        |  SELECT grp, CAST(least(floor((x - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bin_id,
+        |         count(*) AS cnt
+        |  FROM src, b WHERE x >= lo AND x <= hi GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.grp, CAST(r.range AS INTEGER) AS bin_id
+        |  FROM (SELECT DISTINCT grp FROM src) g CROSS JOIN range(10) r),
+        |d AS (
+        |  SELECT s.grp, s.bin_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |  FROM spine s LEFT JOIN cnts c ON s.grp = c.grp AND s.bin_id = c.bin_id),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS tot FROM d GROUP BY grp),
+        |terms AS (
+        |  SELECT da.grp AS grp_a, db.grp AS grp_b, ta.tot AS tota, tb.tot AS totb,
+        |         CAST(round(
+        |           ((CAST(da.cnt AS DOUBLE) + 0.5) / (CAST(ta.tot AS DOUBLE) + 5.0)
+        |          - (CAST(db.cnt AS DOUBLE) + 0.5) / (CAST(tb.tot AS DOUBLE) + 5.0))
+        |          * ln(((CAST(da.cnt AS DOUBLE) + 0.5) / (CAST(ta.tot AS DOUBLE) + 5.0))
+        |             / ((CAST(db.cnt AS DOUBLE) + 0.5) / (CAST(tb.tot AS DOUBLE) + 5.0))),
+        |           9) AS DECIMAL(19,9)) AS term
+        |  FROM d da JOIN d db ON da.bin_id = db.bin_id AND da.grp < db.grp
+        |  JOIN tot ta ON ta.grp = da.grp JOIN tot tb ON tb.grp = db.grp)
+        |SELECT grp_a, grp_b, any_value(tota) AS n_a, any_value(totb) AS n_b,
+        |       CAST(sum(term) AS DOUBLE) AS psi
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // moments as exact DECIMAL(30,8) sums (event values have <= 2 decimals,
     // squares <= 4 — the cast is lossless), z rounded to 9 so the filter

@@ -76,25 +76,37 @@ object Stats {
     * oracle-checkable. Bounded by group cardinality: fine for categorical
     * group columns (≤ ~1000 groups); a million-group comparison would want
     * the pair-join formulation instead. */
-  def distributionDistance(df: DataFrame, valueCol: String, groupCol: String,
-                           n: Int = 10,
-                           range: Option[(Double, Double)] = None): DataFrame = {
+  /** Shared first half of the pairwise-histogram comparators
+    * ([[distributionDistance]], [[psiMatrix]]): one HistogramAgg count
+    * vector per group over a common equal-width grid, gathered into a
+    * single array and expanded to a<b pairs expression-side — ONE scan, no
+    * self-join. Returns the pairs frame; each row carries `p.a` / `p.b`
+    * structs with (grp, tot, cnts). */
+  private def groupHistPairs(df: DataFrame, valueCol: String, groupCol: String,
+                             n: Int, range: Option[(Double, Double)],
+                             measure: String): (DataFrame, Seq[Double]) = {
     val clean = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
       .where(col("grp").isNotNull && col("x").isNotNull && !isnan(col("x")))
     val (lo, hi) = range.getOrElse(Binning.minMaxOf(clean))
-    require(hi > lo, s"degenerate range [$lo, $hi]: all values equal, every pairwise TVD is 0")
+    require(hi > lo, s"degenerate range [$lo, $hi]: all values equal, every pairwise $measure is 0")
     val es = Binning.equalWidthEdges(lo, hi, n)
     val perGroup = clean.where(col("x") >= lit(lo) && col("x") <= lit(hi))
       .groupBy(col("grp"))
       .agg(graft.functions.HistogramAgg.hist_counts(col("x"), es).as("cnts"))
       .select(col("grp"), col("cnts"),
         aggregate(col("cnts"), lit(0L), (a, c) => a + c).as("tot"))
-    // gather the n_groups aggregated rows; expand a<b pairs expression-side
     val pairs = perGroup
       .agg(collect_list(struct(col("grp"), col("tot"), col("cnts"))).as("gs"))
       .select(explode(filter(
         flatten(transform(col("gs"), a => transform(col("gs"), b => struct(a.as("a"), b.as("b"))))),
         p => p.getField("a").getField("grp") < p.getField("b").getField("grp"))).as("p"))
+    (pairs, es)
+  }
+
+  def distributionDistance(df: DataFrame, valueCol: String, groupCol: String,
+                           n: Int = 10,
+                           range: Option[(Double, Double)] = None): DataFrame = {
+    val (pairs, es) = groupHistPairs(df, valueCol, groupCol, n, range, "TVD")
     val (a, b) = (col("p").getField("a"), col("p").getField("b"))
     val dec = "decimal(19,0)"
     val termSum = aggregate(
@@ -117,6 +129,41 @@ object Stats {
           (lit(2.0) * a.getField("tot").cast("double") * b.getField("tot").cast("double"))).as("tvd"),
         (ksMax.cast("double") /
           (a.getField("tot").cast("double") * b.getField("tot").cast("double"))).as("ks"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** Pairwise Population Stability Index — the ML-ops drift metric
+    * (`PSI = Σ_i (p_i − q_i)·ln(p_i/q_i)`, conventional reading: <0.1
+    * stable, 0.1–0.25 moderate shift, >0.25 drifted) over the same
+    * shared-grid group histograms as [[distributionDistance]]. Bin shares
+    * are Laplace-smoothed (`(cnt + eps)/(tot + n·eps)`) so empty bins
+    * cannot produce ln(0).
+    *
+    * Determinism contract: ln() is transcendental, so unlike TVD/KS the
+    * per-bin terms cannot be exact decimals. Each TERM is rounded to 9
+    * decimals and summed as exact DECIMAL — the rounding is part of the
+    * operator's definition, making the result independent of bin
+    * summation order and reproducible cross-engine. */
+  def psiMatrix(df: DataFrame, valueCol: String, groupCol: String,
+                n: Int = 10, range: Option[(Double, Double)] = None,
+                eps: Double = 0.5): DataFrame = {
+    require(eps > 0, "eps must be > 0 (smoothing guards ln(0))")
+    val (pairs, es) = groupHistPairs(df, valueCol, groupCol, n, range, "PSI")
+    val nBins = es.size - 1
+    val (a, b) = (col("p").getField("a"), col("p").getField("b"))
+    def share(cnt: Column, tot: Column): Column =
+      (cnt.cast("double") + lit(eps)) / (tot.cast("double") + lit(nBins * eps))
+    val terms = zip_with(a.getField("cnts"), b.getField("cnts"), (x, y) => {
+      val pa = share(x, a.getField("tot"))
+      val qb = share(y, b.getField("tot"))
+      round((pa - qb) * log(pa / qb), 9).cast("decimal(19,9)")
+    })
+    pairs.select(
+        a.getField("grp").as("grp_a"), b.getField("grp").as("grp_b"),
+        a.getField("tot").as("n_a"), b.getField("tot").as("n_b"),
+        aggregate(terms, lit(0).cast("decimal(28,9)"),
+            (acc, t) => (acc + t).cast("decimal(28,9)"))
+          .cast("double").as("psi"))
       .orderBy("grp_a", "grp_b")
   }
 

@@ -424,6 +424,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 50.5) < 1e-12)
   }
 
+  test("psiMatrix: identical groups score 0; shift matches the hand formula") {
+    // two bins over [0,10); a balanced 5/5, b skewed 8/2, c identical to a
+    val rows = (Seq.fill(5)(2.0) ++ Seq.fill(5)(7.0)).map(("a", _)) ++
+      (Seq.fill(8)(2.0) ++ Seq.fill(2)(7.0)).map(("b", _)) ++
+      (Seq.fill(5)(2.0) ++ Seq.fill(5)(7.0)).map(("c", _))
+    val r = Stats.psiMatrix(rows.toDF("g", "v"), "v", "g",
+        n = 2, range = Some((0.0, 10.0)))
+      .select("grp_a", "grp_b", "psi").as[(String, String, Double)]
+      .collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(r(("a", "c")) == 0.0) // identical histograms: exactly zero
+    def share(c: Long) = (c + 0.5) / 11.0 // tot 10 + 2 bins * eps 0.5
+    def term(ca: Long, cb: Long) = {
+      val (p, q) = (share(ca), share(cb))
+      math.rint((p - q) * math.log(p / q) * 1e9) / 1e9
+    }
+    val expect = BigDecimal(term(5, 8)) + BigDecimal(term(5, 2))
+    assert(r(("a", "b")) == expect.toDouble)
+    assert(r(("b", "c")) == expect.toDouble) // PSI is symmetric
+    assert(r(("a", "b")) > 0.1) // a genuine shift reads as drift
+  }
+
   test("skyline2d: hand case — dominance, x-ties, exact duplicates") {
     // minimize x, maximize y. (1,5) and (3,7) survive; (2,4) is dominated by
     // (1,5); (3,6) dominated by (3,7) via the x-tie; (1,5) duplicate row
