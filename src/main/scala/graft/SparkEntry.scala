@@ -95,6 +95,11 @@ object SparkEntry {
     "psi_drift_events" -> ((s, d) =>
       graft.dist.Stats.psiMatrix(events(s, d), "value", "event_type")),
 
+    // feed-outage listing: silent intervals > 2h per event type ("the feed
+    // stopped" vs "the metric dropped"); one type-keyed sort window
+    "feed_gaps_events" -> ((s, d) =>
+      graft.dist.EventAnalytics.feedGaps(events(s, d), minGapSeconds = 7200)),
+
     // per-type z-score outliers with exact decimal moments (sum/sum-of-
     // squares as DECIMAL(30,8)); |z| >= 1.5 keeps the distribution tails
     "zscore_outliers_events" -> ((s, d) =>
@@ -2277,6 +2282,17 @@ object SparkEntry {
         |SELECT grp_a, grp_b, any_value(tota) AS n_a, any_value(totb) AS n_b,
         |       CAST(sum(term) AS DOUBLE) AS psi
         |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "feed_gaps_events" ->
+      """WITH s AS (
+        |  SELECT event_type, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT event_type, epoch_ms(prev) AS gap_start_ms, epoch_ms(ts) AS gap_end_ms,
+        |       (epoch_us(ts) - epoch_us(prev)) / 1000000.0 AS gap_s
+        |FROM s
+        |WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 7200000000
+        |ORDER BY event_type, gap_start_ms""".stripMargin,
 
     // moments as exact DECIMAL(30,8) sums (event values have <= 2 decimals,
     // squares <= 4 — the cast is lossless), z rounded to 9 so the filter

@@ -246,6 +246,30 @@ object EventAnalytics {
       .orderBy("cohort_ms", "day_offset")
   }
 
+  /** Feed-outage detection: per event type, the silent intervals longer
+    * than `minGapSeconds` between consecutive events — the monitoring
+    * primitive that distinguishes "the metric dropped" from "the feed
+    * stopped". One type-keyed sort window over (type, ts) pairs; gap
+    * arithmetic in exact micros. Output: (event_type, gap_start_ms,
+    * gap_end_ms, gap_s) per detected outage. */
+  def feedGaps(events: DataFrame, minGapSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minGapSeconds > 0, "minGapSeconds must be > 0")
+    val byType = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    events
+      .where(col("event_type").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(byType))
+      .where(col("prev").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev")) > minGapSeconds * 1000000L)
+      .select(col("event_type"),
+        unix_millis(col("prev")).as("gap_start_ms"),
+        unix_millis(col("ts")).as("gap_end_ms"),
+        ((unix_micros(col("ts")) - unix_micros(col("prev"))) / lit(1000000.0))
+          .as("gap_s"))
+      .orderBy("event_type", "gap_start_ms")
+  }
+
   /** Seasonal (hour-of-day) anomaly detection: baseline mean/variance per
     * (event_type, hour-of-day) cell from exact decimal power sums, then
     * every event is z-scored against ITS OWN cell — "a metric value normal

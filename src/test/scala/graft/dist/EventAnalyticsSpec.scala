@@ -128,6 +128,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r == Seq(("click", 1L), ("purchase", 1L), ("signup", 1L), ("view", 1L)))
   }
 
+  test("feedGaps: only super-threshold silences, per type, exact bounds") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:30:00"), "a"), // 30 min: below threshold
+      (3L, 1L, ts("2024-01-01 13:00:00"), "a"), // 2.5 h gap: reported
+      (4L, 1L, ts("2024-01-01 10:00:00"), "b"),
+      (5L, 1L, ts("2024-01-01 12:00:00"), "b")  // exactly 2 h: NOT > threshold
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.feedGaps(ev, minGapSeconds = 7200)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(("a",
+      ts("2024-01-01 10:30:00").getTime, ts("2024-01-01 13:00:00").getTime,
+      9000.0)))
+  }
+
   test("seasonalAnomalies: an event is judged by its own hour-of-day cell") {
     // hour 10 baseline {10,10,10,40}; hour 3 baseline {10,10,10,10,10,40}:
     // the SAME value 40 z-scores differently per cell; constant cells
