@@ -184,6 +184,43 @@ object EventStreams {
         tot.cast("long").as("n_events"), tvd.as("tvd"))
   }
 
+  /** Streaming PSI drift monitor: per event-time window, bin the value
+    * column and report the Population Stability Index against a REFERENCE
+    * histogram — the sibling of [[driftStream]] with the ML-ops drift
+    * metric instead of TVD (conventional reading: <0.1 stable, 0.1–0.25
+    * moderate, >0.25 drifted). Same Laplace smoothing and per-term
+    * 9-decimal rounding contract as the batch
+    * [[graft.dist.Stats.psiMatrix]], so window scores are reproducible
+    * across engines and restarts. State = one fixed-width count vector per
+    * open window; append-mode exactly-once per closed window. */
+  def psiDriftStream(events: DataFrame, valueCol: String, edges: Seq[Double],
+                     refCounts: Seq[Long], windowDur: String = "1 hour",
+                     watermark: String = "2 hours",
+                     eps: Double = 0.5): DataFrame = {
+    graft.dist.Binning.validateEdges(edges)
+    require(refCounts.size == edges.size - 1, "refCounts must have one entry per bin")
+    require(refCounts.sum > 0, "reference histogram is empty")
+    require(eps > 0, "eps must be > 0 (smoothing guards ln(0))")
+    val nBins = edges.size - 1
+    val x = col(valueCol).cast("double")
+    val tot = aggregate(col("cnts"), lit(0L), (a, c) => a + c).cast("double")
+    val refTot = lit(refCounts.sum.toDouble + nBins * eps)
+    val ref = typedLit(refCounts.map(_.toDouble))
+    val psi = aggregate(
+      zip_with(col("cnts"), ref, (c, r) => {
+        val p = (c.cast("double") + lit(eps)) / (tot + lit(nBins * eps))
+        val q = (r + lit(eps)) / refTot
+        round((p - q) * log(p / q), 9).cast("decimal(19,9)")
+      }),
+      lit(0).cast("decimal(28,9)"), (a, t) => (a + t).cast("decimal(28,9)"))
+    events.withWatermark("ts", watermark)
+      .where(x.isNotNull && !isnan(x) && x >= lit(edges.head) && x <= lit(edges.last))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.HistogramAgg.hist_counts(x, edges).as("cnts"))
+      .select(col("window.start").as("win_start"),
+        tot.cast("long").as("n_events"), psi.cast("double").as("psi"))
+  }
+
   /** Streaming data-quality gate: per event-time tumbling window, evaluate
     * the ROW-LOCAL subset of [[graft.dist.Checks]] rules (null / range /
     * predicate — uniqueness and referential integrity need unbounded state

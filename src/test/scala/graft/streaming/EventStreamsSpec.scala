@@ -283,6 +283,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("unique(event_id)"))
   }
 
+  test("psiDriftStream: window PSI matches the smoothed hand formula") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // reference: even 1/1 over bins [0,5) and [5,10]
+    val q = EventStreams.psiDriftStream(in.toDF(), "value", Seq(0.0, 5.0, 10.0),
+        refCounts = Seq(1L, 1L), windowDur = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("psidrift").outputMode("append").start()
+    try {
+      // window 10:00: all 3 events in bin 0
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "a", 2.0),
+        Event(3, ts("2024-01-01 10:20:00"), 1, "a", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(9, ts("2024-01-01 13:30:00"), 1, "a", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, n_events, psi FROM psidrift")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+      // p = (3.5/4, 0.5/4); q = (1.5/3, 1.5/3); per-term rounded to 9
+      def term(p: Double, qq: Double) =
+        math.rint((p - qq) * math.log(p / qq) * 1e9) / 1e9
+      val expect =
+        (BigDecimal(term(3.5 / 4, 0.5)) + BigDecimal(term(0.5 / 4, 0.5))).toDouble
+      assert(rows == Seq(("2024-01-01 10:00:00.0", 3L, expect)))
+    } finally q.stop()
+  }
+
   test("anomalyStream flags only post-warmup outliers against running moments") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
