@@ -133,6 +133,12 @@ object SparkEntry {
       graft.dist.Stats.approxDistinct(t(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_extendedprice"))),
 
+    // Benford first-digit audit on prices: fabricated/truncated-data
+    // screen; digit read from integer cents (no float log10 at the bin
+    // boundary), Benford constants as shared 9-decimal literals
+    "benford_audit_lineitem" -> ((s, d) =>
+      graft.dist.Stats.benfordAudit(t(s, d, "lineitem"), "l_extendedprice")),
+
     // exact Pearson correlations between lineitem numerics, one scan
     "corr_lineitem" -> ((s, d) =>
       graft.dist.Stats.correlation(t(s, d, "lineitem"),
@@ -2919,6 +2925,29 @@ object SparkEntry {
         |       CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_before,
         |       CAST(sum(CAST(greatest(least(v, p_hi), p_lo) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_after
         |FROM src CROSS JOIN b""".stripMargin,
+
+    // digit from integer cents in both engines; Benford constants
+    // interpolated from the SAME Scala literals the engine embeds
+    "benford_audit_lineitem" -> {
+      val bf = graft.dist.Stats.benfordShares
+      val caseExpr = (1 to 9).map(d => s"WHEN $d THEN ${bf(d - 1)}")
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH u AS (
+         |  SELECT CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT) AS units
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL
+         |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+         |    AND CAST(l_extendedprice AS DOUBLE) > 0),
+         |c AS (
+         |  SELECT CAST(substr(CAST(units AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |         count(*) AS n
+         |  FROM u WHERE units > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+         |SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 9) AS obs_share,
+         |       CAST($caseExpr AS DOUBLE) AS benford_share,
+         |       round(CAST(n AS DOUBLE) / tot / CAST($caseExpr AS DOUBLE), 9) AS lift
+         |FROM c, t ORDER BY digit""".stripMargin
+    },
 
     // moments as exact DECIMAL(38,8) sums; one fixed double tree per pair
     "corr_lineitem" -> {

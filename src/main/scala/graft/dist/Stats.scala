@@ -745,6 +745,44 @@ object Stats {
       approx_count_distinct(col(cols.head), rsd).as(s"n_${cols.head}"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"n_$c")): _*)
 
+  /** Benford's-law first-digit audit: the leading-digit distribution of a
+    * positive amount column against the Benford expectation
+    * `P(d) = log10(1 + 1/d)` — the classic screen for fabricated or
+    * truncated numeric data (real multiplicative processes follow it;
+    * uniform synthetics and capped values visibly don't). Output: one row
+    * per digit 1-9 with observed count, observed share, expected share,
+    * and the lift ratio.
+    *
+    * Determinism: the value is scaled to integer units (`scale`, default
+    * cents) and the digit read from the integer's decimal string — no
+    * float log10 at the digit boundary, so binning is bit-stable in any
+    * engine; shares are single double divisions rounded to 9. The Benford
+    * constants are 9-decimal literals so an oracle can embed the exact
+    * same numbers. One scan, 9-row output. */
+  val benfordShares: Seq[Double] =
+    (1 to 9).map(d => math.rint(math.log10(1 + 1.0 / d) * 1e9) / 1e9)
+
+  def benfordAudit(df: DataFrame, colName: String, scale: Int = 100): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val x = col(colName).cast("double")
+    val units = round(x * scale, 0).cast("long")
+    val digit = substring(units.cast("string"), 1, 1).cast("int")
+    val expected = element_at(
+      typedLit(benfordShares), col("digit"))
+    val counted = df.where(x.isNotNull && !isnan(x) && x > 0)
+      .where(units > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    // grand total via a window over the 9 aggregated rows (a crossJoin with
+    // a 1-row agg would plan a nested-loop join for nothing)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    counted.withColumn("tot", sum(col("n")).over(w))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot"), 9).as("obs_share"),
+        expected.as("benford_share"),
+        round(col("n").cast("double") / col("tot") / expected, 9).as("lift"))
+      .orderBy("digit")
+  }
+
   /** 2-D skyline (Pareto front): the distinct (x, y) points not dominated by
     * any other point, where p dominates q iff p.x ≤ q.x ∧ p.y ≥ q.y with at
     * least one strict — "x is a cost, y is a benefit". Output is each

@@ -424,6 +424,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 50.5) < 1e-12)
   }
 
+  test("benfordAudit: integer-cents digit binning, shares, sub-cent drop") {
+    val df = Seq(1.23, 19.5, 0.05, 25.0, 999.99, 0.001, -3.0)
+      .toDF("amount")
+    // digits: 123->1, 1950->1, 5->5, 2500->2, 99999->9;
+    // 0.001 rounds to 0 cents (dropped), -3.0 dropped (non-positive)
+    val r = Stats.benfordAudit(df, "amount")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet == Set(1, 2, 5, 9))
+    assert(r(1)._2 == 2L && r(2)._2 == 1L && r(5)._2 == 1L && r(9)._2 == 1L)
+    assert(r(1)._3 == 0.4) // 2 of 5
+    assert(r(1)._4 == Stats.benfordShares.head)
+    assert(r(1)._5 == math.rint(0.4 / Stats.benfordShares.head * 1e9) / 1e9)
+  }
+
   test("psiMatrix: identical groups score 0; shift matches the hand formula") {
     // two bins over [0,10); a balanced 5/5, b skewed 8/2, c identical to a
     val rows = (Seq.fill(5)(2.0) ++ Seq.fill(5)(7.0)).map(("a", _)) ++
