@@ -2791,7 +2791,9 @@ object SparkEntry {
         |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 100 THEN 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // group representative = min doc_id per source, same Knuth thresholds
+    // group representative = min doc_id per source, same Knuth thresholds;
+    // null-safe join mirrors the engine's assignSplitsBy contract (a split
+    // assigner must never drop rows, even null-source ones)
     "split_by_source_documents" ->
       """WITH rep AS (SELECT source, min(doc_id) AS r FROM documents GROUP BY 1),
         |a AS (
@@ -2801,7 +2803,7 @@ object SparkEntry {
         |              WHEN ((r * 2654435761) % 4294967296) % 100 < 100 THEN 'test' END AS split
         |  FROM rep)
         |SELECT split, count(*) AS n_docs, count(DISTINCT d.source) AS n_sources
-        |FROM documents d JOIN a USING (source)
+        |FROM documents d JOIN a ON d.source IS NOT DISTINCT FROM a.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // text equality in SQL vs 64-bit hash groups in the engine (identical

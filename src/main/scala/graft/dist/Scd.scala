@@ -45,8 +45,22 @@ object Scd {
     // matches nothing, and no row is ever dropped.
     val cur = dim.where(col("valid_to_ms").isNull)
       .withColumn("__cur_present", lit(true))
+    // MERGE INTO cardinality: a key may appear at most once per batch — a
+    // duplicate would fan out the full-outer join, closing one current
+    // version twice and opening concurrent versions for a single key.
+    // Enforced lazily in-plan (assert_true fires at execution, like ANSI
+    // MERGE's cardinality violation); the guard rides inside the
+    // __c_present marker every downstream branch reads, so projection
+    // pruning can never drop it, and its window partitioning is the same
+    // key the join shuffles on. Null keys are exempt: each null-key row
+    // matches nothing and is an independent insert.
+    val dupCnt = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(s"__c_$keyCol"))
     val ch = payload.foldLeft(changes)((d, n) => d.withColumnRenamed(n, s"__c_$n"))
-      .withColumn("__c_present", lit(true))
+      .withColumn("__c_present",
+        when(assert_true(col(s"__c_$keyCol").isNull || dupCnt <= 1,
+          concat(lit(s"Scd.applyChanges: duplicate $keyCol in changes batch: "),
+            col(s"__c_$keyCol").cast("string"))).isNull, lit(true)))
     val j = cur.join(ch, col(keyCol) === col(s"__c_$keyCol"), "full_outer")
     val noChange = col("__c_present").isNull
     val isNew = col("__cur_present").isNull

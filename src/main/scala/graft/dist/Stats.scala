@@ -233,7 +233,11 @@ object Stats {
     base
       .withColumn("__cum", sum(col("__wt")).over(cumW))
       .withColumn("__tot", sum(col("__wt")).over(totW))
-      .where(col("__cum") >= col("__tot") * lit(BigDecimal(p)))
+      // BigDecimal(p.toString), NOT BigDecimal(p): the Double constructor
+      // expands the binary double to 34 significant digits, so for p not
+      // binary-exact (0.1, 0.3) the threshold would differ from the decimal
+      // literal an oracle writes (`tot * 0.1`) and boundary rows could flip
+      .where(col("__cum") >= col("__tot") * lit(BigDecimal(p.toString)))
       .groupBy(groupCol).agg(min(col("__v")).as(outCol))
       .orderBy(groupCol)
   }

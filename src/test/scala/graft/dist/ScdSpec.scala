@@ -55,6 +55,28 @@ class ScdSpec extends SparkSpec {
       (None, 88L, 100L, None))) // the change row survives as an insert
   }
 
+  test("applyChanges rejects duplicate keys within one changes batch") {
+    // MERGE INTO cardinality: two rows for key 2 would close the same
+    // current version twice and open two concurrent versions — the in-plan
+    // guard must fire at execution time
+    val d = dim(Seq((1L, 10L, 0L, None), (2L, 20L, 0L, None)))
+    val b = batch(Seq((2L, 21L), (2L, 22L)))
+    val ex = intercept[Exception] {
+      Scd.applyChanges(d, b, "k", "h", asOfMs = 100L).collect()
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // duplicate NULL keys are exempt: each matches nothing, each inserts
+    val dn = Seq((Option(1L), 10L, 0L, None: Option[Long]))
+      .toDF("k", "h", "valid_from_ms", "valid_to_ms")
+    val bn = Seq((None: Option[Long], 88L), (None: Option[Long], 99L)).toDF("k", "h")
+    val out = Scd.applyChanges(dn, bn, "k", "h", asOfMs = 100L)
+      .as[(Option[Long], Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (Some(1L), 10L, 0L, None),
+      (None, 88L, 100L, None),
+      (None, 99L, 100L, None)))
+  }
+
   test("applyChanges rejects a dimension whose schema drifts from the batch") {
     val d = dim(Seq((1L, 10L, 0L, None))).withColumnRenamed("h", "hash")
     intercept[IllegalArgumentException] {

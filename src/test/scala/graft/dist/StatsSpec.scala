@@ -41,6 +41,22 @@ class StatsSpec extends SparkSpec {
     assert(rEq(0).getDouble(1) == 2.0)
   }
 
+  test("weightedQuantileBy: non-binary-exact p lands on the decimal boundary") {
+    // p=0.1 is not binary-exact: BigDecimal(0.1) would expand to
+    // 0.1000000000000000055511151231257827, making the threshold for a
+    // total weight of 10 equal 1.000000000000000055... > 1, so the v=1 row
+    // (cum exactly 1) would NOT qualify and the answer would flip to 2.
+    // With BigDecimal("0.1") the threshold is exactly 1 and v=1 qualifies —
+    // the same boundary a SQL oracle's `tot * 0.1` lands on.
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 9.0)).toDF("g", "v", "w")
+    val r = Stats.weightedQuantileBy(df, "v", "w", "g", 0.1, "wq").collect()
+    assert(r(0).getDouble(1) == 1.0)
+    // p=0.3 boundary: weights 3 then 7 — cum at v=1 is exactly 3 = tot*0.3
+    val df2 = Seq(("a", 1.0, 3.0), ("a", 2.0, 7.0)).toDF("g", "v", "w")
+    val r2 = Stats.weightedQuantileBy(df2, "v", "w", "g", 0.3, "wq").collect()
+    assert(r2(0).getDouble(1) == 1.0)
+  }
+
   test("quantilesApprox tracks the exact tier within rank-error bounds") {
     // skewed data so rank error actually bites if the sketch is wrong
     val df = spark.range(20000).select((pow($"id".cast("double"), 2.0)).as("x")).toDF()
