@@ -758,6 +758,14 @@ object SparkEntry {
           max(col("quality_score")).as("max_score"))
         .orderBy("decile")
     }),
+    // the 100 TB tier of the decile lift table: ONE percentile_approx sketch
+    // pass for the cut-points (driver state = 9 doubles), then a map-only
+    // CASE assignment + ordinary partial/final aggregate — no global sort.
+    // Value-based buckets never split tied scores, so populations are only
+    // near-equal; no oracle by design (sketch-specific cut-points), the
+    // ntile-agreement + partition properties live in TextAnalysisSpec
+    "quality_deciles_approx_documents" -> ((s, d) =>
+      TextAnalysis.qualityDecilesApprox(t(s, d, "documents"))),
     "lang_id_documents" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "fingerprint_documents" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
     // BM25 top-20 for a fixed query — the lexical retrieval tier

@@ -131,6 +131,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The 100 TB tier of the quality-decile lift table: bucket scores by
+    * approx-quantile cut-points instead of a global ntile sort. ONE sketch
+    * pass (`percentile_approx`, mergeable GK partials) yields the nBuckets-1
+    * interior cut-points — a driver-bounded collect of nBuckets-1 doubles,
+    * corpus-size-independent — then assignment is a map-only CASE over the
+    * scan and the lift table is one ordinary partial+final aggregate. No
+    * global sort anywhere, so the plan survives a 1000-executor corpus
+    * where the exact tier's single-partition ntile window cannot.
+    *
+    * Semantics vs the exact tier: buckets are SCORE INTERVALS (bucket 1 =
+    * highest scores). Value-based assignment never splits tied scores
+    * across buckets — on heavily-tied score distributions populations are
+    * only approximately equal (and buckets whose interval collapses onto a
+    * duplicated cut-point come out empty) while ntile forces exact equality
+    * by splitting ties arbitrarily by doc_id. On continuous scores the two
+    * tiers agree up to sketch rank error — property-tested in
+    * TextAnalysisSpec; no oracle by design (sketch-specific cut-points). */
+  def qualityDecilesApprox(docs: DataFrame, textCol: String = "text",
+                           nBuckets: Int = 10, accuracy: Int = 10000): DataFrame =
+    scoreDecilesApprox(
+      qualityScore(docs, textCol)
+        .select(col("doc_id"), col("n_chars"), col("quality_score")),
+      scoreCol = "quality_score", charsCol = "n_chars",
+      nBuckets = nBuckets, accuracy = accuracy)
+
+  /** Generic core of [[qualityDecilesApprox]]: lift table over any scored
+    * frame. Exposed separately so the cut-point mechanism is property-
+    * testable on continuous scores (where it must agree with exact ntile)
+    * independent of the discrete composite quality score. */
+  def scoreDecilesApprox(scored: DataFrame, scoreCol: String, charsCol: String,
+                         nBuckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    // descending thresholds t_1 >= ... >= t_{n-1}: t_i = quantile(1 - i/n)
+    val ps = (1 until nBuckets).map(i => 1.0 - i.toDouble / nBuckets)
+    val cuts = scored.agg(percentile_approx(col(scoreCol),
+        typedLit(ps), lit(accuracy)).as("cuts"))
+      .head().getSeq[Double](0)
+    val decile = cuts.zipWithIndex.reverse.foldLeft(lit(nBuckets)) {
+      case (acc, (t, i)) =>
+        when(col(scoreCol) >= lit(t), lit(i + 1)).otherwise(acc)
+    }
+    scored.withColumn("decile", decile)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col(charsCol).cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("mean_chars"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+      .orderBy("decile")
+  }
+
   /** Top-k documents per group by [[qualityScore]] (ties broken by doc_id
     * ascending) — the "best exemplars per language/source" curation query.
     * Scale: the score is a map-only stage; ranking is one window over

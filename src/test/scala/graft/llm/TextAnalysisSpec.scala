@@ -278,4 +278,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == 0.0) // no query term present
   }
 
+  test("scoreDecilesApprox agrees with exact ntile on continuous scores") {
+    import org.apache.spark.sql.expressions.Window
+    // 10000 distinct scores (a permuted continuous column): value-based
+    // cut-point buckets must reproduce exact ntile deciles up to sketch
+    // rank error — accuracy 10000 on 10000 rows means <= 1 rank slip per
+    // cut, so per-decile populations stay within a few rows of n/10
+    val n = 10000
+    val scored = spark.range(n)
+      .select(col("id").as("doc_id"),
+        (col("id") % 97).as("n_chars"),
+        ((col("id") * 2654435761L) % 1000003).cast("double").as("score"))
+    val approx = TextAnalysis.scoreDecilesApprox(scored, "score", "n_chars")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(approx.keySet == (1 to 10).toSet, s"missing deciles: $approx")
+    approx.foreach { case (d, cnt) =>
+      assert(math.abs(cnt - n / 10) <= 5, s"decile $d count $cnt far from ${n / 10}")
+    }
+    // per-row agreement with exact ntile except within rank-error of a cut
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val exact = scored.withColumn("decile", ntile(10).over(w))
+      .select("doc_id", "decile").as[(Long, Int)].collect().toMap
+    val ps = (1 to 9).map(i => 1.0 - i.toDouble / 10)
+    val cuts = scored.agg(percentile_approx(col("score"),
+      typedLit(ps), lit(10000))).head().getSeq[Double](0)
+    val assigned = TextAnalysis.scoreDecilesApprox(scored, "score", "n_chars")
+    assert(assigned.agg(sum("n_docs")).head().getLong(0) == n)
+    val perRow = scored.withColumn("d",
+        cuts.zipWithIndex.reverse.foldLeft(lit(10)) { case (acc, (t, i)) =>
+          when(col("score") >= lit(t), lit(i + 1)).otherwise(acc) })
+      .select("doc_id", "d").as[(Long, Int)].collect().toMap
+    val disagree = perRow.count { case (id, d) => d != exact(id) }
+    assert(disagree <= 9 * 3, s"$disagree rows disagree with exact ntile")
+  }
+
+  test("qualityDecilesApprox: buckets partition the corpus with ordered, " +
+    "disjoint score intervals; ties never split") {
+    // discrete composite scores (massive ties): populations are unequal by
+    // design, but the table must still partition the corpus and order its
+    // intervals; every distinct score lands in exactly one bucket
+    val d = (0L until 300L).map { i =>
+      val text =
+        if (i % 3 == 0) "the quick brown fox jumps over a lazy dog today"
+        else if (i % 3 == 1) "zz"
+        else "the and of to in is on for the and of to in is on for"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.qualityDecilesApprox(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._2).sum == 300L)
+    // bucket 1 holds the highest scores; intervals are disjoint and ordered
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, lo1, _), (_, _, _, hi2)) => assert(lo1 >= hi2)
+      case _ =>
+    }
+    // a distinct score never appears in two buckets
+    sorted.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    val scores = TextAnalysis.qualityScore(d).select("quality_score")
+      .distinct().as[Double].collect()
+    scores.foreach { s =>
+      val holders = sorted.filter { case (_, _, lo, hi) => s >= lo && s <= hi }
+      assert(holders.length == 1, s"score $s in ${holders.length} buckets")
+    }
+  }
+
 }
