@@ -639,6 +639,14 @@ object SparkEntry {
     "pagerank_knn_embeddings" -> ((s, d) =>
       Graphs.pageRank(Similarity.knnGraph(emb(s, d), k = 3),
         iters = 10)),
+    // the 100 TB tier of the same centrality: identical PageRank over the
+    // SRP-bucketed kNN edges (same edge schema by design) — no O(n²) stage
+    // anywhere in the composition. The exact-edge sibling above stays as
+    // the verifier tier; conservation/determinism/agreement property tests
+    // live in GraphsSpec (no oracle: iterative + LSH-approximate by design)
+    "pagerank_lsh_embeddings" -> ((s, d) =>
+      Graphs.pageRank(Similarity.knnGraphLSH(emb(s, d), k = 3, nTables = 2),
+        iters = 10)),
     // canonical-URL keep-one dedup; the corpus has no URL column, so the
     // declared query injects a deterministic messy URL per doc (case/www/
     // query/fragment/trailing-slash variants; doc_id % 50 forces dups)

@@ -224,4 +224,42 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(e1 == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
+
+  test("pageRank over the LSH kNN graph: conservation, determinism, and " +
+    "agreement with the exact-edge tier on planted clusters") {
+    import org.apache.spark.sql.functions.col
+    // 20 planted clusters of 4 near-identical vectors — the near-dup regime
+    // the LSH tier is declared for (same shape as SimilaritySpec's recall
+    // fixtures): the exact kNN graph is ~20 disjoint K4s, so the two tiers'
+    // ranks must agree wherever the LSH graph recovers the true edges
+    val rnd = new scala.util.Random(888)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val lshPr = Graphs.pageRank(
+      Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16, nTables = 2),
+      iters = 10).as[(Long, Double)].collect().toMap
+    // conservation: rank mass never exceeds |V|; only dangling nodes (no
+    // surviving out-edge) can shed mass, and every node floors at 1-d
+    val n = lshPr.size
+    val total = lshPr.values.sum
+    assert(total <= n + 1e-6, s"rank total $total exceeds |V|=$n")
+    assert(lshPr.values.forall(_ >= 0.15 - 1e-9), "a rank fell below 1-d")
+    // bit-determinism across input partitionings (decimal sums + seeded LSH)
+    val lshPr2 = Graphs.pageRank(
+      Similarity.knnGraphLSH(vecs.repartition(7), k = 3, nBits = 6, dim = 16,
+        nTables = 2), iters = 10).as[(Long, Double)].collect().toMap
+    assert(lshPr == lshPr2)
+    // agreement with the exact-graph verifier tier: on recovered K4s both
+    // tiers sit at the same fixed point, so ranks match closely for nearly
+    // every node (a few bucket-split nodes may drift)
+    val exactPr = Graphs.pageRank(Similarity.knnGraph(vecs, k = 3), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(lshPr.keySet == exactPr.keySet)
+    val close = lshPr.count { case (id, r) => math.abs(r - exactPr(id)) <= 0.1 }
+    assert(close >= (n * 0.9).toInt, s"only $close/$n ranks within 0.1 of exact")
+  }
 }
