@@ -162,6 +162,14 @@ object SparkEntry {
       graft.dist.Stats.weightedQuantileBy(t(s, d, "lineitem"),
         "l_extendedprice", "l_quantity", "l_returnflag", p = 0.5,
         outCol = "wmedian")),
+    // the 100 TB tier of the weighted median: binned weighted quantile —
+    // per-(group, bin) decimal weight sums (shuffle ≤ |groups|·nBins slim
+    // rows), cumulative threshold over the tiny aggregate, exact answer
+    // provably inside the returned bracket (containment property-tested in
+    // StatsSpec; no oracle by design — bracket semantics are tier-specific)
+    "weighted_median_binned_extendedprice" -> ((s, d) =>
+      graft.dist.Stats.weightedQuantileBinned(t(s, d, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_returnflag", p = 0.5)),
 
     // CUBE aggregate: counts at every (event_type, hour-of-day) grouping
     // level — all four grouping sets in one pass

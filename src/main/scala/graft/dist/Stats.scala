@@ -242,6 +242,54 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** The 100 TB sketch tier of [[weightedQuantileBy]]: a binned weighted
+    * quantile. One light pass takes the global value range (driver state =
+    * 2 doubles), one aggregation pass sums weights per (group, bin) —
+    * the shuffle carries at most |groups|·nBins slim decimal rows, never
+    * the data — and the cumulative threshold scan runs over that tiny
+    * aggregate. Returns the BRACKET [wq_lo, wq_hi] of the bin containing
+    * the exact lower weighted quantile: per-bin weight sums are exact
+    * decimals and the threshold test is the same `cum >= tot*p`, so the
+    * exact tier's answer provably lies inside the returned bin (asserted
+    * by the containment property test in StatsSpec) and the value error is
+    * bounded by one bin width, (max-min)/nBins. Unlike the exact tier
+    * there is no per-group sort of the raw rows, so a skewed 100 TB group
+    * costs the same as a uniform one. */
+  def weightedQuantileBinned(df: DataFrame, valueCol: String, weightCol: String,
+                             groupCol: String, p: Double = 0.5, nBins: Int = 1000,
+                             loCol: String = "wq_lo", hiCol: String = "wq_hi"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0,1], got $p")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !isnan(v) && col(weightCol).isNotNull)
+      .select(col(groupCol), v.as("__v"),
+        col(weightCol).cast("decimal(18,6)").as("__wt"))
+    val r = base.agg(min(col("__v")), max(col("__v"))).head()
+    if (r.isNullAt(0)) // empty input: no groups, empty result
+      return base.groupBy(groupCol).agg(lit(0.0).as(loCol), lit(0.0).as(hiCol))
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val step = if (hi > lo) (hi - lo) / nBins else 1.0
+    val edges = (0 to nBins).map(i => lo + i * step)
+    val perBin = base
+      .withColumn("__bin", Binning.binId(col("__v"), edges))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("__wt")).as("__w"))
+    val cumW = Window.partitionBy(groupCol).orderBy("__bin")
+    val totW = Window.partitionBy(groupCol)
+    perBin
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tot", sum(col("__w")).over(totW))
+      .where(col("__cum") >= col("__tot") * lit(BigDecimal(p.toString)))
+      .groupBy(groupCol).agg(min(col("__bin")).as("__qbin"))
+      .select(col(groupCol),
+        (lit(lo) + col("__qbin") * lit(step)).as(loCol),
+        when(col("__qbin") === nBins - 1, lit(hi))
+          .otherwise(lit(lo) + (col("__qbin") + 1) * lit(step)).as(hiCol))
+      .orderBy(groupCol)
+  }
+
   /** Per-group exact interpolated quantiles — [[quantiles]] with a group
     * key (O(group-size) memory per group: the verifier tier; the sketch
     * tier is `approx_percentile` with the same call shape). */

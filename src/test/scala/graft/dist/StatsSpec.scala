@@ -57,6 +57,35 @@ class StatsSpec extends SparkSpec {
     assert(r2(0).getDouble(1) == 1.0)
   }
 
+  test("weightedQuantileBinned brackets the exact weighted quantile (sketch tier)") {
+    // random grouped weighted data: the exact tier's answer must lie inside
+    // the sketch tier's bin bracket for every group and several p values,
+    // and the bracket width must equal one bin width
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 4}", rnd.nextDouble() * 1000 - 200, (rnd.nextInt(9) + 1).toDouble)
+    }
+    val df = rows.toDF("g", "v", "w")
+    val bounds = df.agg(min("v"), max("v")).head()
+    val width = (bounds.getDouble(1) - bounds.getDouble(0)) / 100
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val exact = Stats.weightedQuantileBy(df, "v", "w", "g", p, "wq")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val binned = Stats.weightedQuantileBinned(df, "v", "w", "g", p, nBins = 100)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(binned.length == 4)
+      binned.foreach { case (g, qlo, qhi) =>
+        assert(qlo <= exact(g) && exact(g) <= qhi,
+          s"p=$p group $g: exact ${exact(g)} outside bracket [$qlo, $qhi]")
+        assert(qhi - qlo <= width + 1e-9, s"bracket wider than one bin: ${qhi - qlo}")
+      }
+    }
+    // degenerate group (all values equal): bracket still contains the value
+    val one = Seq(("a", 7.0, 2.0), ("a", 7.0, 3.0)).toDF("g", "v", "w")
+    val rb = Stats.weightedQuantileBinned(one, "v", "w", "g", 0.5, nBins = 10).collect()
+    assert(rb(0).getDouble(1) <= 7.0 && 7.0 <= rb(0).getDouble(2))
+  }
+
   test("quantilesApprox tracks the exact tier within rank-error bounds") {
     // skewed data so rank error actually bites if the sketch is wrong
     val df = spark.range(20000).select((pow($"id".cast("double"), 2.0)).as("x")).toDF()
