@@ -1375,7 +1375,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
           col("channels"), col("n_samples"), round(col("rms"), 3).as("rms"),
           col("zero_crossings"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // REAL video tier: spec-valid MJPEG/AVI fixtures, container-walked and
+    // frame-decoded through the JDK JPEG codec, every 2nd frame sampled —
+    // per-frame aHash signatures, bytes never shuffle (no oracle: binary
+    // container decode isn't SQL-expressible; round-trip/stride/quarantine
+    // properties in MultimodalSpec)
+    "mm_video_frames_documents" -> ((s, d) =>
+      Multimodal.extractVideoFrames(
+          Multimodal.withFakeVideo(t(s, d, "documents")), stride = 2)
+        .orderBy("doc_id", "frame_idx"))
   )
 
   // ------------------------------------------------------------- oracle SQL

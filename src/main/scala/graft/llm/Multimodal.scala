@@ -46,8 +46,10 @@ object Multimodal {
     * plausible dimensions deterministically from the byte length, and
     * byte_sum actually reads every byte so the per-partition data path is
     * exercised end-to-end. Real encoded images take the [[decode]] path
-    * (javax.imageio) instead; audio/video would need ffmpeg bindings,
-    * absent in this container. */
+    * (javax.imageio), WAV audio [[decodeAudio]] (javax.sound), and
+    * MJPEG/AVI video [[decodeVideoFrames]] (RIFF walk + JDK JPEG);
+    * interframe codecs (H.264 etc.) would need ffmpeg bindings, absent in
+    * this container. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.media.length
     MediaFeatures(r.doc_id, n, 64 + n % 576, 64 + (n / 7) % 336, 3,
@@ -119,27 +121,8 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
         catch { case scala.util.control.NonFatal(_) => null }
     val cells: Array[Double] =
-      if (img != null) {
-        val w = img.getWidth; val h = img.getHeight
-        Array.tabulate(64) { k =>
-          val cx = k % 8; val cy = k / 8
-          val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
-          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
-          var s = 0L; var n = 0
-          var y = y0
-          while (y < y1 && y < h) {
-            var x = x0
-            while (x < x1 && x < w) {
-              val rgb = img.getRGB(x, y)
-              s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-              n += 1; x += 1
-            }
-            y += 1
-          }
-          if (n == 0) 0.0 else s.toDouble / n
-        }
-      } else {
+      if (img != null) lumaCells(img)
+      else {
         val n = r.media.length
         Array.tabulate(64) { k =>
           if (n == 0) 0.0
@@ -152,6 +135,36 @@ object Multimodal {
           }
         }
       }
+    cellSig(cells)
+  }
+
+  /** 8×8 grid of mean integer luminance (299/587/114 weights) over a decoded
+    * image — the shared cell pass behind [[aHash]] and the per-frame video
+    * signatures, so an image and the identical video frame hash alike. */
+  private[llm] def lumaCells(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    Array.tabulate(64) { k =>
+      val cx = k % 8; val cy = k / 8
+      val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var s = 0L; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val rgb = img.getRGB(x, y)
+          s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) 0.0 else s.toDouble / n
+    }
+  }
+
+  /** Threshold a 64-cell vector at its mean into the 64-bit signature. */
+  private[llm] def cellSig(cells: Array[Double]): Long = {
     val mean = cells.sum / 64
     var sig = 0L; var k = 0
     while (k < 64) { if (cells(k) >= mean) sig |= (1L << k); k += 1 }
@@ -187,8 +200,9 @@ object Multimodal {
     * that round-trips through [[decode]] with the requested dimensions.
     * Opaque / corrupt payloads fall back to [[resizeStub]] so the batch
     * never throws on a bad record — the same quarantine-not-crash posture
-    * as [[Readers.splitCorrupt]]. Audio/video resampling would need
-    * ffmpeg bindings, absent in this container, and stays stubbed. */
+    * as [[Readers.splitCorrupt]]. Audio resampling would need ffmpeg
+    * bindings, absent in this container, and stays stubbed; video frames
+    * go through [[decodeVideoFrames]]. */
   def resizeImage(r: MediaRecord, w: Int, h: Int): MediaRecord = {
     val img =
       if (!looksLikeImage(r.media)) null
@@ -349,5 +363,179 @@ object Multimodal {
         posexplode(transform(idxs, i => col(binCol).substr(i * frameBytes + 1, lit(frameBytes)))))
       .select(col(idCol), (col("pos") * stride).as("frame_idx"), col("col").as("frame"),
         length(col("col")).as("n_bytes"))
+  }
+
+  // ------------------------------------------------------------------
+  // Real video: MJPEG-in-AVI container walk + per-frame JDK JPEG decode.
+  // AVI is RIFF (the same container family as WAV), and Motion-JPEG is
+  // just one JPEG per frame — so a byte-level chunk walk plus the JDK's
+  // own JPEG decoder gives genuine container-level frame extraction with
+  // zero external codecs. Interframe codecs (H.264 etc.) would need
+  // ffmpeg bindings, absent in this container, and remain out of scope.
+  // ------------------------------------------------------------------
+
+  /** Magic-byte sniff for RIFF/AVI containers. */
+  private[llm] def looksLikeAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** Synthesize a REAL spec-valid AVI container around pre-encoded JPEG
+    * frames: RIFF('AVI ') → LIST(hdrl: avih + strl(strh 'vids'/'MJPG',
+    * strf BITMAPINFOHEADER)) → LIST(movi: one '00dc' chunk per frame,
+    * word-aligned) → idx1. The video sibling of [[sineWav]]: the container
+    * has no media assets, so fixtures are synthesized — but as genuine
+    * files any MJPEG-aware player parses, not byte blobs. */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    def pad(n: Int) = n + (n & 1) // RIFF chunks are word-aligned
+    val moviBody = frames.map(f => 8 + pad(f.length)).sum
+    val idx1Body = 16 * frames.length
+    // fixed-size header blocks: avih = 56, strh = 56, strf = 40
+    val hdrlList = 12 + 64 + 12 + 64 + 48   // LIST hdrl total bytes on disk
+    val riffBody = 4 + hdrlList + (12 + moviBody) + (8 + idx1Body)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    val maxFrame = frames.map(_.length).max
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlList - 8); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps).putInt(maxFrame * fps).putInt(0)
+      .putInt(0x10) // AVIF_HASINDEX
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(12 + 64 + 48 - 8); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // scale / rate: fps frames per second
+      .putInt(0).putInt(frames.length).putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    fourcc("MJPG")
+    bb.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(4 + moviBody); fourcc("movi")
+    val moviTagPos = bb.position() - 4
+    val offsets = new Array[Int](frames.length)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      // idx1 dwChunkOffset convention: from the 'movi' fourcc position
+      offsets(i) = bb.position() - moviTagPos
+      fourcc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    fourcc("idx1"); bb.putInt(idx1Body)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      fourcc("00dc"); bb.putInt(0x10) // AVIIF_KEYFRAME
+      bb.putInt(offsets(i)); bb.putInt(f.length)
+    }
+    bb.array()
+  }
+
+  /** Walk a RIFF/AVI byte stream and return the raw payloads of its video
+    * frame chunks ('00dc'/'00db') in stream order — an honest container
+    * parse (top-level chunk scan, LIST('movi') sub-walk, word-aligned
+    * sizes), not an offset guess. Returns Nil for non-AVI or truncated
+    * payloads — quarantine-not-crash, like every decoder here. */
+  private[llm] def parseAviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (!looksLikeAvi(bytes)) return Nil
+    val le = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def int(at: Int) = if (at + 4 <= bytes.length) le.getInt(at) else -1
+    def tag(at: Int) = if (at + 4 <= bytes.length)
+      new String(bytes, at, 4, "US-ASCII") else ""
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val t = tag(p); val sz = int(p + 4)
+      if (sz < 0 || p + 8 + sz > bytes.length) { p = bytes.length } // truncated
+      else {
+        if (t == "LIST" && tag(p + 8) == "movi") {
+          var q = p + 12
+          val end = p + 8 + sz
+          while (q + 8 <= end) {
+            val ft = tag(q); val fsz = int(q + 4)
+            if (fsz < 0 || q + 8 + fsz > end) { q = end }
+            else {
+              if ((ft == "00dc" || ft == "00db") && fsz > 0)
+                out += java.util.Arrays.copyOfRange(bytes, q + 8, q + 8 + fsz)
+              q += 8 + fsz + (fsz & 1)
+            }
+          }
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Encode a deterministic synthetic frame as a real JPEG: a flat-shaded
+    * gradient keyed by (seed, frameIdx) so consecutive frames differ but
+    * reruns are bit-stable for a fixed JDK encoder. */
+  private def syntheticJpegFrame(seed: Long, frameIdx: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = ((x * 255 / math.max(w - 1, 1)) + frameIdx * 40 + (seed % 97).toInt) % 256
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a fake video column: a real MJPEG/AVI per document, frame count
+    * keyed off the text length (2–5 frames of 64×48), gradient phase off
+    * doc_id — deterministic, schema-true BinaryType, parseable by any
+    * MJPEG-aware player. The video sibling of [[withFakeAudio]]. */
+  def withFakeVideo(docs: DataFrame, textCol: String = "text"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col(textCol)).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val frames = (0 until (2 + n % 4)).map(i => syntheticJpegFrame(id, i, 64, 48))
+        MediaRecord(id, mjpegAvi(frames, 64, 48), kind = "video")
+      })
+  }
+
+  /** Decode one video record to per-frame rows: container walk →
+    * every `stride`-th frame chunk → JDK JPEG decode → (frame_idx, width,
+    * height, sig) with the SAME 8×8 luma signature as [[aHash]], so video
+    * frames join image signatures for cross-modal near-dup. Non-AVI,
+    * truncated, or undecodable-frame payloads yield zero rows (quarantine-
+    * not-crash). Bytes stay inside the task: only slim signature rows
+    * return. */
+  def decodeVideoFrames(r: MediaRecord, stride: Int = 1): Seq[(Long, Int, Int, Int, Long)] = {
+    require(stride >= 1, "stride must be >= 1")
+    parseAviFrames(r.media).zipWithIndex
+      .collect { case (f, i) if i % stride == 0 =>
+        val img =
+          if (!looksLikeImage(f)) null
+          else
+            // NonFatal only: a decompression-bomb OOM must fail the task
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) null
+        else (r.doc_id, i, img.getWidth, img.getHeight, cellSig(lumaCells(img)))
+      }
+      .filter(_ != null)
+  }
+
+  /** Video frame extraction as a per-partition batch pass: one container
+    * walk + JPEG decode per record, emitting (doc_id, frame_idx, width,
+    * height, sig) — the heavy AVI bytes never cross an exchange; what
+    * shuffles downstream is 5 slim columns per sampled frame. */
+  def extractVideoFrames(media: Dataset[MediaRecord], stride: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeVideoFrames(_, stride)))
+      .toDF("doc_id", "frame_idx", "width", "height", "sig")
   }
 }

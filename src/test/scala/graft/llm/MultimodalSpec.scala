@@ -167,4 +167,65 @@ class MultimodalSpec extends SparkSpec {
     val f50 = feats.filter(_.doc_id == 50L).collect()(0)
     assert(f50.n_bytes == 50 && f50.byte_sum == 50L * 'x'.toInt)
   }
+
+  test("mjpegAvi/parseAviFrames round-trip: a real RIFF container whose " +
+    "frame chunks reassemble the input JPEGs byte-for-byte") {
+    val frames = (0 until 4).map { i =>
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 24) img.setRGB(x, y, i * 0x202020)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val avi = Multimodal.mjpegAvi(frames, 32, 24)
+    assert(Multimodal.looksLikeAvi(avi))
+    // the stated RIFF size matches the physical file (spec-valid container)
+    val riffSize = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+    assert(riffSize + 8 == avi.length)
+    val back = Multimodal.parseAviFrames(avi)
+    assert(back.length == 4)
+    back.zip(frames).foreach { case (b, f) => assert(b.sameElements(f)) }
+    // every recovered chunk is a decodable JPEG (MJPG frames are JPEGs)
+    back.foreach(f => assert(Multimodal.looksLikeImage(f)))
+  }
+
+  test("decodeVideoFrames: per-frame dimensions + aHash via the JDK JPEG " +
+    "codec; stride sampling; quarantine on non-AVI and truncated payloads") {
+    val docs = Seq((5L, "hello world, a medium doc"), (6L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.withFakeVideo(docs).collect()
+    val byId = media.map(m => m.doc_id -> m).toMap
+    // frame count keyed off text length: 2 + len%4
+    val n5 = 2 + 25 % 4; val n6 = 2 + 1 % 4
+    val all5 = Multimodal.decodeVideoFrames(byId(5L), stride = 1)
+    assert(all5.length == n5)
+    assert(all5.forall { case (id, _, w, h, _) => id == 5L && w == 64 && h == 48 })
+    assert(all5.map(_._2) == (0 until n5))
+    // stride 2 keeps even frame indices only
+    val s2 = Multimodal.decodeVideoFrames(byId(5L), stride = 2)
+    assert(s2.map(_._2) == (0 until n5 by 2))
+    // consecutive gradient frames differ, so their signatures should too
+    // (phase shift of 40 luminance levels moves cells across the mean)
+    assert(all5.map(_._5).distinct.length > 1)
+    // a video frame hashes like the identical still image (shared cell pass)
+    val firstJpeg = Multimodal.parseAviFrames(byId(5L).media).head
+    assert(all5.head._5 == Multimodal.aHash(MediaRecord(5L, firstJpeg, "image")))
+    // quarantine: opaque bytes and truncated containers yield zero rows
+    assert(Multimodal.decodeVideoFrames(
+      MediaRecord(9L, "not a video".getBytes, "video")).isEmpty)
+    val truncated = java.util.Arrays.copyOf(byId(6L).media, byId(6L).media.length / 3)
+    assert(Multimodal.decodeVideoFrames(MediaRecord(9L, truncated, "video")).isEmpty
+      || Multimodal.decodeVideoFrames(MediaRecord(9L, truncated, "video"))
+           .forall(_._3 == 64)) // a cleanly-cut movi prefix may keep whole frames
+    // distributed path: bytes stay in tasks, slim rows come back
+    val df = Multimodal.extractVideoFrames(
+      Multimodal.withFakeVideo(docs.repartition(2)), stride = 1)
+    assert(df.columns.toSeq == Seq("doc_id", "frame_idx", "width", "height", "sig"))
+    assert(df.count() == n5 + n6)
+    // determinism: the whole pipeline reruns bit-identically
+    val again = Multimodal.extractVideoFrames(
+      Multimodal.withFakeVideo(docs), stride = 1).collect().toSet
+    assert(df.collect().toSet == again)
+  }
 }
