@@ -64,6 +64,54 @@ class SkewStressSpec extends SparkSpec {
       s"expected >=2x balance win, got unsalted=$unsalted salted=$salted")
   }
 
+  test("AQE skew-join engages on the hot key: executed SMJ carries skew=true " +
+       "and results stay exact", Slow) {
+    // the runtime half of the skew story (salting is the planning-time
+    // half above): with the skew threshold lowered to CI-fixture bytes —
+    // the same emulation tools/SkewBench uses, since local partitions
+    // never hit the 256 MiB production default — AQE must detect the hot
+    // partition and split it, which the final adaptive plan records as
+    // `skew=true` on the sort-merge join
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // 32 shuffle partitions: at the suite default of 4 the uniform keys
+      // alone put ~50k rows in each partition, so the hot partition is only
+      // ~1.4x the median and is correctly NOT classified as skewed — skew
+      // is relative to the median, not absolute
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = fact.join(dim, Seq("k"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      // collect THIS frame (adding orderBy would execute a different
+      // QueryExecution and leave joined's adaptive plan unfinalized)
+      val rows = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not engage on the hot-key fixture:\n$plan")
+      // and the split changes nothing about the answer
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val expected = fact.join(dim, Seq("k"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---- fixture 2: corpus-spanning hot shingle -----------------------------
   // 1020 docs (1000 bases + 20 near-dup twins), every one ending with the
   // same boilerplate sentence: its 4 fully-boilerplate word-3-shingles have
