@@ -1384,7 +1384,40 @@ object SparkEntry {
     "mm_video_frames_documents" -> ((s, d) =>
       Multimodal.extractVideoFrames(
           Multimodal.withFakeVideo(t(s, d, "documents")), stride = 2)
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    // end-to-end CSV ingest under the oracle: render a deterministic messy
+    // CSV from documents (doc_id%37==0 rows get a non-numeric doc_id),
+    // round-trip it through the schema-enforced PERMISSIVE front door
+    // (Readers.readCsv) + quarantine split, and report per-source clean/
+    // quarantined counts. The oracle never touches the CSV: it predicts the
+    // same counts independently from the parquet table, so a parser
+    // regression (row silently dropped or misclassified) hash-mismatches
+    "csv_ingest_quarantine_documents" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_csv_ingest_${Integer.toHexString(d.hashCode)}").toString
+      // corrupt rows carry a doc_id the LONG schema cannot parse
+      t(s, d, "documents")
+        .select(
+          when(col("doc_id") % 37 === 0, concat(col("doc_id"), lit("x")))
+            .otherwise(col("doc_id").cast("string")).as("doc_id"),
+          col("source"), col("lang"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("lang", StringType)))
+      val (clean, bad) = graft.sources.Readers.splitCorrupt(
+        graft.sources.Readers.readCsv(s, dir, schema))
+      // PERMISSIVE keeps the parseable fields of a quarantined row, so the
+      // bad side still groups by source
+      clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
+        .join(bad.groupBy("source").agg(count(lit(1)).as("n_quarantined")),
+          Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+        .orderBy("source")
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3765,7 +3798,16 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       CAST(least(128, len - i*128) AS INTEGER) AS n_bytes
-        |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // independent PREDICTION of the CSV round-trip from the parquet table
+    // (the oracle never reads the temp CSV): a row quarantines iff the
+    // query corrupted its doc_id, i.e. doc_id % 37 == 0
+    "csv_ingest_quarantine_documents" ->
+      """SELECT source,
+        |       count(*) FILTER (WHERE doc_id % 37 <> 0) AS n_clean,
+        |       count(*) FILTER (WHERE doc_id % 37 = 0) AS n_quarantined
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
     // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings,
     // ann_ivf_topk_embeddings, emb_cosine_neardup_lsh: intentionally
     // oracle-less (seeded-hash / approximate semantics; the driver records a

@@ -32,7 +32,9 @@ object Readers {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
 
-  /** CSV read (with header) with the quarantine column appended. */
+  /** CSV read (with header) with the quarantine column appended. NOTE the
+    * pruning caveat on [[splitCorrupt]]: classification is only row-stable
+    * through the split, which materializes the full parse. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .schema(withCorrupt(schema))
@@ -118,10 +120,22 @@ object Readers {
     * is the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
     * partially-parsed fields are useful triage context anyway. Callers
     * persist the quarantine side next to the clean table so reprocessing is
-    * possible once the producer is fixed. */
+    * possible once the producer is fixed.
+    *
+    * The split MATERIALIZES the parse (localCheckpoint): Spark's CSV/JSON
+    * readers only detect a malformed field in columns a query actually
+    * references, so under column pruning the same physical row would
+    * classify clean for a `groupBy(source)` and quarantined for a full
+    * select — quarantine membership must be a property of the ROW, not of
+    * the consumer's projection (verified by the pruning-proof test in
+    * SinksSpec; the `csv.parser.columnPruning` conf no longer guards the
+    * scan path in Spark 4). Materializing the batch once IS the ingest
+    * boundary's job — the clean side is about to be persisted anyway, and
+    * the checkpoint parses every schema column exactly once. */
   def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
-    val clean = df.where(col(corruptCol).isNull).drop(corruptCol)
-    val bad = df.where(col(corruptCol).isNotNull)
+    val full = df.localCheckpoint()
+    val clean = full.where(col(corruptCol).isNull).drop(corruptCol)
+    val bad = full.where(col(corruptCol).isNotNull)
     (clean, bad)
   }
 }

@@ -68,6 +68,30 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(badRows.exists(_.contains("not-a-number")))
   }
 
+  test("readCsv quarantine is column-pruning-proof: a corrupt field in an " +
+    "unreferenced column still classifies the row") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_prune")
+    java.nio.file.Files.writeString(dir.resolve("part-0.csv"),
+      """doc_id,source,lang
+        |1,s1,en
+        |2x,s1,en
+        |3,s2,de
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("lang", StringType)))
+    val (clean, bad) = Readers.splitCorrupt(
+      Readers.readCsv(spark, dir.toString, schema))
+    // the downstream query touches ONLY source: with CSV column pruning the
+    // malformed doc_id "2x" would never parse, the row would count as clean
+    // here and quarantined elsewhere — quarantine must be a row property
+    val bySource = clean.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("s1" -> 1L, "s2" -> 1L))
+    assert(bad.count() == 1)
+    assert(bad.select("source").as[String].head() == "s1") // partial parse kept
+  }
+
   test("partitioned write prunes directories on the partition predicate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
