@@ -36,6 +36,12 @@ case class AudioFeatures(doc_id: Long, n_bytes: Int, sample_rate: Int,
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed cache file per stream; every encode/
+  // decode here runs over in-memory byte arrays inside executor tasks, where
+  // a temp-file round-trip per frame is pure overhead (measured ~2x on the
+  // video query). Static, process-wide, safe: heap buffers instead of files.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach a fake media column (UTF-8 bytes of the text) to a documents
     * frame — the container has no real image/audio assets, so the bytes are
     * a deterministic stand-in with real BinaryType schema. */
@@ -477,16 +483,16 @@ object Multimodal {
   private def syntheticJpegFrame(seed: Long, frameIdx: Int, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val lum = ((x * 255 / math.max(w - 1, 1)) + frameIdx * 40 + (seed % 97).toInt) % 256
-        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
-        x += 1
-      }
-      y += 1
+    // one row of the x-gradient, splatted to all rows in a single batch
+    // setRGB (per-pixel setRGB pays a sync + color-model hop per call)
+    val row = Array.tabulate(w) { x =>
+      val lum = ((x * 255 / math.max(w - 1, 1)) + frameIdx * 40 + (seed % 97).toInt) % 256
+      (lum << 16) | (lum << 8) | lum
     }
+    val all = new Array[Int](w * h)
+    var y = 0
+    while (y < h) { System.arraycopy(row, 0, all, y * w, w); y += 1 }
+    img.setRGB(0, 0, w, h, all, 0, w)
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", baos)
     baos.toByteArray
