@@ -383,6 +383,226 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
     }),
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two fixed
+    // nations, revenue per (supp_nation, cust_nation, ship year). The two
+    // 25-row nation dims broadcast; the pair filter lands ON the broadcast
+    // joins so non-qualifying rows die before the wide fact join output
+    "tpch_q7_volume" -> ((s, d) => {
+      val (na, nb) = ("NATION_7", "NATION_8")
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      li.join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q8 shape (market share): one nation's share of a region's
+    // ECONOMY-part order revenue per year. Share = decimal-exact
+    // conditional sum / decimal-exact total, divided once as double and
+    // rounded at 9 — bit-deterministic and oracle-matchable
+    "tpch_q8_market_share" -> ((s, d) => {
+      val geo = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ck"))
+      val supN = t(s, d, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val part = t(s, d, "part").where(col("p_type") === "ECONOMY").select("p_partkey")
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(geo), col("c_nationkey") === col("ck"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("sk"))
+        .groupBy("o_year")
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).as("nat_rev"),
+          sum(col("rev")).as("tot_rev"))
+        .select(col("o_year"),
+          round(col("nat_rev").cast("double") / col("tot_rev").cast("double"), 9)
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    // TPC-H Q9 shape (product-line profit by nation and year): parts
+    // picked by a name infix — the fixture has no ps_supplycost, so profit
+    // is the discounted revenue term of the original expression
+    "tpch_q9_profit" -> ((s, d) => {
+      val part = t(s, d, "part").where(col("p_name").contains("red"))
+        .select("p_partkey")
+      val supN = t(s, d, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("nation"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("sk"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("rev")).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H Q12 shape (shipping-lag buckets): the fixture has no
+    // commit/receipt dates or ship modes, so lines bucket by ship lag
+    // (ship - order date), counting high- vs low-priority orders per
+    // bucket — the same CASE-inside-agg pattern over one join
+    "tpch_q12_shiplag" -> ((s, d) => {
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "late")
+          .otherwise("ontime").as("ship_bucket"), col("o_orderpriority"))
+        .groupBy("ship_bucket")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_bucket")
+    }),
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers survive with c_count 0; the priority filter
+    // stands in for the original comment anti-pattern filter
+    "tpch_q13_custdist" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips the null
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    // the max — the scalar-subquery-on-an-aggregate pattern as a crossJoin
+    // against the broadcast 1-row max (ties all surface, like the original)
+    "tpch_q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    // TPC-H Q16 shape (supplier breadth per part profile): the fixture has
+    // no partsupp, so the part-supplier relation comes from lineitem;
+    // negative-balance suppliers are excluded (the complaints stand-in) via
+    // an anti join, and supplier breadth is a distinct count per profile
+    "tpch_q16_parts_suppliers" -> ((s, d) => {
+      val excluded = t(s, d, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val part = t(s, d, "part")
+        .where(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 23))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H Q17 shape (small-quantity revenue): per-part average quantity
+    // as the correlated aggregate, re-joined to keep only lines below 20%
+    // of their part's mean; the per-part avg frame is part-count-sized and
+    // broadcast. avg is exact: decimal quantity sum / integer count
+    "tpch_q17_small_qty" -> ((s, d) => {
+      val brandParts = t(s, d, "part")
+        .where(col("p_brand") === "Brand#23" && col("p_size") < 10)
+        .select("p_partkey")
+      val li = t(s, d, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      // "qty < 0.2 * avg(qty)" multiplied through as exact integers/decimals
+      // (qty * 5 * n < sum_qty): no decimal division, whose result scale
+      // differs between engines, anywhere near the comparison
+      val avgQ = li.groupBy(col("l_partkey").as("ap"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+      li.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+        .where(col("l_quantity").cast("decimal(18,6)") * lit(5) * col("n_lines")
+          < col("sum_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+          / lit(7.0)).as("avg_yearly"))
+    }),
+    // TPC-H Q19 shape (disjunctive join predicates): revenue over an OR of
+    // three (brand, size-range, quantity-range) conjunctions — the pattern
+    // that exercises predicate normalization; the shared p_partkey equi key
+    // keeps this a hash join with the disjunction as a residual
+    "tpch_q19_disjunctive" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      val p = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q22 shape (dormant rich customers): acctbal above the global
+    // positive average (1-row broadcast scalar) AND no orders at all (anti
+    // join), grouped by nation — the anti-join + scalar-subquery pattern
+    "tpch_q22_dormant" -> ((s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      // "bal > avg(positive bals)" multiplied through (bal * n > sum): the
+      // same no-decimal-division trick as tpch_q17 — exact in both engines
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,6)")).as("sum_bal"),
+          count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal").cast("decimal(18,6)") * col("n_pos") > col("sum_bal"))
+        .join(t(s, d, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("totacctbal"))
+        .orderBy("n_name")
+    }),
     // 2-D Pareto front: cheapest-price / largest-quantity undominated
     // points — the multi-objective "best tradeoff" operator (dedup to
     // distinct points, local per-partition sweep, tiny global pass)
@@ -3225,6 +3445,135 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8') OR
+        |       (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |                           THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |             9) AS mkt_share
+        |FROM lineitem
+        |JOIN part      ON l_partkey = p_partkey
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region    ON n2.n_regionkey = r_regionkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "tpch_q12_shiplag" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+        |            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q13_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                  AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 14, 23)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // the 0.2*avg comparison multiplied through (qty * 5 * n < sum_qty):
+    // no decimal division near the predicate in either engine
+    "tpch_q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_size < 10),
+        |a AS (
+        |  SELECT l_partkey AS ap,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |         count(*) AS n_lines
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN a ON l_partkey = ap
+        |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n_lines < sum_qty""".stripMargin,
+
+    "tpch_q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // "bal > avg(positive bals)" multiplied through (bal * n > sum) — same
+    // no-division posture as tpch_q17
+    "tpch_q22_dormant" ->
+      """WITH a AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_bal, count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN a
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n_pos > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle runs the same sorted-sweep formulation (linear), which the
