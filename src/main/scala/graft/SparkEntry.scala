@@ -383,6 +383,102 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
     }),
+    // TPC-H Q2 shape (min-cost supplier): the fixture has no partsupp, so
+    // supply cost is the minimum line price each supplier ever charged for
+    // the part; per part keep the suppliers achieving the global minimum
+    // (two-level min + join-back — the correlated-subquery pattern),
+    // suppliers restricted to one region, ordered by balance like Q2
+    "tpch_q2_min_cost_supplier" -> ((s, d) => {
+      val geoSup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region").where(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = t(s, d, "part")
+        .where(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_brand")
+      val cost = t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,6)")).as("supply_cost"))
+        .join(geoSup, col("l_suppkey") === col("s_suppkey"))
+      val minCost = cost.groupBy(col("p_partkey").as("mp"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      cost.join(broadcast(minCost),
+          col("p_partkey") === col("mp") && col("supply_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("supply_cost").cast("double").as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    // TPC-H Q11 shape (important stock): per-part value from one nation's
+    // suppliers, kept when above a fraction of the total — the HAVING-with-
+    // scalar-subquery pattern, multiplied through (value·1000 > total) so
+    // the compare stays exact decimal
+    "tpch_q11_important_parts" -> ((s, d) => {
+      val natSup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val value = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,6)").as("v"))
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("part_value"))
+      val total = value.agg(sum(col("part_value")).as("total_value"))
+      value.crossJoin(broadcast(total))
+        .where(col("part_value") * lit(1000) > col("total_value"))
+        .select(col("l_partkey"), col("part_value").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+    // TPC-H Q20 shape (dominant suppliers): suppliers who shipped more
+    // than half a part's yearly volume of name-filtered parts — the
+    // nested-aggregate-threshold pattern, multiplied through (2·qty > tot)
+    "tpch_q20_dominant_suppliers" -> ((s, d) => {
+      val parts = t(s, d, "part").where(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(18,6)").as("q"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("supp_qty"))
+      val perPart = li.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(col("q")).as("part_qty"))
+      perSupp.join(broadcast(perPart), col("l_partkey") === col("pp"))
+        .where(col("supp_qty") * lit(2) > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+        .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+    // TPC-H Q21 shape (supplier at fault): multi-supplier orders where
+    // EXACTLY ONE supplier has returned lines — that supplier takes the
+    // blame count. The exists/not-exists pair becomes one per-order
+    // aggregate over slim (order, supplier, anyR) rows; top 20
+    "tpch_q21_blame" -> ((s, d) => {
+      val os = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("any_r"))
+      val perOrder = os.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("any_r")).as("n_r_supp"))
+      os.join(perOrder, col("l_orderkey") === col("ok"))
+        .where(col("n_supp") >= 2 && col("n_r_supp") === 1 && col("any_r") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     // TPC-H Q7 shape (volume shipping): bilateral trade between two fixed
     // nations, revenue per (supp_nation, cust_nation, ship year). The two
     // 25-row nation dims broadcast; the pair filter lands ON the broadcast
@@ -3446,6 +3542,63 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q2_min_cost_supplier" ->
+      """WITH geo AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(18,6))) AS supply_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3),
+        |cg AS (SELECT * FROM cost JOIN geo ON l_suppkey = s_suppkey),
+        |m AS (SELECT p_partkey AS mp, min(supply_cost) AS min_cost FROM cg GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |       CAST(supply_cost AS DOUBLE) AS supply_cost
+        |FROM cg JOIN m ON p_partkey = mp AND supply_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "tpch_q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS part_value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5' GROUP BY 1)
+        |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        |FROM v WHERE part_value * 1000 > (SELECT sum(part_value) FROM v)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "tpch_q20_dominant_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,6)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(q) AS supp_qty FROM li GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey AS p2, sum(q) AS part_qty FROM li GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM ps JOIN pp ON l_partkey = p2
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_qty * 2 > part_qty
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q21_blame" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r
+        |  FROM lineitem GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey AS ok, count(*) AS n_supp, sum(any_r) AS n_r_supp
+        |       FROM os GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM os JOIN po ON l_orderkey = ok
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_r_supp = 1 AND any_r = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "tpch_q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

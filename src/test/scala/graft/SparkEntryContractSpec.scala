@@ -43,9 +43,9 @@ class SparkEntryContractSpec extends SparkSpec {
     "decontam_theta_documents",
     // crossJoin of three 1-row count aggregates (nodes/edges/triangles)
     "copurchase_triangles_lineitem",
-    // crossJoin(broadcast(1-row sum/count aggregate)) — the Q22 scalar
+    // crossJoin(broadcast(1-row sum/count aggregate)) — the Q22/Q11 scalar
     // subquery pattern; broadcasting one summary row is correct at any scale
-    "tpch_q22_dormant")
+    "tpch_q22_dormant", "tpch_q11_important_parts")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {
