@@ -1716,6 +1716,29 @@ object SparkEntry {
     // quarantined counts. The oracle never touches the CSV: it predicts the
     // same counts independently from the parquet table, so a parser
     // regression (row silently dropped or misclassified) hash-mismatches
+    // end-to-end ORC round-trip under the oracle (the third format next to
+    // parquet and CSV): project documents to a typed frame, write ORC, read
+    // back through the schema-enforced front door, aggregate. The oracle
+    // predicts the result from the parquet table, so a write/read fidelity
+    // break (row loss, type drift) hash-mismatches; pushdown/pruning plan
+    // assertions for ORC live in SinksSpec
+    "orc_roundtrip_documents" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_orc_roundtrip_${Integer.toHexString(d.hashCode)}").toString
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+        .write.mode("overwrite").orc(dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", IntegerType)))
+      graft.sources.Readers.readOrc(s, dir, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
     "csv_ingest_quarantine_documents" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val dir = new java.io.File(
@@ -4309,6 +4332,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       CAST(least(128, len - i*128) AS INTEGER) AS n_bytes
         |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // independent prediction of the ORC round-trip from the parquet table
+    "orc_roundtrip_documents" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // independent PREDICTION of the CSV round-trip from the parquet table
     // (the oracle never reads the temp CSV): a row quarantines iff the

@@ -152,6 +152,35 @@ object EventStreams {
         col("view_id"), col("view_ts"), col("view_value"))
   }
 
+  /** LEFT OUTER variant of [[clickViewJoin]]: every click survives — the
+    * attribution-complete face ("how many clicks had NO preceding view?"
+    * is unanswerable under the inner join). Distinct semantics class:
+    * a matched click emits immediately like the inner join, but an
+    * UNMATCHED click can only emit once the view-side watermark passes the
+    * end of its lookback window (proving no match can still arrive) — so
+    * null-padded rows trail the data by the watermark, and a stop/restart
+    * must not lose or double-emit them (state-store backed, tested with a
+    * checkpointed restart in EventStreamsSpec). Same bounded-state
+    * reasoning as the inner join: both sides expire on
+    * watermark + lookback. */
+  def clickViewJoinOuter(events: DataFrame, lookbackMinutes: Int = 30,
+                         watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"),
+        "leftOuter")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"), col("view_value"))
+  }
+
   /** Streaming distribution-drift monitor: per event-time window, bin the
     * value column (same closed-last-bucket semantics as the batch engine,
     * via one [[graft.functions.HistogramAgg]] vector per window) and report

@@ -118,6 +118,67 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matched clicks emit like the inner " +
+    "join; view-less clicks emit null-padded once the watermark proves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.clickViewJoinOuter(in.toDF(), lookbackMinutes = 30)
+      .writeStream.format("memory").queryName("cvjoin_outer").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),  // matches click 5
+        Event(5, ts("2024-01-01 10:20:00"), 1, "click", 0.0), // matched
+        Event(6, ts("2024-01-01 10:25:00"), 2, "click", 0.0)) // NO view: outer row
+      q.processAllAvailable()
+      // watermark far past 10:25 + lookback: the unmatched click must flush
+      in.addData(Event(7, ts("2024-01-01 14:00:00"), 9, "view", 0.0),
+        Event(8, ts("2024-01-01 14:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT click_id, view_id FROM cvjoin_outer WHERE user_id IN (1, 2)")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((5L, 1L), (6L, -1L)))
+    } finally q.stop()
+  }
+
+  test("clickViewJoinOuter: an unmatched click survives a checkpointed " +
+    "restart and still emits its null-padded row exactly once") {
+    // the outer join's null-padded rows come from buffered STATE (a click
+    // waiting for its watermark deadline) — the restart must restore that
+    // pending click and emit it once, not drop or double it
+    val in = java.nio.file.Files.createTempDirectory("graft_cvo_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cvo_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_cvo_chk").toString
+    def start() = EventStreams.clickViewJoinOuter(
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(in), lookbackMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    // phase 1: one matched click and one pending (view-less) click
+    Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(5, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+        Event(6, ts("2024-01-01 10:25:00"), 2, "click", 0.0))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2 after the full stop: only the watermark advances — the
+    // restored pending click must now flush null-padded
+    Seq(Event(7, ts("2024-01-01 14:00:00"), 9, "view", 0.0),
+        Event(8, ts("2024-01-01 14:00:00"), 9, "click", 0.0))
+      .toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .where($"user_id" === 1 || $"user_id" === 2)
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows.sorted == Seq((5L, 1L), (6L, -1L))) // exactly once each
+  }
+
   test("streaming dedup keeps first occurrence per key within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
