@@ -1657,6 +1657,13 @@ object SparkEntry {
     "centroid_sim_embeddings" -> ((s, d) =>
       Similarity.centroidSimMatrix(emb(s, d), "label")),
 
+    // k-means clustering as a first-class operator: Lloyd training (the
+    // shared offline phase behind IVF/SemDeDup) + map-only assignment,
+    // profiled per cluster. No oracle (centroid-dependent, iterative);
+    // partition/optimality/determinism property tests in SimilaritySpec
+    "kmeans_profile_embeddings" -> ((s, d) =>
+      Similarity.kMeansProfile(emb(s, d), k = 8, iters = 2)),
+
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
     // corpus's near-random vectors (top pair sim ≈ 0.51); real semantic-dup

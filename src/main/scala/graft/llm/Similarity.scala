@@ -264,6 +264,46 @@ object Similarity {
     cents
   }
 
+  /** K-means clustering as a first-class operator: [[trainCentroids]] (the
+    * shared offline phase behind IVF and SemDeDup) followed by a map-only
+    * final assignment, profiled per cluster — (cid, n_vectors, mean_sim,
+    * min_sim, max_sim), sims rounded at 9 like every cosine here. The
+    * corpus-wide "what structure does this embedding space have" view a
+    * curation pass reads before setting dedup/sampling policy.
+    *
+    * Scale shape: training state is k·dim floats on the driver (literal
+    * matrix), assignment is expression-level argmax over the scan (no
+    * shuffle), and the profile is one k-row aggregate. Mean sim aggregates
+    * as decimal over the 9-rounded per-row sims, so the profile is
+    * bit-deterministic under any partitioning — property-tested along with
+    * assignment optimality in SimilaritySpec. */
+  def kMeansProfile(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(emb, k, iters, idCol, vecCol)
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val best = nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0)
+    e.select(best.getField("cid").as("cid"),
+        round(best.getField("sim"), 9).as("sim"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("sim").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("mean_sim"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .orderBy("cid")
+  }
+
+  /** Per-vector cluster assignment over trained centroids — the row-level
+    * face of [[kMeansProfile]], exposed for tests and downstream joins. */
+  def kMeansAssign(emb: DataFrame, cents: Centroids,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val best = nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0)
+    e.select(col("id"), best.getField("cid").as("cid"),
+      round(best.getField("sim"), 9).as("sim"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors: a coarse quantizer of
     * `nCentroids` centroid vectors partitions the corpus into cells; each
     * vector is assigned to its nearest centroid, and a query scores exact

@@ -486,4 +486,43 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._1) == (1 to 5))
   }
 
+  test("kMeansProfile/kMeansAssign: corpus partition, assignment optimality, " +
+    "determinism under repartitioning, planted clusters recovered") {
+    // 6 planted clusters of 6 near-identical vectors
+    val rnd = new scala.util.Random(246)
+    val centers = Seq.fill(6)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 6
+    } yield ((ci * 6 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)))
+      .toDF("vec_id", "embedding")
+    val profile = Similarity.kMeansProfile(vecs, k = 6, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // partition: every vector lands in exactly one cluster
+    assert(profile.map(_._2).sum == 36L)
+    // determinism: same result from a different input partitioning
+    val profile2 = Similarity.kMeansProfile(vecs.repartition(7), k = 6, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(profile.toSeq == profile2.toSeq)
+    // assignment optimality: each vector's sim to its own centroid is the
+    // max over all centroids (checked through the row-level face)
+    val cents = Similarity.trainCentroids(vecs, nCentroids = 6, iters = 3)
+    val assigned = Similarity.kMeansAssign(vecs, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val vmap = vecs.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      d / (na * nb)
+    }
+    assigned.foreach { case (id, cid, sim) =>
+      val best = cents.map { case (c, cv, _) => (c, cos(vmap(id), cv)) }.maxBy(_._2)
+      assert(math.abs(best._2 - sim) < 1e-6,
+        s"vec $id: assigned cid=$cid sim=$sim but best is $best")
+    }
+    // tight planted clusters: members sit close to their centroid
+    assert(profile.forall(_._3 > 0.9), s"low mean sim in $profile")
+  }
+
 }
