@@ -1072,6 +1072,14 @@ object SparkEntry {
     "heavy_hitters_approx_tokens" -> ((s, d) =>
       TextAnalysis.frequentItemsApprox(t(s, d, "documents"), support = 0.005)),
     "token_count_documents" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
+    // BPE tokenizer training: ONE distributed scan to the capped word-
+    // frequency dict, then the driver merge loop over word TYPES (the
+    // standard HF/SentencePiece architecture — driver state is vocabulary-
+    // bounded, never corpus-bounded). No oracle (iterative, not SQL-
+    // expressible); hand-computed merges + determinism + invariants
+    // property-tested in TextAnalysisSpec
+    "bpe_train_documents" -> ((s, d) =>
+      TextAnalysis.bpeTrain(t(s, d, "documents"), numMerges = 40)),
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     // decile lift table over the quality score: the calibration view a
     // curator reads before setting keep-rates. ntile is a GLOBAL sort —

@@ -642,4 +642,77 @@ object TextAnalysis {
       .select(col("doc_id"), round(score, 9).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(topK)
   }
+
+  /** BPE tokenizer training — the standard two-phase architecture every
+    * production tokenizer trainer uses (corpus statistics distributed,
+    * merge loop over the word-TYPE dictionary):
+    *
+    *   1. ONE distributed scan aggregates the corpus to (word, count),
+    *      capped at the `maxWords` most frequent types (ties broken by word
+    *      ascending) — the driver state is vocabulary-bounded, never
+    *      corpus-bounded, exactly like HF/SentencePiece training on a
+    *      frequency dict.
+    *   2. The driver runs `numMerges` BPE rounds over that dict: count
+    *      adjacent symbol pairs weighted by word frequency, merge the most
+    *      frequent pair (ties broken lexicographically — deterministic),
+    *      rewrite the dict, repeat. Work per round is O(dict size), zero
+    *      cluster jobs.
+    *
+    * Words are seeded as character sequences with a `</w>` end-of-word
+    * marker (the classic Sennrich formulation). Returns the learned merge
+    * table (rank, left, right, merged, pair_count) — the artifact a
+    * tokenizer ships. Deterministic by construction; not SQL-expressible
+    * (iterative), so the declared query is oracle-omitted and
+    * hand-computed/property-tested in TextAnalysisSpec. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 40, maxWords: Int = 50000,
+               textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts: Array[(String, Long)] =
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(maxWords)
+        .as[(String, Long)].collect()
+    // dict: symbol-sequence -> frequency; seeded as chars + end marker
+    var dict: Map[Vector[String], Long] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ "</w>") -> c
+    }.toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      dict.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pairCounts.toSeq
+          .maxBy { case ((a, b), n) => (n, a, b) }(
+            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse))
+        val merged = l + r
+        merges += ((rank, l, r, merged, c))
+        dict = dict.map { case (syms, cnt) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> cnt
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
 }

@@ -278,6 +278,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == 0.0) // no query term present
   }
 
+  test("bpeTrain: hand-computed merge sequence, determinism, and invariants") {
+    // corpus: "aaab" x2, "ab" x1 (as two docs)
+    val d = Seq((0L, "aaab aaab"), (1L, "ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(d, numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // round 0: pairs (a,a)=4 [two per 'aaab' x freq 2], (a,b)=3, (b,</w>)=3
+    assert(m(0) == ((0, "a", "a", "aa", 4L)))
+    // round 1: dict {aa a b </w>: 2, a b </w>: 1} -> (a,b)=3 ties (b,</w>)=3,
+    // lexicographically smallest pair wins
+    assert(m(1) == ((1, "a", "b", "ab", 3L)))
+    // round 2: {aa ab </w>: 2, ab </w>: 1} -> (ab,</w>)=3 beats (aa,ab)=2
+    assert(m(2) == ((2, "ab", "</w>", "ab</w>", 3L)))
+    // determinism under a different partitioning
+    val m2 = TextAnalysis.bpeTrain(d.repartition(3), numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(m == m2)
+    // invariants on a bigger corpus: ranks consecutive, merged = left+right,
+    // each merge's ingredients existed (a char, </w>, or an earlier merge)
+    val big = (0L until 50L).map(i =>
+      (i, s"the quick brown fox number$i jumps over the lazy dog")).toDF("doc_id", "text")
+    val bm = TextAnalysis.bpeTrain(big, numMerges = 25)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(bm.map(_._1) == (0 until bm.length))
+    assert(bm.forall { case (_, l, r, mg, _) => mg == l + r })
+    val known = scala.collection.mutable.Set[String]("</w>")
+    ('a' to 'z').foreach(c => known += c.toString)
+    bm.foreach { case (_, l, r, mg, c) =>
+      assert(known(l) && known(r), s"merge of unknown symbol: ($l, $r)")
+      assert(c >= 1)
+      known += mg
+    }
+    // early exhaustion: a tiny corpus runs out of pairs without erroring
+    val tiny = Seq((0L, "ab")).toDF("doc_id", "text")
+    val tm = TextAnalysis.bpeTrain(tiny, numMerges = 10).collect()
+    assert(tm.length <= 2) // (a,b) then (ab,</w>) — then the word is one symbol
+  }
+
   test("scoreDecilesApprox agrees with exact ntile on continuous scores") {
     import org.apache.spark.sql.expressions.Window
     // 10000 distinct scores (a permuted continuous column): value-based
