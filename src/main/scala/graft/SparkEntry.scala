@@ -1080,6 +1080,12 @@ object SparkEntry {
     // property-tested in TextAnalysisSpec
     "bpe_train_documents" -> ((s, d) =>
       TextAnalysis.bpeTrain(t(s, d, "documents"), numMerges = 40)),
+    // the encode side: learned merges applied map-side by the codegen
+    // BpeEncode expression, corpus reduced to its top-20 BPE symbols.
+    // No oracle (train is iterative); encode invariants (no mergeable pair
+    // survives, training-word parity, hand case) in GraftFunctionsSpec
+    "bpe_encode_documents" -> ((s, d) =>
+      TextAnalysis.bpeTopSymbols(t(s, d, "documents"), numMerges = 40, k = 20)),
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     // decile lift table over the quality score: the calibration view a
     // curator reads before setting keep-rates. ntile is a GLOBAL sort —

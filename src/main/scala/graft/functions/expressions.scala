@@ -339,6 +339,91 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE merge application — the encode-side helper for [[BpeEncode]]. A
+  * top-level object (static forwarders) so generated code calls it
+  * directly, like [[Zlib]]. */
+object Bpe {
+  /** Rank-map key for a symbol pair ("" cannot appear in tokens —
+    * the tokenizer strips non-[a-z]). */
+  def key(l: String, r: String): String = l + "" + r
+
+  /** Canonical greedy BPE encode: seed the word as chars + `</w>`, then
+    * repeatedly merge ALL occurrences of the lowest-ranked adjacent pair
+    * present in `ranks` until none applies. Replays training order, so
+    * encoding a training word reproduces its final dictionary state. */
+  def encode(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    var syms = new java.util.ArrayList[String](word.length + 1)
+    var ci = 0
+    while (ci < word.length) { syms.add(String.valueOf(word.charAt(ci))); ci += 1 }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.get(key(syms.get(i), syms.get(i + 1)))
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val l = syms.get(bestIdx); val rr = syms.get(bestIdx + 1)
+        val out = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == l && syms.get(j + 1) == rr) {
+            out.add(l + rr); j += 2
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        syms = out
+      }
+    }
+    syms.toArray(new Array[String](syms.size))
+  }
+
+  /** Codegen entry point: UTF8String in, Catalyst ArrayData of UTF8String out. */
+  def encodeToArrayData(w: org.apache.spark.unsafe.types.UTF8String,
+                        ranks: java.util.HashMap[String, Integer]): ArrayData =
+    new GenericArrayData(encode(w.toString, ranks)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+}
+
+/** BPE encode of a word column against a learned merge table
+  * ([[graft.llm.TextAnalysis.bpeTrain]]'s output): array<string> of BPE
+  * symbols per word. The merge ranks ride the expression as a reference
+  * object (vocabulary-bounded, serialized once per task), and the loop is
+  * one static call from generated code — the encode stays inside
+  * whole-stage codegen, no UDF SerDe boundary. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((l, r), i) => m.put(Bpe.key(l, r), Int.box(i)) }
+    m
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    Bpe.encodeToArrayData(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Bpe.encodeToArrayData($s, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the custom expressions. */
 object functions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -366,4 +451,8 @@ object functions {
 
   /** zlib compression ratio of a string column's UTF-8 bytes. */
   def compress_ratio(s: Column): Column = c(CompressRatio(e(s)))
+
+  /** BPE symbols of a word column under a learned merge table (rank order). */
+  def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
+    c(BpeEncode(e(word), merges))
 }

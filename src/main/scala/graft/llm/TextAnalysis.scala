@@ -715,4 +715,23 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
   }
+
+  /** Train-then-encode in one operator: [[bpeTrain]] learns the merge table,
+    * the codegen [[graft.functions.BpeEncode]] expression applies it to
+    * every word map-side (ranks broadcast as an expression reference —
+    * vocabulary-bounded), and the corpus reduces to its top-k BPE symbols
+    * by frequency (ties broken by symbol ascending). The "what does my
+    * tokenizer's learned vocabulary actually look like on this corpus"
+    * report. One training scan + one encode scan; the symbol key space is
+    * bounded by chars + numMerges, so the final agg shuffle is tiny. */
+  def bpeTopSymbols(docs: DataFrame, numMerges: Int = 40, k: Int = 20,
+                    maxWords: Int = 50000, textCol: String = "text"): DataFrame = {
+    val merges = bpeTrain(docs, numMerges, maxWords, textCol)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .select(explode(graft.functions.functions.bpe_encode(col("w"), merges)).as("sym"))
+      .groupBy("sym").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc).limit(k)
+  }
 }

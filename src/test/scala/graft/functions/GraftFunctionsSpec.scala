@@ -127,4 +127,46 @@ class GraftFunctionsSpec extends SparkSpec {
     val sq = spark.sql("SELECT compress_ratio(s) FROM cr_in WHERE id = 1").as[Double].head()
     assert(sq == direct)
   }
+
+  test("bpe_encode: hand case, no-mergeable-pair invariant, training parity, " +
+    "codegen/interpreted agreement") {
+    import graft.functions.{functions => gf}
+    // hand case: merges [(a,a) rank 0, (a,b) rank 1] on "aaab"
+    // chars a a a b </w> -> merge (a,a) all occurrences -> aa a b </w>
+    // -> lowest present pair (a,b) -> aa ab </w>; nothing applies -> stop
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val enc = Seq("aaab").toDF("w")
+      .select(gf.bpe_encode(col("w"), merges).as("syms"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("aa", "ab", "</w>"))
+    // driver-side helper agrees with the distributed (codegen) path
+    val ranks = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      ranks.put(graft.functions.Bpe.key(l, r), Int.box(i)) }
+    assert(graft.functions.Bpe.encode("aaab", ranks).toSeq == enc)
+    // train on a corpus, encode the corpus: (1) no adjacent pair of any
+    // encoded word is still mergeable; (2) concatenating a word's symbols
+    // (minus </w>) reproduces the word
+    val docs = (0L until 30L).map(i =>
+      (i, s"the quick brown fox num$i jumps over the lazy dog")).toDF("doc_id", "text")
+    val trained = graft.llm.TextAnalysis.bpeTrain(docs, numMerges = 15)
+      .select("left", "right").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val mergeSet = trained.toSet
+    val words = docs
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("w")).distinct()
+      .select(col("w"), gf.bpe_encode(col("w"), trained).as("syms"))
+      .as[(String, Seq[String])].collect()
+    words.foreach { case (w, syms) =>
+      syms.sliding(2).foreach {
+        case Seq(a, b) => assert(!mergeSet((a, b)), s"$w: mergeable pair ($a,$b) survived")
+        case _ =>
+      }
+      assert(syms.last.endsWith("</w>"))
+      assert(syms.mkString.stripSuffix("</w>") == w, s"symbols don't respell $w: $syms")
+    }
+    // null word -> null result
+    val n = Seq((1L, null: String)).toDF("id", "w")
+      .select(gf.bpe_encode(col("w"), merges)).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
