@@ -1708,9 +1708,7 @@ object SparkEntry {
     // sine RMS/zero-crossing analytics property-tested in MultimodalSpec)
     "mm_audio_features_documents" -> ((s, d) =>
       Multimodal.extractAudioFeatures(
-          // repartition before synth+decode (see mm_video_frames note)
-          Multimodal.withFakeAudio(
-            t(s, d, "documents").repartition(s.sparkContext.defaultParallelism))).toDF()
+          Multimodal.withFakeAudio(t(s, d, "documents"))).toDF()
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
           col("channels"), col("n_samples"), round(col("rms"), 3).as("rms"),
           col("zero_crossings"))
@@ -1720,15 +1718,11 @@ object SparkEntry {
     // per-frame aHash signatures, bytes never shuffle (no oracle: binary
     // container decode isn't SQL-expressible; round-trip/stride/quarantine
     // properties in MultimodalSpec)
-    // repartition BEFORE the synth+decode: the documents fixture is one
-    // parquet file (= one input partition), which would serialize the
-    // per-partition codec work onto one core — the query-side analogue of
-    // sizing files.maxPartitionBytes down for media (Multimodal scaladoc)
+    // withFakeVideo spreads the codec work itself (narrow-projection-first
+    // repartition — the shuffle carries (id, len), never text or media)
     "mm_video_frames_documents" -> ((s, d) =>
       Multimodal.extractVideoFrames(
-          Multimodal.withFakeVideo(
-            t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)),
-          stride = 2)
+          Multimodal.withFakeVideo(t(s, d, "documents")), stride = 2)
         .orderBy("doc_id", "frame_idx")),
     // end-to-end CSV ingest under the oracle: render a deterministic messy
     // CSV from documents (doc_id%37==0 rows get a non-numeric doc_id),
