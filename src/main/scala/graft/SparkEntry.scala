@@ -951,8 +951,13 @@ object SparkEntry {
     // recover brute-force top-k; BenchScaleRecallSpec therefore asserts
     // recall ≥ 0.8 at bench scale on planted near-neighbors derived from
     // these same vectors, the near-dup regime the tier is declared for)
-    "knn_graph_lsh_embeddings" -> ((s, d) =>
-      Similarity.knnGraphLSH(emb(s, d), k = 3, nTables = 2)),
+    "knn_graph_lsh_embeddings" -> ((s, d) => {
+      // corpus-adaptive nBits (one cheap metadata count): fixed bits
+      // saturate buckets and turn candidate work super-linear (SCALE §10)
+      val e = emb(s, d)
+      Similarity.knnGraphLSH(e, k = 3, nBits = Similarity.autoBits(e.count()),
+        nTables = 2)
+    }),
     // similarity-graph centrality: damped PageRank over the exact kNN edge
     // list — high-rank vectors are the template-like cluster centers a
     // curation pass inspects first. Decimal rank sums make the result
@@ -968,9 +973,13 @@ object SparkEntry {
     // anywhere in the composition. The exact-edge sibling above stays as
     // the verifier tier; conservation/determinism/agreement property tests
     // live in GraphsSpec (no oracle: iterative + LSH-approximate by design)
-    "pagerank_lsh_embeddings" -> ((s, d) =>
-      Graphs.pageRank(Similarity.knnGraphLSH(emb(s, d), k = 3, nTables = 2),
-        iters = 10)),
+    "pagerank_lsh_embeddings" -> ((s, d) => {
+      val e = emb(s, d)
+      Graphs.pageRank(
+        Similarity.knnGraphLSH(e, k = 3, nBits = Similarity.autoBits(e.count()),
+          nTables = 2),
+        iters = 10)
+    }),
     // canonical-URL keep-one dedup; the corpus has no URL column, so the
     // declared query injects a deterministic messy URL per doc (case/www/
     // query/fragment/trailing-slash variants; doc_id % 50 forces dups)

@@ -114,6 +114,18 @@ object Similarity {
     * Scale shape: bucketing is map-only; the candidate join shuffles on
     * bucket id, so pair work is Σ_b (nBits+1)·|b|² instead of n² — tune
     * `nBits` so buckets hold ~√(corpus/executors) vectors. */
+  /** Corpus-adaptive hyperplane count for the SRP tiers: the smallest
+    * nBits (floor 8) keeping expected bucket occupancy n/2^nBits at or
+    * under `targetBucket` — the tuning rule the module docs state ("tune
+    * nBits so buckets hold ~√(corpus/executors)"). FIXED bits turn the
+    * Σ|bucket|² candidate work super-linear once buckets saturate:
+    * measured 5.7× wall on 3× data at 8 bits before the declared queries
+    * adopted this (SCALE.md §10). More bits lower per-table collision
+    * probability, so recall-critical callers pair this with `nTables`. */
+  def autoBits(n: Long, targetBucket: Int = 256): Int =
+    math.max(8, math.ceil(
+      math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
+
   def knnGraphLSH(emb: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64,
                   seed: Long = 42L, idCol: String = "vec_id",
                   vecCol: String = "embedding", nTables: Int = 1): DataFrame = {
@@ -132,10 +144,19 @@ object Similarity {
     val scored = src.join(cand, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
-      .dropDuplicates("src", "dst")
-    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("src"), col("rnk"), col("dst"), col("sim"))
+    // multiprobe/multi-table pair repeats collapse in a (src, dst) hash agg
+    // (map-side combine; sims of a repeated pair are identical, max is a
+    // deterministic pick), then per-source top-k runs as the bounded-heap
+    // aggregate: no per-source SORT of the candidate list — at corpus scale
+    // the candidate frame is the biggest intermediate here (O(n·nBits·occ)
+    // rows), and a ranking window would sort every source's candidates
+    // while the heap keeps k per partial group through both exchanges
+    val uniq = scored.groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+    uniq.groupBy("src")
+      .agg(graft.functions.TopKAgg.top_k_by(col("sim"), col("dst"), k).as("top"))
+      .select(col("src"), posexplode(col("top")))
+      .select(col("src"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("dst"), col("col.ord").as("sim"))
       .orderBy("src", "rnk")
   }
 
