@@ -1740,6 +1740,27 @@ object SparkEntry {
     // quarantined counts. The oracle never touches the CSV: it predicts the
     // same counts independently from the parquet table, so a parser
     // regression (row silently dropped or misclassified) hash-mismatches
+    // end-to-end partitioned-layout round-trip under the oracle: write the
+    // documents projection hive-partitioned by lang, read back with a
+    // partition predicate — the filter must prune to the en/de directories
+    // (directory-level pruning is THE 100 TB scan-cost lever; the plan
+    // assertion lives in SinksSpec, the value fidelity here). Oracle
+    // predicts from the parquet table, so dropped/duplicated partitions
+    // hash-mismatch
+    "partitioned_read_documents" -> ((s, d) => {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_part_roundtrip_${Integer.toHexString(d.hashCode)}").toString
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("lang")
+    }),
     // end-to-end ORC round-trip under the oracle (the third format next to
     // parquet and CSV): project documents to a typed frame, write ORC, read
     // back through the schema-enforced front door, aggregate. The oracle
@@ -4356,6 +4377,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       CAST(least(128, len - i*128) AS INTEGER) AS n_bytes
         |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // independent prediction of the partition-pruned read: only the en/de
+    // slices of the documents table contribute
+    "partitioned_read_documents" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // independent prediction of the ORC round-trip from the parquet table
     "orc_roundtrip_documents" ->
