@@ -1243,6 +1243,15 @@ object SparkEntry {
       Sampling.weightedSample(q, "quality_score")
         .select("doc_id", "quality_score").orderBy("doc_id")
     }),
+    // EXACT-k weighted sample without replacement (A-ES): the target-size
+    // complement of the Bernoulli weighted keep above — quality scores as
+    // weights, k=50, selection by the k largest u^(1/w) keys
+    "sample_weighted_topk_documents" -> ((s, d) => {
+      val q = TextAnalysis.qualityScore(t(s, d, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      Sampling.weightedTopK(q, "quality_score", k = 50)
+        .select("doc_id", "quality_score").orderBy("doc_id")
+    }),
 
     // data mixing: down-sample strata to a target composition (en half,
     // de 30% of a 200-doc budget; other languages drop), up to availability
@@ -3303,6 +3312,37 @@ object SparkEntry {
          |SELECT doc_id, quality_score FROM q
          |WHERE ((doc_id * 2654435761) % 4294967296) % 100 < quality_score * 100
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // A-ES keys mirrored op-for-op: u = (knuth64+1)/(2^32+1), key =
+    // round(u^(1/w), 9), top-50 by (key desc, doc_id), re-sorted by id
+    "sample_weighted_topk_documents" -> {
+      val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_alpha AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1) AS mean_token_len,
+         |    CAST(CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    AS quality_score
+         |  FROM m),
+         |keyed AS (
+         |  SELECT doc_id, quality_score,
+         |    round(pow((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0) / 4294967297.0,
+         |              1.0 / quality_score), 9) AS akey
+         |  FROM q WHERE quality_score > 0),
+         |sel AS (SELECT doc_id, quality_score FROM keyed
+         |        ORDER BY akey DESC, doc_id LIMIT 50)
+         |SELECT doc_id, quality_score FROM sel ORDER BY doc_id""".stripMargin
     },
 
     // same quality CTE as quality_score_documents, then a per-source

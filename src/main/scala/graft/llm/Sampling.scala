@@ -94,6 +94,29 @@ object Sampling {
   def weightedSample(df: DataFrame, weightCol: String, idCol: String = "doc_id"): DataFrame =
     df.where(knuthBucket(col(idCol)) < col(weightCol) * lit(100))
 
+  /** EXACT-k weighted sample without replacement (Efraimidis–Spirakis
+    * A-ES): each row draws a deterministic Knuth-hash uniform u ∈ (0,1)
+    * and the k largest keys u^(1/w) are the sample — selection probability
+    * proportional to weight, without replacement, in ONE pass. The
+    * exact-count complement of [[weightedSample]]'s Bernoulli keep (which
+    * cannot hit a target size). Keys round at 9 digits with an id
+    * tiebreak — the engine's cross-engine float contract — so the sample
+    * is deterministic and oracle-matchable; non-positive weights never
+    * select. Scale shape: u and the key are map-only; selection is one
+    * TakeOrdered(k) — no shuffle, no global sort, driver state k rows. */
+  def weightedTopK(df: DataFrame, weightCol: String, k: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // (knuth64 + 1) / (2^32 + 1): u never 0 or 1, so the power is defined
+    val u = ((col(idCol) * lit(2654435761L)) % lit(4294967296L) + lit(1.0)) /
+      lit(4294967297.0)
+    df.where(col(weightCol) > 0)
+      .withColumn("__akey", round(pow(u, lit(1.0) / col(weightCol)), 9))
+      .orderBy(col("__akey").desc, col(idCol))
+      .limit(k)
+      .drop("__akey")
+  }
+
   /** Token-budget-constrained corpus selection: per group (source), take
     * documents in quality order (quality desc, doc_id asc) while the
     * cumulative token count BEFORE each document stays under

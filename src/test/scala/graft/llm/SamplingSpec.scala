@@ -242,4 +242,26 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashTopKPerGroup(tiny, "source", 5).count() == 1L)
   }
 
+  test("weightedTopK (A-ES): exact k, weight-monotone inclusion odds, " +
+    "deterministic, zero-weight exclusion") {
+    import org.apache.spark.sql.functions._
+    // 1000 rows, half weight 0.9 and half weight 0.1: the heavy stratum
+    // must dominate a k=100 sample (A-ES: P(select) grows with weight)
+    val df = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, 0.9).otherwise(0.1).as("w"))
+    val sel = Sampling.weightedTopK(df, "w", k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.size == 100) // exact k, without replacement
+    val heavy = sel.count(_ % 2 == 0)
+    assert(heavy > 70, s"heavy stratum got only $heavy/100 slots")
+    // deterministic under repartition
+    val sel2 = Sampling.weightedTopK(df.repartition(7), "w", k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel2 == sel)
+    // zero/negative weights never selected, even with k > candidates
+    val z = Seq((1L, 1.0), (2L, 0.0), (3L, -1.0)).toDF("doc_id", "w")
+    assert(Sampling.weightedTopK(z, "w", k = 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
 }
