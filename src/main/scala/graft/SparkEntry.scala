@@ -1742,13 +1742,6 @@ object SparkEntry {
       Multimodal.extractVideoFrames(
           Multimodal.withFakeVideo(t(s, d, "documents")), stride = 2)
         .orderBy("doc_id", "frame_idx")),
-    // end-to-end CSV ingest under the oracle: render a deterministic messy
-    // CSV from documents (doc_id%37==0 rows get a non-numeric doc_id),
-    // round-trip it through the schema-enforced PERMISSIVE front door
-    // (Readers.readCsv) + quarantine split, and report per-source clean/
-    // quarantined counts. The oracle never touches the CSV: it predicts the
-    // same counts independently from the parquet table, so a parser
-    // regression (row silently dropped or misclassified) hash-mismatches
     // end-to-end partitioned-layout round-trip under the oracle: write the
     // documents projection hive-partitioned by lang, read back with a
     // partition predicate — the filter must prune to the en/de directories
@@ -1793,6 +1786,13 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // end-to-end CSV ingest under the oracle: render a deterministic messy
+    // CSV from documents (doc_id%37==0 rows get a non-numeric doc_id),
+    // round-trip it through the schema-enforced PERMISSIVE front door
+    // (Readers.readCsv) + quarantine split, and report per-source clean/
+    // quarantined counts. The oracle never touches the CSV: it predicts the
+    // same counts independently from the parquet table, so a parser
+    // regression (a row silently dropped or misclassified) hash-mismatches
     "csv_ingest_quarantine_documents" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val dir = new java.io.File(

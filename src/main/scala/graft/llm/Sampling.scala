@@ -16,14 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash of a non-negative int64 key, mod 2^32.
-    * Chosen over xxhash64 ONLY because every SQL engine can evaluate it
-    * exactly (pure int64 arithmetic, no overflow for keys < ~3.4e9), which
-    * makes the sample membership DuckDB-oracle-checkable bit-for-bit. For
-    * key spaces beyond 2^31 use [[hashSample64]] (same semantics, Spark's
-    * xxhash64, not cross-engine checkable). */
+  /** Knuth multiplicative hash of an int64 key, mod 2^32 — overflow-SAFE
+    * for the FULL key space. `key * 2654435761` naively overflows int64 at
+    * key ≈ 3.47e9 (ANSI mode throws; legacy mode wraps negative, which
+    * made downstream `% buckets` go negative and silently over-select).
+    * Instead reduce mod 2^32 first and split the multiply 16/16:
+    * (k·A) mod 2^32 = ((k_hi·A mod 2^16)·2^16 + k_lo·A) mod 2^32, where
+    * k = key mod 2^32 = k_hi·2^16 + k_lo. Every intermediate stays below
+    * 2^49, so the arithmetic is exact in int64 for ANY key, and for keys
+    * < 3.4e9 the value is bit-identical to the naive formula — the DuckDB
+    * oracle SQL (which uses the naive form on test-scale ids) still
+    * matches exactly. Result is always in [0, 2^32). */
+  def knuth32(key: Column): Column = {
+    val k  = pmod(key, lit(4294967296L))
+    val kh = (k / lit(65536L)).cast("long")
+    val kl = k % lit(65536L)
+    ((kh * lit(2654435761L)) % lit(65536L) * lit(65536L) + kl * lit(2654435761L)) %
+      lit(4294967296L)
+  }
+
+  /** [[knuth32]] folded to `buckets` buckets. Cross-engine checkable
+    * (pure int64 arithmetic) AND total — defined for every int64 key. */
   def knuthBucket(key: Column, buckets: Int = 100): Column =
-    (key * lit(2654435761L)) % lit(4294967296L) % lit(buckets)
+    knuth32(key) % lit(buckets)
 
   /** Keep `pct`% of rows, deterministically by key hash. */
   def hashSample(df: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame = {
@@ -79,7 +94,7 @@ object Sampling {
                        idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val h = (col(idCol) * lit(2654435761L)) % lit(4294967296L)
+    val h = knuth32(col(idCol))
     val w = Window.partitionBy(groupCol).orderBy(h, col(idCol))
     df.withColumn("__rnk", row_number().over(w))
       .where(col("__rnk") <= k)
@@ -107,9 +122,11 @@ object Sampling {
   def weightedTopK(df: DataFrame, weightCol: String, k: Int,
                    idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // (knuth64 + 1) / (2^32 + 1): u never 0 or 1, so the power is defined
-    val u = ((col(idCol) * lit(2654435761L)) % lit(4294967296L) + lit(1.0)) /
-      lit(4294967297.0)
+    // (knuth32 + 1) / (2^32 + 1): knuth32 ∈ [0, 2^32) for EVERY int64 id
+    // (overflow-safe split multiply), so u ∈ (0, 1) strictly — pow never
+    // sees u ≤ 0, the key is never NaN, and the descending sort cannot be
+    // poisoned by NaN-ranks-first rows at production id scales.
+    val u = (knuth32(col(idCol)) + lit(1.0)) / lit(4294967297.0)
     df.where(col(weightCol) > 0)
       .withColumn("__akey", round(pow(u, lit(1.0) / col(weightCol)), 9))
       .orderBy(col("__akey").desc, col(idCol))

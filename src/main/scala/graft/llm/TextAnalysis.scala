@@ -165,9 +165,19 @@ object TextAnalysis {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     // descending thresholds t_1 >= ... >= t_{n-1}: t_i = quantile(1 - i/n)
     val ps = (1 until nBuckets).map(i => 1.0 - i.toDouble / nBuckets)
-    val cuts = scored.agg(percentile_approx(col(scoreCol),
+    // percentile_approx over ZERO rows returns a NULL cuts array — mirror
+    // weightedQuantileBinned's empty-input path and return an empty lift
+    // table (same schema) instead of NPE-ing on the null Seq.
+    val cutsRow = scored.agg(percentile_approx(col(scoreCol),
         typedLit(ps), lit(accuracy)).as("cuts"))
-      .head().getSeq[Double](0)
+      .head()
+    val cuts: Seq[Double] =
+      if (cutsRow.isNullAt(0)) null else cutsRow.getSeq[Double](0)
+    if (cuts == null)
+      return scored.where(lit(false))
+        .select(lit(0).as("decile"), lit(0L).as("n_docs"),
+          lit(0.0).as("mean_chars"),
+          col(scoreCol).as("min_score"), col(scoreCol).as("max_score"))
     val decile = cuts.zipWithIndex.reverse.foldLeft(lit(nBuckets)) {
       case (acc, (t, i)) =>
         when(col(scoreCol) >= lit(t), lit(i + 1)).otherwise(acc)

@@ -131,9 +131,22 @@ object Readers {
     * SinksSpec; the `csv.parser.columnPruning` conf no longer guards the
     * scan path in Spark 4). Materializing the batch once IS the ingest
     * boundary's job — the clean side is about to be persisted anyway, and
-    * the checkpoint parses every schema column exactly once. */
+    * the materialization parses every schema column exactly once.
+    *
+    * Materialization is `persist(DISK_ONLY)` + count, NOT localCheckpoint:
+    * localCheckpoint TRUNCATES lineage to non-replicated block-manager
+    * blocks, so one lost executor after the split would fail every
+    * downstream read permanently (no recompute path) — unacceptable at the
+    * ingest boundary. With persist the lineage stays intact: a lost block
+    * recomputes from the source scan, and because the CACHED plan is the
+    * full-schema parse, the recompute re-parses every column, keeping
+    * quarantine classification row-stable even across recomputes.
+    * DISK_ONLY keeps the (batch-sized) copy out of executor memory;
+    * callers should `unpersist()` the shared cache once both sides are
+    * written. */
   def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
-    val full = df.localCheckpoint()
+    val full = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    full.count() // force the one full-schema parse now
     val clean = full.where(col(corruptCol).isNull).drop(corruptCol)
     val bad = full.where(col(corruptCol).isNotNull)
     (clean, bad)

@@ -29,7 +29,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * is unchanged by that refinement. */
 object ScdStream {
 
-  /** Newest committed snapshot version strictly below `beforeId`, if any. */
+  /** Newest committed snapshot version strictly below `beforeId`, if any.
+    * "Committed" means the directory carries the `_SUCCESS` marker the
+    * parquet job committer writes LAST — a sink crash mid-write of `v=N`
+    * leaves a partial directory with no marker, and selecting it would
+    * hand external readers a torn snapshot. Non-numeric `v=*` dirnames
+    * (foreign tooling, temp dirs) are skipped via `toLongOption` instead
+    * of throwing. */
   private[streaming] def latestVersionBefore(spark: SparkSession, dimDir: String,
                                              beforeId: Long): Option[Long] = {
     val p = new Path(dimDir)
@@ -37,8 +43,12 @@ object ScdStream {
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .flatMap(s => s.getPath.getName match {
+        case n if n.startsWith("v=") =>
+          n.drop(2).toLongOption.filter(_ =>
+            fs.exists(new Path(s.getPath, "_SUCCESS")))
+        case _ => None
+      })
       .filter(_ < beforeId)
       .sorted.lastOption
   }

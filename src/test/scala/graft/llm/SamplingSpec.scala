@@ -264,4 +264,53 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedTopK(z, "w", k = 10)
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("knuth32 is overflow-safe over the FULL int64 key space and " +
+    "bit-identical to the naive formula on small keys") {
+    import org.apache.spark.sql.functions._
+    // small keys: split multiply == naive (id * A) % 2^32 exactly
+    val small = spark.range(0, 100000, 997)
+      .select(col("id"), Sampling.knuth32(col("id")).as("h"))
+      .as[(Long, Long)].collect()
+    small.foreach { case (id, h) =>
+      assert(h == (id * 2654435761L) % 4294967296L, s"id=$id")
+    }
+    // huge keys (naive form overflows int64 at ~3.47e9): BigInt ground
+    // truth, result always in [0, 2^32), never negative, never throws
+    val huge = Seq(3500000000L, 4294967295L, 1L << 40, Long.MaxValue,
+      Long.MaxValue - 1, -1L, Long.MinValue + 1)
+    val got = huge.toDF("doc_id")
+      .select(col("doc_id"), Sampling.knuth32(col("doc_id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    huge.foreach { id =>
+      val exp = ((BigInt(id).mod(BigInt(2).pow(32))) * BigInt(2654435761L))
+        .mod(BigInt(2).pow(32)).toLong
+      assert(got(id) == exp, s"id=$id got=${got(id)} exp=$exp")
+      assert(got(id) >= 0 && got(id) < 4294967296L)
+    }
+  }
+
+  test("weightedTopK never produces NaN keys at production id scales " +
+    "(ADVICE r7: overflow wrapped negative -> u<=0 -> pow NaN -> " +
+    "NaN ranked above every real key)") {
+    import org.apache.spark.sql.functions._
+    // ids straddling the old overflow threshold; under the old naive hash
+    // the large-id half would all get NaN keys and crowd out every
+    // small-id row in the sample — now both strata compete fairly
+    val ids = (0L until 500L) ++ (0L until 500L).map(_ + 4000000000L)
+    val df = ids.toDF("doc_id").select(col("doc_id"), lit(1.0).as("w"))
+    val sel = Sampling.weightedTopK(df, "w", k = 200)
+      .select("doc_id").as[Long].collect()
+    assert(sel.length == 200)
+    val largeIds = sel.count(_ >= 4000000000L)
+    assert(largeIds > 20 && largeIds < 180,
+      s"sample not mixed across id scales: $largeIds/200 large ids " +
+        "(200/200 or 0/200 would mean one stratum's keys dominate degenerately)")
+    // and hashSample stays within tolerance on huge ids (old knuthBucket
+    // went negative -> always < pct -> 100% over-select)
+    val hugeCorpus = spark.range(10000)
+      .select((col("id") + 4000000000L).as("doc_id"))
+    val s = Sampling.hashSample(hugeCorpus.toDF(), 10).count()
+    assert(math.abs(s - 1000L) < 200, s"got $s of 10000 at 10% on huge ids")
+  }
 }

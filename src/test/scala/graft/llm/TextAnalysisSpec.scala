@@ -383,4 +383,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("scoreDecilesApprox on an EMPTY scored frame returns an empty lift " +
+    "table with the right schema instead of NPE-ing on NULL cuts (ADVICE r7)") {
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("n_chars"),
+        col("id").cast("double").as("score"))
+    val out = TextAnalysis.scoreDecilesApprox(empty, "score", "n_chars")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("decile", "n_docs", "mean_chars", "min_score", "max_score"))
+    // and the all-filtered path through the public tier is NPE-free too
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val none = TextAnalysis.qualityDecilesApprox(docs.where(lit(false)))
+    assert(none.count() == 0L)
+  }
+
 }

@@ -85,4 +85,29 @@ class ScdStreamSpec extends SparkSpec {
     assert(dims(dim) == once)
     assert(once.collect { case (2L, h, _, None) => h } == Set(21L))
   }
+
+  test("torn snapshots are never selected: a v=N dir without _SUCCESS " +
+    "(sink crashed mid-write) is skipped, and foreign v=* dirnames " +
+    "don't throw (ADVICE r7)") {
+    val dim = java.nio.file.Files.createTempDirectory("graft_scd_torn").toString
+    val b0 = Seq(Change(1L, 10L, ts("2024-01-01 10:00:00"))).toDF()
+    ScdStream.applyScdBatch(b0, 0L, dim, "doc_id", "h", "ts")
+    assert(ScdStream.latestVersionBefore(spark, dim, Long.MaxValue) == Some(0L))
+    // simulate a crash mid-write of v=1: directory + data file, no _SUCCESS
+    val torn = new java.io.File(dim, "v=1")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(torn, "part-00000.parquet").toPath, "partial")
+    // and a foreign non-numeric version dir that used to throw in toLong
+    new java.io.File(dim, "v=staging").mkdirs()
+    // external readers still get the last COMMITTED snapshot, not the torn one
+    assert(ScdStream.latestVersionBefore(spark, dim, Long.MaxValue) == Some(0L))
+    assert(ScdStream.latestDim(spark, dim).get
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // and the replay of batch 1 rebuilds from v=0 and commits over the torn dir
+    val b1 = Seq(Change(2L, 20L, ts("2024-01-01 11:00:00"))).toDF()
+    ScdStream.applyScdBatch(b1, 1L, dim, "doc_id", "h", "ts")
+    assert(ScdStream.latestVersionBefore(spark, dim, Long.MaxValue) == Some(1L))
+    assert(dims(dim).map(_._1) == Set(1L, 2L))
+  }
 }
