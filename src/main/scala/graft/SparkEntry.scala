@@ -1786,6 +1786,32 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // end-to-end Avro round-trip under the oracle (fourth format next to
+    // parquet/CSV/ORC): typed projection → container-file write (one file
+    // per partition, executor-side avro-core DataFileWriter — the distro
+    // ships no spark-avro datasource) → file-parallel readAvro with
+    // reader-schema projection → per-lang aggregate. The oracle predicts
+    // from the parquet table, so any encode/decode fidelity break (row
+    // loss, type drift, null mangling) hash-mismatches; codec round-trip
+    // and null-union properties live in SinksSpec
+    "avro_roundtrip_documents" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_avro_roundtrip_${Integer.toHexString(d.hashCode)}").toString
+      graft.sources.AvroIO.writeAvro(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars")),
+        dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", IntegerType)))
+      graft.sources.AvroIO.readAvro(s, dir, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
     // end-to-end CSV ingest under the oracle: render a deterministic messy
     // CSV from documents (doc_id%37==0 rows get a non-numeric doc_id),
     // round-trip it through the schema-enforced PERMISSIVE front door
@@ -4428,6 +4454,14 @@ object SparkEntry {
 
     // independent prediction of the ORC round-trip from the parquet table
     "orc_roundtrip_documents" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // independent prediction of the Avro round-trip from the parquet table
+    // (the oracle never reads the Avro files)
+    "avro_roundtrip_documents" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
