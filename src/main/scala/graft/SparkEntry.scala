@@ -1667,6 +1667,11 @@ object SparkEntry {
     "lm_bigram_score_documents" -> ((s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"))),
     // C4-style cross-document span dedup: rebuilt docs + span survival counts
     "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
+    // substring-level exact dedup (Lee et al. 2022 ExactSubstr, Spark-native
+    // sliding-shingle coverage): arbitrary-length duplicated substrings are
+    // fully excised at ANY alignment, keep-first; per-doc survival counts,
+    // merged dup-run count, rebuilt text
+    "dedup_substrings_documents" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
 
     // symmetric per-vector int8 quantization (storage/serving tier). The
     // declared query emits the array as CSV: arrow list FIELD NAMES differ
@@ -2713,6 +2718,48 @@ object SparkEntry {
          |       coalesce(r.text_clean, '') AS text_clean
          |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // sliding stride-1 10-token shingles; grouping by shingle text ≡ the
+    // engine's xxhash64 grouping (2^-64 caveat as dedup_spans); rn>1 ⇔ not
+    // the canonical min-(doc_id,start) occurrence; covered = union of
+    // [st, st+9]; a run breaks when the gap between consecutive dup starts
+    // exceeds the shingle length
+    "dedup_substrings_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tt),
+         |occ AS (
+         |  SELECT doc_id, st, array_to_string(toks[st:st+9], ' ') AS sh
+         |  FROM (SELECT doc_id, toks, unnest([x FOR x IN range(1, n - 8)]) AS st
+         |        FROM tl WHERE n >= 10)),
+         |m AS (
+         |  SELECT doc_id, st,
+         |         count(*) OVER (PARTITION BY sh) AS n_occ,
+         |         row_number() OVER (PARTITION BY sh ORDER BY doc_id, st) AS rn
+         |  FROM occ),
+         |d AS (SELECT doc_id, st FROM m WHERE n_occ > 1 AND rn > 1),
+         |cov AS (SELECT doc_id, list_sort(list(DISTINCT st)) AS ds FROM d GROUP BY doc_id),
+         |runs AS (
+         |  SELECT doc_id,
+         |         count(*) FILTER (WHERE prev IS NULL OR st - prev > 10) AS n_dup_runs
+         |  FROM (SELECT doc_id, st,
+         |               lag(st) OVER (PARTITION BY doc_id ORDER BY st) AS prev FROM d)
+         |  GROUP BY doc_id),
+         |j AS (
+         |  SELECT t.doc_id, t.toks, t.n,
+         |         coalesce(c.ds, []) AS ds,
+         |         coalesce(r.n_dup_runs, 0) AS n_dup_runs
+         |  FROM tl t LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |            LEFT JOIN runs r ON t.doc_id = r.doc_id),
+         |kk AS (
+         |  SELECT doc_id, n, n_dup_runs, toks,
+         |         list_filter(range(1, n + 1), i -> NOT list_contains(
+         |           flatten(list_transform(ds, s -> range(s, s + 10))), i)) AS kept
+         |  FROM j)
+         |SELECT doc_id, n AS n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+         |       CAST(n_dup_runs AS BIGINT) AS n_dup_runs,
+         |       coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '), '') AS text_clean
+         |FROM kk ORDER BY doc_id""".stripMargin,
 
     // per-bin terms |cntA*totB - cntB*totA| in exact decimal; one double
     // division at the end — mirrors Stats.distributionDistance op-for-op

@@ -704,6 +704,89 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Substring-level exact dedup — the arbitrary-length duplicate-substring
+    * removal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr), re-expressed Spark-native.
+    * The reference implementation builds one suffix array over the whole
+    * corpus (inherently single-machine); the distributed equivalent is
+    * SLIDING stride-1 `minTokens`-token shingles + coverage marking:
+    * any substring of ≥ minTokens tokens shared between two locations —
+    * at ANY alignment — produces L−k+1 duplicated shingles that jointly
+    * COVER it, so merging covered positions excises the full duplicate,
+    * where [[spanDedup]]'s non-overlapping windows only drop aligned
+    * copies. The canonical FIRST occurrence of each shingle (min
+    * (doc_id, start)) is kept, so exactly one copy of every duplicated
+    * region survives (the paper's keep-one convention).
+    *
+    * Output per doc: token count, kept-token count, merged duplicate-run
+    * count, and the rebuilt text of surviving tokens in order.
+    *
+    * Scale shape: shingling is map-only; the global signal is ONE
+    * hash-agg over `xxhash64(shingle)` whose shuffle carries (8-byte
+    * hash, id, start) — shingle TEXT never crosses an exchange — and one
+    * hash-keyed sort-merge join back to occurrences (1 winner row per
+    * distinct shingle; a hot shingle skews the probe side only, which
+    * AQE skew-split handles). Stride-1 shingling makes the exchange
+    * n_tokens-proportional — that is the price of substring-EXACTNESS
+    * (the suffix array pays the same n·log n); production pipelines run
+    * minTokens=50 where the dup density, and hence the join-back, is
+    * sparse. Per-doc rebuild state (covered index set, run merge) is
+    * document-bounded, never corpus-bounded. */
+  def substringDedup(docs: DataFrame, minTokens: Int = 10,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    val k = minTokens
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    // sliding shingles: start p+1 (1-based) for p-th of n-k+1 windows
+    val shingles = transform(sequence(lit(1), col("n") - k + 1),
+      st => concat_ws(" ", slice(col("toks"), st, lit(k))))
+    val occ = toks.where(col("n") >= k)
+      .select(col("id"), posexplode(shingles).as(Seq("p", "shingle")))
+      .select(xxhash64(col("shingle")).as("h"), col("id"),
+        (col("p") + 1).as("st"))
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("id"), col("st"))).as("keep"),
+        count(lit(1)).as("n_occ"))
+    // an occurrence is excised iff its shingle repeats and it is not the
+    // canonical first occurrence (2^-64 xxhash64 collision caveat shared
+    // with dropExactDups/spanDedup)
+    val dups = occ.join(winners, "h")
+      .where(col("n_occ") > 1 &&
+        !(col("id") === col("keep.id") && col("st") === col("keep.st")))
+      .select(col("id"), col("st"))
+    val covered = dups.groupBy("id")
+      .agg(sort_array(collect_set(col("st"))).as("ds"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"), col("toks"), col("n"),
+        coalesce(col("ds"), array().cast("array<int>")).as("ds"))
+      .select(col("id").as(idCol),
+        col("n").cast("bigint").as("n_tokens"),
+        // covered token positions = union of [st, st+k-1]; kept = complement
+        // (array_except preserves first-array order, so tokens stay ordered)
+        when(col("n") === 0, array().cast("array<int>"))
+          .otherwise(array_except(sequence(lit(1), col("n")),
+            array_distinct(flatten(transform(col("ds"),
+              s => sequence(s, s + lit(k - 1))))))).as("kept"),
+        // run merge over sorted starts: same run iff st - prev_start <= k
+        // (all intervals have length k, so prev END is prev_start + k - 1)
+        aggregate(col("ds"),
+          struct(lit(0).as("runs"), lit(-1000000000).as("prev")),
+          (acc, s) => struct(
+            (acc.getField("runs") +
+              when(s - acc.getField("prev") > k, 1).otherwise(0)).as("runs"),
+            s.as("prev")),
+          acc => acc.getField("runs")).cast("bigint").as("n_dup_runs"),
+        col("toks"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("kept")).cast("bigint").as("n_tokens_kept"),
+        col("n_dup_runs"),
+        concat_ws(" ", transform(col("kept"),
+          i => element_at(col("toks"), i))).as("text_clean"))
+      .orderBy(idCol)
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame =
     docs.select(col("source"),
         explode(array_distinct(

@@ -364,6 +364,76 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq((7L, 2L, 1L, "a b")))
   }
 
+  test("substringDedup: a long shared substring is fully excised at ANY " +
+    "alignment (where spanDedup only drops aligned copies), keep-first") {
+    // doc 1 carries a 14-token region; doc 2 repeats it MISALIGNED (3-token
+    // unique prefix, 2-token unique suffix). With minTokens=4, every
+    // 4-shingle of the repeated region is a dup -> coverage merges to the
+    // full region; the unique prefix/suffix survive. (Tokens must be pure
+    // a-z: the tokenizer splits on [^a-z]+, so digits would be separators.)
+    val region = ('a' to 'n').map(c => s"r$c").mkString(" ")
+    val docs = Seq(
+      (1L, region),
+      (2L, s"pa pb pc $region qa qb")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(docs, minTokens = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1 is canonical (min doc_id): untouched
+    assert(r.head == (1L, 14L, 14L, 0L, region))
+    // doc 2: the 14 shared tokens are gone as ONE merged run; prefix+suffix stay
+    assert(r(1) == (2L, 19L, 5L, 1L, "pa pb pc qa qb"))
+    // spanDedup at the same window size misses the misaligned copy entirely
+    val sp = Dedup.spanDedup(docs, spanTokens = 4)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(sp(1)._2 == sp(1)._3, s"spanDedup unexpectedly dropped spans: $sp")
+  }
+
+  test("substringDedup: two separated dup regions merge into two runs; " +
+    "within-doc repeats keep only the first occurrence") {
+    // one doc: region A ... 6 unique tokens ... region A again (within-doc
+    // repeat, same alignment class irrelevant) -> second copy excised
+    val a = ('a' to 'h').map(c => s"a$c").mkString(" ")
+    val b = ('a' to 'h').map(c => s"b$c").mkString(" ")
+    val mid = ('a' to 'f').map(c => s"m$c").mkString(" ")
+    val mid2 = ('a' to 'f').map(c => s"n$c").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $mid $b"),                 // canonical carrier of A and B
+      (2L, s"$a $mid2 $b")                 // A and B dup; mid2 unique -> 2 runs
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(docs, minTokens = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r.head == (1L, 22L, 22L, 0L, s"$a $mid $b"))
+    assert(r(1) == (2L, 22L, 6L, 2L, mid2))
+    // determinism under repartition
+    val r2 = Dedup.substringDedup(docs.repartition(5), minTokens = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r2 == r)
+  }
+
+  test("substringDedup: shingle text never crosses a shuffle exchange; " +
+    "short and empty docs pass through untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), (2L, "z a b c d e f g h i j k"),
+      (3L, "tiny doc"), (4L, "")).toDF("doc_id", "text")
+    val df = Dedup.substringDedup(docs, minTokens = 4)
+    val out = df.as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 3 is below minTokens, doc 4 empty: untouched, zero runs
+    assert(out(2) == (3L, 2L, 2L, 0L, "tiny doc"))
+    assert(out(3) == (4L, 0L, 0L, 0L, ""))
+    df.collect() // finalize the adaptive plan
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty)
+    // the one id-keyed rebuild join may carry toks (the documented
+    // corpus-sized exchange, as in spanDedup); SHINGLE text (n_tokens ×
+    // minTokens blow-up) and raw text must never cross
+    val carriers = shuffles.filter(_.output.exists(a =>
+      a.name == "shingle" || a.name == "text"))
+    assert(carriers.isEmpty,
+      s"shingle/text crossed an exchange:\n${carriers.mkString("\n")}")
+  }
+
   test("latestByKey keeps the newest row per key, ties broken by tieCol") {
     val df = Seq(
       (1L, 100L, 10L, "a"), (1L, 200L, 11L, "b"),  // newest ts wins
