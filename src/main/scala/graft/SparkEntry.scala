@@ -1486,6 +1486,11 @@ object SparkEntry {
         nTables = 2)),
     "ann_ivf_topk_embeddings" -> ((s, d) =>
       Similarity.ivfAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+    // PQ tier: candidates live as 16-bit codes (the 100 TB residency lever);
+    // ADC scoring via per-query broadcast lookup tables (no oracle:
+    // sample-trained codebooks; recall + determinism property-tested)
+    "ann_pq_topk_embeddings" -> ((s, d) =>
+      Similarity.pqAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
     "emb_cosine_neardup" -> ((s, d) =>
       Similarity.embCosineNearDup(emb(s, d), threshold = 0.5)),
     // the bucketed 100 TB sibling of emb_cosine_neardup. nBits=3/nTables=8
@@ -4523,7 +4528,8 @@ object SparkEntry {
         |       count(*) FILTER (WHERE doc_id % 37 = 0) AS n_quarantined
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
     // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings,
-    // ann_ivf_topk_embeddings, emb_cosine_neardup_lsh: intentionally
+    // ann_ivf_topk_embeddings, ann_pq_topk_embeddings,
+    // emb_cosine_neardup_lsh: intentionally
     // oracle-less (seeded-hash / approximate semantics; the driver records a
     // rows-only check) — verified by ScalaTest properties against exact
     // implementations instead.

@@ -361,6 +361,134 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Driver-side Lloyd over a SAMPLE of sub-vectors — the PQ codebook
+    * trainer. Deterministic: seeds are the first `nCodes` sample rows (the
+    * caller passes them in xxhash64-of-id order), assignment scans codes in
+    * index order (first-minimum wins ties), arithmetic is a fixed-order
+    * double fold. Emptied codes keep their previous centroid. All state is
+    * sample-sized — the standard PQ/faiss posture of training on a slice. */
+  private def lloydSub(samples: Array[Array[Double]], nCodes: Int,
+                       iters: Int): Array[Array[Double]] = {
+    require(samples.nonEmpty, "PQ training sample is empty")
+    val k = math.min(nCodes, samples.length)
+    val d = samples.head.length
+    var cents = samples.take(k).map(_.clone)
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Long](k)
+      samples.foreach { x =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val dd = l2sq(x, cents(c)); if (dd < bd) { bd = dd; best = c }; c += 1 }
+        cnts(best) += 1
+        var i = 0; while (i < d) { sums(best)(i) += x(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (cnts(c) == 0L) old
+        else { val m = new Array[Double](d)
+          var i = 0; while (i < d) { m(i) = sums(c)(i) / cnts(c); i += 1 }; m }
+      }
+    }
+    cents
+  }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011 "Product
+    * Quantization for Nearest Neighbor Search"): split each L2-NORMALIZED
+    * vector into `nSub` sub-vectors, vector-quantize each subspace against
+    * its own `nCodes`-entry codebook, and rank candidates by the
+    * asymmetric-distance (ADC) inner product — the query stays exact, every
+    * candidate is represented ONLY by its `nSub` codes. Normalize-then-L2
+    * training makes the ADC inner product an estimator of cosine on the
+    * original vectors (the standard cosine-PQ reduction).
+    *
+    * THE 100 TB residency lever: a 64-dim float vector is 256 B; its PQ
+    * code is nSub·log2(nCodes) bits — 4·4 = 16 BITS at the defaults, a
+    * 128× compression — so a 100 TB embedding corpus quantizes to an index
+    * that fits executor memory, which neither IVF cells nor LSH tables
+    * change (both still touch raw vectors to score). Candidate scoring
+    * never reads a raw vector: per query the driver precomputes the
+    * nSub × nCodes table of sub-dot-products (k·dim-scale state, as
+    * [[trainCentroids]]), ships it as a broadcast literal row, and the
+    * scan-side score is `nSub` array LOOKUPS + a sum per candidate —
+    * whole-stage-codegen, no per-pair dot.
+    *
+    * Offline phase: codebooks train driver-side ([[lloydSub]]) on a
+    * deterministic xxhash64-ordered `trainN`-vector sample (ONE TakeOrdered
+    * job); encoding is a map-only expression argmin over the literal
+    * codebooks. Approximate by construction (quantization error): no
+    * oracle; recall vs [[annBruteTopK]] is CI-asserted on planted
+    * neighbors in SimilaritySpec/BenchScaleRecallSpec. */
+  def pqAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                nSub: Int = 4, nCodes: Int = 16, trainIters: Int = 5,
+                trainN: Int = 2048, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % nSub == 0, s"dim $dim must divide into nSub $nSub subspaces")
+    val subDim = dim / nSub
+    // L2-normalize once (map-only); unit vectors make L2 codebooks rank by
+    // cosine. Norm-0 vectors cannot rank under cosine — drop them here.
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+      .select(col("id"),
+        transform(col("v"), x => x / col("nrm")).cast("array<float>").as("u"))
+    // --- offline: train per-subspace codebooks on a deterministic sample
+    val sample: Array[Array[Double]] = e
+      .orderBy(xxhash64(col("id")), col("id")).limit(trainN)
+      .select("u").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Float]]] =          // [m][code][subDim]
+      (0 until nSub).map { m =>
+        lloydSub(sample.map(_.slice(m * subDim, (m + 1) * subDim)),
+          nCodes, trainIters).toIndexedSeq.map(_.map(_.toFloat).toSeq)
+      }
+    // --- encode: map-only argmin_c |sub_m - cb[m][c]|² over literal
+    // codebooks; argmin(|x-c|²) = argmin(|c|²/2 - x·c), first-min ties
+    def subV(m: Int): Column = slice(col("u"), m * subDim + 1, subDim)
+    def codeFor(m: Int): Column = array_min(array(
+      codebooks(m).zipWithIndex.map { case (cv, c) =>
+        val half = cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0
+        struct((lit(half) - dot(subV(m), typedLit(cv))).as("d"), lit(c).as("c"))
+      }: _*)).getField("c")
+    val codes = e.select(col("id") +: (0 until nSub).map(m => codeFor(m).as(s"code_$m")): _*)
+    // --- query: per-query ADC tables as a broadcast literal frame
+    val spark = emb.sparkSession
+    val qvecs = e.where(col("id").isInCollection(queryIds))
+      .select("id", "u").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    import scala.jdk.CollectionConverters._
+    val qRows = queryIds.filter(qvecs.contains).map { qid =>
+      val q = qvecs(qid)
+      val tables = (0 until nSub).map { m =>
+        codebooks(m).map { cv =>
+          var s = 0.0; var i = 0
+          while (i < subDim) { s += q(m * subDim + i) * cv(i).toDouble; i += 1 }
+          s
+        }.toSeq
+      }
+      org.apache.spark.sql.Row.fromSeq(qid +: tables)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType) +:
+        (0 until nSub).map(m => org.apache.spark.sql.types.StructField(s"t_$m",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val qTab = spark.createDataFrame(qRows.asJava, qSchema)
+    // --- scan-side ADC score: nSub lookups + sum; top-k per query
+    val score = (0 until nSub)
+      .map(m => element_at(col(s"t_$m"), col(s"code_$m") + 1))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qTab))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), round(score, 9).as("adc_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("adc_sim"))
+      .orderBy("qid", "rnk")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
     * embedding space with the [[trainCentroids]] k-means-lite quantizer, then
     * drop near-identical vectors WITHIN each cluster — every pair with

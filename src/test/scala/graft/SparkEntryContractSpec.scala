@@ -45,7 +45,11 @@ class SparkEntryContractSpec extends SparkSpec {
     "copurchase_triangles_lineitem",
     // crossJoin(broadcast(1-row sum/count aggregate)) — the Q22/Q11 scalar
     // subquery pattern; broadcasting one summary row is correct at any scale
-    "tpch_q22_dormant", "tpch_q11_important_parts")
+    "tpch_q22_dormant", "tpch_q11_important_parts",
+    // crossJoin(broadcast(Q-row frame of per-query ADC lookup tables)) —
+    // bounded by the QUERY count (nSub·nCodes doubles per row), never by
+    // the corpus; the corpus side streams 16-bit PQ codes map-only
+    "ann_pq_topk_embeddings")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {

@@ -103,6 +103,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("pqAnnTopK achieves high recall vs brute force on clustered vectors; " +
+    "deterministic under repartition") {
+    val rnd = new scala.util.Random(555)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 5L, 10L, 15L, 20L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqAnnTopK(vecs, qs, k = 4, nSub = 4, nCodes = 16, dim = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // deterministic: sample order, codebooks, codes, and ADC ranks are all
+    // pure functions of the data — partitioning must not change the result
+    val r1 = Similarity.pqAnnTopK(vecs, qs, k = 4, nSub = 4, nCodes = 16, dim = 16)
+      .collect().toSeq
+    val r2 = Similarity.pqAnnTopK(vecs.repartition(7), qs, k = 4,
+      nSub = 4, nCodes = 16, dim = 16).collect().toSeq
+    assert(r1 == r2)
+    // the ADC estimate of a same-cluster (true-neighbor) pair must beat a
+    // cross-cluster pair's: check top-1 is same-cluster for every query
+    val top1 = Similarity.pqAnnTopK(vecs, qs, k = 1, nSub = 4, nCodes = 16, dim = 16)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    top1.foreach { case (q, n) =>
+      assert(q / 5 == n / 5, s"query $q top-1 PQ neighbor $n is cross-cluster")
+    }
+  }
+
   test("embCosineNearDupLSH: exact precision, >=0.95 recall on clustered vectors") {
     val rnd = new scala.util.Random(77)
     val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
