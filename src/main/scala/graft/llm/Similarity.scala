@@ -128,8 +128,10 @@ object Similarity {
 
   def knnGraphLSH(emb: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64,
                   seed: Long = 42L, idCol: String = "vec_id",
-                  vecCol: String = "embedding", nTables: Int = 1): DataFrame = {
+                  vecCol: String = "embedding", nTables: Int = 1,
+                  maxBucket: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxBucket > k, s"maxBucket $maxBucket must exceed k $k")
     // nTables independent hyperplane sets (the standard multi-table recall
     // knob): a true neighbor is found if it collides in ANY table, so
     // recall compounds as 1-(1-p_table)^nTables while candidate volume
@@ -140,7 +142,24 @@ object Similarity {
     val e = bucketedTables(base, nBits, dim, seed, nTables)
     val src = e.select(col("id").as("src"), col("v").as("va"),
       col("nrm").as("na"), col("tbl"), multiprobe(nBits).as("bkt"))
+    // Hot-bucket cap on the CANDIDATE side — the same skew guard every
+    // bucketed near-dup path carries (Dedup.minHashNearDup et al.), which
+    // this graph tier was missing: autoBits keeps the MEDIAN cell at the
+    // design occupancy, but a dense hub (many near-identical vectors — the
+    // exact shape replica-heavy corpora produce) shares one sign pattern
+    // at ANY bit width, so its cell grows with the hub and Σ|cell|² goes
+    // hub-quadratic. Measured at 100× bench scale (LshBucketProbe): p50
+    // occupancy 120 vs max 3269 — the tail, not the median, carried 4.5×
+    // the design pair volume. Keeping the maxBucket smallest ids per cell
+    // (deterministic) bounds per-source candidates at
+    // nTables·(nBits+1)·maxBucket, restoring linear growth; sources are
+    // never capped, so every node still receives k edges, and inside a
+    // hub the kept candidates are near-ties of the excised ones (recall
+    // property-tested; cap never binds at design occupancy).
     val cand = e.toDF("dst", "vb", "nb", "tbl", "bkt")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("tbl", "bkt").orderBy("dst")))
+      .where(col("__rn") <= maxBucket).drop("__rn")
     val scored = src.join(cand, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))

@@ -260,6 +260,45 @@ class SimilaritySpec extends SparkSpec {
     assert(srcs.size >= 75, s"only ${srcs.size}/80 vectors have edges")
   }
 
+  test("knnGraphLSH hot-bucket cap: a dense hub stays linear, every hub " +
+    "node still gets k near-tie edges, and the cap never binds below it") {
+    val rnd = new scala.util.Random(808)
+    // a 400-member near-identical hub (one sign pattern at any bit width —
+    // the replica-corpus shape) + 10 sparse clusters of 4
+    val hubDir = Seq.fill(16)(rnd.nextGaussian())
+    val hub = (0 until 400).map(i =>
+      (i.toLong, hubDir.map(x => (x + rnd.nextGaussian() * 0.01).toFloat)))
+    val centers = Seq.fill(10)(Seq.fill(16)(rnd.nextGaussian()))
+    val sparse = (for {
+      (c, ci) <- centers.zipWithIndex; j <- 0 until 4
+    } yield ((1000 + ci * 4 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+    val vecs = (hub ++ sparse).toDF("vec_id", "embedding")
+    val capped = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16,
+      nTables = 2, maxBucket = 32)
+    val rows = capped.select("src", "dst", "sim")
+      .as[(Long, Long, Double)].collect()
+    // every hub node keeps k edges, and they are near-ties (sim ≈ 1):
+    // the cap excises candidates but the kept ones are equivalent
+    val hubEdges = rows.filter(_._1 < 400).groupBy(_._1)
+    assert(hubEdges.size == 400, s"${hubEdges.size}/400 hub nodes have edges")
+    hubEdges.foreach { case (s, es) =>
+      assert(es.length == 3 && es.forall(_._3 > 0.99),
+        s"hub node $s edges ${es.toSeq}")
+    }
+    // candidate work is bounded: dst side of any cell caps at 32, so no
+    // hub node can have scored more than nTables*(nBits+1)*32 candidates —
+    // indirectly asserted by the sparse clusters staying intact:
+    val sparseTop = rows.filter(_._1 >= 1000).groupBy(_._1)
+    assert(sparseTop.size >= 38, s"only ${sparseTop.size}/40 sparse nodes have edges")
+    // below the cap nothing changes: same graph with the default maxBucket
+    val uncapped = Similarity.knnGraphLSH(vecs.where(col("vec_id") >= 1000),
+      k = 3, nBits = 6, dim = 16, nTables = 2)
+    val small = Similarity.knnGraphLSH(vecs.where(col("vec_id") >= 1000),
+      k = 3, nBits = 6, dim = 16, nTables = 2, maxBucket = 32)
+    assert(uncapped.collect().toSeq == small.collect().toSeq)
+  }
+
   test("topPrincipalComponent recovers a planted direction, partition-invariant") {
     val rnd = new scala.util.Random(987)
     val dim = 16
