@@ -154,6 +154,67 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Latest reported state-store row count for the query — the measured
+    * backing for every "bounded state" claim below. */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.iterator
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      .nextOption().getOrElse(-1L)
+
+  test("heavyHittersStream state-size probe: state rows track (window, " +
+    "shard) groups, NOT token cardinality — a 10x bigger feed adds none") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocStreams.heavyHittersStream(in.toDF(), windowMinutes = 60,
+        capacity = 8, nShards = 2, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hhprobe").outputMode("append").start()
+    try {
+      // tokens must be pure a-z (the tokenizer splits on digits): spell
+      // the numeric id in letters, so every token is distinct
+      def alpha(n: Int): String = n.toString.map(d => ('a' + (d - '0')).toChar)
+      def feed(n: Int, off: Int): Unit = {
+        in.addData((0 until n).map(i =>
+          Doc(off + i, (0 until 20).map(j => s"tok${alpha((off + i) * 20 + j)}")
+            .mkString(" "), "en", ts("2024-01-01 10:05:00"))): _*)
+        q.processAllAvailable()
+      }
+      feed(10, 0) // 200 distinct tokens into one open window
+      val after1 = stateRows(q)
+      assert(after1 > 0 && after1 <= 2,
+        s"state rows $after1 exceed the (window, shard) group count")
+      feed(100, 1000) // 10x the docs, 2000 more distinct tokens, same window
+      val after2 = stateRows(q)
+      assert(after2 == after1,
+        s"state grew with token cardinality: $after1 -> $after2 rows " +
+          "(the capacity-evicting counter map must stay inside the group row)")
+    } finally q.stop()
+  }
+
+  test("nearDupStream state-size probe: state rows track live BUCKETS, not " +
+    "bucket popularity — 10x more members of the same buckets add none") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocStreams.nearDupStream(in.toDF())
+      .writeStream.format("memory").queryName("ndprobe").outputMode("append").start()
+    try {
+      val text = "the quick brown fox jumps over the lazy dog while the " +
+        "cat watches from the warm windowsill every single morning"
+      def feed(n: Int, off: Int): Unit = {
+        in.addData((0 until n).map(i =>
+          Doc(off + i, text, "en", ts("2024-01-01 10:00:00"))): _*)
+        q.processAllAvailable()
+      }
+      feed(5, 0) // identical text: every doc lands in the same 16 band buckets
+      val after1 = stateRows(q)
+      assert(after1 > 0 && after1 <= 16,
+        s"state rows $after1 exceed the band-bucket count")
+      feed(50, 100) // 10x the members — same buckets, one (rep, ts) pair each
+      val after2 = stateRows(q)
+      assert(after2 == after1,
+        s"state grew with bucket popularity: $after1 -> $after2 rows")
+    } finally q.stop()
+  }
+
   private val baseText = "the quick brown fox jumps over the lazy dog " +
     "while the cat watches from the warm windowsill every single morning"
   private val nearText = "the quick brown fox leaps over the lazy dog " +

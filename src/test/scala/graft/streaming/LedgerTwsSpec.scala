@@ -92,4 +92,42 @@ class LedgerTwsSpec extends SparkSpec {
       assert(closed7 == Seq(LedgerUpdate(7L, 3, 7.0, 2, closed = true)))
     }
   }
+
+  test("userLedger state-size probe: closing a generation CLEARS its keys " +
+    "— RocksDB state tracks live users, not users-ever-seen") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = LedgerTws.userLedger(in.toDS(), quietMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("ledgerprobe")
+      .outputMode("update").start()
+    def stateRows: Long =
+      q.recentProgress.reverse.iterator
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        .nextOption().getOrElse(-1L)
+    try {
+      // generation 1: 10 users active at 10:00
+      in.addData((0 until 10).map(u =>
+        Event(u, ts("2024-01-01 10:00:00"), 100 + u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val live1 = stateRows
+      assert(live1 >= 10, s"expected >= 10 live state rows, got $live1")
+      // push the watermark past every deadline: all 10 close and clear
+      in.addData(Event(99, ts("2024-01-01 14:00:00"), 999, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ledgerprobe WHERE closed")
+        .as[Long].collect()(0) == 10L)
+      // generation 2: 10x the users — then close them all the same way
+      in.addData((0 until 100).map(u =>
+        Event(1000 + u, ts("2024-01-01 15:00:00"), 2000 + u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      in.addData(Event(9999, ts("2024-01-01 20:00:00"), 998, "click", 0.0))
+      q.processAllAvailable()
+      val after = stateRows
+      // only the two watermark-driver users can still hold state: closed
+      // generations must not accumulate (110 users closed so far)
+      assert(after <= live1,
+        s"state accumulated across closed generations: $after rows " +
+          s"(gen-1 live was $live1; 110 users have closed)")
+    } finally q.stop()
+  } }
 }
