@@ -1705,6 +1705,13 @@ object SparkEntry {
     // partition/optimality/determinism property tests in SimilaritySpec
     "kmeans_profile_embeddings" -> ((s, d) =>
       Similarity.kMeansProfile(emb(s, d), k = 8, iters = 2)),
+    // ORACLE-BEARING k-means: id-ordered seeds, 9-rounded argmax sims,
+    // round-6 double-division centroid means — every ingredient chosen so
+    // DuckDB mirrors the two Lloyd rounds digit-for-digit (moves k-means
+    // out of the omit set; the hash-ordered-seed tier above stays the
+    // production default)
+    "kmeans_profile_seeded_embeddings" -> ((s, d) =>
+      Similarity.kMeansProfileSeeded(emb(s, d), k = 8, iters = 2)),
 
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
@@ -1720,6 +1727,11 @@ object SparkEntry {
     // SimilaritySpec.
     "curate_mmr_embeddings" -> ((s, d) =>
       Similarity.mmrSelect(emb(s, d), k = 20, lambda = 0.7)),
+    // batched scale tier: per-cell parallel greedy, ~k/nCells rounds
+    // instead of k (no oracle: iterative + cell-partitioned; nCells=1
+    // equivalence to the exact tier property-tested in CurationSpec)
+    "curate_mmr_batched_embeddings" -> ((s, d) =>
+      Similarity.mmrSelectBatched(emb(s, d), k = 20, lambda = 0.7, nCells = 8)),
 
     // -------- multimodal (stubbed decode, real binary plumbing)
     "mm_features_documents" -> ((s, d) =>
@@ -1925,6 +1937,38 @@ object SparkEntry {
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
   private def normSql(v: String) =
     s"sqrt(${dotSql(v, v)})"
+
+  /** One Lloyd round as DuckDB CTEs, mirroring kMeansProfileSeeded's
+    * round exactly: 9-rounded-cosine argmax (cid DESC tie-break), per-dim
+    * decimal-exact sum → IEEE double division → round-6 → FLOAT narrow;
+    * emptied cells keep the previous centroid via LEFT-JOIN coalesce.
+    * The component cast goes THROUGH DOUBLE because DuckDB's direct
+    * FLOAT→DECIMAL cast scales in float32 precision (measured:
+    * 0.1234567f casts to 0.123456700416 — the scaled-mantissa
+    * granularity — while the DOUBLE-widened cast matches Spark's exact
+    * binary-expansion HALF_UP at scale 12 on every probe). */
+  private def lloydRoundSql(prev: String, a: String, m: String, out: String): String =
+    s"""$a AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT en.id, en.v, c.cid,
+       |           row_number() OVER (PARTITION BY en.id
+       |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+       |                      c.cid DESC) AS rn
+       |    FROM en CROSS JOIN $prev c) WHERE rn = 1),
+       |$m AS (
+       |  SELECT cid, pos,
+       |         round(CAST(sum(CAST(CAST(comp AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |               / count(*), 6) AS m
+       |  FROM (SELECT cid, st AS pos, v[st] AS comp
+       |        FROM (SELECT cid, v, unnest([x FOR x IN range(1, len(v) + 1)]) AS st
+       |              FROM $a))
+       |  GROUP BY cid, pos),
+       |$out AS (
+       |  SELECT p.cid, coalesce(g.cv2, p.cv) AS cv,
+       |         coalesce(${normSql("g.cv2")}, p.cn) AS cn
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv2
+       |    FROM $m GROUP BY cid) g ON p.cid = g.cid)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "minmax_extendedprice" ->
@@ -4156,6 +4200,32 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_eval_ngrams
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // digit-exact mirror of the seeded two-round Lloyd: id-ordered seeds,
+    // per-round rounded-cosine argmax + decimal-sum/round-6/FLOAT means
+    // (lloydRoundSql), then the final assignment profile
+    "kmeans_profile_seeded_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+         |                  ${normSql("embedding")} AS nrm FROM embeddings),
+         |en AS (SELECT * FROM e WHERE nrm > 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
+         |         v AS cv, nrm AS cn
+         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT 8)),
+         |${lloydRoundSql("c0", "a1", "m1", "c1")},
+         |${lloydRoundSql("c1", "a2", "m2", "c2")},
+         |asg AS (
+         |  SELECT id, cid, sim FROM (
+         |    SELECT en.id, c.cid,
+         |           round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) AS sim,
+         |           row_number() OVER (PARTITION BY en.id
+         |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+         |                      c.cid DESC) AS rn
+         |    FROM en CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT cid, count(*) AS n_vectors,
+         |       CAST(sum(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_sim,
+         |       min(sim) AS min_sim, max(sim) AS max_sim
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
 
     // same all-pairs scoring as ann_brute, ranked per source vector
     "knn_graph_embeddings" ->

@@ -304,6 +304,76 @@ object Similarity {
     cents
   }
 
+  /** Fully ORACLE-MIRRORABLE k-means profile: the same Lloyd structure as
+    * [[trainCentroids]]+[[kMeansProfile]], with every engine-specific
+    * ingredient replaced by one both engines compute bit-identically —
+    * which moves k-means from the omit set to a hash-checked query:
+    *
+    *   - SEEDS are the `k` smallest-id vectors (no xxhash64 ordering —
+    *     DuckDB has no xxhash64);
+    *   - ASSIGNMENT argmax runs over 9-digit-ROUNDED cosines (the repo's
+    *     cross-engine float contract) with larger-cid tie-break;
+    *   - CENTROID means are `round(sumDecimal.toDouble / count, 6)`
+    *     narrowed to float: the decimal sum is exact and order-independent
+    *     on both engines, the double division is IEEE-determined, and the
+    *     rounding mirrors DuckDB's DOUBLE `round` FORMULA — multiply by
+    *     1e6, round half-away-from-zero ON THE BINARY PRODUCT, divide —
+    *     not exact-decimal rounding (measured: DuckDB rounds 0.1234565 UP
+    *     because 0.1234565·1e6 lands above …456.5 in binary, while the
+    *     exact decimal expansion rounds DOWN; a BigDecimal mirror
+    *     hash-mismatched at sf0.001 on exactly such a component) —
+    *     whereas [[trainCentroids]]'s decimal `avg` narrows through a
+    *     scale-16 decimal that DuckDB cannot reproduce digit-for-digit.
+    *
+    * Emptied cells keep their previous centroid (LEFT-JOIN coalesce in the
+    * mirror). Scale shape identical to [[kMeansProfile]]: literal-matrix
+    * argmax assignment (map-only), one (k·dim)-row aggregate per round. */
+  def kMeansProfileSeeded(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+    var cents: Centroids = e.orderBy(col("id")).limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1), r.getDouble(2))
+      }
+    // argmax over ROUNDED sims, ties to the larger cid — both mirrorable
+    def best(v: Column, nrm: Column): Column =
+      sort_array(array(cents.toIndexedSeq.map { case (cid, cv, cn) =>
+        struct(round(dot(v, typedLit(cv)) / (nrm * lit(cn)), 9).as("sim"),
+          lit(cid).as("cid"))
+      }: _*), asc = false).getItem(0)
+    for (_ <- 0 until iters) {
+      val assigned = e.select(col("v"), best(col("v"), col("nrm")).getField("cid").as("cid"))
+      val means = assigned.select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map { d =>
+          // DuckDB round(x, 6) for DOUBLE: scale, std::round (half away
+          // from zero on the scaled BINARY value), unscale
+          val y = d * 1e6
+          val rr = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+          (rr / 1e6).toFloat
+        }.toSeq)
+        .toMap
+      cents = cents.map { case (cid, old, on) =>
+        means.get(cid).map(nv => (cid, nv, foldNorm(nv))).getOrElse((cid, old, on))
+      }
+    }
+    val b = best(col("v"), col("nrm"))
+    e.select(b.getField("cid").as("cid"), b.getField("sim").as("sim"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("sim").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("mean_sim"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .orderBy("cid")
+  }
+
   /** K-means clustering as a first-class operator: [[trainCentroids]] (the
     * shared offline phase behind IVF and SemDeDup) followed by a map-only
     * final assignment, profiled per cluster — (cid, n_vectors, mean_sim,
@@ -975,6 +1045,120 @@ object Similarity {
     * never grows with corpus size). For corpus-sized selections, run MMR
     * per [[semDedup]]-style centroid cell instead (same greedy, cell-local
     * literals) and union the cells. */
+  /** Batched MMR — the scale tier of [[mmrSelect]]: partition the corpus
+    * into `nCells` k-means cells ([[trainCentroids]], the shared coarse
+    * quantizer) and run the SAME greedy marginal-relevance selection
+    * per-cell in parallel, with per-cell quotas allocated from cell sizes
+    * by largest remainder (capped at cell size, leftovers redistributed
+    * deterministically). Every round is ONE job in which every
+    * still-filling cell elects its argmax simultaneously (`min_by` per
+    * cid inside one hash aggregate), so the job count drops from the
+    * exact tier's k to ~max-cell-quota ≈ ⌈k/nCells⌉ — the lever that
+    * makes corpus-sized k feasible. The diversity term compares only
+    * against SAME-CELL selections: cross-cell redundancy is what the
+    * cell partition itself suppresses (dissimilar cells by construction)
+    * — the declared approximation, exact when nCells = 1 (equivalence
+    * property-tested in CurationSpec; the exact tier stays the verifier).
+    *
+    * Scale shape: relevance + assignment are map-only over the cached
+    * slim projection; per-round driver state is ≤ k vectors
+    * (selection literals), and each round's aggregate returns ≤ nCells
+    * rows. Deterministic end-to-end: 9-digit rounded scores, id
+    * tiebreaks, largest-remainder quota with id-ordered redistribution. */
+  def mmrSelectBatched(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
+                       nCells: Int = 8, trainIters: Int = 1,
+                       queryVec: Option[Seq[Float]] = None,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q: Seq[Float] = queryVec.getOrElse {
+      groupCentroids(emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)),
+          "__g", vecCol)
+        .orderBy("dim_idx").collect()
+        .map(_.getAs[Double]("centroid").toFloat).toSeq
+    }
+    val qn = foldNorm(q)
+    require(qn > 0.0, "mmrSelectBatched: query/centroid vector has zero norm")
+    val cents = trainCentroids(emb.where(col(vecCol).isNotNull),
+      nCells, trainIters, idCol, vecCol)
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .where(col("v").isNotNull && col("nrm") > lit(0.0))
+      .withColumn("cid",
+        nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid"))
+      .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
+      .persist()
+    try {
+      // largest-remainder quota from cell sizes, capped at cell size;
+      // leftover slots redistribute to spare-capacity cells by size desc
+      val counts: Seq[(Int, Long)] = base.groupBy("cid").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val total = counts.map(_._2).sum
+      require(total > 0, "mmrSelectBatched: no candidate vectors")
+      val kk = math.min(k.toLong, total).toInt
+      val raw = counts.map { case (c, n) => (c, n, kk.toDouble * n / total) }
+      var quota = scala.collection.mutable.Map(raw.map { case (c, n, x) =>
+        c -> math.min(n, x.toLong).toInt }: _*)
+      // hand out remaining slots by largest fractional remainder (id asc tie)
+      var left = kk - quota.values.sum
+      val order = raw.sortBy { case (c, _, x) => (-(x - x.toLong), c) }.map(_._1)
+      var oi = 0
+      while (left > 0) {
+        val c = order(oi % order.length)
+        val cap = counts.find(_._1 == c).get._2
+        if (quota(c) < cap) { quota(c) += 1; left -= 1 }
+        oi += 1
+      }
+      val sel = scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.ArrayBuffer[(Long, Seq[Float], Double, Double)]]
+        .withDefault(_ => scala.collection.mutable.ArrayBuffer.empty)
+      var active = quota.filter(_._2 > 0).keySet.toSet
+      while (active.nonEmpty) {
+        val selIds = sel.values.flatten.map(_._1).toSeq
+        val marginal = active.toSeq.sorted.map { c =>
+          val s = sel(c)
+          val m =
+            if (s.isEmpty) col("rel")
+            else lit(lambda) * col("rel") - lit(1.0 - lambda) *
+              array_max(array(s.toSeq.map { case (_, sv, sn, _) =>
+                cosine9(dot(col("v"), typedLit(sv)), col("nrm"), lit(sn))
+              }: _*))
+          (c, m)
+        }.foldRight(lit(Double.NegativeInfinity): Column) {
+          case ((c, m), acc) => when(col("cid") === c, m).otherwise(acc)
+        }
+        val picks = base
+          .where(col("cid").isInCollection(active) &&
+            (if (selIds.isEmpty) lit(true) else !col("id").isInCollection(selIds)))
+          .select(col("cid"), col("id"), col("v"), col("nrm"),
+            round(marginal, 9).as("score"))
+          .groupBy("cid")
+          .agg(min_by(struct(col("id"), col("v"), col("nrm"), col("score")),
+            struct((-col("score")).as("s"), col("id"))).as("p"))
+          .select(col("cid"), col("p.id"), col("p.v"), col("p.nrm"), col("p.score"))
+          .collect()
+        val picked = picks.map { r =>
+          val c = r.getInt(0)
+          val buf = sel.getOrElseUpdate(c,
+            scala.collection.mutable.ArrayBuffer.empty)
+          buf += ((r.getLong(1), r.getSeq[Float](2), r.getDouble(3), r.getDouble(4)))
+          c
+        }.toSet
+        active = active.filter(c => picked(c) && sel(c).size < quota(c))
+      }
+      sel.toSeq.sortBy(_._1).flatMap { case (c, buf) =>
+        buf.toSeq.zipWithIndex.map { case ((id, _, _, score), i) =>
+          (c, i + 1, id, score)
+        }
+      }.toDF("cid", "rnk", idCol, "mmr_score")
+        .orderBy("cid", "rnk")
+    } finally base.unpersist()
+  }
+
   def mmrSelect(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
                 queryVec: Option[Seq[Float]] = None,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

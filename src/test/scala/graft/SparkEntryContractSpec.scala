@@ -129,6 +129,54 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(!readBy.contains("user_id"), "user_id scanned though unused")
   }
 
+  test("CBO: table + column statistics flow into the optimizer and the " +
+    "star-join plan keeps its broadcast shape with join reorder on") {
+    assume(testdataPresent)
+    // The declared queries read parquet PATHS (size-based stats + AQE —
+    // the default posture). A warehouse deployment registers catalog
+    // tables and ANALYZEs them; this asserts the engine's join shapes
+    // survive that mode rather than silently depending on stats-off.
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS g_cbo_$t")
+      spark.read.parquet(s"$sfDir/$t.parquet").write.saveAsTable(s"g_cbo_$t")
+      spark.sql(s"ANALYZE TABLE g_cbo_$t COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE g_cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        """SELECT c_mktsegment, count(*) AS n, sum(l_extendedprice) AS rev
+          |FROM g_cbo_lineitem l
+          |JOIN g_cbo_orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN g_cbo_customer c ON o.o_custkey = c.c_custkey
+          |WHERE o.o_orderstatus = 'O'
+          |GROUP BY c_mktsegment""".stripMargin)
+      // the ANALYZE row counts must actually reach the optimizer: under
+      // CBO every relation and the joins above them carry rowCount stats
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined,
+        s"CBO produced no rowCount estimate — column stats not flowing: $stats")
+      // and the physical shape stays sane: dims broadcast, no nested loop
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"star join lost its broadcast shape under CBO:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"CBO degraded the join to a nested loop:\n$plan")
+    } finally {
+      saved.foreach { case (k, vOpt) => vOpt match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      } }
+      Seq("lineitem", "orders", "customer").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS g_cbo_$t"))
+    }
+  }
+
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {
     // the doc is the judged coverage contract: a query shipped without its
     // SURVEY row (or a row without code) must fail here, not in the verdict

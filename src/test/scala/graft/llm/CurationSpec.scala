@@ -20,4 +20,56 @@ class CurationSpec extends SparkSpec {
     val r = Curation.curate(docs).as[Long].collect().toSeq
     assert(r == Seq(0L))
   }
+
+  test("mmrSelectBatched with nCells=1 is EXACTLY the exact greedy " +
+    "(the agreement contract that keeps mmrSelect the verifier tier)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.mmrSelect(vecs, k = 8, lambda = 0.6)
+      .select("rnk", "vec_id", "mmr_score")
+      .as[(Int, Long, Double)].collect().toSeq
+    val batched = Similarity.mmrSelectBatched(vecs, k = 8, lambda = 0.6, nCells = 1)
+      .select("rnk", "vec_id", "mmr_score")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(batched == exact)
+  }
+
+  test("mmrSelectBatched: quotas partition k across cells by size, every " +
+    "selection is same-cell-diverse, deterministic under repartition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated clusters of different sizes (40/30/20/10)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian() * 3))
+    val sizes = Seq(40, 30, 20, 10)
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until sizes(ci)
+    } yield ((ci * 100 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelectBatched(vecs, k = 10, lambda = 0.7, nCells = 4)
+      .select("cid", "rnk", "vec_id", "mmr_score")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    // exactly k selections, all distinct ids
+    assert(out.length == 10)
+    assert(out.map(_._3).distinct.length == 10)
+    // every cell contributed (largest-remainder over 40/30/20/10 gives
+    // every cell at least one slot at k=10), none dominated
+    val perCell = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell.size == 4 && perCell.values.forall(n => n >= 1 && n <= 4),
+      s"quota split $perCell")
+    // ranks are 1..quota within each cell
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.length), s"cell $c ranks")
+    }
+    // deterministic under repartition
+    val out2 = Similarity.mmrSelectBatched(vecs.repartition(7), k = 10,
+      lambda = 0.7, nCells = 4)
+      .select("cid", "rnk", "vec_id", "mmr_score")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out2 == out)
+  }
 }

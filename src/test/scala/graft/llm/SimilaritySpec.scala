@@ -299,6 +299,31 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped.collect().toSeq == small.collect().toSeq)
   }
 
+  test("kMeansProfileSeeded: deterministic under repartition; partitions " +
+    "the corpus; same cluster recovery as the hash-seeded tier") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(909)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian() * 3))
+    // ids INTERLEAVED across clusters: id-ordered seeding means the k
+    // smallest ids are the seeds, so they must span the structure (the
+    // deliberate trade of the oracle-mirrorable tier — seed QUALITY is the
+    // caller's job; the hash-seeded tier self-scatters instead)
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex; j <- 0 until 25
+    } yield ((j * 4 + ci).toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p1 = Similarity.kMeansProfileSeeded(vecs, k = 4, iters = 2)
+      .collect().toSeq
+    val p2 = Similarity.kMeansProfileSeeded(vecs.repartition(7), k = 4, iters = 2)
+      .collect().toSeq
+    assert(p1 == p2)
+    // the profile partitions the corpus
+    assert(p1.map(_.getLong(1)).sum == 100L)
+    // planted structure recovered: 4 cells of 25 (well-separated clusters)
+    assert(p1.map(_.getLong(1)).sorted == Seq(25L, 25L, 25L, 25L),
+      s"cells ${p1.map(_.getLong(1))}")
+  }
+
   test("topPrincipalComponent recovers a planted direction, partition-invariant") {
     val rnd = new scala.util.Random(987)
     val dim = 16
