@@ -1102,7 +1102,7 @@ object SparkEntry {
     // approx-quantile cut-points instead (map-only after one sketch pass)
     "quality_deciles_documents" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val q = TextAnalysis.qualityScore(t(s, d, "documents"))
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"))
       val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
       q.withColumn("decile", ntile(10).over(w))
         .groupBy("decile")
@@ -1238,7 +1238,7 @@ object SparkEntry {
     // quality-weighted deterministic sampling: keep-probability = the
     // doc's own composite quality score (key-hash membership, map-only)
     "sample_weighted_documents" -> ((s, d) => {
-      val q = TextAnalysis.qualityScore(t(s, d, "documents"))
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"))
         .select(col("doc_id"), col("quality_score"))
       Sampling.weightedSample(q, "quality_score")
         .select("doc_id", "quality_score").orderBy("doc_id")
@@ -1247,7 +1247,7 @@ object SparkEntry {
     // complement of the Bernoulli weighted keep above — quality scores as
     // weights, k=50, selection by the k largest u^(1/w) keys
     "sample_weighted_topk_documents" -> ((s, d) => {
-      val q = TextAnalysis.qualityScore(t(s, d, "documents"))
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"))
         .select(col("doc_id"), col("quality_score"))
       Sampling.weightedTopK(q, "quality_score", k = 50)
         .select("doc_id", "quality_score").orderBy("doc_id")

@@ -149,7 +149,7 @@ object Sampling {
   def budgetSample(docs: DataFrame, groupCol: String, budgetTokens: Long,
                    textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextAnalysis.qualityScore(docs, textCol, keepCols = Seq(groupCol))
+    val q = TextAnalysis.qualitySignals(docs, textCol, keepCols = Seq(groupCol))
       .select(col(groupCol), col("doc_id"), col("quality_score"), col("n_tokens"))
     val w = Window.partitionBy(groupCol)
       .orderBy(col("quality_score").desc, col("doc_id").asc)

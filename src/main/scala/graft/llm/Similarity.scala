@@ -518,36 +518,48 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(dim % nSub == 0, s"dim $dim must divide into nSub $nSub subspaces")
     val subDim = dim / nSub
-    // L2-normalize once (map-only); unit vectors make L2 codebooks rank by
-    // cosine. Norm-0 vectors cannot rank under cosine — drop them here.
+    // NO materialized normalization: dot(v/|v|, c) ≡ dot(v, c)/|v|, so the
+    // scan encodes raw vectors with the codegen'd FloatDot and one divide.
+    // (The first cut normalized via a `transform` HOF — higher-order
+    // lambdas are interpreted, fall out of whole-stage codegen, and
+    // CollapseProject re-inlined the transform into all 64 codeword dots:
+    // measured 346 s at sf10 for what is a single-scan encode. Same family
+    // as the SCALE.md §1 rp_reduce HOF lesson.) Norm-0 vectors cannot rank
+    // under cosine — drop them here.
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
-      .select(col("id"),
-        transform(col("v"), x => x / col("nrm")).cast("array<float>").as("u"))
     // --- offline: train per-subspace codebooks on a deterministic sample
+    // (normalized on the DRIVER — sample-sized, full double precision)
     val sample: Array[Array[Double]] = e
       .orderBy(xxhash64(col("id")), col("id")).limit(trainN)
-      .select("u").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select("v", "nrm").collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Float](0).map(_.toDouble / n).toArray
+      }
     val codebooks: IndexedSeq[IndexedSeq[Seq[Float]]] =          // [m][code][subDim]
       (0 until nSub).map { m =>
         lloydSub(sample.map(_.slice(m * subDim, (m + 1) * subDim)),
           nCodes, trainIters).toIndexedSeq.map(_.map(_.toFloat).toSeq)
       }
-    // --- encode: map-only argmin_c |sub_m - cb[m][c]|² over literal
-    // codebooks; argmin(|x-c|²) = argmin(|c|²/2 - x·c), first-min ties
-    def subV(m: Int): Column = slice(col("u"), m * subDim + 1, subDim)
+    // --- encode: map-only argmin_c |sub_m/|v| - cb[m][c]|² over literal
+    // codebooks; argmin(|u-c|²) = argmin(|c|²/2 - u·c), first-min ties
+    def subV(m: Int): Column = slice(col("v"), m * subDim + 1, subDim)
     def codeFor(m: Int): Column = array_min(array(
       codebooks(m).zipWithIndex.map { case (cv, c) =>
         val half = cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0
-        struct((lit(half) - dot(subV(m), typedLit(cv))).as("d"), lit(c).as("c"))
+        struct((lit(half) - dot(subV(m), typedLit(cv)) / col("nrm")).as("d"),
+          lit(c).as("c"))
       }: _*)).getField("c")
     val codes = e.select(col("id") +: (0 until nSub).map(m => codeFor(m).as(s"code_$m")): _*)
     // --- query: per-query ADC tables as a broadcast literal frame
     val spark = emb.sparkSession
     val qvecs = e.where(col("id").isInCollection(queryIds))
-      .select("id", "u").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      .select("v", "nrm", "id").collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getLong(2) -> r.getSeq[Float](0).map(_.toDouble / n).toArray
+      }.toMap
     import scala.jdk.CollectionConverters._
     val qRows = queryIds.filter(qvecs.contains).map { qid =>
       val q = qvecs(qid)

@@ -104,9 +104,18 @@ object TextAnalysis {
   /** Per-document quality signals: char/token counts, mean token length,
     * stopword ratio, alpha ratio, plus a composite [0,1] score. All
     * arithmetic is per-row (no aggregation) so results are bit-deterministic
-    * and the whole thing is one codegen stage over the scan. */
-  def qualityScore(docs: DataFrame, textCol: String = "text",
-                   keepCols: Seq[String] = Nil): DataFrame = {
+    * and the whole thing is one codegen stage over the scan.
+    *
+    * [[qualityScore]] is the PRESENTATION face (id-sorted, the oracle
+    * contract); every internal consumer that aggregates, windows, or
+    * re-sorts downstream goes through [[qualitySignals]] instead — the
+    * same frame WITHOUT the global sort. The sf10 sweep measured the
+    * difference the hard way: `quality_deciles_approx` inherited this
+    * sort through its scoring input and paid a full range-exchange TWICE
+    * (cuts pass + assignment pass), 164× wall on 100× data; unsorted
+    * signals restore the declared map-only + sketch shape. */
+  def qualitySignals(docs: DataFrame, textCol: String = "text",
+                     keepCols: Seq[String] = Nil): DataFrame = {
     // tokenize once into an attribute (see langId note on re-inlining)
     val docsT = docs.select(
       (Seq(col("doc_id"), col(textCol), tokens(col(textCol)).as("toks")) ++ keepCols.map(col)): _*)
@@ -128,8 +137,12 @@ object TextAnalysis {
     docsT.select((Seq(col("doc_id")) ++ keepCols.map(col) ++ Seq(nTok.as("n_tokens"),
       nChars.as("n_chars"), meanTokLen.as("mean_token_len"), stopRatio.as("stopword_ratio"),
       alphaRatio.as("alpha_ratio"), score.as("quality_score"))): _*)
-      .orderBy("doc_id")
   }
+
+  /** Id-sorted [[qualitySignals]] — the declared-query / oracle face. */
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   keepCols: Seq[String] = Nil): DataFrame =
+    qualitySignals(docs, textCol, keepCols).orderBy("doc_id")
 
   /** The 100 TB tier of the quality-decile lift table: bucket scores by
     * approx-quantile cut-points instead of a global ntile sort. ONE sketch
@@ -151,7 +164,7 @@ object TextAnalysis {
   def qualityDecilesApprox(docs: DataFrame, textCol: String = "text",
                            nBuckets: Int = 10, accuracy: Int = 10000): DataFrame =
     scoreDecilesApprox(
-      qualityScore(docs, textCol)
+      qualitySignals(docs, textCol)
         .select(col("doc_id"), col("n_chars"), col("quality_score")),
       scoreCol = "quality_score", charsCol = "n_chars",
       nBuckets = nBuckets, accuracy = accuracy)
@@ -200,7 +213,7 @@ object TextAnalysis {
   def topQualityDocs(docs: DataFrame, groupCol: String, k: Int = 3,
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = qualityScore(docs, textCol, keepCols = Seq(groupCol))
+    val q = qualitySignals(docs, textCol, keepCols = Seq(groupCol))
       .select(col(groupCol), col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(groupCol).orderBy(col("quality_score").desc, col("doc_id").asc)
     q.withColumn("rnk", row_number().over(w))
@@ -218,7 +231,7 @@ object TextAnalysis {
     * for "top N per group". */
   def topQualityDocsAgg(docs: DataFrame, groupCol: String, k: Int = 3,
                         textCol: String = "text"): DataFrame = {
-    val q = qualityScore(docs, textCol, keepCols = Seq(groupCol))
+    val q = qualitySignals(docs, textCol, keepCols = Seq(groupCol))
       .select(col(groupCol), col("doc_id"), col("quality_score"))
     q.groupBy(col(groupCol))
       .agg(graft.functions.TopKAgg.top_k_by(
