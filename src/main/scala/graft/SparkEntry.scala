@@ -953,9 +953,14 @@ object SparkEntry {
     // these same vectors, the near-dup regime the tier is declared for)
     "knn_graph_lsh_embeddings" -> ((s, d) => {
       // corpus-adaptive nBits (one cheap metadata count): fixed bits
-      // saturate buckets and turn candidate work super-linear (SCALE §10)
+      // saturate buckets and turn candidate work super-linear (SCALE §10).
+      // targetBucket 64, not the 256 default: a k=3 graph needs tens of
+      // candidates per probe, and the sf10 sweep showed occupancy is THE
+      // per-vector cost multiplier once buckets saturate (SCALE §11) —
+      // 64 keeps a 21× verification margin at a quarter of the dots
       val e = emb(s, d)
-      Similarity.knnGraphLSH(e, k = 3, nBits = Similarity.autoBits(e.count()),
+      Similarity.knnGraphLSH(e, k = 3,
+        nBits = Similarity.autoBits(e.count(), targetBucket = 64),
         nTables = 2)
     }),
     // similarity-graph centrality: damped PageRank over the exact kNN edge
@@ -976,7 +981,8 @@ object SparkEntry {
     "pagerank_lsh_embeddings" -> ((s, d) => {
       val e = emb(s, d)
       Graphs.pageRank(
-        Similarity.knnGraphLSH(e, k = 3, nBits = Similarity.autoBits(e.count()),
+        Similarity.knnGraphLSH(e, k = 3,
+          nBits = Similarity.autoBits(e.count(), targetBucket = 64),
           nTables = 2),
         iters = 10)
     }),

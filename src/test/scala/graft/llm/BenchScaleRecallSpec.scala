@@ -106,8 +106,9 @@ class BenchScaleRecallSpec extends SparkSpec {
     val corpus = withTwins(emb, 0L until 2000L, nTwins = 3)
     def edges(df: DataFrame) = df.select("src", "dst").as[(Long, Long)].collect().toSet
     val exact = edges(Similarity.knnGraph(corpus, k = 3))
-    // declared-query parameters (k=3, nBits=8, nTables=2)
-    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3, nTables = 2))
+    // declared-query parameters (k=3, nBits=autoBits(n, 64), nTables=2)
+    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3,
+      nBits = Similarity.autoBits(8000, targetBucket = 64), nTables = 2))
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.8, s"planted-neighbor kNN-graph-LSH recall $recall < 0.8")
   }
