@@ -1497,6 +1497,11 @@ object SparkEntry {
     // sample-trained codebooks; recall + determinism property-tested)
     "ann_pq_topk_embeddings" -> ((s, d) =>
       Similarity.pqAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+    // IVF-PQ: coarse cells prune WHICH vectors score (nprobe/nCells of the
+    // corpus), PQ codes decide WHAT is scored — the faiss architecture,
+    // both levers composed (no oracle: sample-trained; recall-tested)
+    "ann_ivfpq_topk_embeddings" -> ((s, d) =>
+      Similarity.ivfPqAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
     "emb_cosine_neardup" -> ((s, d) =>
       Similarity.embCosineNearDup(emb(s, d), threshold = 0.5)),
     // the bucketed 100 TB sibling of emb_cosine_neardup. nBits=3/nTables=8
@@ -4605,7 +4610,7 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
     // dedup_near_minhash, dedup_simhash_documents, ann_lsh_topk_embeddings,
     // ann_ivf_topk_embeddings, ann_pq_topk_embeddings,
-    // emb_cosine_neardup_lsh: intentionally
+    // ann_ivfpq_topk_embeddings, emb_cosine_neardup_lsh: intentionally
     // oracle-less (seeded-hash / approximate semantics; the driver records a
     // rows-only check) — verified by ScalaTest properties against exact
     // implementations instead.

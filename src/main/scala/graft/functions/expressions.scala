@@ -424,6 +424,191 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Top-`take` centroids of an `array<float>` vector against a LITERAL
+  * centroid matrix, as `array<struct<sim:double, cid:int>>` ranked by
+  * (sim desc, cid desc) — bit-identical to the
+  * `slice(sort_array(array(struct(dot(v, typedLit(cv))/(nrm·cn), cid)×C),
+  * desc), 1, take)` tree it replaces: the dot fold is the same
+  * left-to-right float→double discipline as [[FloatDot]], and the
+  * selection comparator is `java.lang.Double.compare` (NaN greatest),
+  * Spark's own double ordering. One tight C×d loop + O(C·take) selection
+  * per row instead of C CreateArray/struct expressions each re-driving a
+  * separate dot — and, critically, ONE evaluation even where Catalyst
+  * clones the tree into non-CSE'd contexts (FilterExec's inferred
+  * isnotnull on a derived join key re-evaluated the full C-struct
+  * sort_array per row; the sf10 sweep measured that formulation at ~100×
+  * its flop cost on the IVF candidate side). */
+case class LitTopCents(left: Expression, right: Expression,
+                       centsFlat: Array[Float], cns: Array[Double],
+                       cids: Array[Int], d: Int, take: Int)
+    extends BinaryExpression {
+  private val nC = cns.length
+  private val nTake = math.min(take, nC)
+  require(centsFlat.length == nC * d, "centroid matrix shape mismatch")
+  require(cids.length == nC, "centroid id list shape mismatch")
+  require(take >= 1, s"take $take must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ArgCheck.arrayOf(left, FloatType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a double norm")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sim", DoubleType, nullable = true),
+    StructField("cid", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "lit_top_cents"
+
+  override def nullSafeEval(v: Any, nrm: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = nrm.asInstanceOf[Double]
+    val sims = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      var s = 0.0; var i = 0; val off = c * d
+      while (i < d) { s += a.getFloat(i).toDouble * centsFlat(off + i).toDouble; i += 1 }
+      sims(c) = s / (n * cns(c))
+      c += 1
+    }
+    val used = new Array[Boolean](nC)
+    val out = new Array[Any](nTake)
+    var t = 0
+    while (t < nTake) {
+      var best = -1; var c2 = 0
+      while (c2 < nC) {
+        if (!used(c2)) {
+          if (best < 0) best = c2
+          else {
+            val cmp = java.lang.Double.compare(sims(c2), sims(best))
+            if (cmp > 0 || (cmp == 0 && cids(c2) > cids(best))) best = c2
+          }
+        }
+        c2 += 1
+      }
+      used(best) = true
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sims(best), cids(best)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("litTopCents", centsFlat, "float[]")
+    val cnRef = ctx.addReferenceObj("litTopCns", cns, "double[]")
+    val cidRef = ctx.addReferenceObj("litTopCids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val sims = ctx.freshName("sims"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val off = ctx.freshName("off"); val t = ctx.freshName("t")
+      val best = ctx.freshName("best"); val cmp = ctx.freshName("cmp")
+      s"""
+         |double[] $sims = new double[$nC];
+         |for (int $c = 0; $c < $nC; $c++) {
+         |  double $s = 0.0; int $off = $c * $d;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $s += (double) $v.getFloat($i) * (double) $cbRef[$off + $i];
+         |  }
+         |  $sims[$c] = $s / ($nrm * $cnRef[$c]);
+         |}
+         |boolean[] $used = new boolean[$nC];
+         |Object[] $out = new Object[$nTake];
+         |for (int $t = 0; $t < $nTake; $t++) {
+         |  int $best = -1;
+         |  for (int $c = 0; $c < $nC; $c++) {
+         |    if ($used[$c]) continue;
+         |    if ($best < 0) { $best = $c; continue; }
+         |    int $cmp = java.lang.Double.compare($sims[$c], $sims[$best]);
+         |    if ($cmp > 0 || ($cmp == 0 && $cidRef[$c] > $cidRef[$best])) $best = $c;
+         |  }
+         |  $used[$best] = true;
+         |  $out[$t] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ (Object) $sims[$best], (Object) $cidRef[$best] });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LitTopCents =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization encoder against LITERAL per-subspace codebooks:
+  * code[m] = argmin_c ( |cb[m][c]|²/2 − (Σ_i v[m·subDim+i] · cb[m][c][i]) / nrm ),
+  * first minimum wins ties (ascending code scan, strict <) — the argmin of
+  * L2 distance between the normalized sub-vector and the codeword. One
+  * tight nSub×nCodes×subDim loop; replaces nSub `array_min(array(struct×
+  * nCodes))` trees whose per-row struct/array construction cost ~100× the
+  * flops (measured at sf10: 395 s → scan-shaped). */
+case class PqEncode(left: Expression, right: Expression,
+                    cbFlat: Array[Float], halves: Array[Double],
+                    nSub: Int, nCodes: Int, subDim: Int)
+    extends BinaryExpression {
+  require(cbFlat.length == nSub * nCodes * subDim, "codebook shape mismatch")
+  require(halves.length == nSub * nCodes, "half-norm shape mismatch")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ArgCheck.arrayOf(left, FloatType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a double norm")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any, nrm: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = nrm.asInstanceOf[Double]
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < nCodes) {
+        var s = 0.0; var i = 0
+        val off = (m * nCodes + c) * subDim
+        while (i < subDim) { s += a.getFloat(m * subDim + i).toDouble * cbFlat(off + i).toDouble; i += 1 }
+        val dd = halves(m * nCodes + c) - s / n
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cbFlat, "float[]")
+    val hRef = ctx.addReferenceObj("pqHalves", halves, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val codes = ctx.freshName("codes"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val dd = ctx.freshName("dd")
+      val best = ctx.freshName("best"); val bd = ctx.freshName("bd")
+      val off = ctx.freshName("off")
+      s"""
+         |int[] $codes = new int[$nSub];
+         |for (int $m = 0; $m < $nSub; $m++) {
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $nCodes; $c++) {
+         |    double $s = 0.0; int $off = ($m * $nCodes + $c) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      $s += (double) $v.getFloat($m * $subDim + $i) * (double) $cbRef[$off + $i];
+         |    }
+         |    double $dd = $hRef[$m * $nCodes + $c] - $s / $nrm;
+         |    if ($dd < $bd) { $bd = $dd; $best = $c; }
+         |  }
+         |  $codes[$m] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API facade for the custom expressions. */
 object functions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -438,6 +623,17 @@ object functions {
   /** L2 norm of an array<float> column. */
   def float_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(float_dot(a, a))
+
+  /** Top-take centroids by cosine against a literal centroid matrix
+    * (array<struct<sim:double,cid:int>> out, ranked sim desc / cid desc). */
+  def lit_top_cents(v: Column, nrm: Column, centsFlat: Array[Float],
+                    cns: Array[Double], cids: Array[Int], d: Int, take: Int): Column =
+    c(LitTopCents(e(v), e(nrm), centsFlat, cns, cids, d, take))
+
+  /** PQ codes against literal per-subspace codebooks (array<int> out). */
+  def pq_encode(v: Column, nrm: Column, cbFlat: Array[Float],
+                halves: Array[Double], nSub: Int, nCodes: Int, subDim: Int): Column =
+    c(PqEncode(e(v), e(nrm), cbFlat, halves, nSub, nCodes, subDim))
 
   /** k-wide MinHash signature of an array<long> hash column. */
   def minhash_sig(hashes: Column, k: Int, seed: Long = 42L): Column =

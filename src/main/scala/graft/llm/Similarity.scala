@@ -242,15 +242,22 @@ object Similarity {
     * as expression literals. */
   type Centroids = Array[(Int, Seq[Float], Double)]
 
-  /** Per-centroid cosine as expressions over the literal centroid matrix:
-    * map-only, no shuffle — the assignment shape that scales. */
-  private def centSims(cents: Centroids)(v: Column, nrm: Column): Seq[Column] =
-    cents.toIndexedSeq.map { case (cid, cv, cn) =>
-      struct((dot(v, typedLit(cv)) / (nrm * lit(cn))).as("sim"), lit(cid).as("cid"))
-    }
-
-  private def nearestCents(cents: Centroids)(v: Column, nrm: Column, take: Int): Column =
-    slice(sort_array(array(centSims(cents)(v, nrm): _*), asc = false), 1, take)
+  /** Top-`take` centroids by cosine over the literal centroid matrix, as
+    * ONE codegen'd [[graft.functions.LitTopCents]] loop per row — map-only,
+    * no shuffle, the assignment shape that scales. Bit-identical values and
+    * (sim desc, cid desc) ranking vs the historical
+    * `slice(sort_array(array(struct(dot/(nrm·cn), cid)×C)), 1, take)` tree,
+    * at C×d fused ops per row instead of C separate struct/CreateArray
+    * expressions — which Catalyst also clones into contexts with no
+    * subexpression elimination (the inferred isnotnull filter on a derived
+    * join key): the sf10 sweep measured that formulation at ~100× its flop
+    * cost on the IVF candidate side. */
+  private def nearestCents(cents: Centroids)(v: Column, nrm: Column, take: Int): Column = {
+    val cs = cents.toIndexedSeq
+    val d = cs.head._2.length
+    graft.functions.functions.lit_top_cents(v, nrm, cs.flatMap(_._2).toArray,
+      cs.map(_._3).toArray, cs.map(_._1).toArray, d, take)
+  }
 
   /** Driver-side norm with the same left-fold float→double discipline as
     * [[graft.functions.FloatDot]], so literal-centroid cosines are
@@ -274,7 +281,11 @@ object Similarity {
     * the IVF design. */
   def trainCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Centroids = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // spread: each Lloyd round re-scans the corpus (assignment + the
+    // dim-exploded mean agg); a single-file input would run every round on
+    // 1-2 cores. Results are partitioning-invariant (TakeOrdered seeds,
+    // decimal-exact order-independent means) — determinism-tested.
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     // Deterministic pseudo-random seed sample: order by a hash of the id
     // (id tiebreak) and take the first C. Id-distribution-agnostic (a modulo
     // scheme returns ZERO centroids when no id hits the stride) and one
@@ -434,12 +445,16 @@ object Similarity {
     val cents = trainCentroids(emb, nCentroids, trainIters, idCol, vecCol)
     def nearest(v: Column, nrm: Column, take: Int): Column =
       nearestCents(cents)(v, nrm, take)
-    val assigned = e.select(col("id"), col("v"), col("nrm"),
-      nearest(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
-    val q = assigned.where(col("id").isInCollection(queryIds))
+    // q side from the RAW frame: the tiny id filter must push down to the
+    // scan (a spread() exchange in front would force a full-corpus shuffle
+    // to read 10 rows)
+    val q = e.where(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(nearest(col("v"), col("nrm"), nprobe), s => s.getField("cid"))).as("cid"))
-    val cand = assigned.toDF("nid", "nv", "nn", "cid")
+    // candidate side spread: a single-file corpus otherwise arrives as 1-2
+    // partitions and the whole per-row assignment scan runs on 1-2 cores
+    val cand = spread(e).select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+      nearest(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
     val scored = broadcast(q).join(cand, Seq("cid")).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
@@ -543,15 +558,20 @@ object Similarity {
           nCodes, trainIters).toIndexedSeq.map(_.map(_.toFloat).toSeq)
       }
     // --- encode: map-only argmin_c |sub_m/|v| - cb[m][c]|² over literal
-    // codebooks; argmin(|u-c|²) = argmin(|c|²/2 - u·c), first-min ties
-    def subV(m: Int): Column = slice(col("v"), m * subDim + 1, subDim)
-    def codeFor(m: Int): Column = array_min(array(
-      codebooks(m).zipWithIndex.map { case (cv, c) =>
-        val half = cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0
-        struct((lit(half) - dot(subV(m), typedLit(cv)) / col("nrm")).as("d"),
-          lit(c).as("c"))
-      }: _*)).getField("c")
-    val codes = e.select(col("id") +: (0 until nSub).map(m => codeFor(m).as(s"code_$m")): _*)
+    // codebooks via the codegen'd PqEncode loop (argmin(|u-c|²) =
+    // argmin(|c|²/2 - u·c), first-min ties — one nSub×nCodes×subDim loop
+    // per row; the struct-array formulation measured ~100× the flops)
+    val cbFlat = (0 until nSub).flatMap(m => codebooks(m).flatten).toArray
+    val halves = (0 until nSub).flatMap(m => codebooks(m).map(cv =>
+      cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0)).toArray
+    val codesArr = graft.functions.functions.pq_encode(
+      col("v"), col("nrm"), cbFlat, halves, nSub, nCodes, subDim)
+    // spread: the encode scan visits every corpus row; a single-file input
+    // would run it on 1-2 cores (q-side lookups below stay on the raw
+    // frame so their id filters push down to the scan)
+    val codes = spread(e).withColumn("__codes", codesArr)
+      .select(col("id") +:
+        (0 until nSub).map(m => element_at(col("__codes"), m + 1).as(s"code_$m")): _*)
     // --- query: per-query ADC tables as a broadcast literal frame
     val spark = emb.sparkSession
     val qvecs = e.where(col("id").isInCollection(queryIds))
@@ -583,6 +603,106 @@ object Similarity {
       .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qTab))
       .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), round(score, 9).as("adc_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("adc_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF-PQ — the canonical production ANN index (Jégou et al. 2011 §V;
+    * the faiss `IVFx,PQy` architecture), composed from the engine's two
+    * existing tiers: the IVF coarse quantizer ([[trainCentroids]]) prunes
+    * WHICH vectors a query scores (nprobe/nCells of the corpus), and PQ
+    * codes decide WHAT is scored (nSub·log2(nCodes)-bit codes + ADC
+    * lookup tables instead of raw vectors) — the compute lever and the
+    * memory lever together: at 100 TB the probed slice of a 128×-compressed
+    * code index is all a query ever touches.
+    *
+    * Simplification vs the paper: codes quantize the (normalized) vectors
+    * directly, not per-cell RESIDUALS — residual coding buys accuracy at
+    * the cost of per-cell codebooks (nCells× the training and a
+    * codebook-per-cell literal matrix); with cosine ranking and the
+    * recall CI this tier targets, direct coding is the better
+    * complexity/benefit point. Documented deviation, recall-tested.
+    *
+    * Scale shape: everything offline is driver-side or map-only (coarse
+    * assignment argmax + PQ encode in one scan); the query side ships a
+    * Q-row broadcast of (probe-cells, ADC tables) and the scan-side work
+    * is an `array_contains` cell filter + nSub lookups per surviving
+    * code row. No oracle (sample-trained codebooks); recall + determinism
+    * property-tested like [[pqAnnTopK]]. */
+  def ivfPqAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                   nCells: Int = 16, nprobe: Int = 4,
+                   nSub: Int = 4, nCodes: Int = 16, trainIters: Int = 5,
+                   coarseIters: Int = 2, trainN: Int = 2048, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % nSub == 0, s"dim $dim must divide into nSub $nSub subspaces")
+    require(nprobe >= 1 && nprobe <= nCells, s"nprobe $nprobe out of range")
+    val subDim = dim / nSub
+    val coarse = trainCentroids(emb, nCells, coarseIters, idCol, vecCol)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+    val sample: Array[Array[Double]] = e
+      .orderBy(xxhash64(col("id")), col("id")).limit(trainN)
+      .select("v", "nrm").collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Float](0).map(_.toDouble / n).toArray
+      }
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Float]]] =
+      (0 until nSub).map { m =>
+        lloydSub(sample.map(_.slice(m * subDim, (m + 1) * subDim)),
+          nCodes, trainIters).toIndexedSeq.map(_.map(_.toFloat).toSeq)
+      }
+    val cbFlat = (0 until nSub).flatMap(m => codebooks(m).flatten).toArray
+    val halves = (0 until nSub).flatMap(m => codebooks(m).map(cv =>
+      cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0)).toArray
+    // ONE scan builds the resident index: coarse cell + PQ codes per vector
+    // (both via codegen'd loops — PqEncode + the LitTopCents argmax);
+    // spread so a single-file corpus doesn't pin the scan to 1-2 cores
+    val index = spread(e).withColumn("__codes", graft.functions.functions.pq_encode(
+        col("v"), col("nrm"), cbFlat, halves, nSub, nCodes, subDim))
+      .select(
+        col("id") +:
+          nearestCents(coarse)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid") +:
+          (0 until nSub).map(m => element_at(col("__codes"), m + 1).as(s"code_$m")): _*)
+    // query side: probe cells + ADC tables, all from driver literals
+    val qvecs = e.where(col("id").isInCollection(queryIds))
+      .select("v", "nrm", "id").collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getLong(2) -> r.getSeq[Float](0).map(_.toDouble / n).toArray
+      }.toMap
+    import scala.jdk.CollectionConverters._
+    val qRows = queryIds.filter(qvecs.contains).map { qid =>
+      val q = qvecs(qid)
+      // nprobe nearest coarse centroids by cosine, computed driver-side
+      val probes = coarse.map { case (cid, cv, cn) =>
+        val d = cv.indices.foldLeft(0.0)((a, i) => a + q(i) * cv(i).toDouble)
+        (d / cn, cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+      val tables = (0 until nSub).map { m =>
+        codebooks(m).map { cv =>
+          var s = 0.0; var i = 0
+          while (i < subDim) { s += q(m * subDim + i) * cv(i).toDouble; i += 1 }
+          s
+        }.toSeq
+      }
+      org.apache.spark.sql.Row.fromSeq(qid +: probes.toSeq +: tables)
+    }
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.types._
+    val qSchema = StructType(
+      StructField("qid", LongType) +: StructField("probes", ArrayType(IntegerType)) +:
+        (0 until nSub).map(m => StructField(s"t_$m", ArrayType(DoubleType))))
+    val qTab = spark.createDataFrame(qRows.asJava, qSchema)
+    val score = (0 until nSub)
+      .map(m => element_at(col(s"t_$m"), col(s"code_$m") + 1))
+      .reduce(_ + _)
+    val scored = index.crossJoin(broadcast(qTab))
+      .where(array_contains(col("probes"), col("cid")) && col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), round(score, 9).as("adc_sim"))
     val w = Window.partitionBy("qid").orderBy(col("adc_sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

@@ -97,6 +97,19 @@ class BenchScaleRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"planted-neighbor ANN-PQ recall $recall < 0.8")
   }
 
+  test("ann_ivfpq_topk recall >= 0.8 on sf0.1 embeddings with planted neighbors", Slow) {
+    assume(present)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qids = 0L until 10L
+    val corpus = withTwins(emb, qids, nTwins = 5)
+    def top(df: DataFrame) = df.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val brute = top(Similarity.annBruteTopK(corpus, qids, k = 5))
+    // declared-query parameters (k=5, nCells=16, nprobe=4, nSub=4, nCodes=16)
+    val ivfpq = top(Similarity.ivfPqAnnTopK(corpus, qids, k = 5))
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"planted-neighbor ANN-IVFPQ recall $recall < 0.8")
+  }
+
   test("knn_graph_lsh edge recall >= 0.8 at bench scale with planted neighbors", Slow) {
     assume(present)
     // 2000 real base vectors x (1 + 3 twins) = 8000 vectors — the same

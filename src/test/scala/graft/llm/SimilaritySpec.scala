@@ -135,6 +135,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqAnnTopK: cell pruning + code scoring keep recall on clustered " +
+    "vectors; deterministic; prunes to the probed cells only") {
+    val rnd = new scala.util.Random(777)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 5L, 10L, 15L, 20L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqAnnTopK(vecs, qs, k = 4,
+      nCells = 10, nprobe = 4, nSub = 4, nCodes = 16, dim = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    val r1 = Similarity.ivfPqAnnTopK(vecs, qs, k = 4,
+      nCells = 10, nprobe = 4, nSub = 4, nCodes = 16, dim = 16).collect().toSeq
+    val r2 = Similarity.ivfPqAnnTopK(vecs.repartition(7), qs, k = 4,
+      nCells = 10, nprobe = 4, nSub = 4, nCodes = 16, dim = 16).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("embCosineNearDupLSH: exact precision, >=0.95 recall on clustered vectors") {
     val rnd = new scala.util.Random(77)
     val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
