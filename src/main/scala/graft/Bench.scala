@@ -95,7 +95,6 @@ object Bench {
       "knn_graph_embeddings" -> "exact all-pairs kNN verifier tier, quadratic by design; knn_graph_lsh is the scale path",
       "pagerank_knn_embeddings" -> "edge list built by the exact all-pairs kNN tier; rank iterations themselves are edge-join-bound (scale-safe), swap in knn_graph_lsh edges at scale",
       "cosine_topk_embeddings" -> "exact brute-force top-k verifier; ann_lsh/ann_ivf are the scale path",
-      "semdedup_embeddings" -> "iterative cell-join tier, job-count-bound locally; growth signal carried by its cell pair work, see SCALE.md",
       "events_value_quartiles" -> "exact global-percentile tier (sort-bound by design); quantiles_approx is the scale sibling",
       "events_value_pctrank" -> "global-rank window (sort-bound by design); swept siblings cover window growth",
       "debias_embeddings" -> "multi-iteration exact PC verifier tier; debias_fast (one-scan Gram) is the swept scale path",

@@ -440,7 +440,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   * its flop cost on the IVF candidate side). */
 case class LitTopCents(left: Expression, right: Expression,
                        centsFlat: Array[Float], cns: Array[Double],
-                       cids: Array[Int], d: Int, take: Int)
+                       cids: Array[Int], d: Int, take: Int,
+                       roundScale: Int = -1)
     extends BinaryExpression {
   private val nC = cns.length
   private val nTake = math.min(take, nC)
@@ -466,7 +467,8 @@ case class LitTopCents(left: Expression, right: Expression,
     while (c < nC) {
       var s = 0.0; var i = 0; val off = c * d
       while (i < d) { s += a.getFloat(i).toDouble * centsFlat(off + i).toDouble; i += 1 }
-      sims(c) = s / (n * cns(c))
+      val sim = s / (n * cns(c))
+      sims(c) = if (roundScale >= 0) LitTopCents.sparkRound(sim, roundScale) else sim
       c += 1
     }
     val used = new Array[Boolean](nC)
@@ -502,6 +504,11 @@ case class LitTopCents(left: Expression, right: Expression,
       val i = ctx.freshName("i"); val s = ctx.freshName("s")
       val off = ctx.freshName("off"); val t = ctx.freshName("t")
       val best = ctx.freshName("best"); val cmp = ctx.freshName("cmp")
+      val simAssign =
+        if (roundScale >= 0)
+          s"$sims[$c] = graft.functions.LitTopCents$$.MODULE$$.sparkRound(" +
+            s"$s / ($nrm * $cnRef[$c]), $roundScale);"
+        else s"$sims[$c] = $s / ($nrm * $cnRef[$c]);"
       s"""
          |double[] $sims = new double[$nC];
          |for (int $c = 0; $c < $nC; $c++) {
@@ -509,7 +516,7 @@ case class LitTopCents(left: Expression, right: Expression,
          |  for (int $i = 0; $i < $d; $i++) {
          |    $s += (double) $v.getFloat($i) * (double) $cbRef[$off + $i];
          |  }
-         |  $sims[$c] = $s / ($nrm * $cnRef[$c]);
+         |  $simAssign
          |}
          |boolean[] $used = new boolean[$nC];
          |Object[] $out = new Object[$nTake];
@@ -532,6 +539,19 @@ case class LitTopCents(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LitTopCents =
     copy(left = newLeft, right = newRight)
+}
+
+object LitTopCents {
+  /** Spark's `Round(_, scale)` double semantics, replicated op-for-op so a
+    * `roundScale >= 0` loop is bit-identical to a `round(sim, scale)` tree
+    * (the oracle-bearing seeded k-means depends on this): NaN/Infinity
+    * pass through; otherwise `BigDecimal.valueOf` (canonical string
+    * repr) → `setScale(scale, HALF_UP)` → `doubleValue` — verified against
+    * the decompiled RoundBase double branch in Spark 4.1.2. */
+  def sparkRound(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 }
 
 /** Product-quantization encoder against LITERAL per-subspace codebooks:
@@ -625,10 +645,13 @@ object functions {
     org.apache.spark.sql.functions.sqrt(float_dot(a, a))
 
   /** Top-take centroids by cosine against a literal centroid matrix
-    * (array<struct<sim:double,cid:int>> out, ranked sim desc / cid desc). */
+    * (array<struct<sim:double,cid:int>> out, ranked sim desc / cid desc).
+    * `roundScale >= 0` rounds each sim with Spark's `round` double
+    * semantics BEFORE ranking (the seeded-k-means oracle contract). */
   def lit_top_cents(v: Column, nrm: Column, centsFlat: Array[Float],
-                    cns: Array[Double], cids: Array[Int], d: Int, take: Int): Column =
-    c(LitTopCents(e(v), e(nrm), centsFlat, cns, cids, d, take))
+                    cns: Array[Double], cids: Array[Int], d: Int, take: Int,
+                    roundScale: Int = -1): Column =
+    c(LitTopCents(e(v), e(nrm), centsFlat, cns, cids, d, take, roundScale))
 
   /** PQ codes against literal per-subspace codebooks (array<int> out). */
   def pq_encode(v: Column, nrm: Column, cbFlat: Array[Float],

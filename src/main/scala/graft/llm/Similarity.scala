@@ -341,18 +341,24 @@ object Similarity {
     * argmax assignment (map-only), one (k·dim)-row aggregate per round. */
   def kMeansProfileSeeded(emb: DataFrame, k: Int = 8, iters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // spread: every Lloyd round + the final profile re-scan the corpus;
+    // results are partitioning-invariant (smallest-id seeds, decimal sums)
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
     var cents: Centroids = e.orderBy(col("id")).limit(k)
       .collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](1), r.getDouble(2))
       }
-    // argmax over ROUNDED sims, ties to the larger cid — both mirrorable
-    def best(v: Column, nrm: Column): Column =
-      sort_array(array(cents.toIndexedSeq.map { case (cid, cv, cn) =>
-        struct(round(dot(v, typedLit(cv)) / (nrm * lit(cn)), 9).as("sim"),
-          lit(cid).as("cid"))
-      }: _*), asc = false).getItem(0)
+    // argmax over ROUNDED sims, ties to the larger cid — both mirrorable.
+    // One LitTopCents loop per row (roundScale=9 replicates Spark's round
+    // double semantics op-for-op, so the oracle contract is unchanged)
+    // instead of the k-struct sort_array tree — the Offender-3 lesson.
+    def best(v: Column, nrm: Column): Column = {
+      val cs = cents.toIndexedSeq
+      graft.functions.functions.lit_top_cents(v, nrm, cs.flatMap(_._2).toArray,
+        cs.map(_._3).toArray, cs.map(_._1).toArray, cs.head._2.length,
+        take = 1, roundScale = 9).getItem(0)
+    }
     for (_ <- 0 until iters) {
       val assigned = e.select(col("v"), best(col("v"), col("nrm")).getField("cid").as("cid"))
       val means = assigned.select(col("cid"), posexplode(col("v")))
@@ -725,12 +731,29 @@ object Similarity {
     * broadcast-friendly left join. Cluster-boundary misses (a true near-dup
     * pair split across cells) are the documented recall trade-off, as in the
     * SemDeDup paper; no oracle (centroid-dependent) — property-tested
-    * against [[embCosineNearDup]] restricted to same-cell pairs. */
-  def semDedup(emb: DataFrame, threshold: Double = 0.95, nCentroids: Int = 16,
+    * against [[embCosineNearDup]] restricted to same-cell pairs.
+    *
+    * `nCentroids <= 0` (the default) sizes the cell count to the corpus:
+    * C = max(16, ⌈√(n/2)⌉), the balance point of the two costs a flat
+    * quantizer pays — assignment is C·d flops per row (C·d·n total) and
+    * the within-cell pair join is ~n²/(2C) pair-dots, equal exactly at
+    * C = √(n/2). A FIXED C is a latent quadratic: the sf10 sweep measured
+    * 731 s at C=16 on 100× data (Σ|cell|² with 50k-row cells); auto-C
+    * keeps total work at O(n^1.5·d) — the flat-clustering optimum
+    * (sub-linear wall under fixed parallelism until the n^1.5 term
+    * dominates; past that the hierarchy in [[ivfPqAnnTopK]] — coarse
+    * cells over PQ codes — is the documented next tier, as in the
+    * SemDeDup paper's own large-k GPU posture). One count() job prices
+    * the auto tier; pass an explicit C to skip it. */
+  def semDedup(emb: DataFrame, threshold: Double = 0.95, nCentroids: Int = 0,
                trainIters: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(emb, nCentroids, trainIters, idCol, vecCol)
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val c = if (nCentroids > 0) nCentroids
+            else math.max(16, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
+    val cents = trainCentroids(emb, c, trainIters, idCol, vecCol)
+    // spread: the C·d-per-row assignment scan must not run on the 1-2
+    // partitions a single-file corpus arrives as
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val assigned = e.select(col("id"), col("v"), col("nrm"),
       nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
     val a = assigned.toDF("id_a", "va", "na", "cid")
