@@ -169,4 +169,92 @@ class GraftFunctionsSpec extends SparkSpec {
       .select(gf.bpe_encode(col("w"), merges)).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("lit_top_cents matches the sort_array struct tree it replaces " +
+    "(values, ranking, ties, take, round, nulls)") {
+    import graft.functions.{functions => gf}
+    val rnd = new scala.util.Random(99)
+    val d = 8
+    // duplicate centroid (cids 2 and 5) manufactures EXACT sim ties — the
+    // tie must go to the larger cid, like sort_array desc on (sim, cid)
+    val dup = Seq.fill(d)(rnd.nextFloat())
+    val cents: Seq[(Int, Seq[Float], Double)] =
+      (Seq(0, 1, 3, 4).map(c => (c, Seq.fill(d)(rnd.nextFloat()), ())) ++
+        Seq((2, dup, ()), (5, dup, ()))).map { case (c, v, _) =>
+        (c, v, math.sqrt(v.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble)))
+      }.sortBy(_._1)
+    val rows = (0L until 50L).map(i => (i, Seq.fill(d)(rnd.nextFloat()))) :+
+      (50L, null.asInstanceOf[Seq[Float]])
+    val df = rows.toDF("id", "v")
+      .withColumn("nrm", sqrt(gf.float_dot(col("v"), col("v"))))
+    val cs = cents.toIndexedSeq
+    def tree(take: Int, scale: Option[Int]): org.apache.spark.sql.Column =
+      slice(sort_array(array(cs.map { case (cid, cv, cn) =>
+        val sim = gf.float_dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
+        struct(scale.map(s => round(sim, s)).getOrElse(sim).as("sim"),
+          lit(cid).as("cid"))
+      }: _*), asc = false), 1, take)
+    def fused(take: Int, scale: Int): org.apache.spark.sql.Column =
+      gf.lit_top_cents(col("v"), col("nrm"), cs.flatMap(_._2).toArray,
+        cs.map(_._3).toArray, cs.map(_._1).toArray, d, take, scale)
+    // non-null rows only: on a null vector the old tree still emitted
+    // structs (null sims sorted), while the fused loop nulls the whole
+    // result — the cleaner contract, asserted separately below; every
+    // production caller filters or never produces null vectors
+    val dfNN = df.where(col("v").isNotNull)
+    for (take <- Seq(1, 3, 6, 10)) {
+      val a = dfNN.select(col("id"), tree(take, None).as("r")).collect()
+      val b = dfNN.select(col("id"), fused(take, -1).as("r")).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"take=$take mismatch vs the struct tree")
+    }
+    // roundScale=9 must match round(sim, 9) bit-for-bit (oracle contract)
+    val ar = dfNN.select(tree(1, Some(9)).as("r")).collect()
+    val br = dfNN.select(fused(1, 9).as("r")).collect()
+    assert(ar.map(_.toString).toSeq == br.map(_.toString).toSeq)
+    // null vector -> null result (BinaryExpression null discipline)
+    assert(df.where(col("id") === 50L).select(fused(1, -1)).collect()(0).isNullAt(0))
+    // the tie really exercised: with v = dup both dup centroids hit sim ~1
+    val tied = Seq((0L, dup)).toDF("id", "v")
+      .withColumn("nrm", sqrt(gf.float_dot(col("v"), col("v"))))
+      .select(fused(2, -1).getItem(0).getField("cid"),
+        fused(2, -1).getItem(1).getField("cid")).collect()(0)
+    assert(tied.getInt(0) == 5 && tied.getInt(1) == 2, s"tie must rank cid desc: $tied")
+  }
+
+  test("pq_encode matches the array_min struct tree it replaces " +
+    "(argmin, first-min ties, nulls)") {
+    import graft.functions.{functions => gf}
+    val rnd = new scala.util.Random(7)
+    val nSub = 2; val nCodes = 4; val subDim = 4; val d = nSub * subDim
+    // code 1 duplicates code 0 in subspace 0: exact distance tie — the
+    // SMALLER code index must win (array_min on (d, c) structs)
+    val cw0 = Seq.fill(subDim)(rnd.nextFloat())
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Float]]] = IndexedSeq(
+      IndexedSeq(cw0, cw0, Seq.fill(subDim)(rnd.nextFloat()), Seq.fill(subDim)(rnd.nextFloat())),
+      IndexedSeq.fill(nCodes)(Seq.fill(subDim)(rnd.nextFloat())))
+    val cbFlat = (0 until nSub).flatMap(m => codebooks(m).flatten).toArray
+    val halves = (0 until nSub).flatMap(m => codebooks(m).map(cv =>
+      cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0)).toArray
+    val rows = (0L until 40L).map(i => (i, Seq.fill(d)(rnd.nextFloat()))) :+
+      (40L, null.asInstanceOf[Seq[Float]])
+    val df = rows.toDF("id", "v")
+      .withColumn("nrm", sqrt(gf.float_dot(col("v"), col("v"))))
+    def subV(m: Int) = slice(col("v"), m * subDim + 1, subDim)
+    def treeCode(m: Int) = array_min(array(
+      codebooks(m).zipWithIndex.map { case (cv, c) =>
+        struct((lit(halves(m * nCodes + c)) -
+          gf.float_dot(subV(m), typedLit(cv)) / col("nrm")).as("d"), lit(c).as("c"))
+      }: _*)).getField("c")
+    val fusedCodes = gf.pq_encode(col("v"), col("nrm"), cbFlat, halves, nSub, nCodes, subDim)
+    val a = df.where(col("v").isNotNull)
+      .select(col("id"), treeCode(0).as("c0"), treeCode(1).as("c1")).collect()
+    val b = df.where(col("v").isNotNull)
+      .select(col("id"), element_at(fusedCodes, 1).as("c0"),
+        element_at(fusedCodes, 2).as("c1")).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // the duplicated codeword never yields code 1 (first-min wins)
+    assert(b.forall(_.getInt(1) != 1))
+    assert(df.where(col("id") === 40L).select(fusedCodes).collect()(0).isNullAt(0))
+  }
 }
