@@ -541,6 +541,98 @@ case class LitTopCents(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit hashes of every n-token window of an `array<string>` token
+  * column, WITHOUT materializing the window strings: each token hashes
+  * once (`XXH64.hashUTF8String`, the same primitive as `xxhash64`), and
+  * windows combine the token hashes with a rolling polynomial in 2⁶⁴
+  * (odd multiplier ⇒ invertible, so the oldest term divides back out in
+  * one multiply) — O(L) work per document instead of the O(L·n)
+  * slice+concat_ws+hash tree, and zero transient strings. The sf10 sweep
+  * measured the string-materialized 8-gram path at ~130 s/scan on 500k
+  * docs with the gram strings built only to be hashed and discarded.
+  *
+  * For the sketch tiers (theta decontamination/overlap) only: hash
+  * VALUES differ from `xxhash64(concat_ws(...))`, which is fine where
+  * grams are opaque distinct keys, but NOT a drop-in for oracle-mirrored
+  * string n-grams or the published MinHash signature contract. */
+case class NgramHashes(child: Expression, n: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  require(n >= 1, s"n $n must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.arrayOf(child, StringType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val nOut = len - n + 1
+    if (nOut <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(arr.getUTF8String(i), seed)
+      i += 1
+    }
+    val out = new Array[Long](nOut)
+    var c = 0L
+    i = 0
+    while (i < n) { c = c * NgramHashes.M + th(i); i += 1 }
+    out(0) = c
+    i = 0
+    while (i < nOut - 1) {
+      c = (c - th(i) * NgramHashes.mPow(n - 1)) * NgramHashes.M + th(i + n)
+      out(i + 1) = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn1 = NgramHashes.mPow(n - 1)
+    nullSafeCodeGen(ctx, ev, v => {
+      val len = ctx.freshName("len"); val nOut = ctx.freshName("nOut")
+      val th = ctx.freshName("th"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      s"""
+         |int $len = $v.numElements();
+         |int $nOut = $len - $n + 1;
+         |long[] $out = new long[$nOut > 0 ? $nOut : 0];
+         |if ($nOut > 0) {
+         |  long[] $th = new long[$len];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($v.getUTF8String($i), ${seed}L);
+         |  }
+         |  long $c = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $c = $c * ${NgramHashes.M}L + $th[$i]; }
+         |  $out[0] = $c;
+         |  for (int $i = 0; $i < $nOut - 1; $i++) {
+         |    $c = ($c - $th[$i] * ${mn1}L) * ${NgramHashes.M}L + $th[$i + $n];
+         |    $out[$i + 1] = $c;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+object NgramHashes {
+  /** Odd polynomial multiplier (64-bit golden ratio), invertible mod 2⁶⁴. */
+  val M: Long = 0x9E3779B97F4A7C15L
+  private val pows = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  def mPow(k: Int): Long = pows.getOrElseUpdate(k, {
+    var p = 1L; var i = 0
+    while (i < k) { p *= M; i += 1 }
+    p
+  })
+}
+
 object LitTopCents {
   /** Spark's `Round(_, scale)` double semantics, replicated op-for-op so a
     * `roundScale >= 0` loop is bit-identical to a `round(sim, scale)` tree
@@ -657,6 +749,11 @@ object functions {
   def pq_encode(v: Column, nrm: Column, cbFlat: Array[Float],
                 halves: Array[Double], nSub: Int, nCodes: Int, subDim: Int): Column =
     c(PqEncode(e(v), e(nrm), cbFlat, halves, nSub, nCodes, subDim))
+
+  /** Rolling-hash of every n-token window of an array<string> column
+    * (array<long> out; no window-string materialization — sketch tiers). */
+  def ngram_hashes(toks: Column, n: Int, seed: Long = 42L): Column =
+    c(NgramHashes(e(toks), n, seed))
 
   /** k-wide MinHash signature of an array<long> hash column. */
   def minhash_sig(hashes: Column, k: Int, seed: Long = 42L): Column =

@@ -413,9 +413,18 @@ object Dedup {
         a => transform(filter(col("ids"), b => a < b), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // SHUFFLE_HASH hints, deliberately: size estimates through
+    // explode→dropDuplicates (pairs) and a cold InMemoryRelation (sh) are
+    // guesses, and at sf10 Spark chose to BROADCAST both — including the
+    // candidate-PAIR frame, whose row count is Σ cluster² on a dup-heavy
+    // corpus (the sweep measured a 771 s single-core broadcast-build grind;
+    // 24.7M pairs on the reps=100 fixture). Neither side of a near-dup
+    // verification join is broadcastable at corpus scale; the shuffled hash
+    // join builds on the per-partition slice of the doc-count-bounded
+    // shingle frame and streams the pair frame.
     val verified = pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
     verified.select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -624,10 +633,15 @@ object Dedup {
     * above. Property-tested against the exact join in DedupSpec. */
   def decontaminateTheta(train: DataFrame, eval: DataFrame, n: Int = 8,
                          lgK: Int = 12, textCol: String = "text"): DataFrame = {
+    // grams as rolling window hashes (codegen NgramHashes): the sketch only
+    // needs each distinct gram as an opaque 64-bit key, so the O(L·n)
+    // slice+concat_ws+xxhash64 string tree the exact tier keeps for oracle
+    // mirroring is pure waste here — measured ~130 s/scan at sf10 with the
+    // gram strings built only to be hashed and discarded (SCALE.md §11)
     def grams(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+ explode(array_distinct(
-          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"): _*)
-        .withColumn("ng", xxhash64(col("ngs"))).drop("ngs")
+          graft.functions.functions.ngram_hashes(
+            TextAnalysis.tokens(col(textCol)), n))).as("ng"): _*)
     val trainSk = grams(train, col("source"))
       .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
     val evalSk = grams(eval).agg(theta_sketch_agg(col("ng"), lgK).as("esk"))
@@ -839,10 +853,11 @@ object Dedup {
     * (pairwise overlap, Jaccard) off the tiny registry alone. */
   def sourceSketches(docs: DataFrame, n: Int = 8, lgK: Int = 12,
                      textCol: String = "text"): DataFrame =
+    // rolling window hashes, not concat strings — see decontaminateTheta
     docs.select(col("source"),
         explode(array_distinct(
-          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
-      .select(col("source"), xxhash64(col("ngs")).as("ng"))
+          graft.functions.functions.ngram_hashes(
+            TextAnalysis.tokens(col(textCol)), n))).as("ng"))
       .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
 
   /** Fold two sketch registries (e.g. yesterday's registry + today's

@@ -257,4 +257,37 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(b.forall(_.getInt(1) != 1))
     assert(df.where(col("id") === 40L).select(fusedCodes).collect()(0).isNullAt(0))
   }
+
+  test("ngram_hashes: rolling polynomial matches the naive per-window fold; " +
+    "window identity; edge cases") {
+    import graft.functions.{functions => gf}
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0L until 30L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(20))(words(rnd.nextInt(words.size))))) ++
+      Seq((30L, Seq("a", "b")), (31L, Seq.empty[String]), (32L, null.asInstanceOf[Seq[String]]))
+    val df = docs.toDF("id", "toks")
+    for (n <- Seq(1, 3, 8)) {
+      val got = df.select(col("id"), gf.ngram_hashes(col("toks"), n).as("h"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+      docs.foreach { case (id, toks) =>
+        if (toks == null) assert(got(id) == null)
+        else {
+          // naive reference: hash each window's tokens with the same
+          // left-to-right polynomial over per-token XXH64 hashes
+          val th = toks.map(t =>
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L))
+          val expect = (0 to toks.length - n).map(s =>
+            th.slice(s, s + n).foldLeft(0L)((c, h) => c * graft.functions.NgramHashes.M + h))
+          assert(got(id) == expect, s"id=$id n=$n")
+        }
+      }
+    }
+    // identical windows hash identically wherever they occur
+    val same = Seq((0L, Seq("x", "y", "z", "x", "y", "z"))).toDF("id", "toks")
+      .select(gf.ngram_hashes(col("toks"), 3).as("h")).as[Seq[Long]].head()
+    assert(same(0) == same(3) && same.distinct.size == 4 - 1)
+  }
 }
