@@ -586,8 +586,11 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), "id_a")
-      .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), "id_b")
+      // SHUFFLE_HASH for the same reason as minHashNearDup's verification
+      // joins: estimates through the explode'd pair frame are guesses and
+      // sf10 planned BOTH joins as broadcasts, including the pair frame
+      .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")).hint("shuffle_hash"), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("k_a"), col("k_b")).as("dist"))
       .where(col("dist") <= maxDist)
