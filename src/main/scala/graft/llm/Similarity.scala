@@ -815,7 +815,7 @@ object Similarity {
     * cross-pollinate candidates. Both LSH tiers ([[knnGraphLSH]],
     * [[lshAnnTopK]]) build candidates from this one frame, so the seed
     * derivation and bucket-key shape cannot drift between them. */
-  private def bucketedTables(base: DataFrame, nBits: Int, dim: Int,
+  private[graft] def bucketedTables(base: DataFrame, nBits: Int, dim: Int,
                              seed: Long, nTables: Int): DataFrame = {
     val tables = explode(array((0 until nTables).map(ti => struct(lit(ti).as("tbl"),
       srpBucket(col("v"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
@@ -826,7 +826,7 @@ object Similarity {
 
   /** Multiprobe expansion of a `bkt` column: the bucket itself plus every
     * 1-bit flip — the standard recall-recovery probe set for SRP buckets. */
-  private def multiprobe(nBits: Int): Column = explode(array(
+  private[graft] def multiprobe(nBits: Int): Column = explode(array(
     col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
 
   /** Approximate per-query top-k: candidates restricted to the query's SRP

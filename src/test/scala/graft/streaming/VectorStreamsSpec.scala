@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+case class QueryVec(query_id: Long, embedding: Seq[Float], ts: Timestamp)
+
+class VectorStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // 20 well-separated cluster centers, 16-dim; corpus = 5 per center —
+  // the same planted-structure recipe as SimilaritySpec's LSH tests
+  private def corpus(seed: Int = 7): (Seq[Seq[Double]], org.apache.spark.sql.DataFrame) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    (centers, vecs.toDF("vec_id", "embedding"))
+  }
+
+  test("annQueryStream: per-window top-k lands at window close and finds " +
+    "each query's planted cluster") {
+    implicit val sqlCtx = spark.sqlContext
+    val (centers, corp) = corpus()
+    val in = MemoryStream[QueryVec]
+    val out = VectorStreams.annQueryStream(in.toDF(), corp, k = 3,
+      nBits = 6, dim = 16, nTables = 2, windowMinutes = 5, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("annstream")
+      .outputMode("append").start()
+    try {
+      // queries = exact cluster centers 0..4, all inside the 10:00 window
+      in.addData((0 until 5).map(ci =>
+        QueryVec(ci.toLong, centers(ci).map(_.toFloat), ts("2024-01-01 10:01:00"))): _*)
+      q.processAllAvailable()
+      // window still open -> nothing emitted in append mode
+      assert(spark.sql("SELECT count(*) FROM annstream").as[Long].head() == 0L)
+      // a later tick advances the watermark past 10:05 and closes it
+      in.addData(QueryVec(99L, centers(10).map(_.toFloat), ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT qid, rnk, nid, sim FROM annstream")
+        .as[(Long, Int, Long, Double)].collect()
+      val byQ = rows.groupBy(_._1)
+      assert(byQ.keySet == (0L until 5L).toSet, s"expected the 5 closed-window queries, got ${byQ.keySet}")
+      byQ.foreach { case (qid, rs) =>
+        assert(rs.length == 3, s"query $qid emitted ${rs.length} rows, not k=3")
+        // every returned neighbor belongs to the query's planted cluster
+        val cluster = (qid * 5) until (qid * 5 + 5)
+        rs.foreach { case (_, _, nid, sim) =>
+          assert(cluster.contains(nid), s"query $qid matched foreign vector $nid")
+          assert(sim > 0.9, s"query $qid neighbor $nid sim $sim too low")
+        }
+        // ranks are 1..k with non-increasing sims
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq == Seq(1, 2, 3))
+        assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      }
+    } finally q.stop()
+  }
+
+  test("annQueryStream agrees with the batch LSH tier on identical inputs") {
+    implicit val sqlCtx = spark.sqlContext
+    val (_, corp) = corpus(seed = 11)
+    // batch face: corpus vectors 0,7,23 queried against the corpus itself
+    val qids = Seq(0L, 7L, 23L)
+    val batch = graft.llm.Similarity.lshAnnTopK(corp, qids, k = 3,
+        nBits = 6, dim = 16, nTables = 2)
+      .select("qid", "rnk", "nid").as[(Long, Int, Long)].collect().toSet
+    // streaming face: the same vectors as a query stream (self-match rows
+    // dropped to mirror the batch tier's qid =!= nid filter)
+    val qvecs = corp.where($"vec_id".isin(qids: _*))
+      .as[(Long, Seq[Float])].collect().toMap
+    val in = MemoryStream[QueryVec]
+    val out = VectorStreams.annQueryStream(in.toDF(), corp, k = 4,
+      nBits = 6, dim = 16, nTables = 2, windowMinutes = 5, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("annparity")
+      .outputMode("append").start()
+    try {
+      in.addData(qids.map(i => QueryVec(i, qvecs(i), ts("2024-01-01 10:01:00"))): _*)
+      q.processAllAvailable()
+      in.addData(QueryVec(99L, qvecs(0L), ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT qid, nid, sim FROM annparity WHERE qid != nid")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+          rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+            .map { case ((_, nid, _), i) => (qid, i + 1, nid) }
+        }.toSet
+      assert(stream == batch,
+        s"stream/batch ANN divergence:\n stream=$stream\n batch=$batch")
+    } finally q.stop()
+  }
+
+  test("annQueryStream resumes from checkpoint without replaying closed windows") {
+    val (centers, corp) = corpus(seed = 13)
+    val in = java.nio.file.Files.createTempDirectory("graft_annq_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_annq_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_annq_chk").toString
+    def start() = VectorStreams.annQueryStream(
+        spark.readStream
+          .schema("query_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+          .parquet(in),
+        corp, k = 2, nBits = 6, dim = 16, nTables = 2,
+        windowMinutes = 5, watermark = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    Seq(QueryVec(0L, centers(0).map(_.toFloat), ts("2024-01-01 10:01:00")),
+        QueryVec(1L, centers(1).map(_.toFloat), ts("2024-01-01 10:12:00")))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart; a late tick closes query 1's window exactly once
+    Seq(QueryVec(2L, centers(2).map(_.toFloat), ts("2024-01-01 10:30:00")))
+      .toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).select("qid", "rnk", "nid")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    // windows 10:00 (query 0) and 10:10 (query 1) each emitted k=2 rows
+    // exactly once across the restart; query 2's window is still open
+    assert(got.map(_._1).distinct == Seq(0L, 1L), s"got $got")
+    assert(got.count(_._1 == 0L) == 2 && got.count(_._1 == 1L) == 2)
+    got.foreach { case (qid, _, nid) =>
+      assert((qid * 5 until qid * 5 + 5).contains(nid)) }
+  }
+}
