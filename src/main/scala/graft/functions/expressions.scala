@@ -622,6 +622,144 @@ case class NgramHashes(child: Expression, n: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Static loop for [[RpDecimalProject]] — top-level object (static
+  * forwarders) so generated code calls it directly, like [[Zlib]]/[[Bpe]]. */
+object RpDecimal {
+  /** Largest decimal precision a CAST to DECIMAL(28,8) admits before Spark
+    * (non-ANSI) nulls the value. */
+  private val TermPrecision = 28
+  /** Accumulator cap: the engine folds into DECIMAL(30,8) with a per-step
+    * cast, which nulls when a partial sum's precision exceeds 30. */
+  private val AccLimit = java.math.BigInteger.TEN.pow(30)
+
+  /** The exact sign-random-projection decimal fold of
+    * [[graft.llm.Similarity.rpReduce]], one compiled loop per row.
+    *
+    * Replicates the HOF tree `aggregate(transform(emb, ±cast(x as
+    * decimal(28,8))), 0 as decimal(30,8), (acc,t) -> cast(acc+t as
+    * decimal(30,8))) cast double` bit-for-bit:
+    *  - each term is `Double.toString` → BigDecimal → setScale(8, HALF_UP),
+    *    Spark's exact double→decimal cast path (Decimal.apply(Double) uses
+    *    the canonical string representation);
+    *  - HALF_UP is sign-symmetric, so the ±sign applies on the rounded
+    *    magnitude — each element's scale-8 unscaled value is computed ONCE
+    *    and added or subtracted per output dim (64 decimal conversions per
+    *    row instead of outDims×dim);
+    *  - decimal addition at a common scale is exact and associative, and
+    *    the per-step DECIMAL(30,8) cast only checks precision, so any
+    *    summation order gives the identical value; precision overflow
+    *    (term > 28 digits, partial > 30 digits) nulls the result exactly
+    *    where the cast tree does;
+    *  - a null INPUT array yields an array of null components (transform
+    *    of a null array is null, the fold of null is null, but
+    *    `array(z0..z15)` is still a non-null array of nulls), and a null
+    *    ELEMENT nulls every component — both mirrored here.
+    *
+    * Sums accumulate in primitive longs whenever every |unscaled term| ≤
+    * Long.MaxValue / n (always, for embedding-magnitude floats); the
+    * BigInteger path covers the rest with the same per-step precision
+    * rule. */
+  def project(arr: ArrayData, outDims: Int): ArrayData = {
+    val out = new Array[Any](outDims)
+    if (arr == null) return new GenericArrayData(out)
+    val n = arr.numElements()
+    val uns = new Array[java.math.BigInteger](n)
+    var anyNull = false
+    var allLong = true
+    val longCap = java.math.BigInteger.valueOf(Long.MaxValue / math.max(n, 1))
+    var i = 0
+    while (i < n && !anyNull) {
+      if (arr.isNullAt(i)) anyNull = true
+      else {
+        val x = arr.getFloat(i).toDouble
+        val bd = new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+        if (bd.precision > TermPrecision) anyNull = true
+        else {
+          uns(i) = bd.unscaledValue()
+          if (uns(i).abs.compareTo(longCap) > 0) allLong = false
+        }
+      }
+      i += 1
+    }
+    if (anyNull) return new GenericArrayData(out)
+    if (allLong) {
+      val lu = new Array[Long](n)
+      var j = 0
+      while (j < n) { lu(j) = uns(j).longValueExact(); j += 1 }
+      var k = 0
+      while (k < outDims) {
+        var s = 0L
+        var jj = 0
+        while (jj < n) {
+          val h = k.toLong * 2654435761L + jj.toLong * 40503L
+          if (java.lang.Long.bitCount(h) % 2 == 0) s += lu(jj) else s -= lu(jj)
+          jj += 1
+        }
+        out(k) = new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8).doubleValue()
+        k += 1
+      }
+    } else {
+      var k = 0
+      while (k < outDims) {
+        var s = java.math.BigInteger.ZERO
+        var nulled = false
+        var jj = 0
+        while (jj < n && !nulled) {
+          val h = k.toLong * 2654435761L + jj.toLong * 40503L
+          s = if (java.lang.Long.bitCount(h) % 2 == 0) s.add(uns(jj)) else s.subtract(uns(jj))
+          if (s.abs.compareTo(AccLimit) >= 0) nulled = true
+          jj += 1
+        }
+        out(k) = if (nulled) null else new java.math.BigDecimal(s, 8).doubleValue()
+        k += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Sign-random-projection of an `array<float>` vector with EXACT decimal
+  * accumulation — the compiled form of [[graft.llm.Similarity.rpReduce]]'s
+  * per-row outDims×dim DECIMAL(28,8) HOF folds, which the sf10 sweep
+  * measured as the inventory's worst 100× entry (434.7 s, 122×: every
+  * term paid an interpreted lambda call, a Decimal allocation, and a
+  * precision-checked CAST). Returns `array<double>` of length `outDims`
+  * (nullable components — see [[RpDecimal.project]] for the exact
+  * null/overflow mirroring). NOT null-propagating on a null input array:
+  * the tree it replaces yields an array OF nulls there, so this expression
+  * evaluates `child` itself rather than using `nullSafeEval`. */
+case class RpDecimalProject(child: Expression, outDims: Int)
+    extends UnaryExpression {
+  require(outDims >= 1, s"outDims $outDims must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.arrayOf(child, FloatType, prettyName)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "rp_decimal_project"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    RpDecimal.project(child.eval(input).asInstanceOf[ArrayData], outDims)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $arr =
+          ${childGen.isNull} ? null : ${childGen.value};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.RpDecimal.project($arr, $outDims);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpDecimalProject =
+    copy(child = newChild)
+}
+
 object NgramHashes {
   /** Odd polynomial multiplier (64-bit golden ratio), invertible mod 2⁶⁴. */
   val M: Long = 0x9E3779B97F4A7C15L
@@ -749,6 +887,12 @@ object functions {
   def pq_encode(v: Column, nrm: Column, cbFlat: Array[Float],
                 halves: Array[Double], nSub: Int, nCodes: Int, subDim: Int): Column =
     c(PqEncode(e(v), e(nrm), cbFlat, halves, nSub, nCodes, subDim))
+
+  /** Exact-decimal sign-random-projection of an array<float> vector:
+    * array<double> of outDims components, bit-identical to the
+    * DECIMAL(28,8) HOF fold tree it replaces (see [[RpDecimalProject]]). */
+  def rp_project(v: Column, outDims: Int): Column =
+    c(RpDecimalProject(e(v), outDims))
 
   /** Rolling-hash of every n-token window of an array<string> column
     * (array<long> out; no window-string materialization — sketch tiers). */

@@ -1088,27 +1088,26 @@ object Similarity {
     * seeded Gaussian matrix with identical plumbing.
     *
     * Scale + determinism shape: entirely map-only (no shuffle, no matrix
-    * broadcast — the "matrix" is an expression); each term casts
+    * broadcast — the "matrix" is pure integer arithmetic inside one
+    * codegen'd [[graft.functions.RpDecimalProject]] loop); each term casts
     * float→double→DECIMAL(28,8) so the per-component sums are exact and
     * order-free, mirroring [[groupCentroids]]'s discipline. Output is long
-    * format (id, dim_idx, z) for direct comparison/storage. */
+    * format (id, dim_idx, z) for direct comparison/storage.
+    *
+    * The loop replaces an earlier outDims× `aggregate(transform(...))`
+    * DECIMAL HOF formulation — bit-identical by construction (decimal adds
+    * at a common scale are exact, HALF_UP is sign-symmetric; the
+    * replicated cast semantics are documented on
+    * [[graft.functions.RpDecimal.project]], and SimilaritySpec pins
+    * expression-vs-HOF equality row-for-row) — which the sf10 sweep
+    * measured as the inventory's worst 100× entry: 434.7 s, every one of
+    * outDims×dim terms paying an interpreted lambda + Decimal allocation +
+    * precision-checked CAST per row. */
   def rpReduce(emb: DataFrame, outDims: Int = 16, idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
-    val zs = (0 until outDims).map { k =>
-      val terms = transform(col(embCol), (x, j) => {
-        val h = lit(k.toLong * 2654435761L) + j.cast("long") * lit(40503L)
-        val sign = when(bit_count(h) % 2 === 0, lit(1)).otherwise(lit(-1))
-        // sign applies on the DOUBLE (exact flip) — a decimal×int product
-        // would widen past precision 38 and silently drop to scale 6
-        (x.cast("double") * sign).cast("decimal(28,8)")
-      })
-      // accumulator pinned at (30,8): each add widens to (31,8) and casts
-      // back losslessly — a (38,8) accumulator would overflow precision on
-      // add and Spark would silently cut the scale to 7, rounding per step
-      aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(30,8)"),
-        (acc, t) => (acc + t).cast("decimal(30,8)")).cast("double")
-    }
-    emb.select(col(idCol), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
+    emb.select(col(idCol),
+        posexplode(graft.functions.functions.rp_project(col(embCol), outDims))
+          .as(Seq("dim_idx", "z")))
       .orderBy(idCol, "dim_idx")
   }
 

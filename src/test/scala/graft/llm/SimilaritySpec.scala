@@ -480,6 +480,56 @@ class SimilaritySpec extends SparkSpec {
     assert(r4.sorted.sameElements(r.sorted))
   }
 
+  test("rpReduce compiled loop is bit-identical to the DECIMAL HOF fold tree") {
+    // the RpDecimalProject expression replaced an outDims× aggregate(
+    // transform(...)) DECIMAL(28,8) formulation (the sf10 sweep's worst
+    // entry); this pins the replacement to the ORIGINAL tree value-for-value
+    // on adversarial floats: subnormals, huge/tiny magnitudes, exact .5
+    // rounding boundaries at scale 8, negatives, zeros, and a null element
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val outDims = 8
+    def hofReduce(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val zs = (0 until outDims).map { k =>
+        val terms = transform(col("embedding"), (x, j) => {
+          val h = lit(k.toLong * 2654435761L) + j.cast("long") * lit(40503L)
+          val sign = when(bit_count(h) % 2 === 0, lit(1)).otherwise(lit(-1))
+          (x.cast("double") * sign).cast("decimal(28,8)")
+        })
+        aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(30,8)"),
+          (acc, t) => (acc + t).cast("decimal(30,8)")).cast("double")
+      }
+      df.select(col("vec_id"), posexplode(array(zs: _*)).as(Seq("dim_idx", "z")))
+        .orderBy("vec_id", "dim_idx")
+    }
+    val gen = Gen.listOfN(40, Gen.listOfN(16, Gen.oneOf(
+      Gen.chooseNum(-3.0f, 3.0f),
+      Gen.oneOf(0.0f, -0.0f, 1.5e-8f, -1.5e-8f, 0.000000125f, 1.4e-45f,
+        3.0e9f, -3.0e9f, 123.456f, Float.MinPositiveValue))))
+    val vecs = gen.apply(Gen.Parameters.default, Seed(4242L)).get
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(java.lang.Float.valueOf).toArray) } ++
+      Seq((98L, Array[java.lang.Float](1.0f, null, 2.0f)),   // null element -> null z
+          (99L, null.asInstanceOf[Array[java.lang.Float]])) // null array -> null z rows
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.rpReduce(df, outDims).collect()
+      .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    val want = hofReduce(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.length == want.length && got.length == 42 * outDims)
+    got.zip(want).foreach { case (g, w) => assert(g === w, s"got $g want $w") }
+    // values above the DECIMAL(28,8) cast cap null exactly like the tree's
+    // non-ANSI cast (under ANSI the tree throws instead; the expression
+    // keeps the null contract documented on RpDecimal.project)
+    val big = Seq((1L, Array(3.0e20f, 1.0f))).toDF("vec_id", "embedding")
+    val gotBig = Similarity.rpReduce(big, outDims).collect().map(_.isNullAt(2)).toSeq
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    val wantBig = try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      hofReduce(big).collect().map(_.isNullAt(2)).toSeq
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+    assert(gotBig === wantBig && gotBig.forall(identity))
+  }
+
   test("rpReduceFast agrees with exact rpReduce to 1e-6 relative; map-only plan") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
