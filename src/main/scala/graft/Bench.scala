@@ -102,7 +102,6 @@ object Bench {
       "dedup_components" -> "log-round star contraction: locally job-count-bound, not data-bound; convergence rounds are property-tested instead",
       "dedup_cluster_sizes" -> "rollup over dedup_components, same job-count-bound shape",
       "dedup_clean_corpus_cc" -> "pipeline over dedup_components, same job-count-bound shape",
-      "mm_features_documents" -> "mapPartitions byte-decode stub tier; per-row cost dominated by the stubbed codec, not a data-scale signal",
       "mm_frames_documents" -> "mapPartitions byte-decode stub tier; per-row cost dominated by the stubbed codec, not a data-scale signal",
       "mm_phash_neardup_documents" -> "byte-decode stub tier feeding a bucketed near-dup; codec stub dominates")
     val excluded = all.map(_._1).filterNot(sorted.map(_._1).toSet)

@@ -1744,10 +1744,19 @@ object SparkEntry {
     "curate_mmr_batched_embeddings" -> ((s, d) =>
       Similarity.mmrSelectBatched(emb(s, d), k = 20, lambda = 0.7, nCells = 8)),
 
-    // -------- multimodal (stubbed decode, real binary plumbing)
+    // -------- multimodal (real JDK codecs: PNG/JPEG image, WAV audio,
+    // MJPEG/AVI video; only interframe codecs like H.264 would need ffmpeg)
+    // REAL image tier: deterministic gray-band PNGs encoded per document,
+    // decoded back through javax.imageio — dims + full-pixel integer
+    // luminance stats. The oracle predicts the decode output by arithmetic
+    // (PNG is lossless; gray-pixel luma is exactly the gray level), so this
+    // is an encode->decode round-trip CHECK through the real codec, not a
+    // stub mirror.
     "mm_features_documents" -> ((s, d) =>
-      Multimodal.documentFeatures(s, t(s, d, "documents")).toDF()
-        .select("doc_id", "n_bytes", "width", "height", "channels")
+      Multimodal.extractImageFeatures(
+          Multimodal.withFakeImages(t(s, d, "documents"))).toDF()
+        .select("doc_id", "width", "height", "channels", "mean_luma",
+          "min_luma", "max_luma")
         .orderBy("doc_id")),
     "mm_frames_documents" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.withFakeMedia(t(s, d, "documents")),
@@ -4557,13 +4566,27 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    // predicts the REAL PNG encode->decode round trip: width/height from the
+    // generation formula, luminance stats from the per-row gray levels
+    // ((doc_id+y)%256 — a gray pixel's integer 299/587/114 luma is exactly
+    // its gray level, and PNG is lossless); mean is the same two exact
+    // integers divided in double on both engines
     "mm_features_documents" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |       CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width,
-        |       CAST(64 + (octet_length(encode(text)) // 7) % 336 AS INTEGER) AS height,
-        |       CAST(3 AS INTEGER) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |dims AS (SELECT doc_id, CAST(16 + len % 48 AS INTEGER) AS width,
+        |                CAST(16 + doc_id % 32 AS INTEGER) AS height FROM d),
+        |ys AS (SELECT doc_id, width, height,
+        |              unnest(generate_series(0, height - 1)) AS y FROM dims),
+        |lum AS (SELECT doc_id, width, height,
+        |               sum((doc_id + y) % 256) AS rowsum,
+        |               min((doc_id + y) % 256) AS minl,
+        |               max((doc_id + y) % 256) AS maxl
+        |        FROM ys GROUP BY doc_id, width, height)
+        |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+        |       CAST(rowsum * width AS DOUBLE) / (width * height) AS mean_luma,
+        |       CAST(minl AS INTEGER) AS min_luma,
+        |       CAST(maxl AS INTEGER) AS max_luma
+        |FROM lum ORDER BY doc_id""".stripMargin,
 
     // frame sizes are pure arithmetic over the payload length (DuckDB cannot
     // substring BLOBs); frame BYTES are asserted in MultimodalSpec instead.

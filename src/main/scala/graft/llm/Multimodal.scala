@@ -24,6 +24,15 @@ case class AudioFeatures(doc_id: Long, n_bytes: Int, sample_rate: Int,
                          channels: Int, n_samples: Long, rms: Double,
                          zero_crossings: Long)
 
+/** Decoded-image feature row: header dims + integer-luminance statistics
+  * over every pixel ((299r+587g+114b)/1000 per pixel, the
+  * [[Multimodal.lumaCells]] weights). `mean_luma` = lum_sum /
+  * (width·height) in double — both operands exact integers, so the
+  * division is reproducible on any engine. */
+case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                         channels: Int, lum_sum: Long, mean_luma: Double,
+                         min_luma: Int, max_luma: Int)
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * Pattern: keep media as opaque `BinaryType` columns next to typed metadata;
@@ -239,6 +248,82 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(resizeImage(_, w, h)))
+  }
+
+  /** Attach a fake image column: a REAL PNG per document (the image sibling
+    * of [[withFakeAudio]]/[[withFakeVideo]]) — horizontal gray bands with
+    * row-y gray level `(doc_id + y) % 256`, width `16 + octet_len(text)%48`,
+    * height `16 + doc_id%32`. Deterministic, schema-true BinaryType, and
+    * decodable by any PNG reader; because PNG is lossless and the luma of a
+    * gray pixel (g,g,g) is exactly g under the integer 299/587/114 weights,
+    * every downstream feature (dims, mean/min/max luminance) is PREDICTABLE
+    * BY ARITHMETIC — which is what lets the real-codec decode tier carry a
+    * DuckDB oracle (a genuine encode→decode round-trip check, not a stub
+    * mirror). Narrow-projection-first repartition as in [[withFakeVideo]]:
+    * the shuffle carries (id, len), never text or media bytes. */
+  def withFakeImages(docs: DataFrame, textCol: String = "text"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), octet_length(col(textCol)).cast("int").as("n"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val w = 16 + (n % 48)
+        val h = 16 + (id % 32).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val all = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val g = ((id + y) % 256).toInt
+          val px = (g << 16) | (g << 8) | g
+          var x = 0
+          while (x < w) { all(y * w + x) = px; x += 1 }
+          y += 1
+        }
+        img.setRGB(0, 0, w, h, all, 0, w)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRecord(id, baos.toByteArray, kind = "image")
+      })
+  }
+
+  /** Real image feature extraction: JDK ImageIO decode → header dims +
+    * channel count + full-pixel integer-luminance stats. Non-image /
+    * corrupt payloads yield zero rows (quarantine-not-crash, the
+    * [[decodeVideoFrames]] posture). Bytes stay inside the task; what
+    * returns is one slim stats row per decodable record. */
+  def decodeImageFeatures(r: MediaRecord): Option[ImageFeatures] = {
+    val img =
+      if (!looksLikeImage(r.media)) null
+      else
+        // NonFatal only: a decompression-bomb OOM must fail the task
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sum += l
+        if (l < mn) mn = l
+        if (l > mx) mx = l
+        i += 1
+      }
+      Some(ImageFeatures(r.doc_id, w, h, img.getColorModel.getNumComponents,
+        sum, sum.toDouble / (w.toLong * h), mn, mx))
+    }
+  }
+
+  /** Image feature extraction as a per-partition batch pass (the real-codec
+    * replacement for the [[decodeStub]] plumbing tier). */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeImageFeatures))
   }
 
   /** Magic-byte sniff for RIFF/WAV containers (the audio format the JDK

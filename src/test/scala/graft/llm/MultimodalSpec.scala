@@ -62,6 +62,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.looksLikeImage(viaDs.media))
   }
 
+  test("withFakeImages -> extractImageFeatures: real PNG encode->decode " +
+    "round trip recovers dims and exact luminance stats, distributed") {
+    val docs = Seq((0L, "abc"), (5L, "hello world"), (260L, "xy"))
+      .toDF("doc_id", "text").repartition(3)
+    val media = Multimodal.withFakeImages(docs)
+    // the payloads are REAL PNGs (magic bytes), not stand-in text bytes
+    media.collect().foreach { r =>
+      assert(Multimodal.looksLikeImage(r.media), s"doc ${r.doc_id} not a PNG")
+      assert(r.media.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    }
+    val got = Multimodal.extractImageFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got.size == 3)
+    // mirror of the generation formula: w = 16 + utf8len%48, h = 16 + id%32,
+    // row-y gray = (id+y)%256; gray luma == gray exactly, PNG lossless
+    def expect(id: Long, len: Int): ImageFeatures = {
+      val w = 16 + len % 48; val h = 16 + (id % 32).toInt
+      val grays = (0 until h).map(y => ((id + y) % 256).toInt)
+      val sum = grays.map(_.toLong * w).sum
+      ImageFeatures(id, w, h, 3, sum, sum.toDouble / (w.toLong * h),
+        grays.min, grays.max)
+    }
+    assert(got(0L) === expect(0L, 3))
+    assert(got(5L) === expect(5L, 11))
+    assert(got(260L) === expect(260L, 2)) // id past 256: gray wraps mod 256
+    // multi-byte UTF-8: width keys off OCTET length (matches DuckDB's
+    // octet_length(encode(text))), not the character count
+    val uni = Seq((1L, "é")).toDF("doc_id", "text") // 1 char, 2 bytes
+    val f = Multimodal.extractImageFeatures(Multimodal.withFakeImages(uni))
+      .collect()(0)
+    assert(f.width == 16 + 2)
+  }
+
+  test("extractImageFeatures quarantines opaque and corrupt payloads as zero rows") {
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(1L, png, "image"),                          // decodable
+      MediaRecord(2L, "not an image".getBytes, "image"),      // opaque
+      MediaRecord(3L, png.take(12), "image"))                 // truncated PNG
+      .toDS()
+    val out = Multimodal.extractImageFeatures(recs).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    assert(out(0).width == 4 && out(0).height == 4)
+    // all-black 4x4: luma 0 everywhere
+    assert(out(0).lum_sum == 0L && out(0).mean_luma == 0.0 &&
+      out(0).min_luma == 0 && out(0).max_luma == 0)
+  }
+
   test("decode reads real PNG dimensions via javax.imageio; opaque bytes fall back to stub") {
     val img = new java.awt.image.BufferedImage(5, 7,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
