@@ -1688,6 +1688,12 @@ object SparkEntry {
     // fully excised at ANY alignment, keep-first; per-doc survival counts,
     // merged dup-run count, rebuilt text
     "dedup_substrings_documents" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
+    // rolling-hash scale tier: O(L) gram keys via NgramHashes, zero window
+    // strings (no oracle: the rolling polynomial isn't SQL-expressible;
+    // row-for-row parity with the oracle tier is property-tested in
+    // DedupSpec)
+    "dedup_substrings_fast_documents" -> ((s, d) =>
+      Dedup.substringDedupFast(t(s, d, "documents"))),
 
     // symmetric per-vector int8 quantization (storage/serving tier). The
     // declared query emits the array as CSV: arrow list FIELD NAMES differ
@@ -1710,9 +1716,11 @@ object SparkEntry {
     "centroid_sim_embeddings" -> ((s, d) =>
       Similarity.centroidSimMatrix(emb(s, d), "label")),
 
-    // k-means clustering as a first-class operator: Lloyd training (the
-    // shared offline phase behind IVF/SemDeDup) + map-only assignment,
-    // profiled per cluster. No oracle (centroid-dependent, iterative);
+    // k-means clustering as a first-class operator: two Lloyd rounds +
+    // map-only assignment, profiled per cluster. ORACLE-BEARING since r9:
+    // pseudo-random seeds ordered by a Knuth multiplicative hash both
+    // engines compute exactly, on the same mirrorable Lloyd core as the
+    // seeded tier (9-rounded argmax, decimal sums, round-6 double means) —
     // partition/optimality/determinism property tests in SimilaritySpec
     "kmeans_profile_embeddings" -> ((s, d) =>
       Similarity.kMeansProfile(emb(s, d), k = 8, iters = 2)),
@@ -1875,17 +1883,24 @@ object SparkEntry {
         .write.mode("overwrite").option("header", "true").csv(dir)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("source", StringType), StructField("lang", StringType)))
-      val (clean, bad) = graft.sources.Readers.splitCorrupt(
+      val split = graft.sources.Readers.splitCorrupt(
         graft.sources.Readers.readCsv(s, dir, schema))
       // PERMISSIVE keeps the parseable fields of a quarantined row, so the
       // bad side still groups by source
-      clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
-        .join(bad.groupBy("source").agg(count(lit(1)).as("n_quarantined")),
+      val counts = split.clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
+        .join(split.bad.groupBy("source").agg(count(lit(1)).as("n_quarantined")),
           Seq("source"), "full_outer")
         .select(col("source"),
           coalesce(col("n_clean"), lit(0L)).as("n_clean"),
           coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
         .orderBy("source")
+      // materialize the (source-count-sized) result while the shared parse
+      // cache is hot, then RELEASE the cache — returning the lazy plan
+      // would leave the DISK_ONLY batch pinned for the whole session,
+      // accumulating across repeated bench/verify runs
+      val rows = java.util.Arrays.asList(counts.collect(): _*)
+      split.done()
+      s.createDataFrame(rows, counts.schema)
     })
   )
 
@@ -4220,6 +4235,36 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_eval_ngrams
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // digit-exact mirror of the PLAIN k-means tier: same two-round Lloyd
+    // mirror as the seeded oracle below, seeds ordered by the Knuth
+    // multiplicative hash (id%P)*2654435761%P, P=2^31-1 (64-bit exact on
+    // both engines), id tie-break
+    "kmeans_profile_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+         |                  ${normSql("embedding")} AS nrm FROM embeddings),
+         |en AS (SELECT * FROM e WHERE nrm > 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (
+         |           ORDER BY (id % 2147483647) * 2654435761 % 2147483647, id) - 1
+         |         AS INTEGER) AS cid, v AS cv, nrm AS cn
+         |  FROM (SELECT id, v, nrm FROM en
+         |        ORDER BY (id % 2147483647) * 2654435761 % 2147483647, id
+         |        LIMIT 8)),
+         |${lloydRoundSql("c0", "a1", "m1", "c1")},
+         |${lloydRoundSql("c1", "a2", "m2", "c2")},
+         |asg AS (
+         |  SELECT id, cid, sim FROM (
+         |    SELECT en.id, c.cid,
+         |           round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) AS sim,
+         |           row_number() OVER (PARTITION BY en.id
+         |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+         |                      c.cid DESC) AS rn
+         |    FROM en CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT cid, count(*) AS n_vectors,
+         |       CAST(sum(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_sim,
+         |       min(sim) AS min_sim, max(sim) AS max_sim
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
 
     // digit-exact mirror of the seeded two-round Lloyd: id-ordered seeds,
     // per-round rounded-cosine argmax + decimal-sum/round-6/FLOAT means

@@ -750,19 +750,53 @@ object Dedup {
     * sparse. Per-doc rebuild state (covered index set, run merge) is
     * document-bounded, never corpus-bounded. */
   def substringDedup(docs: DataFrame, minTokens: Int = 10,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    substringDedupImpl(docs, minTokens, textCol, idCol, rollingHash = false)
+
+  /** Scale tier of [[substringDedup]]: identical coverage-marking algebra,
+    * but the per-window 64-bit gram keys come from the rolling
+    * [[graft.functions.NgramHashes]] expression instead of
+    * `xxhash64(concat_ws(slice(...)))` — each token hashes ONCE and the
+    * window key rolls in O(1), so the stride-1 pass does O(L) work per
+    * document with ZERO transient window strings (the sf10 sweep measured
+    * the string-materialized form's gram building as its dominant cost —
+    * the same Offender-5 lesson as the theta sketch tiers). Hash VALUES
+    * differ from the oracle tier's, which is immaterial here: grams are
+    * opaque distinct keys, so kept/excised decisions — and therefore every
+    * output row — are identical except under a 64-bit collision
+    * (DedupSpec pins row-for-row parity with [[substringDedup]]). No
+    * DuckDB oracle for the same reason as the other `*_fast` tiers: the
+    * rolling polynomial isn't SQL-expressible; the parity property test is
+    * the correctness contract. */
+  def substringDedupFast(docs: DataFrame, minTokens: Int = 10,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    substringDedupImpl(docs, minTokens, textCol, idCol, rollingHash = true)
+
+  private def substringDedupImpl(docs: DataFrame, minTokens: Int,
+                                 textCol: String, idCol: String,
+                                 rollingHash: Boolean): DataFrame = {
     require(minTokens >= 2, "minTokens must be >= 2")
     val k = minTokens
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
-    // sliding shingles: start p+1 (1-based) for p-th of n-k+1 windows
-    val shingles = transform(sequence(lit(1), col("n") - k + 1),
-      st => concat_ws(" ", slice(col("toks"), st, lit(k))))
-    val occ = toks.where(col("n") >= k)
-      .select(col("id"), posexplode(shingles).as(Seq("p", "shingle")))
-      .select(xxhash64(col("shingle")).as("h"), col("id"),
-        (col("p") + 1).as("st"))
+    val occ = if (rollingHash) {
+      // O(L) per doc: token hashes computed once, window keys rolled —
+      // no window-string materialization. posexplode's 0-based pos p is
+      // the window at token start p+1 (1-based), same alignment as below.
+      toks.where(col("n") >= k)
+        .select(col("id"), posexplode(
+          graft.functions.functions.ngram_hashes(col("toks"), k)).as(Seq("p", "h")))
+        .select(col("h"), col("id"), (col("p") + 1).as("st"))
+    } else {
+      // sliding shingles: start p+1 (1-based) for p-th of n-k+1 windows
+      val shingles = transform(sequence(lit(1), col("n") - k + 1),
+        st => concat_ws(" ", slice(col("toks"), st, lit(k))))
+      toks.where(col("n") >= k)
+        .select(col("id"), posexplode(shingles).as(Seq("p", "shingle")))
+        .select(xxhash64(col("shingle")).as("h"), col("id"),
+          (col("p") + 1).as("st"))
+    }
     val winners = occ.groupBy("h")
       .agg(min(struct(col("id"), col("st"))).as("keep"),
         count(lit(1)).as("n_occ"))
@@ -847,13 +881,26 @@ object Dedup {
                          textCol: String = "text"): DataFrame =
     overlapFromSketches(sourceSketches(docs, n, lgK, textCol))
 
-  /** Per-source theta sketch REGISTRY: (source, sk) rows, one KB-sized
-    * mergeable sketch of the source's distinct n-gram hash set. This is
-    * the persistable half of the sketch tier — at 100 TB the registry is
-    * written next to each ingest batch, and [[mergeSourceSketches]] folds
-    * a new day's sketches into the running registry WITHOUT rescanning
-    * any prior corpus. [[overlapFromSketches]] then prices any audit
-    * (pairwise overlap, Jaccard) off the tiny registry alone. */
+  /** Gram-hash schema version stamped into every sketch-registry row.
+    * v1 = `xxhash64(concat_ws(...))` window strings (pre-r9 registries),
+    * v2 = rolling [[graft.functions.NgramHashes]] values. The two produce
+    * DISJOINT hash universes: folding or intersecting sketches built under
+    * different versions yields silently meaningless overlap estimates
+    * (≈0 intersection between genuinely identical corpora), so every
+    * registry operation refuses mixed versions loudly instead. */
+  val GramHashVersion: Int = 2
+
+  /** Per-source theta sketch REGISTRY: (source, sk, hash_v) rows, one
+    * KB-sized mergeable sketch of the source's distinct n-gram hash set.
+    * This is the persistable half of the sketch tier — at 100 TB the
+    * registry is written next to each ingest batch, and
+    * [[mergeSourceSketches]] folds a new day's sketches into the running
+    * registry WITHOUT rescanning any prior corpus.
+    * [[overlapFromSketches]] then prices any audit (pairwise overlap,
+    * Jaccard) off the tiny registry alone. `hash_v` carries
+    * [[GramHashVersion]] so cross-run folds can detect a gram-hash scheme
+    * change (a v1 registry predating the column fails loudly at analysis
+    * when folded — unionByName requires it). */
   def sourceSketches(docs: DataFrame, n: Int = 8, lgK: Int = 12,
                      textCol: String = "text"): DataFrame =
     // rolling window hashes, not concat strings — see decontaminateTheta
@@ -862,21 +909,39 @@ object Dedup {
           graft.functions.functions.ngram_hashes(
             TextAnalysis.tokens(col(textCol)), n))).as("ng"))
       .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
+      .withColumn("hash_v", lit(GramHashVersion))
 
   /** Fold two sketch registries (e.g. yesterday's registry + today's
     * batch) into one: theta unions are associative and commutative, so
     * the merged registry is equivalent to sketching the concatenated
     * corpora — in exact mode (below 2^lgK distinct entries per source)
-    * IDENTICAL, property-tested in DedupSpec. */
+    * IDENTICAL, property-tested in DedupSpec. Refuses (throws at
+    * execution) if the two registries carry different `hash_v` stamps —
+    * their sketches live in disjoint hash universes and the union would
+    * be silently meaningless. */
   def mergeSourceSketches(a: DataFrame, b: DataFrame, lgK: Int = 12): DataFrame =
-    a.unionByName(b).groupBy("source").agg(theta_union_agg(col("sk"), lgK).as("sk"))
+    a.unionByName(b).groupBy("source")
+      .agg(theta_union_agg(col("sk"), lgK).as("sk"),
+        min(col("hash_v")).as("vmin"), max(col("hash_v")).as("vmax"))
+      .select(col("source"), col("sk"),
+        // assert_true is null on pass, throws on a cross-version fold
+        when(isnull(assert_true(col("vmin") === col("vmax"),
+          format_string("mergeSourceSketches: cross-version sketch fold " +
+            "(hash_v %s vs %s) — rebuild the older registry", col("vmin"),
+            col("vmax")))), col("vmin")).as("hash_v"))
 
   /** Pairwise overlap/Jaccard estimates off a sketch registry alone —
-    * no corpus access; see [[sourceOverlapTheta]] for semantics. */
+    * no corpus access; see [[sourceOverlapTheta]] for semantics. Refuses
+    * cross-version sketch pairs (see [[GramHashVersion]]). */
   def overlapFromSketches(sk: DataFrame): DataFrame = {
     val inter = theta_sketch_estimate(theta_intersection(col("a.sk"), col("b.sk")))
     val union = theta_sketch_estimate(theta_union(col("a.sk"), col("b.sk")))
+    val sameVersion = isnull(assert_true(col("a.hash_v") === col("b.hash_v"),
+      format_string("overlapFromSketches: cross-version sketches " +
+        "(hash_v %s vs %s) — rebuild the older registry", col("a.hash_v"),
+        col("b.hash_v"))))
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .where(sameVersion)
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         round(inter, 3).as("est_shared_ngrams"),
         round(union, 3).as("est_union_ngrams"),

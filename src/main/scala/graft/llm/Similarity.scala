@@ -340,12 +340,28 @@ object Similarity {
     * mirror). Scale shape identical to [[kMeansProfile]]: literal-matrix
     * argmax assignment (map-only), one (k·dim)-row aggregate per round. */
   def kMeansProfileSeeded(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lloydProfileMirrorable(emb, k, iters, idCol, vecCol, seedKey = identity)
+
+  /** Knuth multiplicative-hash seed key over the 31-bit prime field:
+    * `(id mod P)·2654435761 mod P`, P = 2³¹−1 — a pseudo-random,
+    * id-distribution-agnostic seed ordering BOTH engines compute exactly
+    * in 64-bit integers (no overflow: (P−1)·M < 2⁶³), unlike the
+    * xxhash64 ordering [[trainCentroids]] uses, which DuckDB lacks. */
+  private def knuthSeedKey(id: Column): Column =
+    (id % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L)
+
+  /** Shared mirrorable two-phase Lloyd + profile core behind BOTH
+    * oracle-bearing k-means tiers; `seedKey` orders the seed sample
+    * (identity = smallest-id seeds, [[knuthSeedKey]] = hash-ordered). */
+  private def lloydProfileMirrorable(emb: DataFrame, k: Int, iters: Int,
+                                     idCol: String, vecCol: String,
+                                     seedKey: Column => Column): DataFrame = {
     // spread: every Lloyd round + the final profile re-scan the corpus;
-    // results are partitioning-invariant (smallest-id seeds, decimal sums)
+    // results are partitioning-invariant (key-ordered seeds, decimal sums)
     val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
-    var cents: Centroids = e.orderBy(col("id")).limit(k)
+    var cents: Centroids = e.orderBy(seedKey(col("id")), col("id")).limit(k)
       .collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](1), r.getDouble(2))
       }
@@ -391,34 +407,27 @@ object Similarity {
       .orderBy("cid")
   }
 
-  /** K-means clustering as a first-class operator: [[trainCentroids]] (the
-    * shared offline phase behind IVF and SemDeDup) followed by a map-only
-    * final assignment, profiled per cluster — (cid, n_vectors, mean_sim,
-    * min_sim, max_sim), sims rounded at 9 like every cosine here. The
-    * corpus-wide "what structure does this embedding space have" view a
-    * curation pass reads before setting dedup/sampling policy.
+  /** K-means clustering as a first-class operator, profiled per cluster —
+    * (cid, n_vectors, mean_sim, min_sim, max_sim), sims rounded at 9 like
+    * every cosine here. The corpus-wide "what structure does this embedding
+    * space have" view a curation pass reads before setting dedup/sampling
+    * policy. Seeds are a [[knuthSeedKey]]-ordered pseudo-random sample —
+    * id-distribution-agnostic like [[trainCentroids]]'s xxhash64 ordering,
+    * but computable by any engine, which (with the mirrorable Lloyd core it
+    * shares with [[kMeansProfileSeeded]]) makes this tier ORACLE-BEARING:
+    * DuckDB replays the seed order, both Lloyd rounds and the profile
+    * digit-for-digit. ([[trainCentroids]] keeps xxhash64 seeding for the
+    * IVF/SemDeDup consumers; their tiers are property-tested instead.)
     *
     * Scale shape: training state is k·dim floats on the driver (literal
     * matrix), assignment is expression-level argmax over the scan (no
-    * shuffle), and the profile is one k-row aggregate. Mean sim aggregates
-    * as decimal over the 9-rounded per-row sims, so the profile is
+    * shuffle), and the profile is one k-row aggregate. Per-dim means and
+    * mean sim aggregate through exact decimal sums, so the profile is
     * bit-deterministic under any partitioning — property-tested along with
     * assignment optimality in SimilaritySpec. */
   def kMeansProfile(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(emb, k, iters, idCol, vecCol)
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"))
-    val best = nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0)
-    e.select(best.getField("cid").as("cid"),
-        round(best.getField("sim"), 9).as("sim"))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n_vectors"),
-        (sum(col("sim").cast("decimal(28,12)")) / count(lit(1)))
-          .cast("double").as("mean_sim"),
-        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
-      .orderBy("cid")
-  }
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lloydProfileMirrorable(emb, k, iters, idCol, vecCol, seedKey = knuthSeedKey)
 
   /** Per-vector cluster assignment over trained centroids — the row-level
     * face of [[kMeansProfile]], exposed for tests and downstream joins. */

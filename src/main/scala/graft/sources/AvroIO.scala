@@ -78,26 +78,50 @@ object AvroIO {
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val aSchema = new ASchema.Parser().parse(avroJson)
-        val pid = TaskContext.get().partitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
         val file = new Path(dir, f"part-$pid%05d.avro")
+        // attempt-isolated commit, mirroring the Hadoop committer protocol:
+        // write to a per-ATTEMPT temp name and rename into place only on
+        // success. Writing the final name directly (with overwrite) would
+        // let a speculative or zombie attempt interleave with a retry on
+        // the same destination and leave a torn container file that
+        // _SUCCESS (job-level) does not guard against; rename is atomic on
+        // HDFS-like filesystems and the retry simply clobbers a loser's
+        // leftover temp file.
+        val tmp = new Path(dir,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
         val pfs = file.getFileSystem(confB.value.value)
-        val os = pfs.create(file, true)
+        val os = pfs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](aSchema))
         w.setCodec(CodecFactory.deflateCodec(6))
         w.create(aSchema, os)
-        try rows.foreach { r =>
-          val rec = new GenericData.Record(aSchema)
-          var i = 0
-          while (i < schema.length) {
-            rec.put(i, if (r.isNullAt(i)) null else schema(i).dataType match {
-              case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-              case _ => r.get(i)
-            })
-            i += 1
+        var committed = false
+        try {
+          rows.foreach { r =>
+            val rec = new GenericData.Record(aSchema)
+            var i = 0
+            while (i < schema.length) {
+              rec.put(i, if (r.isNullAt(i)) null else schema(i).dataType match {
+                case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+                case _ => r.get(i)
+              })
+              i += 1
+            }
+            w.append(rec)
           }
-          w.append(rec)
-        } finally w.close() // closes the underlying stream too
+          w.close() // closes the underlying stream too
+          pfs.delete(file, false) // a previous attempt's file, if any
+          if (!pfs.rename(tmp, file))
+            throw new java.io.IOException(s"rename $tmp -> $file failed")
+          committed = true
+        } finally {
+          if (!committed) {
+            try w.close() catch { case _: Throwable => () } // idempotent
+            try pfs.delete(tmp, false) catch { case _: Throwable => () }
+          }
+        }
       }
     }
     // commit marker, matching the parquet committer convention consumers
@@ -121,6 +145,12 @@ object AvroIO {
         val rd = new DataFileReader[GenericRecord](
           new SeekableByteArrayInput(bytes),
           new GenericDatumReader[GenericRecord](null, readerSchema))
+        // drain-close alone leaks the reader (and its deflate decompressor)
+        // under a downstream limit()/early-terminating operator; the task
+        // completion listener closes whatever the drain didn't (idempotent)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          try rd.close() catch { case _: java.io.IOException => () }
+        })
         new Iterator[Row] {
           def hasNext: Boolean = { val h = rd.hasNext; if (!h) rd.close(); h }
           def next(): Row = {

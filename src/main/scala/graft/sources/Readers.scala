@@ -141,14 +141,24 @@ object Readers {
     * recomputes from the source scan, and because the CACHED plan is the
     * full-schema parse, the recompute re-parses every column, keeping
     * quarantine classification row-stable even across recomputes.
-    * DISK_ONLY keeps the (batch-sized) copy out of executor memory;
-    * callers should `unpersist()` the shared cache once both sides are
-    * written. */
-  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    * DISK_ONLY keeps the (batch-sized) copy out of executor memory; the
+    * returned handle OWNS the shared cache — call [[QuarantineSplit.done]]
+    * once both sides are written, or the cache stays pinned for the
+    * session (and accumulates across repeated ingest batches). */
+  def splitCorrupt(df: DataFrame): QuarantineSplit = {
     val full = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     full.count() // force the one full-schema parse now
     val clean = full.where(col(corruptCol).isNull).drop(corruptCol)
     val bad = full.where(col(corruptCol).isNotNull)
-    (clean, bad)
+    QuarantineSplit(clean, bad, full)
   }
+}
+
+/** The two sides of a quarantine split plus the persisted full-parse frame
+  * they share. Destructures like the old pair (`val QuarantineSplit(clean,
+  * bad, _) = ...`); call [[done]] after BOTH sides are materialized. */
+case class QuarantineSplit(clean: DataFrame, bad: DataFrame,
+                           private val shared: DataFrame) {
+  /** Release the shared DISK_ONLY parse cache (blocking=false: lazily). */
+  def done(): Unit = shared.unpersist(false)
 }

@@ -26,10 +26,14 @@ object LshBucketProbe {
     val emb = graft.sources.Readers.readEmbeddings(spark, sfDir)
     val n = emb.count()
     val nBits = Similarity.autoBits(n)
-    val cells = (0 until nTables).map { t =>
-      emb.select(lit(t).as("tbl"),
-        Similarity.srpBucket(col("embedding"), nBits, 64, 42L + t).as("bkt"))
-    }.reduce(_ union _)
+    // build the cells via the SAME bucketedTables the production tiers join
+    // on (per-table seed derivation included) — a probe-local hyperplane
+    // set (an earlier 42L + t here vs seed + t*1000003L in production) is
+    // statistically equivalent but measures a DIFFERENT bucket population,
+    // and this tool exists to make skew claims exact
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      lit(1.0).as("nrm"))
+    val cells = Similarity.bucketedTables(base, nBits, 64, 42L, nTables)
       .groupBy("tbl", "bkt").agg(count(lit(1)).as("m"))
       .select("m").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect().sorted

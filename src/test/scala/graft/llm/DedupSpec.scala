@@ -313,6 +313,36 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // sanity: the estimates really reflect the merged content (s1 grams
     // now include batch2's; shared grams with s2 stay 0 in this corpus)
     assert(whole.nonEmpty)
+    // the registry is version-stamped (gram-hash scheme changes across
+    // releases — v1 string grams vs v2 rolling hashes — live in disjoint
+    // hash universes)
+    val reg = Dedup.sourceSketches(batch1, n = 2)
+    assert(reg.columns.contains("hash_v"))
+    assert(reg.select("hash_v").distinct().as[Int].collect().toSeq ==
+      Seq(Dedup.GramHashVersion))
+  }
+
+  test("sketch registry refuses cross-version folds and overlaps loudly") {
+    val batch = Seq((1L, "a b c d e f", "s1")).toDF("doc_id", "text", "source")
+    val v2 = Dedup.sourceSketches(batch, n = 2)
+    val v1 = v2.withColumn("hash_v", lit(1)) // a persisted pre-r9 registry
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val eFold = intercept[Exception] {
+      Dedup.mergeSourceSketches(v2, v1).collect()
+    }
+    assert(messages(eFold).exists(_.contains("cross-version sketch fold")),
+      messages(eFold).mkString(" | "))
+    val eOverlap = intercept[Exception] {
+      Dedup.overlapFromSketches(
+        v2.unionByName(v1.withColumn("source", lit("zz")))).collect()
+    }
+    assert(messages(eOverlap).exists(_.contains("cross-version sketches")),
+      messages(eOverlap).mkString(" | "))
+    // same-version folds stay clean and keep the stamp
+    val ok = Dedup.mergeSourceSketches(v2, v2)
+    assert(ok.select("hash_v").as[Int].collect().toSeq ==
+      Seq(Dedup.GramHashVersion))
   }
 
   test("decontaminateTheta: exact-mode sketch preflight agrees with the" +
@@ -408,6 +438,43 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val r2 = Dedup.substringDedup(docs.repartition(5), minTokens = 4)
       .as[(Long, Long, Long, Long, String)].collect().toSeq
     assert(r2 == r)
+  }
+
+  test("substringDedupFast: row-for-row parity with the string-gram oracle " +
+    "tier on a generated corpus with planted dups; no window strings built") {
+    // generated corpus: 30 base docs of 12-40 random a-z tokens, plus
+    // misaligned full-region copies, within-doc repeats, sub-minTokens and
+    // empty docs — every structural case the exact-tier tests pin
+    val rnd = new scala.util.Random(77)
+    val words = Vector("alpha", "bravo", "cedar", "delta", "ember", "frost",
+      "gale", "honey", "iris", "jade", "karma", "lotus", "maple", "noble")
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(29))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val region = base(3)._2 // full doc 3 re-embedded misaligned in two docs
+    val docs = (base ++ Seq(
+      (100L, s"zig zag $region"),
+      (101L, s"$region tail end bits"),
+      (102L, s"${base(5)._2} gap gap gap ${base(5)._2}"), // within-doc repeat
+      (103L, "tiny"), (104L, ""))).toDF("doc_id", "text")
+    val exact = Dedup.substringDedup(docs, minTokens = 6)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val fast = Dedup.substringDedupFast(docs, minTokens = 6)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(fast == exact)
+    // the planted dups actually exercised the excision path
+    assert(exact.exists(r => r._2 > r._3 && r._4 > 0))
+    // determinism under repartition (rolling hashes are partition-free)
+    val fast2 = Dedup.substringDedupFast(docs.repartition(7), minTokens = 6)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(fast2 == fast)
+    // the fast tier's plan builds NO shingle strings: no concat_ws over
+    // sliced windows anywhere (the exact tier's signature gram builder)
+    val plan = Dedup.substringDedupFast(docs, minTokens = 6)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("concat_ws( , slice("),
+      s"window strings in the fast plan:\n$plan")
+    assert(plan.contains("ngram_hashes"))
   }
 
   test("substringDedup: shingle text never crosses a shuffle exchange; " +

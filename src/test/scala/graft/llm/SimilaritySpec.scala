@@ -658,14 +658,19 @@ class SimilaritySpec extends SparkSpec {
 
   test("kMeansProfile/kMeansAssign: corpus partition, assignment optimality, " +
     "determinism under repartitioning, planted clusters recovered") {
-    // 6 planted clusters of 6 near-identical vectors
+    // 6 planted clusters of 6 near-identical vectors. Membership is keyed
+    // by Knuth-hash RANK mod 6, so kMeansProfile's deterministic
+    // hash-ordered seed sample (the first 6 ids in that order) covers every
+    // planted cluster exactly once — seed coverage is a property of the
+    // fixture, recovery a property of the operator
     val rnd = new scala.util.Random(246)
     val centers = Seq.fill(6)(Seq.fill(16)(rnd.nextGaussian()))
-    val vecs = (for {
-      (c, ci) <- centers.zipWithIndex
-      j <- 0 until 6
-    } yield ((ci * 6 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)))
-      .toDF("vec_id", "embedding")
+    val knuthRank = (0 until 36).sortBy(i => ((i.toLong * 2654435761L) % 2147483647L, i))
+      .zipWithIndex.toMap
+    val vecs = (0 until 36).map { id =>
+      val c = centers(knuthRank(id) % 6)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.02).toFloat))
+    }.toDF("vec_id", "embedding")
     val profile = Similarity.kMeansProfile(vecs, k = 6, iters = 3)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     // partition: every vector lands in exactly one cluster

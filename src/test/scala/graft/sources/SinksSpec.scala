@@ -67,8 +67,13 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val files = new java.io.File(dir).listFiles().map(_.getName).sorted
     assert(files.count(_.endsWith(".avro")) == 4, files.toSeq)
     assert(files.contains("_SUCCESS"))
+    // attempt-isolated commit: every temp file was renamed into place
+    assert(!files.exists(_.endsWith(".tmp")), files.toSeq)
     val back = AvroIO.readAvro(spark, dir, df.schema)
     assert(back.count() == 1000)
+    // early-terminating reads (limit) must not leak container readers —
+    // the task completion listener closes what the drain doesn't
+    assert(back.limit(3).collect().length == 3)
     // value fidelity, including the nullable unions, across every type
     val exp = df.collect().map(r => r.getLong(0) ->
       (Option(r.getString(1)), r.getInt(2), r.getDouble(3), r.getBoolean(4),
@@ -98,13 +103,15 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val raw = Readers.readJson(spark, dir.toString, schema)
-    val (clean, bad) = Readers.splitCorrupt(raw)
+    val split = Readers.splitCorrupt(raw)
+    val (clean, bad) = (split.clean, split.bad)
     assert(clean.columns.toSeq == Seq("doc_id", "text"))
     assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     val badRows = bad.collect().map(_.getAs[String](Readers.corruptCol))
     assert(badRows.length == 2) // the non-JSON line and the type mismatch
     assert(badRows.exists(_.contains("not json")))
     assert(badRows.exists(_.contains("not-a-number")))
+    split.done()
   }
 
   test("readCsv quarantine is column-pruning-proof: a corrupt field in an " +
@@ -119,16 +126,22 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |""".stripMargin)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("source", StringType), StructField("lang", StringType)))
-    val (clean, bad) = Readers.splitCorrupt(
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val split = Readers.splitCorrupt(
       Readers.readCsv(spark, dir.toString, schema))
     // the downstream query touches ONLY source: with CSV column pruning the
     // malformed doc_id "2x" would never parse, the row would count as clean
     // here and quarantined elsewhere — quarantine must be a row property
-    val bySource = clean.groupBy("source").count()
+    val bySource = split.clean.groupBy("source").count()
       .as[(String, Long)].collect().toMap
     assert(bySource == Map("s1" -> 1L, "s2" -> 1L))
-    assert(bad.count() == 1)
-    assert(bad.select("source").as[String].head() == "s1") // partial parse kept
+    assert(split.bad.count() == 1)
+    assert(split.bad.select("source").as[String].head() == "s1") // partial parse kept
+    // releasing the handle unpins the shared DISK_ONLY parse cache (delta
+    // vs before: other suites in the shared session may hold caches)
+    split.done()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"splitCorrupt cache still pinned after done(): $leaked")
   }
 
   test("partitioned write prunes directories on the partition predicate") {
