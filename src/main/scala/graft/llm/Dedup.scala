@@ -19,6 +19,53 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Corpus-size gate for the near-dup verification-join SHUFFLE_HASH hints
+    * (SCALE.md §11 Offender 6): Catalyst's size estimates through
+    * explode→dropDuplicates pair frames are guesses, and at the 100×
+    * fixture it chose to BROADCAST the candidate-pair frame — Σ cluster²
+    * rows, a measured 771.8 s single-core build grind. Pinning SHUFFLE_HASH
+    * unconditionally fixed that but charged ~0.5 s/query rent at toy scale
+    * where broadcast was the right plan (SCALE.md §11 hint-rent note). The
+    * gate restores both regimes their best plan from the one estimate that
+    * is NOT a guess: the plan-time size of the raw input corpus frame
+    * (file-scan stats, before any explode inflates or dedup deflates it).
+    * Corpora under the threshold cannot produce a dangerous pair frame —
+    * pair rows are bounded by maxBucket·corpus rows — so Spark's own choice
+    * (broadcast at toy scale) stands; above it the hint binds.
+    *
+    * `SET spark.graft.nearDup.hintMinBytes=<n>` overrides (0 forces the
+    * hint at any size — the plan-contract regime used by the test suite).
+    * The default is deliberately LOW (4 MB of scan bytes ≈ tens of
+    * thousands of documents): scan stats are COMPRESSED bytes, and
+    * repetitive corpora — exactly the dup-heavy ones whose pair frames
+    * explode — compress hardest (the 100× fixture's near-identical
+    * replicas pack 100× the rows into 20× the bytes). Mis-gating low costs
+    * ~0.5 s of hint rent; mis-gating high re-opens a measured 772 s
+    * broadcast pathology. */
+  val hintMinBytesConf = "spark.graft.nearDup.hintMinBytes"
+  val hintMinBytesDefault: Long = 4L << 20
+
+  /** True when `docs`' plan-time size estimate crosses the hint gate.
+    * The estimate is the SUM OVER LEAF RELATIONS (file scans / local data),
+    * not the frame's own top-level stat: callers like [[cleanCorpusMinHash]]
+    * pass a frame derived through aggregations and joins, whose top-level
+    * estimate is exactly the kind of guess the hint exists to bypass — a
+    * post-agg estimate collapsing below the threshold would silently re-open
+    * the broadcast pathology at scale. Leaf stats are real file sizes and an
+    * upper bound on the corpus feeding the operator, so the gate can only
+    * err toward the safe (hinted) side on derived inputs. */
+  private def wantShuffleHash(docs: DataFrame): Boolean = {
+    val threshold = docs.sparkSession.conf
+      .getOption(hintMinBytesConf).map(_.toLong).getOrElse(hintMinBytesDefault)
+    docs.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum >= BigInt(threshold)
+  }
+
+  /** Apply `shuffle_hash` to a verification-join build side iff the gate
+    * fired for the corpus this build side derives from. */
+  private def gateHint(buildSide: DataFrame, gate: Boolean): DataFrame =
+    if (gate) buildSide.hint("shuffle_hash") else buildSide
+
   /** Per-source exact-duplicate stats: total docs vs distinct texts.
     * `count(DISTINCT text)` is a two-phase exact distinct — partial
     * de-duplication happens map-side, so the shuffle carries distinct
@@ -413,18 +460,21 @@ object Dedup {
         a => transform(filter(col("ids"), b => a < b), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // SHUFFLE_HASH hints, deliberately: size estimates through
-    // explode→dropDuplicates (pairs) and a cold InMemoryRelation (sh) are
-    // guesses, and at sf10 Spark chose to BROADCAST both — including the
-    // candidate-PAIR frame, whose row count is Σ cluster² on a dup-heavy
-    // corpus (the sweep measured a 771 s single-core broadcast-build grind;
-    // 24.7M pairs on the reps=100 fixture). Neither side of a near-dup
-    // verification join is broadcastable at corpus scale; the shuffled hash
-    // join builds on the per-partition slice of the doc-count-bounded
-    // shingle frame and streams the pair frame.
+    // SHUFFLE_HASH hints behind the corpus-size gate (see [[hintMinBytesConf]]):
+    // size estimates through explode→dropDuplicates (pairs) and a cold
+    // InMemoryRelation (sh) are guesses, and at sf10 Spark chose to BROADCAST
+    // both — including the candidate-PAIR frame, whose row count is
+    // Σ cluster² on a dup-heavy corpus (the sweep measured a 771 s
+    // single-core broadcast-build grind; 24.7M pairs on the reps=100
+    // fixture). Neither side of a near-dup verification join is
+    // broadcastable at corpus scale; the shuffled hash join builds on the
+    // per-partition slice of the doc-count-bounded shingle frame and streams
+    // the pair frame. Below the gate (toy corpora) broadcast IS the right
+    // plan, so the hint is withheld and Spark's choice stands.
+    val hintGate = wantShuffleHash(docs)
     val verified = pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
+      .join(gateHint(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), hintGate), "id_a")
+      .join(gateHint(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), hintGate), "id_b")
     verified.select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -585,12 +635,14 @@ object Dedup {
         a => transform(filter(col("ids"), b => a < b), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val hintGate = wantShuffleHash(docs)
     pairs
       // SHUFFLE_HASH for the same reason as minHashNearDup's verification
-      // joins: estimates through the explode'd pair frame are guesses and
-      // sf10 planned BOTH joins as broadcasts, including the pair frame
-      .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")).hint("shuffle_hash"), "id_a")
-      .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")).hint("shuffle_hash"), "id_b")
+      // joins (gated the same way — see [[hintMinBytesConf]]): estimates
+      // through the explode'd pair frame are guesses and sf10 planned BOTH
+      // joins as broadcasts, including the pair frame
+      .join(gateHint(keyed.select(col("id").as("id_a"), col("k").as("k_a")), hintGate), "id_a")
+      .join(gateHint(keyed.select(col("id").as("id_b"), col("k").as("k_b")), hintGate), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("k_a"), col("k_b")).as("dist"))
       .where(col("dist") <= maxDist)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.llm.Similarity
 
@@ -13,6 +14,23 @@ import graft.llm.Similarity
   * training-data-pipeline brief, like the rest of graft.streaming.
   */
 object VectorStreams {
+
+  /** Map-only SRP probe expansion shared by the windowed and the refreshing
+    * faces: `q` must carry `qid`/`qv`/`qn` (plus any pass-through columns,
+    * e.g. the windowed face's `ts`); the result appends (`tbl`, `bkt`) with
+    * the 1-bit multiprobe applied — `nTables·(nBits+1)` slim rows per query,
+    * the exact seed derivation [[Similarity.bucketedTables]] buckets the
+    * corpus with, so the two sides of the equi-join cannot drift. */
+  private def probeQueries(q: DataFrame, nBits: Int, dim: Int, seed: Long,
+                           nTables: Int): DataFrame = {
+    val passThrough = q.columns.map(col).toSeq
+    val qTables = explode(array((0 until nTables).map(ti =>
+      struct(lit(ti).as("tbl"),
+        Similarity.srpBucket(col("qv"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
+    q.select(passThrough :+ qTables.as("tb"): _*)
+      .select(passThrough ++ Seq(col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt")): _*)
+      .select(passThrough ++ Seq(col("tbl"), Similarity.multiprobe(nBits).as("bkt")): _*)
+  }
 
   /** Streaming approximate nearest neighbors: a watermarked stream of query
     * vectors scored against a STATIC corpus through the SAME SRP-LSH
@@ -53,14 +71,7 @@ object VectorStreams {
     val qBase = queries.withWatermark(tsCol, watermark)
       .select(col(qidCol).as("qid"), col(vecCol).as("qv"), col(tsCol).as("ts"))
       .withColumn("qn", Similarity.norm(col("qv")))
-    val qTables = explode(array((0 until nTables).map(ti =>
-      struct(lit(ti).as("tbl"),
-        Similarity.srpBucket(col("qv"), nBits, dim, seed + ti * 1000003L).as("bkt"))): _*))
-    val q = qBase.select(col("qid"), col("qv"), col("qn"), col("ts"), qTables.as("tb"))
-      .select(col("qid"), col("qv"), col("qn"), col("ts"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-      .select(col("qid"), col("qv"), col("qn"), col("ts"), col("tbl"),
-        Similarity.multiprobe(nBits).as("bkt"))
+    val q = probeQueries(qBase, nBits, dim, seed, nTables)
     val win = window(col("ts"), s"$windowMinutes minutes")
     val scored = q.join(cand, Seq("tbl", "bkt"))
       .select(col("qid"), col("ts"), col("nid"),
@@ -77,5 +88,82 @@ object VectorStreams {
       .select(col("window").getField("start").as("window_start"), col("qid"),
         (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as("nid"), col("col.ord").as("sim"))
+  }
+
+  /** One micro-batch of query vectors scored against one corpus snapshot —
+    * the batch core of [[annServeRefreshing]], same probe/score/top-k
+    * algebra as [[annQueryStream]] minus event-time windowing (the
+    * micro-batch IS the unit of emission there). Returns
+    * (qid, rnk, nid, sim). */
+  private[streaming] def annTopKBatch(queries: DataFrame, corpus: DataFrame,
+      k: Int, nBits: Int, dim: Int, seed: Long, nTables: Int,
+      qidCol: String, vecCol: String,
+      corpusIdCol: String, corpusVecCol: String): DataFrame = {
+    val base = corpus.select(col(corpusIdCol).as("id"), col(corpusVecCol).as("v"),
+      Similarity.norm(col(corpusVecCol)).as("nrm"))
+    val cand = Similarity.bucketedTables(base, nBits, dim, seed, nTables)
+      .toDF("nid", "nv", "nn", "tbl", "bkt")
+    val qBase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val scored = probeQueries(qBase, nBits, dim, seed, nTables)
+      .join(cand, Seq("tbl", "bkt"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine9(Similarity.dot(col("qv"), col("nv")),
+          col("qn"), col("nn")).as("sim"))
+    scored.groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("sim"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("nid"), col("col.ord").as("sim"))
+  }
+
+  /** Streaming ANN with a REFRESHING index: unlike [[annQueryStream]], whose
+    * static corpus side is bucketed once per (re)start, this face re-opens
+    * the corpus directory at every micro-batch — a fresh read means a fresh
+    * file listing, so vectors appended to `corpusDir` between batches become
+    * searchable by the NEXT query batch without a stream restart. This is
+    * the serving-job answer to a growing corpus; the windowed face remains
+    * the right shape when the index is genuinely immutable per run.
+    *
+    * Execution shape per micro-batch (the [[ScdStream]] versioned-snapshot
+    * precedent, applied to a result sink):
+    *   1. list + read `corpusDir` fresh (new file index each trigger). The
+    *      declared trade vs the static face: re-bucketing |corpus| every
+    *      trigger buys zero index staleness; trigger cadence controls the
+    *      ratio, and at 100 TB the refinement is persisting BUCKETED
+    *      snapshots (tbl/bkt-partitioned parquet, rebuilt incrementally the
+    *      way ScdStream persists merged dimensions) so a trigger reads only
+    *      the buckets its probes hit;
+    *   2. score the batch's queries through [[annTopKBatch]] — identical
+    *      probe seeds and top-k algebra as the static face;
+    *   3. commit results to `outDir/b=<batchId>` with OVERWRITE: a replayed
+    *      batch rewrites its own directory, so downstream readers keyed on
+    *      `_SUCCESS` markers see each batch's answers exactly once (same
+    *      torn-write contract as ScdStream's `v=<batchId>` snapshots).
+    *      Replay determinism caveat, stated: if the corpus grew between a
+    *      crash and the replay, the rewritten answers reflect the NEWER
+    *      index — acceptable for serving (fresher neighbors), unlike a
+    *      ledger. */
+  def annServeRefreshing(queries: DataFrame, corpusDir: String, outDir: String,
+                         checkpoint: String, k: Int = 5,
+                         nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                         nTables: Int = 2,
+                         qidCol: String = "query_id", vecCol: String = "embedding",
+                         corpusIdCol: String = "vec_id",
+                         corpusVecCol: String = "embedding"): StreamingQuery = {
+    require(k >= 1, s"k $k must be >= 1")
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val corpus = batch.sparkSession.read.parquet(corpusDir)
+          annTopKBatch(batch, corpus, k, nBits, dim, seed, nTables,
+              qidCol, vecCol, corpusIdCol, corpusVecCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+        }
+      }
+      .start()
   }
 }

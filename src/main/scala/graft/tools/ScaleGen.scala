@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   * 10× corpus of pure dups measures the dedup fast path, not scale);
   * embeddings get a tiny per-replica component shift for the same reason.
   *
-  * Usage: `runMain graft.tools.ScaleGen [srcDir] [outDir] [reps]`. */
+  * Usage: `runMain graft.tools.ScaleGen [srcDir] [outDir] [reps] [tables]`
+  * — `tables` is an optional comma list (e.g. `documents,embeddings`)
+  * restricting output to the named tables, for decade sweeps that only
+  * stress one family (generating an 11 GB lineitem to measure a
+  * documents-only dedup tier is wasted disk and wall). */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scaledata/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,13 +44,15 @@ object ScaleGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, reps)
+    run(spark, src, out, reps, only)
     spark.stop()
   }
 
   /** Session-agnostic body (ScaleGenSpec drives it on the test session;
     * the session must set spark.sql.legacy.parquet.nanosAsLong=true). */
-  def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  def run(spark: SparkSession, src: String, out: String, reps: Int,
+          only: Option[Set[String]] = None): Unit = {
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -72,7 +79,7 @@ object ScaleGen {
     def bump(c: String, strideV: Long) =
       (col(c) + col("__rep") * lit(strideV)).as(c)
 
-    def emit(name: String, df: DataFrame): Unit = {
+    def emit(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       write(df.drop("__rep"), name)
       println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }

@@ -177,21 +177,38 @@ class SparkEntryContractSpec extends SparkSpec {
     }
   }
 
-  test("near-dup verification joins keep their shuffled-hash shape " +
-    "(never broadcast a pair frame)") {
+  test("near-dup verification joins: shuffled-hash above the size gate, " +
+    "broadcast below it") {
     assume(testdataPresent)
     // Catalyst's size estimates through explode->dropDuplicates are
     // guesses; at sf10 it chose to BROADCAST the candidate-pair frame of
     // both pair tiers (SCALE.md §11 Offender 6, 771.8 s measured). The
-    // SHUFFLE_HASH hints bind at ANY input size, so the guard asserts at
-    // sf0.001 what matters at 100 TB.
+    // SHUFFLE_HASH hints are gated on the corpus frame's plan-time size
+    // (spark.graft.nearDup.hintMinBytes) so toy corpora keep the broadcast
+    // plan that is right for them. Regime A pins the gate open (threshold
+    // 0 = what a 100 TB corpus sees) and asserts the hinted shape at
+    // sf0.001; regime B (default gate, toy corpus) asserts Spark's own
+    // broadcast choice came back and nothing degraded to a nested loop.
+    val gateConf = graft.llm.Dedup.hintMinBytesConf
+    try {
+      spark.conf.set(gateConf, "0")
+      for (q <- Seq("dedup_near_minhash", "dedup_editdist_documents")) {
+        val plan = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$q verification join regressed to broadcast above the gate:\n$plan")
+        assert(plan.contains("ShuffledHashJoin"),
+          s"$q lost its shuffled-hash verification shape above the gate:\n$plan")
+      }
+    } finally spark.conf.unset(gateConf)
     for (q <- Seq("dedup_near_minhash", "dedup_editdist_documents")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"$q verification join regressed to broadcast:\n$plan")
-      assert(plan.contains("ShuffledHashJoin"),
-        s"$q lost its shuffled-hash verification shape:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q under the gate should recover the toy-scale broadcast plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q degraded to a nested loop under the gate:\n$plan")
     }
   }
 

@@ -128,4 +128,76 @@ class VectorStreamsSpec extends SparkSpec {
     got.foreach { case (qid, _, nid) =>
       assert((qid * 5 until qid * 5 + 5).contains(nid)) }
   }
+
+  test("annServeRefreshing: a vector ingested mid-stream is searchable by " +
+    "the next query batch, without restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val (centers, corp) = corpus(seed = 17)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_annr_corp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_annr_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_annr_chk").toString
+    corp.write.mode("overwrite").parquet(corpusDir)
+    val in = MemoryStream[QueryVec]
+    val q = VectorStreams.annServeRefreshing(in.toDF(), corpusDir, outDir, chk,
+      k = 3, nBits = 6, dim = 16, nTables = 2)
+    try {
+      // batch 0: query at center 4 — the planted cluster answers
+      in.addData(QueryVec(0L, centers(4).map(_.toFloat), ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$outDir/b=0")
+        .select("qid", "nid").as[(Long, Long)].collect()
+      assert(b0.nonEmpty && b0.forall { case (_, nid) => (20L until 25L).contains(nid) },
+        s"batch 0 should answer from cluster 4: ${b0.toSeq}")
+      // mid-stream ingest: a brand-new, well-separated vector (its own
+      // cluster) appended to the corpus directory — no restart
+      val rnd = new scala.util.Random(99)
+      val newCenter = Seq.fill(16)(rnd.nextGaussian())
+      Seq((999L, newCenter.map(_.toFloat)))
+        .toDF("vec_id", "embedding").write.mode("append").parquet(corpusDir)
+      // a later query batch aimed at the new vector retrieves it
+      in.addData(QueryVec(1L, newCenter.map(_.toFloat), ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$outDir/b=1")
+        .select("qid", "rnk", "nid", "sim").as[(Long, Int, Long, Double)].collect()
+      val top = b1.filter(_._1 == 1L).minBy(_._2)
+      assert(top._3 == 999L && top._4 > 0.999,
+        s"ingested vector not served as the top neighbor: ${b1.toSeq}")
+      // the static windowed face, by contrast, CANNOT see the new vector
+      // (its index was bucketed at start) — that asymmetry is the feature
+      // under test, so pin it: batch 1's answers for query 0's vector are
+      // unchanged from batch 0
+      assert(b1.forall(_._1 == 1L), s"batch 1 leaked other queries: ${b1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("annServeRefreshing batch core agrees with annQueryStream on a " +
+    "frozen corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val (centers, corp) = corpus(seed = 19)
+    // windowed face
+    val in1 = MemoryStream[QueryVec]
+    val windowed = VectorStreams.annQueryStream(in1.toDF(), corp, k = 3,
+      nBits = 6, dim = 16, nTables = 2, windowMinutes = 5, watermark = "0 seconds")
+    val q1 = windowed.writeStream.format("memory").queryName("annwin")
+      .outputMode("append").start()
+    val qids = Seq(2L, 9L, 15L)
+    try {
+      in1.addData(qids.map(ci =>
+        QueryVec(ci, centers(ci.toInt).map(_.toFloat), ts("2024-01-01 10:01:00"))): _*)
+      q1.processAllAvailable()
+      in1.addData(QueryVec(99L, centers(0).map(_.toFloat), ts("2024-01-01 10:20:00")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val win = spark.sql("SELECT qid, rnk, nid, sim FROM annwin")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // batch core on the identical inputs
+    val qframe = qids.map(ci => (ci, centers(ci.toInt).map(_.toFloat)))
+      .toDF("query_id", "embedding")
+    val batch = VectorStreams.annTopKBatch(qframe, corp, k = 3,
+        nBits = 6, dim = 16, seed = 42L, nTables = 2,
+        "query_id", "embedding", "vec_id", "embedding")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(batch == win,
+      s"refreshing batch core diverged from the windowed face:\n batch=$batch\n win=$win")
+  }
 }
