@@ -1512,6 +1512,16 @@ object SparkEntry {
     "emb_cosine_neardup_lsh" -> ((s, d) =>
       Similarity.embCosineNearDupLSH(emb(s, d), threshold = 0.5,
         nTables = 8, nBits = 3)),
+    // embedding-space decontamination: training vectors (vec_id >= 100)
+    // semantically too close to any eval vector (vec_id < 100). Threshold
+    // 0.45 is tuned to this corpus's near-random vectors (pair sims ≈ 0.5
+    // ceiling) the same way emb_cosine_neardup's 0.5 is; real eval
+    // contamination (sims ≥ 0.9) keeps the production default.
+    "decontam_semantic_embeddings" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.semanticDecontam(e.where(col("vec_id") >= 100),
+        e.where(col("vec_id") < 100), threshold = 0.45)
+    }),
 
     // -------- round-3 additions
     // 2-D histogram: joint (quantity × discount) heatmap grid, 10×10
@@ -4599,6 +4609,14 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.id < b.id
          |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "decontam_semantic_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),
+         |tr AS (SELECT * FROM e WHERE id >= 100), ev AS (SELECT * FROM e WHERE id < 100)
+         |SELECT tr.id AS id, count(*) AS n_eval_hits,
+         |       max(round(${dotSql("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 9)) AS max_sim
+         |FROM tr JOIN ev ON round(${dotSql("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 9) >= 0.45
+         |GROUP BY tr.id ORDER BY id""".stripMargin,
 
     "ann_brute_topk_embeddings" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),

@@ -238,6 +238,37 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Semantic decontamination: flag every training vector whose cosine to
+    * ANY eval-set vector reaches `threshold`, reporting how many eval
+    * vectors it matches and the strongest match. The embedding-space
+    * complement of [[graft.llm.Dedup.decontaminate]]'s n-gram pass —
+    * paraphrased or lightly-rewritten benchmark items share no 8-gram but
+    * sit right on top of the eval item in embedding space, which is why
+    * production decontamination runs BOTH passes.
+    *
+    * Scale shape (and why this is the 100 TB path, not an LSH tier): eval
+    * suites are thousands of vectors against a corpus of billions, so the
+    * eval side is explicitly `broadcast()` and the training side is ONE
+    * map-only scan — no shuffle of training vectors at all; the threshold
+    * sits in the join condition so sub-threshold pairs never materialize
+    * (same discipline as [[embCosineNearDup]]); the only exchange is the
+    * final per-id aggregate over flagged rows (map-side combined, output
+    * bounded by the flagged count). Downstream, the flags drive an
+    * anti-join, exactly like the n-gram pass. */
+  def semanticDecontam(train: DataFrame, eval: DataFrame, threshold: Double = 0.9,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val e = eval.select(col(idCol).as("eid"), col(vecCol).as("ev"),
+      norm(col(vecCol)).as("en"))
+    val sim = cosine9(dot(col("v"), col("ev")), col("nrm"), col("en"))
+    t.join(broadcast(e), sim >= threshold)
+      .select(col("id"), sim.as("sim"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("sim")).as("max_sim"))
+      .orderBy("id")
+  }
+
   /** (cid, centroid vector, precomputed norm) — always small enough to live
     * as expression literals. */
   type Centroids = Array[(Int, Seq[Float], Double)]

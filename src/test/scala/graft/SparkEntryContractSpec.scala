@@ -49,7 +49,11 @@ class SparkEntryContractSpec extends SparkSpec {
     // crossJoin(broadcast(Q-row frame of per-query ADC lookup tables)) —
     // bounded by the QUERY count (nSub·nCodes doubles per row), never by
     // the corpus; the corpus side streams 16-bit PQ codes map-only
-    "ann_pq_topk_embeddings", "ann_ivfpq_topk_embeddings")
+    "ann_pq_topk_embeddings", "ann_ivfpq_topk_embeddings",
+    // broadcast(eval suite) with the cosine threshold as the non-equi join
+    // condition — eval sets are bounded (thousands of vectors) at any
+    // corpus scale, and the training side streams map-only
+    "decontam_semantic_embeddings")
 
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {

@@ -39,6 +39,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Seq((0L, 1, 1L), (0L, 2, 4L))) // 1.0 then 0.707
   }
 
+  test("semanticDecontam flags planted eval clones, skips orthogonal; " +
+    "eval side broadcast, train side unshuffled") {
+    // eval = 2 unit axes; train = a scaled clone of eval 0 (cos 1.0), a
+    // paraphrase-like near-clone of eval 1 (cos ~0.98), and an orthogonal
+    // vector no n-gram or embedding pass should flag
+    val eval = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (100L, Seq(3.0f, 0.0f, 0.0f, 0.0f)),   // exact clone of eval 0, scaled
+      (101L, Seq(0.1f, 2.0f, 0.0f, 0.0f)),   // near-clone of eval 1
+      (102L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding") // clean
+    val out = Similarity.semanticDecontam(train, eval, threshold = 0.9)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(100L, 101L), s"flag set wrong: ${rows.toSeq}")
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(100L)._2 == 1L && byId(100L)._3 == 1.0) // clone: exact cos 1
+    assert(byId(101L)._2 == 1L && byId(101L)._3 > 0.95 && byId(101L)._3 < 1.0)
+    // plan contract: the eval side broadcasts and the training side reaches
+    // the join with NO exchange (the 100 TB shape — a shuffle of training
+    // vectors here would be the scale killer)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"eval side lost its broadcast:\n$plan")
+    // exactly ONE hash-partitioned exchange — the final per-id aggregate. A
+    // second one would mean training vectors shuffled before the join (the
+    // scale killer this operator exists to avoid). AQE plan strings repeat
+    // every node in their "Initial Plan" section, so count the final only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange (final agg), got $hashExchanges:\n$finalPlan")
+  }
+
   test("semDedup: verdicts exactly complement same-cell near-dup pairs; deterministic") {
     // planted clusters of near-identical vectors — the semantic-dup shape
     val rnd = new scala.util.Random(77)
