@@ -55,8 +55,18 @@ object Dedup {
     * upper bound on the corpus feeding the operator, so the gate can only
     * err toward the safe (hinted) side on derived inputs. */
   private def wantShuffleHash(docs: DataFrame): Boolean = {
-    val threshold = docs.sparkSession.conf
-      .getOption(hintMinBytesConf).map(_.toLong).getOrElse(hintMinBytesDefault)
+    // a malformed SET value must fail naming the conf key, not surface as a
+    // bare NumberFormatException from inside an unrelated dedup query's
+    // plan build
+    val threshold = docs.sparkSession.conf.getOption(hintMinBytesConf) match {
+      case None => hintMinBytesDefault
+      case Some(raw) =>
+        try raw.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$hintMinBytesConf must be a byte count in plain digits, got '$raw'")
+        }
+    }
     docs.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum >= BigInt(threshold)
   }

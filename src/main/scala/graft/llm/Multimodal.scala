@@ -494,6 +494,12 @@ object Multimodal {
     * into `frameBytes`-sized frames and keep every `stride`-th, as
     * (id, frame_idx, frame, n_bytes) rows.
     *
+    * This is the BYTE-PLUMBING PRIMITIVE of the video tier — the
+    * codec-agnostic strided sampler for fixed-frame formats (raw video,
+    * uncompressed planes, chunked sensor payloads), oracle-checked on its
+    * frame arithmetic; [[extractVideoFrames]] is the container-aware sibling
+    * that walks real RIFF/AVI chunk structure through the JDK JPEG codec.
+    *
     * Pure expressions — `Column.substr` on BinaryType + posexplode; no UDF,
     * fully codegen'd. Scale shape: map-only row expansion; extract per-frame
     * features and DROP the byte column before any join/shuffle, so the heavy

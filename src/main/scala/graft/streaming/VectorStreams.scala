@@ -156,13 +156,17 @@ object VectorStreams {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val corpus = batch.sparkSession.read.parquet(corpusDir)
-          annTopKBatch(batch, corpus, k, nBits, dim, seed, nTables,
-              qidCol, vecCol, corpusIdCol, corpusVecCol)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
-        }
+        // No isEmpty pre-probe: it costs a second evaluation of the
+        // micro-batch source per trigger (the batch runs once for the probe
+        // and again for the real query), and skipping empty batches leaves
+        // holes in the b=<batchId> sequence. An empty batch writes an empty
+        // _SUCCESS-marked directory instead, so downstream batch-id readers
+        // always see a contiguous, replay-stable sequence.
+        val corpus = batch.sparkSession.read.parquet(corpusDir)
+        annTopKBatch(batch, corpus, k, nBits, dim, seed, nTables,
+            qidCol, vecCol, corpusIdCol, corpusVecCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
       }
       .start()
   }

@@ -68,10 +68,12 @@ object ScaleGen {
       r.getLong(0) + 1L
     }
 
-    val oStride = stride("orders", "o_orderkey")
-    val cStride = stride("customer", "c_custkey")
-    val pStride = stride("part", "p_partkey")
-    val sStride = stride("supplier", "s_suppkey")
+    // lazy: a `tables=documents,embeddings` run must not scan (or require
+    // the presence of) the star tables it never emits
+    lazy val oStride = stride("orders", "o_orderkey")
+    lazy val cStride = stride("customer", "c_custkey")
+    lazy val pStride = stride("part", "p_partkey")
+    lazy val sStride = stride("supplier", "s_suppkey")
 
     def reps10(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(reps).select(col("id").as("__rep")))
@@ -102,20 +104,20 @@ object ScaleGen {
       .withColumn("l_partkey", bump("l_partkey", pStride))
       .withColumn("l_suppkey", bump("l_suppkey", sStride)))
 
-    val eStride = stride("events", "event_id")
-    val uStride = stride("events", "user_id")
+    lazy val eStride = stride("events", "event_id")
+    lazy val uStride = stride("events", "user_id")
     emit("events", reps10(read("events"))
       .withColumn("event_id", bump("event_id", eStride))
       .withColumn("user_id", bump("user_id", uStride)))
 
-    val dStride = stride("documents", "doc_id")
+    lazy val dStride = stride("documents", "doc_id")
     emit("documents", reps10(read("documents"))
       .withColumn("doc_id", bump("doc_id", dStride))
       // distinct replica token: replicas are near-dups, not exact dups
       .withColumn("text", concat(col("text"), lit(" qrep"), col("__rep")))
       .withColumn("n_chars", length(col("text")).cast("long")))
 
-    val vStride = stride("embeddings", "vec_id")
+    lazy val vStride = stride("embeddings", "vec_id")
     emit("embeddings", reps10(read("embeddings"))
       .withColumn("vec_id", bump("vec_id", vStride))
       // tiny deterministic per-replica shift: not exact dup vectors

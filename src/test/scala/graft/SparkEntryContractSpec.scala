@@ -205,15 +205,23 @@ class SparkEntryContractSpec extends SparkSpec {
           s"$q lost its shuffled-hash verification shape above the gate:\n$plan")
       }
     } finally spark.conf.unset(gateConf)
-    for (q <- Seq("dedup_near_minhash", "dedup_editdist_documents")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$q under the gate should recover the toy-scale broadcast plan:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
-        s"$q degraded to a nested loop under the gate:\n$plan")
-    }
+    // Regime B pins the gate CLOSED explicitly (a threshold no fixture can
+    // cross) rather than relying on the production default: the assertion
+    // is about the plan contract below the gate, and coupling it to
+    // hintMinBytesDefault would flip the test if the default is ever bumped
+    // or the sf0.001 fixture grows past 4 MB compressed.
+    try {
+      spark.conf.set(gateConf, Long.MaxValue.toString)
+      for (q <- Seq("dedup_near_minhash", "dedup_editdist_documents")) {
+        val plan = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q under the gate should recover the toy-scale broadcast plan:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$q degraded to a nested loop under the gate:\n$plan")
+      }
+    } finally spark.conf.unset(gateConf)
   }
 
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {
