@@ -1492,6 +1492,13 @@ object SparkEntry {
         nTables = 2)),
     "ann_ivf_topk_embeddings" -> ((s, d) =>
       Similarity.ivfAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+    // ORACLE-BEARING IVF sibling: mirrorable Lloyd cells (smallest-id
+    // seeds, round-9 argmax, round-6 double-division means) + round-9
+    // probe list + exact round-9 scoring — DuckDB replays the whole
+    // index->probe->score->rank pipeline digit-for-digit. The xxhash-seeded
+    // tier above stays the production face.
+    "ann_ivf_seeded_topk_embeddings" -> ((s, d) =>
+      Similarity.ivfAnnTopKSeeded(emb(s, d), queryIds = 0L until 10L, k = 5)),
     // PQ tier: candidates live as 16-bit codes (the 100 TB residency lever);
     // ADC scoring via per-query broadcast lookup tables (no oracle:
     // sample-trained codebooks; recall + determinism property-tested)
@@ -1749,6 +1756,12 @@ object SparkEntry {
     // against the exact near-dup pairs in SimilaritySpec.
     "semdedup_embeddings" -> ((s, d) =>
       Similarity.semDedup(emb(s, d), threshold = 0.45)),
+    // ORACLE-BEARING SemDeDup sibling: mirrorable Lloyd cells + round-9
+    // within-cell pair-drop, hash-checked end to end by DuckDB (the
+    // corpus-adaptive auto-C tier above stays the production face; the
+    // fixed k=8 here is the price of an unrolled SQL mirror)
+    "semdedup_seeded_embeddings" -> ((s, d) =>
+      Similarity.semDedupSeeded(emb(s, d), threshold = 0.45, k = 8)),
 
     // MMR diverse selection: 20 picks balancing centroid-relevance against
     // redundancy. No oracle (iterative greedy — not SQL-expressible);
@@ -4301,6 +4314,72 @@ object SparkEntry {
          |       CAST(sum(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_sim,
          |       min(sim) AS min_sim, max(sim) AS max_sim
          |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // digit-exact SemDeDup mirror: the seeded two-round Lloyd above, then
+    // cell assignment (round-9 argmax, larger-cid tie) and the within-cell
+    // round-9 cosine pair-drop (a.id < b.id drops the larger id)
+    "semdedup_seeded_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+         |                  ${normSql("embedding")} AS nrm FROM embeddings),
+         |en AS (SELECT * FROM e WHERE nrm > 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
+         |         v AS cv, nrm AS cn
+         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT 8)),
+         |${lloydRoundSql("c0", "a1", "m1", "c1")},
+         |${lloydRoundSql("c1", "a2", "m2", "c2")},
+         |asg AS (
+         |  SELECT id, v, nrm, cid FROM (
+         |    SELECT en.id, en.v, en.nrm, c.cid,
+         |           row_number() OVER (PARTITION BY en.id
+         |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+         |                      c.cid DESC) AS rn
+         |    FROM en CROSS JOIN c2 c) WHERE rn = 1),
+         |drp AS (
+         |  SELECT DISTINCT b.id FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND a.id < b.id
+         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= 0.45)
+         |SELECT a.id AS vec_id, a.cid, (d.id IS NULL) AS kept
+         |FROM asg a LEFT JOIN drp d ON a.id = d.id
+         |ORDER BY vec_id""".stripMargin,
+
+    // digit-exact IVF mirror: seeded Lloyd cells, per-vector cell assignment
+    // and per-query nprobe=4 probe list both by round-9 argmax (cid DESC
+    // tie), exact round-9 scoring inside probed cells, (sim desc, nid asc)
+    // ranking — the full index->probe->score->rank pipeline in SQL
+    "ann_ivf_seeded_topk_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+         |                  ${normSql("embedding")} AS nrm FROM embeddings),
+         |en AS (SELECT * FROM e WHERE nrm > 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
+         |         v AS cv, nrm AS cn
+         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT 8)),
+         |${lloydRoundSql("c0", "a1", "m1", "c1")},
+         |${lloydRoundSql("c1", "a2", "m2", "c2")},
+         |asg AS (
+         |  SELECT id, v, nrm, cid FROM (
+         |    SELECT en.id, en.v, en.nrm, c.cid,
+         |           row_number() OVER (PARTITION BY en.id
+         |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+         |                      c.cid DESC) AS rn
+         |    FROM en CROSS JOIN c2 c) WHERE rn = 1),
+         |p AS (
+         |  SELECT qid, qv, qn, cid FROM (
+         |    SELECT en.id AS qid, en.v AS qv, en.nrm AS qn, c.cid,
+         |           row_number() OVER (PARTITION BY en.id
+         |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+         |                      c.cid DESC) AS rn
+         |    FROM en CROSS JOIN c2 c WHERE en.id < 10) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.qid, a.id AS nid,
+         |         round(${dotSql("p.qv", "a.v")} / (p.qn * a.nrm), 9) AS sim
+         |  FROM p JOIN asg a ON p.cid = a.cid AND a.id <> p.qid),
+         |r AS (SELECT qid, nid, sim,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY sim DESC, nid) AS INTEGER) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // same all-pairs scoring as ann_brute, ranked per source vector
     "knn_graph_embeddings" ->

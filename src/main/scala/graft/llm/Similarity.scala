@@ -382,32 +382,36 @@ object Similarity {
   private def knuthSeedKey(id: Column): Column =
     (id % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L)
 
-  /** Shared mirrorable two-phase Lloyd + profile core behind BOTH
-    * oracle-bearing k-means tiers; `seedKey` orders the seed sample
-    * (identity = smallest-id seeds, [[knuthSeedKey]] = hash-ordered). */
-  private def lloydProfileMirrorable(emb: DataFrame, k: Int, iters: Int,
-                                     idCol: String, vecCol: String,
-                                     seedKey: Column => Column): DataFrame = {
-    // spread: every Lloyd round + the final profile re-scan the corpus;
-    // results are partitioning-invariant (key-ordered seeds, decimal sums)
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .where(col("nrm") > 0)
+  /** Rounded-argmax over a literal centroid matrix — the mirrorable
+    * assignment primitive every oracle-bearing clustering tier shares:
+    * sims rounded at 9 (the repo's cross-engine float contract) BEFORE
+    * ranking, ties to the larger cid. One LitTopCents loop per row
+    * (roundScale=9 replicates Spark's round double semantics op-for-op)
+    * instead of the k-struct sort_array tree — the Offender-3 lesson.
+    * `take > 1` yields the probe list an IVF query side walks. */
+  private def bestMirror(cents: Centroids)(v: Column, nrm: Column,
+                                           take: Int = 1): Column = {
+    val cs = cents.toIndexedSeq
+    graft.functions.functions.lit_top_cents(v, nrm, cs.flatMap(_._2).toArray,
+      cs.map(_._3).toArray, cs.map(_._1).toArray, cs.head._2.length,
+      take = take, roundScale = 9)
+  }
+
+  /** Mirrorable Lloyd TRAINING core shared by the k-means profile tiers and
+    * the oracle-bearing SemDeDup / IVF siblings: `e` must carry (id, v, nrm)
+    * with zero-norm rows already excluded; `seedKey` orders the seed sample
+    * (identity = smallest-id seeds, [[knuthSeedKey]] = hash-ordered). Every
+    * ingredient is cross-engine digit-exact — see [[kMeansProfileSeeded]]
+    * for the contract derivation. Returns the trained literal centroids. */
+  private[llm] def lloydMirrorableCents(e: DataFrame, k: Int, iters: Int,
+                                        seedKey: Column => Column): Centroids = {
     var cents: Centroids = e.orderBy(seedKey(col("id")), col("id")).limit(k)
       .collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](1), r.getDouble(2))
       }
-    // argmax over ROUNDED sims, ties to the larger cid — both mirrorable.
-    // One LitTopCents loop per row (roundScale=9 replicates Spark's round
-    // double semantics op-for-op, so the oracle contract is unchanged)
-    // instead of the k-struct sort_array tree — the Offender-3 lesson.
-    def best(v: Column, nrm: Column): Column = {
-      val cs = cents.toIndexedSeq
-      graft.functions.functions.lit_top_cents(v, nrm, cs.flatMap(_._2).toArray,
-        cs.map(_._3).toArray, cs.map(_._1).toArray, cs.head._2.length,
-        take = 1, roundScale = 9).getItem(0)
-    }
     for (_ <- 0 until iters) {
-      val assigned = e.select(col("v"), best(col("v"), col("nrm")).getField("cid").as("cid"))
+      val assigned = e.select(col("v"),
+        bestMirror(cents)(col("v"), col("nrm")).getItem(0).getField("cid").as("cid"))
       val means = assigned.select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos")
         .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
@@ -428,7 +432,20 @@ object Similarity {
         means.get(cid).map(nv => (cid, nv, foldNorm(nv))).getOrElse((cid, old, on))
       }
     }
-    val b = best(col("v"), col("nrm"))
+    cents
+  }
+
+  /** Shared mirrorable two-phase Lloyd + profile core behind BOTH
+    * oracle-bearing k-means tiers; `seedKey` orders the seed sample. */
+  private def lloydProfileMirrorable(emb: DataFrame, k: Int, iters: Int,
+                                     idCol: String, vecCol: String,
+                                     seedKey: Column => Column): DataFrame = {
+    // spread: every Lloyd round + the final profile re-scan the corpus;
+    // results are partitioning-invariant (key-ordered seeds, decimal sums)
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+    val cents = lloydMirrorableCents(e, k, iters, seedKey)
+    val b = bestMirror(cents)(col("v"), col("nrm")).getItem(0)
     e.select(b.getField("cid").as("cid"), b.getField("sim").as("sim"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vectors"),
@@ -505,6 +522,47 @@ object Similarity {
       .select(col("qid"), col("nid"),
         cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
       .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** ORACLE-BEARING IVF: the same coarse-quantize/probe/exact-score shape as
+    * [[ivfAnnTopK]] with the mirrorable Lloyd contract in place of the
+    * xxhash64-seeded trainer — smallest-id seeds, round-9 argmax for BOTH
+    * the cell assignment and the query's nprobe probe list (larger-cid
+    * tie-break), decimal-sum/round-6 centroid means, round-9 exact-cosine
+    * scoring, (sim desc, nid asc) ranking. Every stage is DuckDB-expressible,
+    * so the full index → probe → score → rank pipeline hash-checks — which
+    * moves IVF from "recall property-tested" to "digit-exact verified" at
+    * oracle scale. [[ivfAnnTopK]] stays the production face (its seeding is
+    * id-distribution-agnostic and its cell count corpus-tunable); this tier
+    * pins (k-cells, nprobe) so the SQL mirror stays a fixed CTE chain.
+    *
+    * Scale shape unchanged: probes and assignment are expression-level
+    * argmax over a literal matrix (map-only); the only join is the
+    * broadcast(query-probe rows) equi-join ON cell id. */
+  def ivfAnnTopKSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                       nCells: Int = 8, nprobe: Int = 4, trainIters: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+    val cents = lloydMirrorableCents(spread(raw), nCells, trainIters, seedKey = identity)
+    // q side from the RAW frame: the tiny id filter pushes down to the scan
+    val q = raw.where(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(bestMirror(cents)(col("v"), col("nrm"), take = nprobe),
+          s => s.getField("cid"))).as("cid"))
+    // candidate side spread: the per-row assignment scan needs all cores
+    val cand = spread(raw).select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+      bestMirror(cents)(col("v"), col("nrm")).getItem(0).getField("cid").as("cid"))
+    // no dropDuplicates needed: each candidate lives in exactly ONE cell and
+    // the probe list holds distinct cells, so a (qid, nid) pair is unique
+    val scored = broadcast(q).join(cand, Seq("cid")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine9(dot(col("qv"), col("nv")), col("qn"), col("nn")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
@@ -798,6 +856,47 @@ object Similarity {
       nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
     val a = assigned.toDF("id_a", "va", "na", "cid")
     val b = assigned.toDF("id_b", "vb", "nb", "cid")
+    val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+      .orderBy(idCol)
+  }
+
+  /** ORACLE-BEARING SemDeDup: the same cluster-then-pair-drop shape as
+    * [[semDedup]] with every approximation-bearing ingredient swapped for
+    * the mirrorable Lloyd contract ([[kMeansProfileSeeded]]'s derivation) —
+    * smallest-id seeds, rounded-argmax cell assignment (round-9 sims,
+    * larger-cid tie-break), decimal-sum/round-6 centroid means — so DuckDB
+    * replays the k-means cells AND the within-cell cosine pair-drop
+    * digit-for-digit and the whole operator hash-checks end to end. Zero-norm
+    * vectors are excluded up front (cosine undefined) on both engines.
+    *
+    * Scale shape identical to the production tier: map-only literal-centroid
+    * assignment, pair equi-join ON cid (Σ_cell |cell|² work), slim distinct
+    * drop-set applied as a left join. The FIXED k here is the price of the
+    * mirror (a DuckDB CTE chain is unrolled per round, so corpus-adaptive
+    * C = √(n/2) can't be replayed); [[semDedup]]'s auto-C stays the
+    * production face, this tier is the correctness verifier. */
+  def semDedupSeeded(emb: DataFrame, threshold: Double = 0.95, k: Int = 8,
+                     iters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // spread: Lloyd rounds + the assignment scan must not run on the 1-2
+    // partitions a single-file corpus arrives as
+    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+    val cents = lloydMirrorableCents(e, k, iters, seedKey = identity)
+    val assigned = e.select(col("id"), col("v"), col("nrm"),
+      bestMirror(cents)(col("v"), col("nrm")).getItem(0).getField("cid").as("cid"))
+    val a = assigned.toDF("id_a", "va", "na", "cid")
+    val b = assigned.toDF("id_b", "vb", "nb", "cid")
+    // round-9 sims (cosine9) — the exact value the oracle's pair filter
+    // recomputes; threshold inside the join condition as in embCosineNearDup
     val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
     val dropped = a.join(b, Seq("cid"))
       .where(col("id_a") < col("id_b") && sim >= threshold)

@@ -100,6 +100,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r.collect().toSeq == r2.collect().toSeq)
   }
 
+  test("semDedupSeeded: verdicts complement same-cell near-dup pairs; " +
+    "deterministic under repartition") {
+    // same planted-cluster corpus shape as the production-tier test; the
+    // seeded tier must satisfy the identical complement property AND be
+    // bit-stable under partitioning (its oracle contract)
+    val rnd = new scala.util.Random(78)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))).toDF("vec_id", "embedding")
+    val th = 0.95
+    val r = Similarity.semDedupSeeded(vecs, threshold = th, k = 8, iters = 1)
+    val verdicts = r.collect().map(x => x.getLong(0) -> (x.getInt(1), x.getBoolean(2))).toMap
+    assert(verdicts.size == 32)
+    val cellOf = verdicts.view.mapValues(_._1).toMap
+    val expectedDropped = Similarity.embCosineNearDup(vecs, threshold = th)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }.map(_._2).toSet
+    val actualDropped = verdicts.collect { case (id, (_, false)) => id }.toSet
+    assert(actualDropped == expectedDropped)
+    assert(actualDropped.nonEmpty)
+    // the mirror contract: byte-identical output under a different layout
+    val r2 = Similarity.semDedupSeeded(vecs.repartition(7), threshold = th,
+      k = 8, iters = 1)
+    assert(r.collect().toSeq == r2.collect().toSeq)
+  }
+
   test("lshAnnTopK achieves high recall vs brute force on clustered vectors") {
     // LSH preserves *high* similarity; plant 20 clusters of 5 near-identical
     // vectors (the realistic near-dup-embedding shape) and check the true
@@ -135,6 +164,30 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("ivfAnnTopKSeeded: recall vs brute force on clustered vectors; " +
+    "deterministic under repartition") {
+    val rnd = new scala.util.Random(322)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 5L, 10L, 15L, 20L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfAnnTopKSeeded(vecs, qs, k = 4, nCells = 10, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // the mirror contract: byte-identical ranking under a different layout
+    val a = Similarity.ivfAnnTopKSeeded(vecs, qs, k = 4, nCells = 10, nprobe = 4)
+      .collect().toSeq
+    val b = Similarity.ivfAnnTopKSeeded(vecs.repartition(7), qs, k = 4,
+      nCells = 10, nprobe = 4).collect().toSeq
+    assert(a == b)
   }
 
   test("pqAnnTopK achieves high recall vs brute force on clustered vectors; " +
