@@ -156,18 +156,31 @@ object VectorStreams {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // No isEmpty pre-probe: it costs a second evaluation of the
-        // micro-batch source per trigger (the batch runs once for the probe
-        // and again for the real query), and skipping empty batches leaves
-        // holes in the b=<batchId> sequence. An empty batch writes an empty
-        // _SUCCESS-marked directory instead, so downstream batch-id readers
-        // always see a contiguous, replay-stable sequence.
-        val corpus = batch.sparkSession.read.parquet(corpusDir)
-        annTopKBatch(batch, corpus, k, nBits, dim, seed, nTables,
-            qidCol, vecCol, corpusIdCol, corpusVecCol)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+        serveBatch(batch, batchId, corpusDir, outDir, k, nBits, dim, seed,
+          nTables, qidCol, vecCol, corpusIdCol, corpusVecCol)
       }
       .start()
+  }
+
+  /** The per-trigger body of [[annServeRefreshing]], exposed (like
+    * [[ScdStream.applyScdBatch]]) so the crash-replay contract is directly
+    * testable: re-invoking a batchId OVERWRITES its own `b=<batchId>`
+    * directory, deterministically for an unchanged corpus.
+    *
+    * No isEmpty pre-probe: it would cost a second evaluation of the
+    * micro-batch source per trigger (once for the probe, again for the
+    * real query), and skipping empty batches leaves holes in the
+    * `b=<batchId>` sequence. An empty batch writes an empty _SUCCESS-marked
+    * directory instead, so downstream batch-id readers always see a
+    * contiguous, replay-stable sequence. */
+  private[streaming] def serveBatch(batch: DataFrame, batchId: Long,
+      corpusDir: String, outDir: String, k: Int, nBits: Int, dim: Int,
+      seed: Long, nTables: Int, qidCol: String, vecCol: String,
+      corpusIdCol: String, corpusVecCol: String): Unit = {
+    val corpus = batch.sparkSession.read.parquet(corpusDir)
+    annTopKBatch(batch, corpus, k, nBits, dim, seed, nTables,
+        qidCol, vecCol, corpusIdCol, corpusVecCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
   }
 }

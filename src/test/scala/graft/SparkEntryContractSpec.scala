@@ -224,6 +224,25 @@ class SparkEntryContractSpec extends SparkSpec {
     } finally spark.conf.unset(gateConf)
   }
 
+  test("decontam_semantic_embeddings: eval side broadcasts, training side " +
+    "reaches the join with no exchange (the 100 TB shape)") {
+    assume(testdataPresent)
+    val df = SparkEntry.queries("decontam_semantic_embeddings")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the eval suite (bounded at any corpus scale) must be the broadcast
+    // side; the threshold rides the join condition
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"eval side lost its broadcast:\n$plan")
+    // exactly ONE hash-partitioned exchange — the final per-id aggregate.
+    // A second would mean training vectors shuffled before the join, the
+    // scale killer this operator exists to avoid (AQE repeats nodes in its
+    // "Initial Plan" section, so count the final plan only).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange (final agg), got $hashExchanges:\n$finalPlan")
+  }
+
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {
     // the doc is the judged coverage contract: a query shipped without its
     // SURVEY row (or a row without code) must fail here, not in the verdict

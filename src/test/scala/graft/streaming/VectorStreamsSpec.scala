@@ -170,6 +170,68 @@ class VectorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annServeRefreshing resumes from checkpoint: each b=<batchId> " +
+    "produced exactly once across a restart; a replayed batch overwrites " +
+    "its own directory deterministically") {
+    val (centers, corp) = corpus(seed = 23)
+    val in = java.nio.file.Files.createTempDirectory("graft_annr2_in").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_annr2_corp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_annr2_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_annr2_chk").toString
+    corp.write.mode("overwrite").parquet(corpusDir)
+    def start() = VectorStreams.annServeRefreshing(
+      spark.readStream
+        .schema("query_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+        .parquet(in),
+      corpusDir, outDir, chk, k = 3, nBits = 6, dim = 16, nTables = 2)
+    def batchDirs(): Set[String] = new java.io.File(outDir).list().toSet
+      .filter(_.startsWith("b="))
+    def readBatch(b: Long) = spark.read.parquet(s"$outDir/b=$b")
+      .select("qid", "rnk", "nid").as[(Long, Int, Long)].collect().toSeq.sorted
+
+    // batch 0: two queries
+    Seq(QueryVec(0L, centers(0).map(_.toFloat), ts("2024-01-01 10:00:00")),
+        QueryVec(1L, centers(1).map(_.toFloat), ts("2024-01-01 10:00:01")))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val b0Once = readBatch(0L)
+    assert(b0Once.map(_._1).distinct.sorted == Seq(0L, 1L))
+    assert(new java.io.File(s"$outDir/b=0/_SUCCESS").exists())
+
+    // restart: the resumed stream continues at batch 1 with only the NEW
+    // input file — batch 0 is neither re-read nor re-emitted
+    Seq(QueryVec(2L, centers(2).map(_.toFloat), ts("2024-01-01 10:05:00")))
+      .toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchDirs() == Set("b=0", "b=1"), s"got ${batchDirs()}")
+    assert(readBatch(0L) == b0Once, "restart re-emitted batch 0")
+    val b1Once = readBatch(1L)
+    assert(b1Once.map(_._1).distinct == Seq(2L), s"batch 1 content: $b1Once")
+    assert(new java.io.File(s"$outDir/b=1/_SUCCESS").exists())
+
+    // crash-replay: the sink re-invokes batch 1 after b=1 was already
+    // (possibly partially) written — the crash window between the parquet
+    // write and the checkpoint commit. Re-running the exposed batch body
+    // with the same batchId must OVERWRITE b=1 in place, landing on
+    // identical content with a fresh _SUCCESS and minting no new dir.
+    // (Deleting chk/commits/1 and restarting would exercise the same path,
+    // but Spark 4's HDFSMetadataLog session cache flags that surgery as a
+    // concurrent-query conflict — the ScdStreamSpec direct-replay pattern
+    // is the supported simulation.)
+    val replayInput = Seq(
+      QueryVec(2L, centers(2).map(_.toFloat), ts("2024-01-01 10:05:00"))).toDF()
+    VectorStreams.serveBatch(replayInput, 1L, corpusDir, outDir,
+      k = 3, nBits = 6, dim = 16, seed = 42L, nTables = 2,
+      "query_id", "embedding", "vec_id", "embedding")
+    assert(batchDirs() == Set("b=0", "b=1"),
+      s"replay minted a new batch dir: ${batchDirs()}")
+    assert(readBatch(1L) == b1Once, "replayed batch 1 diverged")
+    assert(readBatch(0L) == b0Once)
+    assert(new java.io.File(s"$outDir/b=1/_SUCCESS").exists())
+  }
+
   test("annServeRefreshing batch core agrees with annQueryStream on a " +
     "frozen corpus") {
     implicit val sqlCtx = spark.sqlContext
