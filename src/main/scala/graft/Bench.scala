@@ -44,6 +44,13 @@ object Bench {
       // env knob for A/B runs; AQE stays on by default (its runtime
       // coalescing/skew handling is the 100 TB posture)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // split-size knob for sweep A/Bs: single-file bench fixtures arrive
+      // as 1-4 scan splits at the 128m default, which starves map-only
+      // operators (they're exchange-free BY DESIGN, so partition count ==
+      // split count). Sizing splits is the legitimate scale lever — a real
+      // deployment tunes it — and it must not require a plan change.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPB", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dist.Binning.tuneSession(spark)
@@ -126,7 +133,9 @@ object Bench {
       "dedup_components" -> "log-round star contraction: locally job-count-bound, not data-bound; convergence rounds are property-tested instead",
       "dedup_cluster_sizes" -> "rollup over dedup_components, same job-count-bound shape",
       "dedup_clean_corpus_cc" -> "pipeline over dedup_components, same job-count-bound shape",
-      "mm_phash_neardup_documents" -> "aHash signatures over opaque synthetic payloads (the fallback path, not a real codec) feeding a bucketed near-dup; the real-codec cost signal lives in the swept mm_features/mm_video tiers")
+      "mm_phash_neardup_documents" -> "aHash signatures over opaque synthetic payloads (the fallback path, not a real codec) feeding a bucketed near-dup; the real-codec cost signal lives in the swept mm_features/mm_video tiers",
+      "semdedup_seeded_embeddings" -> "oracle-verifier tier with FIXED k=8 cells (the price of an unrolled SQL mirror) — pair work is quadratic-over-8 by design; the corpus-adaptive semdedup_embeddings is the swept scale face",
+      "ann_ivf_seeded_topk_embeddings" -> "oracle-verifier tier with FIXED 8 cells/nprobe=4 (each query scores ~half the corpus by design, the price of an unrolled SQL mirror); ann_ivf_topk with corpus-tunable cells is the swept scale face")
     val excluded = all.map(_._1).filterNot(sorted.map(_._1).toSet)
       .map(n => n -> exclusionReason.getOrElse(n,
         "out of this sweep subset (overhead-bound at the target SF or covered by a swept sibling; see SCALE.md)"))
@@ -139,8 +148,10 @@ object Bench {
     // signal instead of scheduler noise.
     val iterative = Set(
       "dedup_components", "dedup_cluster_sizes", "dedup_clean_corpus_cc",
-      "semdedup_embeddings", "debias_embeddings", "debias_fast_embeddings",
-      "top_pc_embeddings", "top_pc_fast_embeddings", "ann_ivf_topk_embeddings")
+      "semdedup_embeddings", "semdedup_seeded_embeddings",
+      "debias_embeddings", "debias_fast_embeddings",
+      "top_pc_embeddings", "top_pc_fast_embeddings",
+      "ann_ivf_topk_embeddings", "ann_ivf_seeded_topk_embeddings")
     val pass3 = sorted.collect { case (n, f) if iterative(n) => n -> once(n, f) }.toMap
     val passes: Map[String, Seq[Double]] =
       sorted.map { case (n, _) => n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n)) }.toMap

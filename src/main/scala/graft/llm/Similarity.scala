@@ -169,8 +169,19 @@ object Similarity {
     // aggregate: no per-source SORT of the candidate list — at corpus scale
     // the candidate frame is the biggest intermediate here (O(n·nBits·occ)
     // rows), and a ranking window would sort every source's candidates
-    // while the heap keeps k per partial group through both exchanges
-    val uniq = scored.groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+    // while the heap keeps k per partial group through both exchanges.
+    //
+    // At nTables == 1 the dedupe is a provable NO-OP skipped entirely: a
+    // destination occupies exactly ONE bucket per table, and a source's
+    // nBits+1 multiprobe keys are DISTINCT buckets of that table, so a
+    // (src, dst) pair can materialize at most once — while the dedupe agg
+    // costs a full exchange of the candidate frame (its map-side combine
+    // finds nothing to combine on unique pairs), measured at sf100 as HALF
+    // the run's total shuffle. The TopKAgg exchange that remains is tiny:
+    // map-side partials ship <= k rows per source per partition.
+    val uniq =
+      if (nTables == 1) scored
+      else scored.groupBy("src", "dst").agg(max(col("sim")).as("sim"))
     uniq.groupBy("src")
       .agg(graft.functions.TopKAgg.top_k_by(col("sim"), col("dst"), k).as("top"))
       .select(col("src"), posexplode(col("top")))

@@ -126,6 +126,33 @@ class BenchScaleRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"planted-neighbor kNN-graph-LSH recall $recall < 0.8")
   }
 
+  test("knn_graph_lsh REDUCED operating point (maxBucket=64, nTables=1): " +
+    "recall holds at bench scale with planted neighbors", Slow) {
+    assume(present)
+    // The declared single-box fallback for scratch-constrained sf100 runs
+    // (SCALE.md §13): nTables 2->1 and maxBucket 256->64 cut the shuffle
+    // bound n·probes·cap 8x (and nTables=1 additionally elides the
+    // pair-dedupe exchange — see knnGraphLSH). Single-table SRP at nBits=8
+    // with 1-bit multiprobe gives P(candidate) ≈ p^8 + 8·p^7(1-p) ≈ 0.81
+    // for planted twins at cosine 0.95 — the recall THIS operating point
+    // trades for its volume, asserted here so the sf100 measurement in
+    // SCALE.md §13 has a pinned quality bound (the full config's 0.8 floor
+    // stays in the test above). Measured: 0.750 at maxBucket=64; dropping
+    // the cap further to 32 measured 0.614 (the cap binds on hot cells at
+    // this occupancy) — rejected as the declared point for that reason.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 2000)
+    val corpus = withTwins(emb, 0L until 2000L, nTwins = 3)
+    def edges(df: DataFrame) = df.select("src", "dst").as[(Long, Long)].collect().toSet
+    val exact = edges(Similarity.knnGraph(corpus, k = 3))
+    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3,
+      nBits = Similarity.autoBits(8000, targetBucket = 64),
+      nTables = 1, maxBucket = 64))
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"reduced-operating-point recall = $recall%.3f")
+    assert(recall >= 0.7, s"reduced-point kNN-graph-LSH recall $recall < 0.7")
+  }
+
   test("emb_cosine_neardup_lsh: precision 1, recall >= 0.8 on raw sf0.1 embeddings", Slow) {
     assume(present)
     val exact = pairs("emb_cosine_neardup", ("id_a", "id_b"))

@@ -371,6 +371,25 @@ class SimilaritySpec extends SparkSpec {
     assert(srcs.size >= 75, s"only ${srcs.size}/80 vectors have edges")
   }
 
+  test("knnGraphLSH nTables=1: no (src, dst) pair survives twice through " +
+    "the elided dedupe (pair uniqueness is structural, not cleaned up)") {
+    // the single-table path skips the (src, dst) max-sim exchange on the
+    // proof that a dst occupies ONE bucket and the multiprobe keys are
+    // distinct buckets — a duplicated pair here would surface as the same
+    // dst twice inside one source's top-k heap
+    val rnd = new scala.util.Random(91)
+    val centers = Seq.fill(10)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 6
+    } yield ((ci * 6 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.03).toFloat)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16, nTables = 1)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(g.length == g.distinct.length,
+      s"duplicate (src,dst) edges under the elided dedupe: ${g.groupBy(identity).filter(_._2.length > 1).keys}")
+  }
+
   test("knnGraphLSH hot-bucket cap: a dense hub stays linear, every hub " +
     "node still gets k near-tie edges, and the cap never binds below it") {
     val rnd = new scala.util.Random(808)
