@@ -384,10 +384,23 @@ class SimilaritySpec extends SparkSpec {
       j <- 0 until 6
     } yield ((ci * 6 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.03).toFloat)))
       .toDF("vec_id", "embedding")
-    val g = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16, nTables = 1)
-      .select("src", "dst").as[(Long, Long)].collect()
+    val df1 = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16, nTables = 1)
+    val g = df1.select("src", "dst").as[(Long, Long)].collect()
     assert(g.length == g.distinct.length,
       s"duplicate (src,dst) edges under the elided dedupe: ${g.groupBy(identity).filter(_._2.length > 1).keys}")
+    // plan contract: the single-table path must carry ONE fewer hash
+    // exchange than the multi-table path — the pair-dedupe agg was the only
+    // corpus-pair-sized shuffle in the pipeline (sf100: eliding it cut total
+    // shuffle from ~50-60 GB spilled to 11 GB of join inputs), so a future
+    // edit that silently reintroduces it is a scale regression this pins
+    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head).length
+    val one = hashExchanges(df1)
+    val two = hashExchanges(
+      Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16, nTables = 2))
+    assert(two == one + 1,
+      s"expected exactly one elided exchange at nTables=1 (got $one vs $two at nTables=2)")
   }
 
   test("knnGraphLSH hot-bucket cap: a dense hub stays linear, every hub " +
