@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -859,6 +859,92 @@ case class PqEncode(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** RESIDUAL product-quantization encode (Jégou et al. 2011 §V / the faiss
+  * `IVFx,PQy` default): per subspace, the nearest codeword to the residual
+  * `u - cent[cid]` (u = v/|v|, cent = the vector's coarse centroid), as
+  * `argmin |r_m - cb_c|² = argmin (|cb_c|²/2 - r_m·cb_c)`. The centroid
+  * never materializes per row: `r_m·cb_c = (v_m·cb_c)/|v| - cent_m·cb_c`,
+  * and the second term is a per-(cid, m, c) constant baked into the
+  * `centDot` literal table (nCells·nSub·nCodes doubles) — so the loop costs
+  * exactly ONE extra lookup per codeword over [[PqEncode]]'s direct coding.
+  * First-min ties, same fold order as the direct tier. */
+case class PqEncodeResidual(first: Expression, second: Expression, third: Expression,
+                            cbFlat: Array[Float], halves: Array[Double],
+                            centDot: Array[Double],
+                            nCells: Int, nSub: Int, nCodes: Int, subDim: Int)
+    extends TernaryExpression {
+  require(cbFlat.length == nSub * nCodes * subDim, "codebook shape mismatch")
+  require(halves.length == nSub * nCodes, "half-norm shape mismatch")
+  require(centDot.length == nCells * nSub * nCodes, "centDot shape mismatch")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ArgCheck.arrayOf(first, FloatType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (second.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a double norm")
+    else if (third.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects an int cell id")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_residual"
+
+  override def nullSafeEval(v: Any, nrm: Any, cid: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = nrm.asInstanceOf[Double]
+    val cell = cid.asInstanceOf[Int]
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < nCodes) {
+        var s = 0.0; var i = 0
+        val off = (m * nCodes + c) * subDim
+        while (i < subDim) { s += a.getFloat(m * subDim + i).toDouble * cbFlat(off + i).toDouble; i += 1 }
+        val dd = halves(m * nCodes + c) - (s / n - centDot((cell * nSub + m) * nCodes + c))
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqrCb", cbFlat, "float[]")
+    val hRef = ctx.addReferenceObj("pqrHalves", halves, "double[]")
+    val cdRef = ctx.addReferenceObj("pqrCentDot", centDot, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm, cid) => {
+      val codes = ctx.freshName("codes"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val dd = ctx.freshName("dd")
+      val best = ctx.freshName("best"); val bd = ctx.freshName("bd")
+      val off = ctx.freshName("off")
+      s"""
+         |int[] $codes = new int[$nSub];
+         |for (int $m = 0; $m < $nSub; $m++) {
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $nCodes; $c++) {
+         |    double $s = 0.0; int $off = ($m * $nCodes + $c) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      $s += (double) $v.getFloat($m * $subDim + $i) * (double) $cbRef[$off + $i];
+         |    }
+         |    double $dd = $hRef[$m * $nCodes + $c]
+         |      - ($s / $nrm - $cdRef[($cid * $nSub + $m) * $nCodes + $c]);
+         |    if ($dd < $bd) { $bd = $dd; $best = $c; }
+         |  }
+         |  $codes[$m] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqEncodeResidual =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-API facade for the custom expressions. */
 object functions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -887,6 +973,16 @@ object functions {
   def pq_encode(v: Column, nrm: Column, cbFlat: Array[Float],
                 halves: Array[Double], nSub: Int, nCodes: Int, subDim: Int): Column =
     c(PqEncode(e(v), e(nrm), cbFlat, halves, nSub, nCodes, subDim))
+
+  /** Residual PQ encode against the vector's coarse cell (see
+    * [[PqEncodeResidual]]); `centDot` is the nCells·nSub·nCodes literal
+    * table of centroid·codeword dots. */
+  def pq_encode_residual(v: Column, nrm: Column, cid: Column,
+                         cbFlat: Array[Float], halves: Array[Double],
+                         centDot: Array[Double], nCells: Int,
+                         nSub: Int, nCodes: Int, subDim: Int): Column =
+    c(PqEncodeResidual(e(v), e(nrm), e(cid), cbFlat, halves, centDot,
+      nCells, nSub, nCodes, subDim))
 
   /** Exact-decimal sign-random-projection of an array<float> vector:
     * array<double> of outDims components, bit-identical to the

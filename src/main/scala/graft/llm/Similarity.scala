@@ -129,7 +129,7 @@ object Similarity {
   def knnGraphLSH(emb: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64,
                   seed: Long = 42L, idCol: String = "vec_id",
                   vecCol: String = "embedding", nTables: Int = 1,
-                  maxBucket: Int = 256): DataFrame = {
+                  maxBucket: Int = 256, probeDepth: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxBucket > k, s"maxBucket $maxBucket must exceed k $k")
     // nTables independent hyperplane sets (the standard multi-table recall
@@ -141,7 +141,7 @@ object Similarity {
       norm(col(vecCol)).as("nrm"))
     val e = bucketedTables(base, nBits, dim, seed, nTables)
     val src = e.select(col("id").as("src"), col("v").as("va"),
-      col("nrm").as("na"), col("tbl"), multiprobe(nBits).as("bkt"))
+      col("nrm").as("na"), col("tbl"), multiprobe(nBits, probeDepth).as("bkt"))
     // Hot-bucket cap on the CANDIDATE side — the same skew guard every
     // bucketed near-dup path carries (Dedup.minHashNearDup et al.), which
     // this graph tier was missing: autoBits keeps the MEDIAN cell at the
@@ -152,7 +152,7 @@ object Similarity {
     // occupancy 120 vs max 3269 — the tail, not the median, carried 4.5×
     // the design pair volume. Keeping the maxBucket smallest ids per cell
     // (deterministic) bounds per-source candidates at
-    // nTables·(nBits+1)·maxBucket, restoring linear growth; sources are
+    // nTables·nProbes·maxBucket, restoring linear growth; sources are
     // never capped, so every node still receives k edges, and inside a
     // hub the kept candidates are near-ties of the excised ones (recall
     // property-tested; cap never binds at design occupancy).
@@ -161,29 +161,46 @@ object Similarity {
         Window.partitionBy("tbl", "bkt").orderBy("dst")))
       .where(col("__rn") <= maxBucket).drop("__rn")
     val scored = src.join(cand, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
+      .select(col("src"), col("tbl"), col("dst"),
         cosine9(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
-    // multiprobe/multi-table pair repeats collapse in a (src, dst) hash agg
-    // (map-side combine; sims of a repeated pair are identical, max is a
-    // deterministic pick), then per-source top-k runs as the bounded-heap
-    // aggregate: no per-source SORT of the candidate list — at corpus scale
-    // the candidate frame is the biggest intermediate here (O(n·nBits·occ)
-    // rows), and a ranking window would sort every source's candidates
-    // while the heap keeps k per partial group through both exchanges.
+    // Pair repeats must collapse before ranking (TopKAgg keeps duplicates),
+    // but NO formulation here ever shuffles the candidate frame:
     //
-    // At nTables == 1 the dedupe is a provable NO-OP skipped entirely: a
+    // WITHIN one table a (src, dst) pair is structurally unique — a
     // destination occupies exactly ONE bucket per table, and a source's
-    // nBits+1 multiprobe keys are DISTINCT buckets of that table, so a
-    // (src, dst) pair can materialize at most once — while the dedupe agg
-    // costs a full exchange of the candidate frame (its map-side combine
-    // finds nothing to combine on unique pairs), measured at sf100 as HALF
-    // the run's total shuffle. The TopKAgg exchange that remains is tiny:
-    // map-side partials ship <= k rows per source per partition.
-    val uniq =
-      if (nTables == 1) scored
-      else scored.groupBy("src", "dst").agg(max(col("sim")).as("sim"))
-    uniq.groupBy("src")
-      .agg(graft.functions.TopKAgg.top_k_by(col("sim"), col("dst"), k).as("top"))
+    // multiprobe keys are DISTINCT buckets of that table (XORs of distinct
+    // masks), so at nTables == 1 the top-k aggregate runs directly on the
+    // scored pairs with nothing to dedupe. The historical alternative — a
+    // (src, dst) max-sim hash agg ahead of the top-k — costs a full
+    // exchange of the candidate frame (its map-side combine finds nothing
+    // to combine on unique pairs), measured at sf100 as HALF the run's
+    // total shuffle; §12 predicted ~260 GB at the full config, vs 78 GB
+    // scratch. That agg no longer exists on ANY path.
+    //
+    // ACROSS tables a pair CAN repeat (once per colliding table), but its
+    // sims are identical (same vectors, same exact cosine) — so the
+    // multi-table path runs the SAME elided per-table discipline and
+    // merges k-bounded partials instead of deduping raw pairs: a
+    // (src, tbl) bounded-heap top-k first (map-side partials ship <= k
+    // rows per group per partition, and the per-table top-k provably
+    // CONTAINS every global winner: a pair beaten by fewer than k pairs
+    // globally is beaten by fewer than k within any table it appears in),
+    // then one (src)-keyed heap over the <= k·nTables exploded rows with
+    // capacity k·nTables — lossless, so cross-table repeats (identical
+    // (ord, id) structs, adjacent in the best-first array) collapse with
+    // array_distinct and slice(1, k) yields exactly the deduped global
+    // top-k. Shuffle drops O(n·probes·cap) -> O(n·probes·k): every
+    // exchange after the bucket join is k-bounded.
+    val topk = graft.functions.TopKAgg.top_k_by(col("sim"), col("dst"), k)
+    val ranked =
+      if (nTables == 1) scored.groupBy("src").agg(topk.as("top"))
+      else scored.groupBy("src", "tbl").agg(topk.as("ptop"))
+        .select(col("src"), explode(col("ptop")).as("e"))
+        .select(col("src"), col("e.ord").as("sim"), col("e.id").as("dst"))
+        .groupBy("src")
+        .agg(graft.functions.TopKAgg.top_k_by(col("sim"), col("dst"), k * nTables).as("all"))
+        .select(col("src"), slice(array_distinct(col("all")), 1, k).as("top"))
+    ranked
       .select(col("src"), posexplode(col("top")))
       .select(col("src"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as("dst"), col("col.ord").as("sim"))
@@ -268,8 +285,23 @@ object Similarity {
     * anti-join, exactly like the n-gram pass. */
   def semanticDecontam(train: DataFrame, eval: DataFrame, threshold: Double = 0.9,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val t = train.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"))
+    // Starvation-gated rebalance: the operator is exchange-free by design,
+    // so its parallelism equals its scan split count — correct at corpus
+    // scale (thousands of files saturate every core; no exchange is added
+    // and the zero-training-shuffle contract holds structurally), but a
+    // single-file fixture arrives as 1-4 splits and pins the n·|eval|·d
+    // scoring loop to as many cores (SCALE.md §13 measured sf100 starved
+    // at 88.5 s vs 50.4 s with 8 MB splits). When — and only when — the
+    // planned scan has fewer partitions than the cluster's parallelism,
+    // one round-robin exchange of the training frame costs less than the
+    // starved scan it prevents; at scale the gate never fires, so this
+    // replaces the harness-side SPARK_GRAFT_MAXPB workaround without
+    // trading away the at-scale plan shape.
+    val starved = train.rdd.getNumPartitions <
+      train.sparkSession.sparkContext.defaultParallelism
+    val t = (if (starved) spread(train) else train)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
     val e = eval.select(col(idCol).as("eid"), col(vecCol).as("ev"),
       norm(col(vecCol)).as("en"))
     val sim = cosine9(dot(col("v"), col("ev")), col("nrm"), col("en"))
@@ -734,12 +766,21 @@ object Similarity {
     * memory lever together: at 100 TB the probed slice of a 128×-compressed
     * code index is all a query ever touches.
     *
-    * Simplification vs the paper: codes quantize the (normalized) vectors
-    * directly, not per-cell RESIDUALS — residual coding buys accuracy at
-    * the cost of per-cell codebooks (nCells× the training and a
-    * codebook-per-cell literal matrix); with cosine ranking and the
-    * recall CI this tier targets, direct coding is the better
-    * complexity/benefit point. Documented deviation, recall-tested.
+    * Residual coding (`byResidual = true`, the faiss default and this
+    * tier's default since r11): codes quantize `u - cent[cid]` — the
+    * normalized vector's offset from its coarse centroid — with ONE shared
+    * codebook trained on sample residuals, exactly faiss's shared-codebook
+    * composition (per-cell codebooks are the paper's other variant; nCells×
+    * the training for marginal gain at this code budget). Residuals are
+    * centered near zero with most coarse structure already explained, so
+    * the same nSub·log2(nCodes) bits quantize a tighter distribution —
+    * recall at equal code budget is asserted >= the direct tier's in
+    * SimilaritySpec/BenchScaleRecallSpec. The centroid never materializes
+    * per row on either side: encode folds `cent·cb` into a literal table
+    * ([[graft.functions.PqEncodeResidual]]), and ADC scoring adds the
+    * per-(query, cell) scalar `q·cent` to the table-lookup sum —
+    * `q·x̂ = q·cent + Σ_m q_m·cb[m][code_m]`. `byResidual = false` keeps
+    * the r10 direct coding for comparison runs.
     *
     * Scale shape: everything offline is driver-side or map-only (coarse
     * assignment argmax + PQ encode in one scan); the query side ships a
@@ -751,12 +792,18 @@ object Similarity {
                    nCells: Int = 16, nprobe: Int = 4,
                    nSub: Int = 4, nCodes: Int = 16, trainIters: Int = 5,
                    coarseIters: Int = 2, trainN: Int = 2048, dim: Int = 64,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   byResidual: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dim % nSub == 0, s"dim $dim must divide into nSub $nSub subspaces")
     require(nprobe >= 1 && nprobe <= nCells, s"nprobe $nprobe out of range")
     val subDim = dim / nSub
     val coarse = trainCentroids(emb, nCells, coarseIters, idCol, vecCol)
+    // centroid vectors indexed by cid (trainCentroids numbers them 0..C-1)
+    val centByCid: Array[Array[Double]] = {
+      val m = coarse.map(c => c._1 -> c._2.map(_.toDouble).toArray).toMap
+      (0 until nCells).map(m).toArray
+    }
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
     val sample: Array[Array[Double]] = e
@@ -766,22 +813,55 @@ object Similarity {
         val n = r.getDouble(1)
         r.getSeq[Float](0).map(_.toDouble / n).toArray
       }
+    // residual tier: train the (shared) codebooks on sample residuals —
+    // each sample minus its nearest coarse centroid, the same cosine
+    // argmax the scan side applies (sim desc, cid desc ties)
+    val trainVecs: Array[Array[Double]] =
+      if (!byResidual) sample
+      else sample.map { u =>
+        val cid = coarse.map { case (ci, cv, cn) =>
+          (cv.indices.foldLeft(0.0)((a, i) => a + u(i) * cv(i).toDouble) / cn, ci)
+        }.maxBy { case (s, ci) => (s, ci) }._2
+        u.indices.map(i => u(i) - centByCid(cid)(i)).toArray
+      }
     val codebooks: IndexedSeq[IndexedSeq[Seq[Float]]] =
       (0 until nSub).map { m =>
-        lloydSub(sample.map(_.slice(m * subDim, (m + 1) * subDim)),
+        lloydSub(trainVecs.map(_.slice(m * subDim, (m + 1) * subDim)),
           nCodes, trainIters).toIndexedSeq.map(_.map(_.toFloat).toSeq)
       }
     val cbFlat = (0 until nSub).flatMap(m => codebooks(m).flatten).toArray
     val halves = (0 until nSub).flatMap(m => codebooks(m).map(cv =>
       cv.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble) / 2.0)).toArray
+    // residual encode needs cent·codeword per (cell, subspace, codeword) —
+    // a nCells·nSub·nCodes literal table, so the per-row loop pays one
+    // lookup instead of a d-dim centroid subtraction
+    val centDot: Array[Double] =
+      if (!byResidual) Array.empty
+      else (0 until nCells).flatMap { ci =>
+        (0 until nSub).flatMap { m =>
+          codebooks(m).map { cv =>
+            var s = 0.0; var i = 0
+            while (i < subDim) { s += centByCid(ci)(m * subDim + i) * cv(i).toDouble; i += 1 }
+            s
+          }
+        }
+      }.toArray
     // ONE scan builds the resident index: coarse cell + PQ codes per vector
-    // (both via codegen'd loops — PqEncode + the LitTopCents argmax);
-    // spread so a single-file corpus doesn't pin the scan to 1-2 cores
-    val index = spread(e).withColumn("__codes", graft.functions.functions.pq_encode(
-        col("v"), col("nrm"), cbFlat, halves, nSub, nCodes, subDim))
+    // (both via codegen'd loops — PqEncode[Residual] + the LitTopCents
+    // argmax); spread so a single-file corpus doesn't pin the scan to 1-2
+    // cores
+    val cidCol = nearestCents(coarse)(col("v"), col("nrm"), 1)
+      .getItem(0).getField("cid")
+    val codesCol =
+      if (byResidual) graft.functions.functions.pq_encode_residual(
+        col("v"), col("nrm"), cidCol, cbFlat, halves, centDot,
+        nCells, nSub, nCodes, subDim)
+      else graft.functions.functions.pq_encode(
+        col("v"), col("nrm"), cbFlat, halves, nSub, nCodes, subDim)
+    val index = spread(e).withColumn("__codes", codesCol)
       .select(
         col("id") +:
-          nearestCents(coarse)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid") +:
+          cidCol.as("cid") +:
           (0 until nSub).map(m => element_at(col("__codes"), m + 1).as(s"code_$m")): _*)
     // query side: probe cells + ADC tables, all from driver literals
     val qvecs = e.where(col("id").isInCollection(queryIds))
@@ -798,6 +878,11 @@ object Similarity {
         val d = cv.indices.foldLeft(0.0)((a, i) => a + q(i) * cv(i).toDouble)
         (d / cn, cid)
       }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+      // residual ADC's per-cell scalar: q·cent (raw centroid — the residual
+      // decomposition is u = cent + r, so q·x̂ = q·cent + q·r̂)
+      val qc = (0 until nCells).map { ci =>
+        centByCid(ci).indices.foldLeft(0.0)((a, i) => a + q(i) * centByCid(ci)(i))
+      }
       val tables = (0 until nSub).map { m =>
         codebooks(m).map { cv =>
           var s = 0.0; var i = 0
@@ -805,17 +890,21 @@ object Similarity {
           s
         }.toSeq
       }
-      org.apache.spark.sql.Row.fromSeq(qid +: probes.toSeq +: tables)
+      org.apache.spark.sql.Row.fromSeq(qid +: probes.toSeq +: qc +: tables)
     }
     val spark = emb.sparkSession
     import org.apache.spark.sql.types._
     val qSchema = StructType(
       StructField("qid", LongType) +: StructField("probes", ArrayType(IntegerType)) +:
+        StructField("qc", ArrayType(DoubleType)) +:
         (0 until nSub).map(m => StructField(s"t_$m", ArrayType(DoubleType))))
     val qTab = spark.createDataFrame(qRows.asJava, qSchema)
-    val score = (0 until nSub)
+    val adc = (0 until nSub)
       .map(m => element_at(col(s"t_$m"), col(s"code_$m") + 1))
       .reduce(_ + _)
+    val score =
+      if (byResidual) element_at(col("qc"), col("cid") + 1) + adc
+      else adc
     val scored = index.crossJoin(broadcast(qTab))
       .where(array_contains(col("probes"), col("cid")) && col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), round(score, 9).as("adc_sim"))
@@ -975,9 +1064,25 @@ object Similarity {
   }
 
   /** Multiprobe expansion of a `bkt` column: the bucket itself plus every
-    * 1-bit flip — the standard recall-recovery probe set for SRP buckets. */
-  private[graft] def multiprobe(nBits: Int): Column = explode(array(
-    col("bkt") +: (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*))
+    * `<= depth`-bit flip — the standard recall-recovery probe set for SRP
+    * buckets (Lv et al. 2007's perturbation idea specialized to sign bits:
+    * near-misses differ in few hyperplane signs, so probing low-Hamming
+    * neighbors recovers them without another table). Probe masks are
+    * distinct, so the probe keys are DISTINCT buckets — the structural
+    * pair-uniqueness proof the elided-dedupe paths rest on holds at any
+    * depth. Probe counts: depth 1 -> nBits+1, depth 2 -> that +
+    * nBits·(nBits-1)/2; candidate volume stays O(n·probes), so depth 2
+    * trades ~4x probe rows (at nBits=8) for recall WITHOUT a second table
+    * — the second table costs the same probe growth AND a k-bounded merge
+    * stage. */
+  private[graft] def multiprobe(nBits: Int, depth: Int = 1): Column = {
+    require(depth >= 1 && depth <= 2, s"probeDepth $depth must be 1 or 2")
+    val flips1 = (0 until nBits).map(j => 1L << j)
+    val flips2 = if (depth < 2) Seq.empty[Long] else
+      (0 until nBits).flatMap(i => (i + 1 until nBits).map(j => (1L << i) | (1L << j)))
+    explode(array(
+      col("bkt") +: (flips1 ++ flips2).map(m => col("bkt").bitwiseXOR(lit(m))): _*))
+  }
 
   /** Approximate per-query top-k: candidates restricted to the query's SRP
     * bucket (plus all 1-bit-flip neighbor buckets — multiprobe — to recover

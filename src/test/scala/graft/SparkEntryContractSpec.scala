@@ -234,13 +234,19 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"eval side lost its broadcast:\n$plan")
     // exactly ONE hash-partitioned exchange — the final per-id aggregate.
-    // A second would mean training vectors shuffled before the join, the
-    // scale killer this operator exists to avoid (AQE repeats nodes in its
-    // "Initial Plan" section, so count the final plan only).
+    // A second would mean training vectors shuffled-by-key before the
+    // join, the scale killer this operator exists to avoid (AQE repeats
+    // nodes in its "Initial Plan" section, so count the final plan only).
     val finalPlan = plan.split("== Initial Plan ==").head
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
     assert(hashExchanges == 1,
       s"expected 1 hash exchange (final agg), got $hashExchanges:\n$finalPlan")
+    // the starvation-gated rebalance (Similarity.semanticDecontam) MAY add
+    // one round-robin exchange here — the sf0.001 fixture is a single file,
+    // the exact starved case the gate exists for. At most one; the
+    // not-starved zero-exchange shape is pinned in SimilaritySpec.
+    val rr = "(?i)Exchange roundrobinpartitioning".r.findAllIn(finalPlan).length
+    assert(rr <= 1, s"expected at most 1 gated round-robin exchange, got $rr")
   }
 
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {

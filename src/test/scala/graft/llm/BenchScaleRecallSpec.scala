@@ -153,6 +153,29 @@ class BenchScaleRecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"reduced-point kNN-graph-LSH recall $recall < 0.7")
   }
 
+  test("knn_graph_lsh reduced point + probeDepth=2: multiprobe depth recovers " +
+    "the full-config recall floor without a second table", Slow) {
+    assume(present)
+    // r10 verdict #2: the reduced point (nTables=1, maxBucket=64) measured
+    // recall 0.750 vs the >= 0.8 full-config floor. Depth-2 multiprobe
+    // raises single-table candidate probability to
+    // P ≈ p^8 + 8·p^7(1-p) + 28·p^6(1-p)² ≈ 0.96 for twins at cosine 0.95
+    // while keeping the elided-dedupe shape (probe keys stay distinct
+    // buckets) and shuffle at O(n·probes) — no merge stage, no second
+    // table's bucketing scan.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 2000)
+    val corpus = withTwins(emb, 0L until 2000L, nTwins = 3)
+    def edges(df: DataFrame) = df.select("src", "dst").as[(Long, Long)].collect().toSet
+    val exact = edges(Similarity.knnGraph(corpus, k = 3))
+    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3,
+      nBits = Similarity.autoBits(8000, targetBucket = 64),
+      nTables = 1, maxBucket = 64, probeDepth = 2))
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"reduced-point depth-2 recall = $recall%.3f")
+    assert(recall >= 0.8, s"depth-2 reduced-point recall $recall < 0.8")
+  }
+
   test("emb_cosine_neardup_lsh: precision 1, recall >= 0.8 on raw sf0.1 embeddings", Slow) {
     assume(present)
     val exact = pairs("emb_cosine_neardup", ("id_a", "id_b"))

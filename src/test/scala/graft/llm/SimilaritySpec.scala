@@ -246,6 +246,63 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("ivfPqAnnTopK residual coding: recall at equal code budget >= the " +
+    "direct tier; deterministic under repartition; quantization error " +
+    "strictly improves on a realistic (non-planted) cloud") {
+    // planted-twin clouds saturate both tiers; the residual advantage is
+    // measurable where vectors spread WITHIN cells — a gaussian mixture
+    // with moderate intra-cluster variance (the realistic embedding
+    // shape). nprobe is generous (6/8 cells) so CELL pruning is not the
+    // bottleneck and the recall gap isolates CODE fidelity — the thing
+    // residual coding changes. Equal code budget: same nSub x nCodes.
+    val rnd = new scala.util.Random(4242)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian() * 2))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 25
+    } yield ((ci * 25 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 25L, 50L, 75L, 100L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def run(byResidual: Boolean) =
+      Similarity.ivfPqAnnTopK(vecs, qs, k = 4, nCells = 8,
+        nprobe = 6, nSub = 4, nCodes = 16, dim = 16, byResidual = byResidual)
+        .select("qid", "nid", "adc_sim").as[(Long, Long, Double)].collect()
+    def recall(rows: Array[(Long, Long, Double)]): Double = {
+      val got = rows.map { case (q, n, _) => (q, n) }.toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    // quantization DISTORTION — the thing residual coding changes — as
+    // mean |adc_sim - true cosine| over each tier's returned pairs: the
+    // direct measurement of code fidelity, independent of how tightly the
+    // fixture's true ranking is spaced (recall at k needs the ADC to
+    // resolve ~0.02-cosine gaps, which NO 16-bit code does; the paper's
+    // own headline metric is distortion-driven recall@R, not recall@k)
+    val unit = vecs.as[(Long, Seq[Float])].collect().toMap.view.mapValues { v =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, f) => a + f.toDouble * f)); v.map(_ / n)
+    }.toMap
+    def trueCos(a: Long, b: Long): Double =
+      unit(a).zip(unit(b)).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def distortion(rows: Array[(Long, Long, Double)]): Double =
+      rows.map { case (q, n, adc) => math.abs(adc - trueCos(q, n)) }.sum / rows.length
+    val (direct, residual) = (run(false), run(true))
+    val (rDirect, rResidual) = (recall(direct), recall(residual))
+    val (dDirect, dResidual) = (distortion(direct), distortion(residual))
+    info(f"equal-code-budget recall: direct=$rDirect%.3f residual=$rResidual%.3f")
+    info(f"equal-code-budget distortion: direct=$dDirect%.4f residual=$dResidual%.4f")
+    assert(rResidual >= rDirect,
+      s"residual coding lost recall vs direct: $rResidual < $rDirect")
+    assert(dResidual < dDirect,
+      s"residual coding did not cut quantization error: $dResidual >= $dDirect")
+    // bit-deterministic under partitioning, like every ANN tier
+    val r1 = Similarity.ivfPqAnnTopK(vecs, qs, k = 4, nCells = 8,
+      nprobe = 6, nSub = 4, nCodes = 16, dim = 16).collect().toSeq
+    val r2 = Similarity.ivfPqAnnTopK(vecs.repartition(7), qs, k = 4, nCells = 8,
+      nprobe = 6, nSub = 4, nCodes = 16, dim = 16).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("embCosineNearDupLSH: exact precision, >=0.95 recall on clustered vectors") {
     val rnd = new scala.util.Random(77)
     val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
@@ -326,6 +383,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r == expect)
   }
 
+  test("semanticDecontam starvation gate: a well-split corpus plans ZERO " +
+    "training exchanges; a starved one gets exactly one round-robin") {
+    val n = spark.sparkContext.defaultParallelism
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+    val evalDf = vecs.take(5).toDF("vec_id", "embedding")
+    def rr(df: org.apache.spark.sql.DataFrame): Int =
+      "(?i)Exchange roundrobinpartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head).length
+    // well-split: at least defaultParallelism partitions upstream — the
+    // 100 TB regime (thousands of scan splits). The gate must NOT fire:
+    // the only round-robin in the plan is the setup repartition itself.
+    val spreadTrain = vecs.toDF("vec_id", "embedding").repartition(n)
+    assert(rr(Similarity.semanticDecontam(spreadTrain, evalDf, 0.5)) == 1,
+      "gate fired on a well-split corpus (added a second round-robin)")
+    // starved: a single-partition input (the single-file fixture shape)
+    // gets exactly one rebalance exchange
+    val starvedTrain = vecs.toDF("vec_id", "embedding").coalesce(1)
+    assert(rr(Similarity.semanticDecontam(starvedTrain, evalDf, 0.5)) == 1,
+      "starved corpus did not get its rebalance")
+    // and the results are identical either way (exchange-invariant)
+    val a = Similarity.semanticDecontam(spreadTrain, evalDf, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Similarity.semanticDecontam(starvedTrain, evalDf, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
   test("centroidSimMatrix: pairwise cosine between group centroids") {
     val df = Seq(
       ("a", Array(1.0f, 0.0f)), ("a", Array(1.0f, 0.0f)),
@@ -388,19 +473,105 @@ class SimilaritySpec extends SparkSpec {
     val g = df1.select("src", "dst").as[(Long, Long)].collect()
     assert(g.length == g.distinct.length,
       s"duplicate (src,dst) edges under the elided dedupe: ${g.groupBy(identity).filter(_._2.length > 1).keys}")
-    // plan contract: the single-table path must carry ONE fewer hash
-    // exchange than the multi-table path — the pair-dedupe agg was the only
-    // corpus-pair-sized shuffle in the pipeline (sf100: eliding it cut total
-    // shuffle from ~50-60 GB spilled to 11 GB of join inputs), so a future
-    // edit that silently reintroduces it is a scale regression this pins
-    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange hashpartitioning".r.findAllIn(
-        df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head).length
-    val one = hashExchanges(df1)
-    val two = hashExchanges(
+    // plan contract: NO path — single- or multi-table — may shuffle the
+    // raw candidate frame. The historical (src, dst) max-sim dedupe agg
+    // was the only corpus-pair-sized exchange in the pipeline (sf100:
+    // eliding it at nTables=1 cut total shuffle from ~50-60 GB spilled to
+    // 11 GB of join inputs; §12 predicted ~260 GB at the full config);
+    // since r11 the multi-table path merges k-bounded per-table TopK
+    // partials instead, so a (src, dst)-keyed exchange reappearing in ANY
+    // plan is a scale regression this pins
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    def hashExchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val p1 = finalPlan(df1)
+    val p2 = finalPlan(
       Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16, nTables = 2))
-    assert(two == one + 1,
-      s"expected exactly one elided exchange at nTables=1 (got $one vs $two at nTables=2)")
+    val pairExchange = """hashpartitioning\(src#\d+L?, dst#""".r
+    for ((p, n) <- Seq((p1, 1), (p2, 2)))
+      assert(pairExchange.findFirstIn(p).isEmpty,
+        s"corpus-pair-sized (src, dst) exchange reappeared at nTables=$n:\n$p")
+    // the multi-table merge adds exactly ONE exchange over the single-table
+    // path — the (src)-keyed heap over <= k·nTables exploded partial rows
+    assert(hashExchanges(p2) == hashExchanges(p1) + 1,
+      s"expected one k-bounded merge exchange at nTables=2 " +
+        s"(got ${hashExchanges(p1)} vs ${hashExchanges(p2)}):\n$p2")
+  }
+
+  test("knnGraphLSH nTables=2: k-bounded per-table merge returns exactly " +
+    "the deduped global top-k (the formulation it replaced)") {
+    // the per-table-TopK + distinct-merge path must be output-identical to
+    // the r10 formulation (global (src, dst) max-sim dedupe, then top-k):
+    // rebuild the latter from the same private building blocks and compare
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(277)
+    val centers = Seq.fill(12)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (k, nBits, dim, nTables, maxBucket, seed) = (3, 6, 16, 2, 256, 42L)
+    val got = Similarity.knnGraphLSH(vecs, k = k, nBits = nBits, dim = dim,
+        nTables = nTables, maxBucket = maxBucket, seed = seed)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // reference: same bucketing/probing/capping, then the historical
+    // dedupe-then-rank formulation via a window
+    val base = vecs.repartition(8).select(col("vec_id").as("id"), col("embedding").as("v"),
+      graft.functions.functions.float_norm(col("embedding")).as("nrm"))
+    val e = Similarity.bucketedTables(base, nBits, dim, seed, nTables)
+    val src = e.select(col("id").as("src"), col("v").as("va"),
+      col("nrm").as("na"), col("tbl"), Similarity.multiprobe(nBits).as("bkt"))
+    val cand = e.toDF("dst", "vb", "nb", "tbl", "bkt")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("tbl", "bkt").orderBy("dst")))
+      .where(col("__rn") <= maxBucket).drop("__rn")
+    val sim9 = round(graft.functions.functions.float_dot(col("va"), col("vb"))
+      / (col("na") * col("nb")), 9)
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    val want = src.join(cand, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), sim9.as("sim"))
+      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("src"), col("rnk"), col("dst"), col("sim"))
+      .orderBy("src", "rnk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == want, "k-bounded merge diverged from the dedupe-then-rank reference")
+  }
+
+  test("multiprobe depth 2: probe keys are distinct buckets (pair-uniqueness " +
+    "proof holds), and recall dominates depth 1 at nTables=1") {
+    // distinct masks => distinct probe keys, for every bucket value
+    val probes = Seq(37L).toDF("bkt")
+      .select(Similarity.multiprobe(6, 2).as("p")).as[Long].collect()
+    assert(probes.length == 1 + 6 + 15, s"probe count ${probes.length}")
+    assert(probes.distinct.length == probes.length, "probe keys collide")
+    // recall: depth 2 must find at least every planted edge depth 1 finds
+    // on a clustered corpus (superset probe set => superset candidates)
+    val rnd = new scala.util.Random(555)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.knnGraph(vecs, k = 3)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    def recall(depth: Int): Double = {
+      val g = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16,
+          nTables = 1, probeDepth = depth)
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+      (exact intersect g).size.toDouble / exact.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1, s"depth-2 recall $r2 below depth-1 $r1")
+    assert(r2 >= 0.8, s"depth-2 recall $r2 too low")
+    // structural uniqueness at depth 2: no duplicate (src, dst) edges
+    val g2 = Similarity.knnGraphLSH(vecs, k = 3, nBits = 6, dim = 16,
+        nTables = 1, probeDepth = 2)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(g2.length == g2.distinct.length, "duplicate pairs at probeDepth=2")
   }
 
   test("knnGraphLSH hot-bucket cap: a dense hub stays linear, every hub " +
