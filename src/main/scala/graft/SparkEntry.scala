@@ -965,11 +965,13 @@ object SparkEntry {
     }),
     // similarity-graph centrality: damped PageRank over the exact kNN edge
     // list — high-rank vectors are the template-like cluster centers a
-    // curation pass inspects first. Decimal rank sums make the result
-    // bit-deterministic, but the iteration count is a modeling choice, so
-    // no oracle: fixed-point, conservation, and determinism property
-    // tests live in GraphsSpec (DuckDB's recursive CTEs cannot express
-    // per-iteration aggregation anyway)
+    // curation pass inspects first. ORACLE-BEARING since r11: the decimal
+    // iteration quantizes to scale 6 (see pageRankIterSql), so the 10
+    // fixed iterations unroll as integer-exact chained CTEs in DuckDB —
+    // recursive CTEs can't aggregate per round, but unrolling sidesteps
+    // that (the technique that oracled the two-round Lloyd tiers).
+    // Fixed-point/conservation/determinism property tests stay in
+    // GraphsSpec, plus the scale-6 model pin the mirror rests on.
     "pagerank_knn_embeddings" -> ((s, d) =>
       Graphs.pageRank(Similarity.knnGraph(emb(s, d), k = 3),
         iters = 10)),
@@ -1498,7 +1500,8 @@ object SparkEntry {
     // index->probe->score->rank pipeline digit-for-digit. The xxhash-seeded
     // tier above stays the production face.
     "ann_ivf_seeded_topk_embeddings" -> ((s, d) =>
-      Similarity.ivfAnnTopKSeeded(emb(s, d), queryIds = 0L until 10L, k = 5)),
+      Similarity.ivfAnnTopKSeeded(emb(s, d), queryIds = 0L until seededQueryBound,
+        k = seededIvfK, nCells = seededCells, nprobe = seededIvfNprobe)),
     // PQ tier: candidates live as 16-bit codes (the 100 TB residency lever);
     // ADC scoring via per-query broadcast lookup tables (no oracle:
     // sample-trained codebooks; recall + determinism property-tested)
@@ -1740,14 +1743,14 @@ object SparkEntry {
     // seeded tier (9-rounded argmax, decimal sums, round-6 double means) —
     // partition/optimality/determinism property tests in SimilaritySpec
     "kmeans_profile_embeddings" -> ((s, d) =>
-      Similarity.kMeansProfile(emb(s, d), k = 8, iters = 2)),
+      Similarity.kMeansProfile(emb(s, d), k = seededCells, iters = 2)),
     // ORACLE-BEARING k-means: id-ordered seeds, 9-rounded argmax sims,
     // round-6 double-division centroid means — every ingredient chosen so
     // DuckDB mirrors the two Lloyd rounds digit-for-digit (moves k-means
     // out of the omit set; the hash-ordered-seed tier above stays the
     // production default)
     "kmeans_profile_seeded_embeddings" -> ((s, d) =>
-      Similarity.kMeansProfileSeeded(emb(s, d), k = 8, iters = 2)),
+      Similarity.kMeansProfileSeeded(emb(s, d), k = seededCells, iters = 2)),
 
     // SemDeDup: k-means cells + within-cell cosine pair-drop — the
     // cluster-then-dedup semantic-dedup shape. Threshold 0.45 suits this
@@ -1761,7 +1764,8 @@ object SparkEntry {
     // corpus-adaptive auto-C tier above stays the production face; the
     // fixed k=8 here is the price of an unrolled SQL mirror)
     "semdedup_seeded_embeddings" -> ((s, d) =>
-      Similarity.semDedupSeeded(emb(s, d), threshold = 0.45, k = 8)),
+      Similarity.semDedupSeeded(emb(s, d), threshold = seededSemThreshold,
+        k = seededCells)),
 
     // MMR diverse selection: 20 picks balancing centroid-relevance against
     // redundancy. No oracle (iterative greedy — not SQL-expressible);
@@ -1991,6 +1995,17 @@ object SparkEntry {
 
   /** Norm + dot expressions for the embeddings oracle: explicit 1-based index
     * fold with float→double casts, matching Similarity.dot/norm exactly. */
+  /** Shared face constants for the seeded (oracle-bearing) clustering
+    * tiers: the Scala query registrations and the DuckDB SQL mirrors both
+    * interpolate THESE values, so the two faces cannot drift independently
+    * — a one-sided edit previously broke the digit-exact contract silently
+    * until an oracle run caught it (r10 ADVICE). */
+  private[graft] val seededCells = 8         // Lloyd cell count / seed LIMIT
+  private[graft] val seededSemThreshold = 0.45 // semdedup_seeded pair-drop
+  private[graft] val seededIvfK = 5          // ann_ivf_seeded top-k
+  private[graft] val seededIvfNprobe = 4     // ann_ivf_seeded probe list
+  private[graft] val seededQueryBound = 10L  // query ids are [0, bound)
+
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
   private def normSql(v: String) =
@@ -2027,6 +2042,29 @@ object SparkEntry {
        |  FROM $prev p LEFT JOIN (
        |    SELECT cid, list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv2
        |    FROM $m GROUP BY cid) g ON p.cid = g.cid)""".stripMargin
+
+  /** One damped-PageRank iteration as a DuckDB CTE, mirroring
+    * [[graft.llm.Graphs.pageRank]]'s decimal semantics EXACTLY in integer
+    * arithmetic. Spark's decimal(38,18) ops quantize far coarser than the
+    * declared type under allowPrecisionLoss — divide, multiply, AND the
+    * base+damped-sum addition all adjust to scale 6, each rounding HALF_UP
+    * — so every rank is a scale-6 decimal and the whole iteration is plain
+    * BIGINT math at 1e6 scaling. The damping constant is 0.85 EXACTLY
+    * (Spark's double literals reach decimal via their shortest string
+    * repr, not their binary expansion), hence (85·s + 50) // 100; the
+    * (1-d) base constant 0.150000000000000020's sub-scale-6 tail always
+    * rounds away in the addition, hence the bare +150000. Every claim here
+    * is probed, not derived: GraphsSpec's "scale-6 fixed-point model" test
+    * pins this model against the real operator, so a Spark semantics
+    * change breaks there, not as a driver hash mismatch. */
+  private def pageRankIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.id,
+       |         150000 + CAST((85 * coalesce(s.s6, 0) + 50) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT es.dst AS id, sum((p.r * es.share6 + 500000) // 1000000) AS s6
+       |    FROM es JOIN $prev p ON es.src = p.id GROUP BY es.dst) s
+       |  ON n.id = s.id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "minmax_extendedprice" ->
@@ -4273,7 +4311,7 @@ object SparkEntry {
          |         AS INTEGER) AS cid, v AS cv, nrm AS cn
          |  FROM (SELECT id, v, nrm FROM en
          |        ORDER BY (id % 2147483647) * 2654435761 % 2147483647, id
-         |        LIMIT 8)),
+         |        LIMIT $seededCells)),
          |${lloydRoundSql("c0", "a1", "m1", "c1")},
          |${lloydRoundSql("c1", "a2", "m2", "c2")},
          |asg AS (
@@ -4299,7 +4337,7 @@ object SparkEntry {
          |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
          |         v AS cv, nrm AS cn
-         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT 8)),
+         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT $seededCells)),
          |${lloydRoundSql("c0", "a1", "m1", "c1")},
          |${lloydRoundSql("c1", "a2", "m2", "c2")},
          |asg AS (
@@ -4325,7 +4363,7 @@ object SparkEntry {
          |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
          |         v AS cv, nrm AS cn
-         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT 8)),
+         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT $seededCells)),
          |${lloydRoundSql("c0", "a1", "m1", "c1")},
          |${lloydRoundSql("c1", "a2", "m2", "c2")},
          |asg AS (
@@ -4338,7 +4376,7 @@ object SparkEntry {
          |drp AS (
          |  SELECT DISTINCT b.id FROM asg a JOIN asg b
          |    ON a.cid = b.cid AND a.id < b.id
-         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= 0.45)
+         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= $seededSemThreshold)
          |SELECT a.id AS vec_id, a.cid, (d.id IS NULL) AS kept
          |FROM asg a LEFT JOIN drp d ON a.id = d.id
          |ORDER BY vec_id""".stripMargin,
@@ -4354,7 +4392,7 @@ object SparkEntry {
          |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
          |         v AS cv, nrm AS cn
-         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT 8)),
+         |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT $seededCells)),
          |${lloydRoundSql("c0", "a1", "m1", "c1")},
          |${lloydRoundSql("c1", "a2", "m2", "c2")},
          |asg AS (
@@ -4370,7 +4408,7 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY en.id
          |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
          |                      c.cid DESC) AS rn
-         |    FROM en CROSS JOIN c2 c WHERE en.id < 10) WHERE rn <= 4),
+         |    FROM en CROSS JOIN c2 c WHERE en.id < $seededQueryBound) WHERE rn <= $seededIvfNprobe),
          |scored AS (
          |  SELECT p.qid, a.id AS nid,
          |         round(${dotSql("p.qv", "a.v")} / (p.qn * a.nrm), 9) AS sim
@@ -4379,7 +4417,7 @@ object SparkEntry {
          |             CAST(row_number() OVER (PARTITION BY qid
          |               ORDER BY sim DESC, nid) AS INTEGER) AS rnk
          |      FROM scored)
-         |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+         |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= $seededIvfK ORDER BY qid, rnk""".stripMargin,
 
     // same all-pairs scoring as ann_brute, ranked per source vector
     "knn_graph_embeddings" ->
@@ -4392,6 +4430,41 @@ object SparkEntry {
          |             CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rnk
          |      FROM scored)
          |SELECT src, rnk, dst, sim FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    // damped PageRank (10 iterations) over the exact kNN edge list,
+    // unrolled as 10 chained CTEs: the scale-6 fixed-point model of the
+    // Spark decimal iteration (see pageRankIterSql) makes every rank a
+    // BIGINT both engines compute digit-for-digit — which moves the exact
+    // graph-centrality tier from the omit set to a hash-checked query
+    // (the LSH sibling stays omitted: approximate bucketing by design)
+    "pagerank_knn_embeddings" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT a.id AS src, b.id AS dst,
+         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+         |  FROM e a JOIN e b ON a.id <> b.id),
+         |g AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+         |    FROM scored) WHERE rnk <= 3),
+         |ow AS (SELECT src, count(*) AS d FROM g GROUP BY src),
+         |es AS (SELECT g.src, g.dst, (2000000 + ow.d) // (2 * ow.d) AS share6
+         |       FROM g JOIN ow ON g.src = ow.src),
+         |nodes AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${pageRankIterSql("r0", "r1")},
+${pageRankIterSql("r1", "r2")},
+${pageRankIterSql("r2", "r3")},
+${pageRankIterSql("r3", "r4")},
+${pageRankIterSql("r4", "r5")},
+${pageRankIterSql("r5", "r6")},
+${pageRankIterSql("r6", "r7")},
+${pageRankIterSql("r7", "r8")},
+${pageRankIterSql("r8", "r9")},
+${pageRankIterSql("r9", "r10")}
+         |SELECT id, round(CAST(r AS DOUBLE) / 1000000, 9) AS rank
+         |FROM r10 ORDER BY id""".stripMargin,
 
     // identical URL synthesis + canonicalization regexes (Java ∩ RE2)
     "dedup_url_documents" ->

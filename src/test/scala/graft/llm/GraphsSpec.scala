@@ -58,6 +58,52 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(a.map(_._2).sum - 200.0) < 1e-4)
   }
 
+  test("pageRank (unweighted) is EXACTLY the scale-6 fixed-point model — " +
+    "the contract the DuckDB oracle mirror unrolls") {
+    // Spark's decimal(38,18) arithmetic in pageRank quantizes far coarser
+    // than the declared type: with allowPrecisionLoss (the default),
+    //   (38,18) / (38,18) -> (38,6)   [share]
+    //   (38,18) * (38,18) -> (38,6)   [rank*share, damping*sum]
+    //   (38,18) + (38,6)  -> (38,6)   [base + damped sum]
+    // each rounding HALF_UP — so every rank is a scale-6 decimal and the
+    // whole iteration is integer arithmetic at 1e6 scaling. The
+    // pagerank_knn_embeddings oracle mirrors EXACTLY this model in DuckDB
+    // BIGINT/HUGEINT CTEs; this test pins the model against the real
+    // operator so a Spark-side semantics change breaks HERE, not in a
+    // hash mismatch at the driver. Graph: deterministic pseudo-random,
+    // irregular in/out degrees, some nodes dangling-free, 10 iterations
+    // (the declared query's count).
+    // Constants, each probed against Spark 4.1.2 (not derived from docs):
+    //   lit(0.85).cast(38,18)    = 0.85 EXACTLY — double literals reach
+    //     decimal via their shortest STRING repr ("0.85"), not their binary
+    //     expansion, so the damping multiply is (85·s + 50) // 100;
+    //   lit(1-0.85).cast(38,18)  = 0.150000000000000020 — its sub-scale-6
+    //     tail always rounds away in the scale-6 addition, leaving +150000;
+    //   every scale adjustment rounds HALF_UP (0.0000005 -> 0.000001).
+    val edgeSeq = ((0 until 120).map(i => (i.toLong, ((i * 17 + 5) % 40).toLong)) ++
+      (0 until 80).map(i => (i.toLong, ((i * 29 + 11) % 120).toLong)))
+      .distinct.filter { case (s, d) => s != d }
+    val iters = 10
+    val got = Graphs.pageRank(edgeSeq.toDF("src", "dst"), iters = iters)
+      .as[(Long, Double)].collect().toMap
+    // driver-side scale-6 integer model — pure Long arithmetic
+    val outdeg = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val share6 = outdeg.map { case (s, d) => s -> (2000000L + d) / (2 * d) }
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val s6 = edgeSeq.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+        (r(src) * share6(src) + 500000L) / 1000000L
+      }.sum).toMap
+      r = nodes.map(id => id ->
+        (150000L + (85L * s6.getOrElse(id, 0L) + 50L) / 100L)).toMap
+    }
+    val want = r.map { case (id, v) => id -> v.toDouble / 1e6 }
+    assert(got == want,
+      s"model diverged on ${got.keySet.filter(k => got(k) != want(k)).take(5)
+        .map(k => s"$k: spark=${got(k)} model=${want(k)}")}")
+  }
+
   test("triangleStats: known graphs — triangle, square, K4, star") {
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) =
       Graphs.triangleStats(edges.toDF("src", "dst"))

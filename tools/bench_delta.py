@@ -39,6 +39,10 @@ def main():
         raw = nq[q] / oq[q]
         nrm = (nq[q] / nc) / (oq[q] / oc) if norm else None
         rows.append((q, oq[q], nq[q], raw, nrm))
+    if not rows:
+        print("no comparable queries (no shared names with positive old "
+              "timings) — nothing to rank")
+        return
     key = 4 if norm else 3
     rows.sort(key=lambda r: r[key], reverse=True)
     ratios = sorted(r[key] for r in rows)
