@@ -170,6 +170,54 @@ class VectorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annServeRefreshing state-size probe: stateless across corpus " +
+    "refreshes — zero state-store rows, no state directory, O(1) " +
+    "checkpoint files per batch") {
+    // the serving face holds NO streaming state by design: the index is
+    // re-read from the corpus directory every trigger and results commit
+    // to b=<batchId> dirs, so nothing accumulates in a state store no
+    // matter how many times (or how large) the corpus refreshes. This is
+    // the bounded-state assertion the other streaming ops carry
+    // (DocStreamsSpec.stateRows) — here the bound is exactly zero, probed
+    // across >= 3 refresh cycles rather than taken from the docstring.
+    implicit val sqlCtx = spark.sqlContext
+    val (centers, corp) = corpus(seed = 31)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_annst_corp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_annst_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_annst_chk").toString
+    corp.write.mode("overwrite").parquet(corpusDir)
+    val in = MemoryStream[QueryVec]
+    val q = VectorStreams.annServeRefreshing(in.toDF(), corpusDir, outDir, chk,
+      k = 3, nBits = 6, dim = 16, nTables = 2)
+    try {
+      val rnd = new scala.util.Random(7)
+      for (b <- 0 until 4) {
+        // refresh the corpus between every batch (append a new vector)...
+        if (b > 0) Seq((2000L + b, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding").write.mode("append").parquet(corpusDir)
+        // ...then serve a query batch against the grown index
+        in.addData(QueryVec(b.toLong, centers(b % 5).map(_.toFloat),
+          ts(s"2024-01-01 10:0$b:00")))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        assert(p == null || p.stateOperators.isEmpty ||
+          p.stateOperators.map(_.numRowsTotal).sum == 0L,
+          s"refreshing server accumulated state rows at batch $b: " +
+            s"${p.stateOperators.map(_.numRowsTotal).toSeq}")
+      }
+      // no state store ever materialized on disk
+      assert(!new java.io.File(s"$chk/state").exists(),
+        "stateless query materialized a state directory")
+      // checkpoint carries only offsets/commits: O(1) files per batch,
+      // independent of corpus size (4 batches x ~4 offset/commit/.crc
+      // files + metadata — well under 24; a state store would add a
+      // per-partition tree growing with every batch)
+      val ckFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(chk))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(ckFiles <= 24, s"checkpoint grew beyond offsets/commits: $ckFiles files")
+    } finally q.stop()
+  }
+
   test("annServeRefreshing resumes from checkpoint: each b=<batchId> " +
     "produced exactly once across a restart; a replayed batch overwrites " +
     "its own directory deterministically") {
