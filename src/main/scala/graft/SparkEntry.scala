@@ -722,11 +722,14 @@ object SparkEntry {
         .orderBy(col("n_tri").desc, col("id")).limit(20)
     }),
     // k-core peel: the hard kernel of the co-purchase graph (every
-    // surviving part co-bought with >= 3 other core parts)
+    // surviving part co-bought with >= kcoreK other core parts); k and the
+    // round cap interpolate shared constants into both faces — the SQL
+    // mirror unrolls exactly kcoreMaxRounds idempotent peels
     "kcore_copurchase" -> ((s, d) => {
       val e = graft.llm.Graphs.coOccurrenceEdges(
         t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
-      graft.llm.Graphs.kCore(e, k = 3).orderBy("id")
+      graft.llm.Graphs.kCore(e, k = kcoreK, maxRounds = kcoreMaxRounds)
+        .orderBy("id")
     }),
     // distributed BFS from the smallest part in the graph: hop-distance
     // histogram (frontier-join rounds, node-sized state, fixed job count)
@@ -2042,6 +2045,40 @@ object SparkEntry {
        |  FROM $prev p LEFT JOIN (
        |    SELECT cid, list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv2
        |    FROM $m GROUP BY cid) g ON p.cid = g.cid)""".stripMargin
+
+  /** kcore_copurchase parameters, shared by the Scala registration and the
+    * SQL mirror (same no-drift discipline as the seeded constants above).
+    * The oracle unrolls EXACTLY `kcoreMaxRounds` peels: peeling is
+    * idempotent at the fixpoint (a round over an all-(deg>=k) graph keeps
+    * every edge), so a fixed unroll equals the engine's early-stopping loop
+    * whenever it converges, and equals its round-capped superset otherwise —
+    * identical by construction in BOTH cases, which is what moves this
+    * query out of the "data-dependent rounds" omit class. */
+  private[graft] val kcoreK = 3
+  private[graft] val kcoreMaxRounds = 30
+
+  /** One k-core peel round as ONE DuckDB CTE over the symmetric
+    * endpoint-exploded frame (each undirected edge as two (v, o) rows),
+    * mirroring [[graft.llm.Graphs.kCore]]'s round exactly: drop every edge
+    * with an endpoint below degree k, implicitly recounting on survivors.
+    * In the symmetric frame deg(x) = #rows with v = x = #rows with o = x,
+    * so BOTH endpoint degrees come from window counts over the SAME single
+    * reference to the previous round — load-bearing: DuckDB inlines
+    * non-materialized CTEs, so a round that referenced its predecessor
+    * twice (the naive edges+degrees pair) expands the 30-round chain into
+    * a 2³⁰-leaf expression tree (measured: "too many open files" from the
+    * exploded scan count before any row moved). The two rows of an edge
+    * share the symmetric survival condition, so they live and die together
+    * — the frame stays exactly the exploded current edge set. Integer
+    * counts only: nothing to quantize, the mirror is digit-exact. */
+  private def kCorePeelSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT v, o FROM (
+       |    SELECT v, o,
+       |           count(*) OVER (PARTITION BY v) AS dv,
+       |           count(*) OVER (PARTITION BY o) AS dd
+       |    FROM $prev)
+       |  WHERE dv >= $kcoreK AND dd >= $kcoreK)""".stripMargin
 
   /** One damped-PageRank iteration as a DuckDB CTE, mirroring
     * [[graft.llm.Graphs.pageRank]]'s decimal semantics EXACTLY in integer
@@ -4134,6 +4171,27 @@ object SparkEntry {
         |      WHERE id IS NOT NULL GROUP BY id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // k-core peel unrolled as kcoreMaxRounds chained CTE rounds: each round
+    // is the engine's round verbatim (drop <k-degree endpoints, recount),
+    // and rounds past the fixpoint are no-ops, so the fixed unroll equals
+    // the early-stopping loop — integer degrees make it digit-exact (see
+    // kCorePeelSql; brute-force-peel property test in GraphsSpec pins the
+    // engine side)
+    "kcore_copurchase" -> {
+      val rounds = (1 to kcoreMaxRounds).map(i =>
+        kCorePeelSql(s"u${i - 1}", s"u$i")).mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS (
+         |  SELECT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM op a JOIN op b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |u0 AS (SELECT a AS v, b AS o FROM e0 UNION ALL SELECT b, a FROM e0),
+         |$rounds
+         |SELECT v AS id, count(*) AS deg FROM u$kcoreMaxRounds
+         |GROUP BY 1 HAVING count(*) >= $kcoreK ORDER BY 1""".stripMargin
+    },
+
     "scd2_asof_lookup_lineitem" ->
       """WITH dim AS (
         |  SELECT p_partkey, p_retailprice AS price, CAST(0 AS BIGINT) AS vf,
@@ -4214,6 +4272,42 @@ object SparkEntry {
         |SELECT l_returnflag, min(v) AS wmedian
         |FROM c WHERE cum >= tot * 0.5
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the binned sketch tier, digit-exact after all: per-bin decimal weight
+    // sums and an even-width bin map are BOTH deterministic, so the bracket
+    // mirrors in SQL. The arithmetic replays the engine's exact double ops:
+    // step = (hi-lo)/n; the bin map's step2 re-derives from the CONSTRUCTED
+    // last edge ((lo + n*step) - lo)/n — binId recomputes width from
+    // edges.last, which differs from step by ulps; output edges use the
+    // ORIGINAL step (lo + qbin*step). Same float, same bits (probed, and
+    // the fixture's bin populations sit far from every edge ulp).
+    "weighted_median_binned_extendedprice" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+        |         CAST(l_quantity AS DECIMAL(18,6)) AS wt
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+        |params AS (
+        |  SELECT lo, hi, (hi - lo) / 1000 AS step,
+        |         ((lo + 1000 * ((hi - lo) / 1000)) - lo) / 1000 AS step2
+        |  FROM mm),
+        |b AS (
+        |  SELECT g, CAST(least(floor((v - lo) / step2), 999) AS INTEGER) AS bin, wt
+        |  FROM base, params),
+        |pb AS (SELECT g, bin, sum(wt) AS w FROM b GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT g, bin,
+        |         sum(w) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |         sum(w) OVER (PARTITION BY g) AS tot
+        |  FROM pb),
+        |q AS (SELECT g, min(bin) AS qbin FROM cw WHERE cum >= tot * 0.5 GROUP BY g)
+        |SELECT g AS l_returnflag,
+        |       lo + qbin * step AS wq_lo,
+        |       CASE WHEN qbin = 999 THEN hi ELSE lo + (qbin + 1) * step END AS wq_hi
+        |FROM q, params ORDER BY 1""".stripMargin,
 
     "promo_revenue_lineitem" ->
       """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
