@@ -1572,20 +1572,23 @@ object SparkEntry {
     // SimilaritySpec pins 1e-6 relative agreement with the exact tier
     "rp_reduce_fast_embeddings" -> ((s, d) =>
       Similarity.rpReduceFast(emb(s, d), outDims = 16)),
-    // dominant PC by power iteration (anisotropy audit). No oracle —
-    // iterative driver-normalized; planted-direction recovery + partition
-    // invariance property-tested in SimilaritySpec
+    // dominant PC by power iteration (anisotropy audit). Oracle-bearing
+    // since r11: decimal matvec sums + fixed-order double folds replay
+    // digit-exact in SQL (see pcCoreSql); iters/dim interpolate shared
+    // constants into both faces. Planted-direction recovery + partition
+    // invariance stay property-tested in SimilaritySpec
     "top_pc_embeddings" -> ((s, d) =>
-      Similarity.topPrincipalComponent(emb(s, d), iters = 5)),
+      Similarity.topPrincipalComponent(emb(s, d), iters = pcIters, dim = pcDim)),
     // one-scan Gram-matrix fast tier: same power iteration run driver-side
     // on the d×d scatter matrix — 1 job vs 2+iters. No oracle — double
     // partial sums; SimilaritySpec pins agreement with the exact tier
     "top_pc_fast_embeddings" -> ((s, d) =>
       Similarity.topPrincipalComponentFast(emb(s, d), iters = 5)),
-    // all-but-the-top debias ledger: projection + residual norm per vector
-    // (no oracle — built on the iterative PC; residual⊥PC property-tested)
+    // all-but-the-top debias ledger: projection + residual norm per vector.
+    // Oracle-bearing since r11 — the ledger is a fixed expression tree over
+    // the (now mirrorable) exact-tier PC; residual⊥PC stays property-tested
     "debias_embeddings" -> ((s, d) =>
-      Similarity.removeDominantPC(emb(s, d), iters = 5)),
+      Similarity.removeDominantPC(emb(s, d), iters = pcIters, dim = pcDim)),
     // the same ledger on the one-scan fast PC: 2 jobs total (no oracle —
     // fast-PC rounding; ledger agreement with exact tier property-tested)
     "debias_fast_embeddings" -> ((s, d) =>
@@ -2045,6 +2048,74 @@ object SparkEntry {
        |  FROM $prev p LEFT JOIN (
        |    SELECT cid, list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv2
        |    FROM $m GROUP BY cid) g ON p.cid = g.cid)""".stripMargin
+
+  /** Power-iteration parameters shared by the top_pc/debias registrations
+    * and their SQL mirrors (no-drift discipline, as with the seeded
+    * constants). Mirrorability: every per-iteration ingredient is either
+    * an exact decimal sum (the matvec per-dim u_j, the centering means) or
+    * a FIXED-ORDER IEEE double fold (the per-row projection s, the norm
+    * Σu², the u/‖u‖ division) — Spark's chained-Add / Array.sum and
+    * DuckDB's list_reduce both fold left over the dim index, so every
+    * iterate is the same 64 bits in both engines. The fast (treeAggregate)
+    * tiers stay omitted: their double partial sums ARE combine-order
+    * dependent. */
+  private[graft] val pcDim = 64
+  private[graft] val pcIters = 5
+
+  /** One power iteration as three DuckDB CTEs (s_i: per-row projection
+    * against the previous iterate; u_i: per-dim decimal-exact matvec sums,
+    * reassembled in dim order; p_i: normalized next iterate + its norm).
+    * Each CTE references its predecessor ONCE (the kCorePeelSql lesson:
+    * DuckDB inlines CTEs, so reference counts multiply down the chain). */
+  private def powerIterSql(prev: String, i: Int): String = {
+    val r = s"range(1, $pcDim + 1)"
+    s"""s$i AS (
+       |  SELECT en.v,
+       |         list_reduce(list_transform($r,
+       |           j -> (CAST(en.v[j] AS DOUBLE) - pcm.ml[j]) * pv.vl[j]),
+       |           (a, b) -> a + b) AS s
+       |  FROM en, pcm, $prev pv),
+       |u$i AS (
+       |  SELECT list(u ORDER BY j) AS ul FROM (
+       |    SELECT j,
+       |           CAST(sum(CAST((CAST(v[j] AS DOUBLE) - pcm.ml[j]) * s AS DECIMAL(28,8))) AS DOUBLE) AS u
+       |    FROM (SELECT v, s, unnest([x FOR x IN $r]) AS j FROM s$i), pcm
+       |    GROUP BY j)),
+       |p$i AS (
+       |  SELECT list_transform(ul, x -> x / nrm) AS vl, nrm
+       |  FROM (SELECT ul, sqrt(list_reduce(list_transform(ul, c -> c * c),
+       |                                    (a, b) -> a + b)) AS nrm FROM u$i))""".stripMargin
+  }
+
+  /** The shared WITH-body computing the dominant PC (sign-pinned, as `fin`)
+    * plus the corpus count (`nn`) — the common prefix of the top_pc and
+    * debias oracles. Assumes a non-degenerate corpus (‖u‖ > 0 at every
+    * iterate — the engine's nrm>0 guard never fires on the fixtures, same
+    * assumption style as the other oracles' fixture-shaped simplifications). */
+  private def pcCoreSql: String = {
+    val r = s"range(1, $pcDim + 1)"
+    val chain = (1 to pcIters)
+      .map(i => powerIterSql(if (i > 1) s"p${i - 1}" else "p0", i))
+      .mkString(",\n")
+    s"""en AS (SELECT embedding AS v FROM embeddings WHERE len(embedding) = $pcDim),
+       |pcm AS (
+       |  SELECT list(m ORDER BY j) AS ml FROM (
+       |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+       |              / count(*) AS m
+       |    FROM (SELECT v, unnest([x FOR x IN $r]) AS j FROM en)
+       |    GROUP BY j)),
+       |p0 AS (SELECT list_transform($r, j -> 1.0 / sqrt(CAST($pcDim AS DOUBLE))) AS vl,
+       |              CAST(0 AS DOUBLE) AS nrm),
+       |$chain,
+       |kmax AS (
+       |  SELECT j FROM (SELECT unnest([x FOR x IN $r]) AS j, vl FROM p$pcIters)
+       |  ORDER BY abs(vl[j]) DESC, j ASC LIMIT 1),
+       |fin AS (
+       |  SELECT CASE WHEN p.vl[k.j] < 0 THEN list_transform(p.vl, x -> -x) ELSE p.vl END AS vl,
+       |         p.nrm
+       |  FROM p$pcIters p, kmax k),
+       |nn AS (SELECT count(*) AS n FROM en)""".stripMargin
+  }
 
   /** kcore_copurchase parameters, shared by the Scala registration and the
     * SQL mirror (same no-drift discipline as the seeded constants above).
@@ -4559,6 +4630,32 @@ ${pageRankIterSql("r8", "r9")},
 ${pageRankIterSql("r9", "r10")}
          |SELECT id, round(CAST(r AS DOUBLE) / 1000000, 9) AS rank
          |FROM r10 ORDER BY id""".stripMargin,
+
+    // dominant-PC power iteration unrolled as chained CTEs (pcCoreSql):
+    // decimal matvec sums and fixed-order double folds make every iterate,
+    // the sign pin, and the Rayleigh eigenvalue the same 64 bits in both
+    // engines — no rounding anywhere in the output
+    "top_pc_embeddings" ->
+      s"""WITH $pcCoreSql
+         |SELECT CAST(j - 1 AS INTEGER) AS dim_idx, fin.vl[j] AS loading,
+         |       fin.nrm / greatest(nn.n, 1) AS eigenvalue
+         |FROM (SELECT unnest([x FOR x IN range(1, $pcDim + 1)]) AS j), fin, nn
+         |ORDER BY dim_idx""".stripMargin,
+
+    // the per-vector debias ledger over the same PC: projection is the
+    // identical left fold the codegen FloatDoubleDot runs, norms mirror
+    // through the shared dot contract, all rounded at 9 like every cosine
+    "debias_embeddings" ->
+      s"""WITH $pcCoreSql
+         |SELECT vec_id, round(p, 9) AS proj, round(sqrt(n2), 9) AS norm,
+         |       round(sqrt(greatest(n2 - p * p, 0.0)), 9) AS residual_norm
+         |FROM (SELECT vec_id,
+         |             list_reduce(list_transform(range(1, $pcDim + 1),
+         |               j -> CAST(embedding[j] AS DOUBLE) * fin.vl[j]),
+         |               (a, b) -> a + b) AS p,
+         |             ${dotSql("embedding", "embedding")} AS n2
+         |      FROM embeddings, fin WHERE len(embedding) = $pcDim)
+         |ORDER BY vec_id""".stripMargin,
 
     // identical URL synthesis + canonicalization regexes (Java ∩ RE2)
     "dedup_url_documents" ->
