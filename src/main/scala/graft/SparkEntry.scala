@@ -1777,8 +1777,10 @@ object SparkEntry {
     // redundancy. No oracle (iterative greedy — not SQL-expressible);
     // λ-degeneracy, cluster-coverage, and determinism property-tested in
     // SimilaritySpec.
+    // oracle-bearing since r11 (see mmrRoundSql); k/λ interpolate shared
+    // constants into both faces
     "curate_mmr_embeddings" -> ((s, d) =>
-      Similarity.mmrSelect(emb(s, d), k = 20, lambda = 0.7)),
+      Similarity.mmrSelect(emb(s, d), k = mmrK, lambda = mmrLambda)),
     // batched scale tier: per-cell parallel greedy, ~k/nCells rounds
     // instead of k (no oracle: iterative + cell-partitioned; nCells=1
     // equivalence to the exact tier property-tested in CurationSpec)
@@ -2115,6 +2117,39 @@ object SparkEntry {
        |         p.nrm
        |  FROM p$pcIters p, kmax k),
        |nn AS (SELECT count(*) AS n FROM en)""".stripMargin
+  }
+
+  /** curate_mmr parameters, shared by the registration and the SQL mirror.
+    * The greedy loop mirrors because every pick is a deterministic argmax
+    * over round-9 quantities: all candidate↔selected sims precompute ONCE
+    * as a pair CTE (the per-round max is then a lambda-free correlated
+    * lookup — DuckDB's lambdas cannot see correlated outer columns, so the
+    * naive "fold the selection list per candidate" formulation does not
+    * even bind), and each round's CTE references its predecessor once with
+    * the pick chosen by (score DESC, id) LIMIT 1 — exactly the engine's
+    * TakeOrdered(1) contract. The (1-λ) weight is written as the SQL
+    * expression `(1.0 - 0.7)` so both engines compute the same
+    * 0.30000000000000004 double rather than a re-typed 0.3 literal. */
+  private[graft] val mmrK = 20
+  private[graft] val mmrLambda = 0.7
+
+  /** One MMR greedy round as a DuckDB CTE: state is (sel: picked
+    * (id, score) structs in pick order, ids: plain id list for the
+    * lambda-free membership tests). */
+  private def mmrRoundSql(prev: String, out: String): String = {
+    val marginal =
+      s"""CASE WHEN len(ids) = 0 THEN b.rel
+         |             ELSE $mmrLambda * b.rel - (1.0 - $mmrLambda) *
+         |               (SELECT max(st.sim) FROM simtab st
+         |                WHERE st.ia = b.id AND list_contains(ids, st.ib)) END""".stripMargin
+    s"""$out AS (
+       |  SELECT list_append(sel, pick) AS sel, list_append(ids, pick.id) AS ids FROM (
+       |    SELECT sel, ids, (
+       |      SELECT {'id': id, 'score': score} FROM (
+       |        SELECT b.id AS id, round($marginal, 9) AS score
+       |        FROM mbase b WHERE NOT list_contains(ids, b.id))
+       |      ORDER BY score DESC, id LIMIT 1) AS pick
+       |    FROM $prev))""".stripMargin
   }
 
   /** kcore_copurchase parameters, shared by the Scala registration and the
@@ -4641,6 +4676,38 @@ ${pageRankIterSql("r9", "r10")}
          |       fin.nrm / greatest(nn.n, 1) AS eigenvalue
          |FROM (SELECT unnest([x FOR x IN range(1, $pcDim + 1)]) AS j), fin, nn
          |ORDER BY dim_idx""".stripMargin,
+
+    // MMR greedy diverse top-k unrolled as mmrK chained rounds over a
+    // precomputed round-9 pair-sim table; each pick is (score DESC, id)
+    // LIMIT 1 — the engine's TakeOrdered(1) contract, digit-exact
+    "curate_mmr_embeddings" -> {
+      val rounds = (1 to mmrK).map(i =>
+        mmrRoundSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH en0 AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |qc AS (
+         |  SELECT list(CAST(m AS FLOAT) ORDER BY j) AS qv FROM (
+         |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+         |              / count(*) AS m
+         |    FROM (SELECT v, unnest([x FOR x IN range(1, $pcDim + 1)]) AS j FROM en0)
+         |    GROUP BY j)),
+         |qn AS (SELECT sqrt(${dotSql("qv", "qv")}) AS qn FROM qc),
+         |mbase AS (
+         |  SELECT id, v, nrm, round(${dotSql("v", "qc.qv")} / (nrm * qn.qn), 9) AS rel
+         |  FROM en0, qc, qn WHERE nrm > 0.0),
+         |simtab AS (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+         |  FROM mbase a JOIN mbase b ON a.id <> b.id),
+         |r0 AS (SELECT CAST([] AS STRUCT(id BIGINT, score DOUBLE)[]) AS sel,
+         |              CAST([] AS BIGINT[]) AS ids),
+         |$rounds
+         |SELECT CAST(rnk AS INTEGER) AS rnk, e.id AS vec_id, e.score AS mmr_score
+         |FROM (SELECT unnest(sel) AS e, generate_subscripts(sel, 1) AS rnk FROM r$mmrK)
+         |ORDER BY rnk""".stripMargin
+    },
 
     // the per-vector debias ledger over the same PC: projection is the
     // identical left fold the codegen FloatDoubleDot runs, norms mirror
