@@ -1786,6 +1786,11 @@ object SparkEntry {
     // equivalence to the exact tier property-tested in CurationSpec)
     "curate_mmr_batched_embeddings" -> ((s, d) =>
       Similarity.mmrSelectBatched(emb(s, d), k = 20, lambda = 0.7, nCells = 8)),
+    // greedy k-center (farthest-point) coreset pick — pure-coverage
+    // counterpart of MMR (new r11); oracle-bearing via the same unrolled
+    // greedy mirror (kCenterRoundSql)
+    "curate_kcenter_embeddings" -> ((s, d) =>
+      Similarity.kCenterSelect(emb(s, d), k = kcenterK)),
 
     // -------- multimodal (real JDK codecs: PNG/JPEG image, WAV audio,
     // MJPEG/AVI video; only interframe codecs like H.264 would need ffmpeg)
@@ -2132,6 +2137,46 @@ object SparkEntry {
     * 0.30000000000000004 double rather than a re-typed 0.3 literal. */
   private[graft] val mmrK = 20
   private[graft] val mmrLambda = 0.7
+  private[graft] val kcenterK = 20
+
+  /** The shared WITH-body of the greedy-selection oracles (MMR, k-center):
+    * slim corpus projection with norms, the float-narrowed corpus centroid
+    * + relevance, and the full round-9 pair-sim table the per-round
+    * correlated max reads. */
+  private def greedyCoreSql: String =
+    s"""en0 AS (
+       |  SELECT vec_id AS id, embedding AS v,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |qc AS (
+       |  SELECT list(CAST(m AS FLOAT) ORDER BY j) AS qv FROM (
+       |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+       |              / count(*) AS m
+       |    FROM (SELECT v, unnest([x FOR x IN range(1, $pcDim + 1)]) AS j FROM en0)
+       |    GROUP BY j)),
+       |qn AS (SELECT sqrt(${dotSql("qv", "qv")}) AS qn FROM qc),
+       |mbase AS (
+       |  SELECT id, v, nrm, round(${dotSql("v", "qc.qv")} / (nrm * qn.qn), 9) AS rel
+       |  FROM en0, qc, qn WHERE nrm > 0.0),
+       |simtab AS (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+       |  FROM mbase a JOIN mbase b ON a.id <> b.id)""".stripMargin
+
+  /** One k-center greedy round: the pick is the candidate with the
+    * SMALLEST max-sim to the selection (farthest-point), ties to the
+    * smaller id — mirroring [[graft.llm.Similarity.kCenterSelect]]. */
+  private def kCenterRoundSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT list_append(sel, pick) AS sel, list_append(ids, pick.id) AS ids FROM (
+       |    SELECT sel, ids, (
+       |      SELECT {'id': id, 'score': score} FROM (
+       |        SELECT b.id AS id,
+       |               (SELECT max(st.sim) FROM simtab st
+       |                WHERE st.ia = b.id AND list_contains(ids, st.ib)) AS score
+       |        FROM mbase b WHERE NOT list_contains(ids, b.id))
+       |      ORDER BY score ASC, id LIMIT 1) AS pick
+       |    FROM $prev))""".stripMargin
 
   /** One MMR greedy round as a DuckDB CTE: state is (sel: picked
     * (id, score) structs in pick order, ids: plain id list for the
@@ -4683,29 +4728,28 @@ ${pageRankIterSql("r9", "r10")}
     "curate_mmr_embeddings" -> {
       val rounds = (1 to mmrK).map(i =>
         mmrRoundSql(s"r${i - 1}", s"r$i")).mkString(",\n")
-      s"""WITH en0 AS (
-         |  SELECT vec_id AS id, embedding AS v,
-         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |qc AS (
-         |  SELECT list(CAST(m AS FLOAT) ORDER BY j) AS qv FROM (
-         |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
-         |              / count(*) AS m
-         |    FROM (SELECT v, unnest([x FOR x IN range(1, $pcDim + 1)]) AS j FROM en0)
-         |    GROUP BY j)),
-         |qn AS (SELECT sqrt(${dotSql("qv", "qv")}) AS qn FROM qc),
-         |mbase AS (
-         |  SELECT id, v, nrm, round(${dotSql("v", "qc.qv")} / (nrm * qn.qn), 9) AS rel
-         |  FROM en0, qc, qn WHERE nrm > 0.0),
-         |simtab AS (
-         |  SELECT a.id AS ia, b.id AS ib,
-         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
-         |  FROM mbase a JOIN mbase b ON a.id <> b.id),
+      s"""WITH $greedyCoreSql,
          |r0 AS (SELECT CAST([] AS STRUCT(id BIGINT, score DOUBLE)[]) AS sel,
          |              CAST([] AS BIGINT[]) AS ids),
          |$rounds
          |SELECT CAST(rnk AS INTEGER) AS rnk, e.id AS vec_id, e.score AS mmr_score
          |FROM (SELECT unnest(sel) AS e, generate_subscripts(sel, 1) AS rnk FROM r$mmrK)
+         |ORDER BY rnk""".stripMargin
+    },
+
+    // greedy k-center unrolled the same way: seed = argmax centroid
+    // relevance, then kcenterK-1 farthest-point rounds (min max-sim, id
+    // ties) over the shared pair-sim table
+    "curate_kcenter_embeddings" -> {
+      val rounds = (2 to kcenterK).map(i =>
+        kCenterRoundSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH $greedyCoreSql,
+         |r1 AS (
+         |  SELECT [{'id': id, 'score': score}] AS sel, [id] AS ids FROM (
+         |    SELECT id, rel AS score FROM mbase ORDER BY rel DESC, id LIMIT 1)),
+         |$rounds
+         |SELECT CAST(rnk AS INTEGER) AS rnk, e.id AS vec_id, e.score AS coverage_sim
+         |FROM (SELECT unnest(sel) AS e, generate_subscripts(sel, 1) AS rnk FROM r$kcenterK)
          |ORDER BY rnk""".stripMargin
     },
 

@@ -1623,4 +1623,76 @@ object Similarity {
         .toDF("rnk", idCol, "mmr_score")
     } finally base.unpersist()
   }
+
+  /** Greedy k-center (farthest-point traversal) diversity selection — the
+    * standard coreset picker (Gonzalez 1985: a 2-approximation of the
+    * optimal k-center cover): seed with the most corpus-central vector
+    * (argmax 9-digit cosine to the centroid, ties to the smaller id — the
+    * same seed rule as [[mmrSelect]]'s first pick), then each round add
+    * the candidate FARTHEST from the current selection, i.e. with the
+    * smallest maximum cosine to any selected vector (ties to the smaller
+    * id). Where MMR balances relevance against redundancy, k-center
+    * maximizes pure coverage — with k = #clusters on separated data it
+    * lands one pick per cluster (property-tested). Returns
+    * (rnk, id, coverage_sim): coverage_sim is the pick's max cosine to the
+    * PRIOR selection (its "distance to cover" ledger; the seed reports its
+    * centroid relevance), so the output doubles as the coverage-radius
+    * audit trail.
+    *
+    * Distributed shape = [[mmrSelect]]'s: relevance once (map-only,
+    * cached); each round is one scan with the ≤k selected vectors riding
+    * the expression tree as literals and a TakeOrdered(1) election —
+    * driver state k·dim floats, never corpus-sized. Deterministic across
+    * partitionings (round-9 cosines, id tiebreaks). Oracle-bearing: the
+    * greedy unrolls as chained CTEs over a precomputed pair-sim table
+    * (SparkEntry's mirror), exactly like the MMR oracle. */
+  def kCenterSelect(emb: DataFrame, k: Int = 20,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q: Seq[Float] = groupCentroids(
+        emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)), "__g", vecCol)
+      .orderBy("dim_idx").collect()
+      .map(_.getAs[Double]("centroid").toFloat).toSeq
+    val qn = foldNorm(q)
+    require(qn > 0.0, "kCenterSelect: corpus centroid has zero norm")
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .where(col("v").isNotNull && col("nrm") > lit(0.0))
+      .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
+      .persist()
+    try {
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Double, Double)]
+      var exhausted = false
+      while (sel.size < k && !exhausted) {
+        val remaining =
+          if (sel.isEmpty) base
+          else base.where(!col("id").isInCollection(sel.map(_._1)))
+        // seed round scores by centroid relevance (pick the max); later
+        // rounds score by max-sim-to-selected (pick the MIN — farthest)
+        val pick =
+          if (sel.isEmpty)
+            remaining.select(col("id"), col("v"), col("nrm"), col("rel").as("score"))
+              .orderBy(col("score").desc, col("id")).limit(1).collect()
+          else {
+            val simsToSel = sel.toSeq.map { case (_, sv, sn, _) =>
+              cosine9(dot(col("v"), typedLit(sv)), col("nrm"), lit(sn))
+            }
+            remaining.select(col("id"), col("v"), col("nrm"),
+                array_max(array(simsToSel: _*)).as("score"))
+              .orderBy(col("score").asc, col("id")).limit(1).collect()
+          }
+        if (pick.isEmpty) exhausted = true
+        else {
+          val r = pick(0)
+          sel += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getDouble(3)))
+        }
+      }
+      sel.toSeq.zipWithIndex
+        .map { case ((id, _, _, score), i) => (i + 1, id, score) }
+        .toDF("rnk", idCol, "coverage_sim")
+    } finally base.unpersist()
+  }
 }

@@ -72,4 +72,43 @@ class CurationSpec extends SparkSpec {
       .as[(Int, Int, Long, Double)].collect().toSeq
     assert(out2 == out)
   }
+
+  test("kCenterSelect: one pick per planted cluster at k = #clusters, " +
+    "seed is the most corpus-central vector, deterministic under repartition") {
+    import org.apache.spark.sql.functions._
+    // 4 well-separated clusters on coordinate axes: cluster c = e_{4c} +
+    // small seeded noise in the OTHER dims, 20 members each. k-center's
+    // defining guarantee (Gonzalez 2-approximation) on separated data is
+    // exactly one pick per cluster — MMR with low lambda can double-dip a
+    // cluster, the farthest-point rule cannot.
+    val rnd = new scala.util.Random(77)
+    val dim = 16
+    val vecs = (for {
+      c <- 0 until 4; m <- 0 until 20
+    } yield {
+      val v = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+      v(4 * c) = 1.0f
+      ((c * 20 + m).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterSelect(vecs, k = 4)
+      .select("rnk", "vec_id", "coverage_sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(picks.length == 4)
+    val clusters = picks.map(_._2 / 20).toSet
+    assert(clusters == Set(0L, 1L, 2L, 3L),
+      s"k-center failed to cover every planted cluster: $picks")
+    // every non-seed pick's coverage_sim is the LOW cross-cluster sim
+    // (clusters are near-orthogonal), far below the ~1.0 within-cluster sim
+    assert(picks.tail.forall(_._3 < 0.5), s"cross-cluster sims too high: $picks")
+    // the seed is the relevance argmax — the same first pick MMR makes
+    val mmrFirst = Similarity.mmrSelect(vecs, k = 1, lambda = 0.7)
+      .select("vec_id").as[Long].head()
+    assert(picks.head._2 == mmrFirst,
+      "k-center seed diverged from the shared argmax-relevance rule")
+    // bit-deterministic across partitionings
+    val again = Similarity.kCenterSelect(vecs.repartition(7), k = 4)
+      .select("rnk", "vec_id", "coverage_sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(again == picks)
+  }
 }
