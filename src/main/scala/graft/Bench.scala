@@ -93,6 +93,26 @@ object Bench {
     val calib = try math.min(calibOnce(), calibOnce())
                 catch { case _: Throwable => Double.NaN }
     val calibJson = if (calib.isNaN) "null" else s3(calib)
+    // ---- second, scheduling-shaped canary (r11): the CPU-shaped probe
+    // above over-corrects job-count-bound queries (Lloyd/power-iteration
+    // tiers whose wall is per-job scheduler latency, not compute — the
+    // r10→r11 delta showed them flat RAW while calib_s halved). calib_jobs_s
+    // times 20 minimal actions (1-row, 1-partition, no shuffle), isolating
+    // the job-submission floor so a delta reader can normalize iterative
+    // tiers by the canary whose shape they actually pay. calib_s semantics
+    // unchanged — this is an ADDITIVE field.
+    def calibJobsOnce(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 20) {
+        spark.range(1L, 2L, 1L, 1).write.format("noop").mode("overwrite").save()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibJobs = try math.min(calibJobsOnce(), calibJobsOnce())
+                    catch { case _: Throwable => Double.NaN }
+    val calibJobsJson = if (calibJobs.isNaN) "null" else s3(calibJobs)
     // two passes, min per query: the first execution of each query carries
     // its whole-stage-codegen compilation (janino) — the min reports the
     // steady-state cost a long-running cluster actually pays per query
@@ -171,7 +191,7 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val excludedJson = excluded
       .map { case (n, why) => jstr(n) + ":" + jstr(why) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","calib_s":$calibJson,"queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // The full per-query map (~4.4 KB at 145 queries) cannot fit the
     // driver's 2000-char stdout tail, so the LAST printed line is a compact
     // summary that always fits; the full map persists to target/bench.json
@@ -182,7 +202,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":" +
         vs.map(v => if (v.isNaN) "null" else s3(v)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","calib_s":$calibJson,"n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       json.dropRight(1) + s""","passes":$passesJson}""")

@@ -55,6 +55,13 @@ def main():
     drift = (nc / oc) if norm else None
     if drift is not None:
         print(f"machine drift (new_calib/old_calib): {drift:.2f}x")
+    # second canary (r11+): the per-job scheduling floor. Iterative
+    # (job-count-bound) tiers should be read against THIS drift — the
+    # CPU-shaped calib_s over-corrects them when only the CPU got faster.
+    oj, nj = old.get("calib_jobs_s"), new.get("calib_jobs_s")
+    if oj and nj:
+        print(f"job-floor drift (new_calib_jobs/old_calib_jobs): "
+              f"{nj / oj:.2f}x — normalize iterative tiers by this one")
     print(f"\nworst {top_n} by {label} ratio:")
     for q, o, nv, raw, nrm in rows[:top_n]:
         extra = f" norm={nrm:5.2f}x" if norm else ""
