@@ -1510,6 +1510,14 @@ object SparkEntry {
     // sample-trained codebooks; recall + determinism property-tested)
     "ann_pq_topk_embeddings" -> ((s, d) =>
       Similarity.pqAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+    // the seeded oracle-bearing PQ face (new r11): smallest-id sample in
+    // place of xxhash64 ordering makes train -> encode -> ADC -> rank
+    // mirror digit-exact in SQL; parameters interpolate shared constants
+    "ann_pq_seeded_topk_embeddings" -> ((s, d) =>
+      Similarity.pqAnnTopKSeeded(emb(s, d),
+        queryIds = 0L until seededQueryBound, k = seededPqK,
+        nSub = seededPqSub, nCodes = seededPqCodes,
+        trainIters = seededPqIters, trainN = seededPqTrainN)),
     // IVF-PQ: coarse cells prune WHICH vectors score (nprobe/nCells of the
     // corpus), PQ codes decide WHAT is scored — the faiss architecture,
     // both levers composed (no oracle: sample-trained; recall-tested)
@@ -2018,6 +2026,11 @@ object SparkEntry {
   private[graft] val seededIvfK = 5          // ann_ivf_seeded top-k
   private[graft] val seededIvfNprobe = 4     // ann_ivf_seeded probe list
   private[graft] val seededQueryBound = 10L  // query ids are [0, bound)
+  private[graft] val seededPqK = 5           // ann_pq_seeded top-k
+  private[graft] val seededPqSub = 4         // PQ subspaces
+  private[graft] val seededPqCodes = 16      // codewords per subspace
+  private[graft] val seededPqIters = 2       // per-subspace Lloyd rounds
+  private[graft] val seededPqTrainN = 256    // smallest-id training sample
 
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -2122,6 +2135,94 @@ object SparkEntry {
        |         p.nrm
        |  FROM p$pcIters p, kmax k),
        |nn AS (SELECT count(*) AS n FROM en)""".stripMargin
+  }
+
+  /** The full seeded-PQ oracle SQL (see [[graft.llm.Similarity.pqAnnTopKSeeded]]):
+    * per subspace, the id-ordered Lloyd unrolls as chained CTEs whose code
+    * means are ORDERED-LIST left folds (lloydSub accumulates in sample
+    * order = id order on the seeded face — a plain SQL sum() would be
+    * combine-order free and drift in the last bits); encode replays
+    * PqEncode's arithmetic exactly (ascending-index double fold,
+    * halves − s/‖v‖, strict-less first-min ties → ORDER BY dist, code);
+    * ADC tables and the nSub-term score are fixed-order folds, rounded 9. */
+  private def pqSeededSql: String = {
+    // the codes/scored assembly below spells out the 4 subspace joins —
+    // regenerate it if the subspace count ever changes
+    require(seededPqSub == 4, "pqSeededSql is written for 4 subspaces")
+    val dim = pcDim; val subD = dim / seededPqSub
+    val rs = s"range(1, $subD + 1)"
+    def dot64(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, $dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    val head =
+      s"""en AS (
+         |  SELECT vec_id AS id, embedding AS v, sqrt(${dot64("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE sqrt(${dot64("embedding", "embedding")}) > 0),
+         |samp AS (
+         |  SELECT id, list_transform(range(1, $dim + 1), i -> CAST(v[i] AS DOUBLE) / nrm) AS u
+         |  FROM en ORDER BY id LIMIT $seededPqTrainN),
+         |qn AS (
+         |  SELECT id AS qid, list_transform(range(1, $dim + 1), i -> CAST(v[i] AS DOUBLE) / nrm) AS u
+         |  FROM en WHERE id < $seededQueryBound)""".stripMargin
+    val subs = (0 until seededPqSub).map { m =>
+      val lo = m * subD
+      val lloyd = (0 until seededPqIters).map { t =>
+        s"""a${m}_$t AS (
+           |  SELECT id, sub, c FROM (
+           |    SELECT s.id, s.sub, cb.c,
+           |           row_number() OVER (PARTITION BY s.id ORDER BY
+           |             list_reduce(list_transform($rs, i -> (s.sub[i] - cb.cv[i]) * (s.sub[i] - cb.cv[i])), (x, y) -> x + y) ASC,
+           |             cb.c ASC) AS rn
+           |    FROM s$m s, cb${m}_$t cb) WHERE rn = 1),
+           |mn${m}_$t AS (
+           |  SELECT c, i, list_reduce(list(x ORDER BY id), (a, b) -> a + b) / count(*) AS mu
+           |  FROM (SELECT id, c, i, sub[i] AS x FROM
+           |        (SELECT id, c, sub, unnest([j FOR j IN $rs]) AS i FROM a${m}_$t))
+           |  GROUP BY c, i),
+           |cb${m}_${t + 1} AS (
+           |  SELECT p.c, coalesce(g.cv2, p.cv) AS cv
+           |  FROM cb${m}_$t p LEFT JOIN (
+           |    SELECT c, list(mu ORDER BY i) AS cv2 FROM mn${m}_$t GROUP BY c) g ON p.c = g.c)""".stripMargin
+      }.mkString(",\n")
+      s"""s$m AS (SELECT id, u[${lo + 1}:${lo + subD}] AS sub FROM samp),
+         |cb${m}_0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS c, sub AS cv
+         |  FROM (SELECT id, sub FROM s$m ORDER BY id LIMIT $seededPqCodes)),
+         |$lloyd,
+         |fcb$m AS (
+         |  SELECT c, list_transform(cv, x -> CAST(x AS FLOAT)) AS cv FROM cb${m}_$seededPqIters),
+         |h$m AS (
+         |  SELECT c, list_reduce(list_transform(cv, f -> CAST(f AS DOUBLE) * CAST(f AS DOUBLE)), (x, y) -> x + y) / 2.0 AS h
+         |  FROM fcb$m),
+         |enc$m AS (
+         |  SELECT id, c AS code FROM (
+         |    SELECT en.id, f.c,
+         |           row_number() OVER (PARTITION BY en.id ORDER BY
+         |             h.h - list_reduce(list_transform($rs, i -> CAST(en.v[$lo + i] AS DOUBLE) * CAST(f.cv[i] AS DOUBLE)), (x, y) -> x + y) / en.nrm ASC,
+         |             f.c ASC) AS rn
+         |    FROM en, fcb$m f JOIN h$m h ON f.c = h.c) WHERE rn = 1),
+         |qt$m AS (
+         |  SELECT q.qid, f.c,
+         |         list_reduce(list_transform($rs, i -> q.u[$lo + i] * CAST(f.cv[i] AS DOUBLE)), (x, y) -> x + y) AS t
+         |  FROM qn q, fcb$m f)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$subs,
+       |codes AS (
+       |  SELECT e0.id, e0.code AS c0, e1.code AS c1, e2.code AS c2, e3.code AS c3
+       |  FROM enc0 e0 JOIN enc1 e1 ON e0.id = e1.id
+       |       JOIN enc2 e2 ON e0.id = e2.id JOIN enc3 e3 ON e0.id = e3.id),
+       |scored AS (
+       |  SELECT q0.qid, c.id AS nid, round(((q0.t + q1.t) + q2.t) + q3.t, 9) AS adc_sim
+       |  FROM codes c
+       |  JOIN qt0 q0 ON q0.c = c.c0
+       |  JOIN qt1 q1 ON q1.c = c.c1 AND q1.qid = q0.qid
+       |  JOIN qt2 q2 ON q2.c = c.c2 AND q2.qid = q0.qid
+       |  JOIN qt3 q3 ON q3.c = c.c3 AND q3.qid = q0.qid
+       |  WHERE q0.qid <> c.id),
+       |r AS (SELECT qid, nid, adc_sim,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_sim DESC, nid) AS INTEGER) AS rnk
+       |      FROM scored)
+       |SELECT qid, rnk, nid, adc_sim FROM r WHERE rnk <= $seededPqK ORDER BY qid, rnk""".stripMargin
   }
 
   /** curate_mmr parameters, shared by the registration and the SQL mirror.
@@ -4710,6 +4811,10 @@ ${pageRankIterSql("r8", "r9")},
 ${pageRankIterSql("r9", "r10")}
          |SELECT id, round(CAST(r AS DOUBLE) / 1000000, 9) AS rank
          |FROM r10 ORDER BY id""".stripMargin,
+
+    // the seeded PQ face: id-ordered Lloyd + PqEncode arithmetic + ADC,
+    // all unrolled/mirrored (see pqSeededSql)
+    "ann_pq_seeded_topk_embeddings" -> pqSeededSql,
 
     // dominant-PC power iteration unrolled as chained CTEs (pcCoreSql):
     // decimal matvec sums and fixed-order double folds make every iterate,

@@ -676,7 +676,33 @@ object Similarity {
   def pqAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
                 nSub: Int = 4, nCodes: Int = 16, trainIters: Int = 5,
                 trainN: Int = 2048, dim: Int = 64,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCore(emb, queryIds, k, nSub, nCodes, trainIters, trainN, dim,
+      idCol, vecCol, sampleKey = c => xxhash64(c))
+
+  /** ORACLE-BEARING PQ: [[pqAnnTopK]] with smallest-id sample ordering in
+    * place of the xxhash64 order (which DuckDB cannot replay) — the same
+    * seeded-face pattern as [[ivfAnnTopKSeeded]]/[[semDedupSeeded]]. With
+    * that one substitution every stage mirrors digit-exact in SQL: the
+    * per-subspace Lloyd accumulates its code means in SAMPLE ORDER (= id
+    * order here), which DuckDB replays as an ordered-list left fold; the
+    * encode argmin is PqEncode's exact arithmetic (ascending-index double
+    * fold, halves − s/‖v‖, strict-less first-min ties); ADC tables and the
+    * nSub-term score are fixed-order folds. The production face keeps
+    * xxhash64 seeding (id-distribution-agnostic); this tier pins the whole
+    * train → encode → ADC → rank pipeline to a DuckDB hash check. */
+  def pqAnnTopKSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                      nSub: Int = 4, nCodes: Int = 16, trainIters: Int = 2,
+                      trainN: Int = 256, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCore(emb, queryIds, k, nSub, nCodes, trainIters, trainN, dim,
+      idCol, vecCol, sampleKey = identity)
+
+  private def pqCore(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                     nSub: Int, nCodes: Int, trainIters: Int,
+                     trainN: Int, dim: Int,
+                     idCol: String, vecCol: String,
+                     sampleKey: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dim % nSub == 0, s"dim $dim must divide into nSub $nSub subspaces")
     val subDim = dim / nSub
@@ -693,7 +719,7 @@ object Similarity {
     // --- offline: train per-subspace codebooks on a deterministic sample
     // (normalized on the DRIVER — sample-sized, full double precision)
     val sample: Array[Array[Double]] = e
-      .orderBy(xxhash64(col("id")), col("id")).limit(trainN)
+      .orderBy(sampleKey(col("id")), col("id")).limit(trainN)
       .select("v", "nrm").collect()
       .map { r =>
         val n = r.getDouble(1)

@@ -50,6 +50,7 @@ class SparkEntryContractSpec extends SparkSpec {
     // bounded by the QUERY count (nSub·nCodes doubles per row), never by
     // the corpus; the corpus side streams 16-bit PQ codes map-only
     "ann_pq_topk_embeddings", "ann_ivfpq_topk_embeddings",
+    "ann_pq_seeded_topk_embeddings", // same ADC shape, seeded oracle face
     // broadcast(eval suite) with the cosine threshold as the non-equi join
     // condition — eval sets are bounded (thousands of vectors) at any
     // corpus scale, and the training side streams map-only

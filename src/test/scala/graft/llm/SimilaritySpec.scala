@@ -190,6 +190,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pqAnnTopKSeeded: recall vs brute force on clustered vectors; " +
+    "deterministic under repartition (the mirror contract)") {
+    val rnd = new scala.util.Random(808)
+    val centers = Seq.fill(20)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(0L, 5L, 10L, 15L, 20L)
+    val brute = Similarity.annBruteTopK(vecs, qs, k = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqAnnTopKSeeded(vecs, qs, k = 4,
+        nSub = 4, nCodes = 16, trainIters = 2, trainN = 100, dim = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"seeded-PQ recall $recall too low")
+    // byte-identical ranking under a different layout — the property the
+    // DuckDB mirror relies on (id-ordered sample, fixed-order folds)
+    val a = Similarity.pqAnnTopKSeeded(vecs, qs, k = 4,
+      nSub = 4, nCodes = 16, trainIters = 2, trainN = 100, dim = 16).collect().toSeq
+    val b = Similarity.pqAnnTopKSeeded(vecs.repartition(7), qs, k = 4,
+      nSub = 4, nCodes = 16, trainIters = 2, trainN = 100, dim = 16).collect().toSeq
+    assert(a == b)
+  }
+
   test("pqAnnTopK achieves high recall vs brute force on clustered vectors; " +
     "deterministic under repartition") {
     val rnd = new scala.util.Random(555)
