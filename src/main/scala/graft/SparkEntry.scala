@@ -1715,6 +1715,12 @@ object SparkEntry {
     "gopher_filter_documents" -> ((s, d) => TextAnalysis.gopherFilter(t(s, d, "documents"))),
     // corpus-trained bigram LM fluency score (perplexity-filter stand-in)
     "lm_bigram_score_documents" -> ((s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"))),
+    // DSIR importance-resampling selection (new r11): top-k docs by
+    // target/proposal unigram log likelihood ratio — target = the English
+    // slice, proposal = the whole pool; k/vocab interpolate shared constants
+    "select_dsir_documents" -> ((s, d) =>
+      TextAnalysis.dsirSelect(t(s, d, "documents"),
+        isTarget = col("lang") === dsirTargetLang, k = dsirK, maxVocab = dsirVocab)),
     // C4-style cross-document span dedup: rebuilt docs + span survival counts
     "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
     // substring-level exact dedup (Lee et al. 2022 ExactSubstr, Spark-native
@@ -2026,6 +2032,9 @@ object SparkEntry {
   private[graft] val seededIvfK = 5          // ann_ivf_seeded top-k
   private[graft] val seededIvfNprobe = 4     // ann_ivf_seeded probe list
   private[graft] val seededQueryBound = 10L  // query ids are [0, bound)
+  private[graft] val dsirK = 100             // select_dsir selection size
+  private[graft] val dsirVocab = 1000        // select_dsir vocab features
+  private[graft] val dsirTargetLang = "en"   // select_dsir target slice
   private[graft] val seededPqK = 5           // ann_pq_seeded top-k
   private[graft] val seededPqSub = 4         // PQ subspaces
   private[graft] val seededPqCodes = 16      // codewords per subspace
@@ -3127,6 +3136,32 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.avg_logprob
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR log likelihood ratio, same round-9/DECIMAL(28,9) discipline as
+    // lm_bigram; vocab = top-dsirVocab proposal unigrams (count desc,
+    // token asc), both distributions add-one smoothed over that vocab
+    "select_dsir_documents" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |prop AS (SELECT token, count(*) AS cp FROM tok GROUP BY 1),
+         |vocab AS (SELECT token, cp FROM prop ORDER BY cp DESC, token LIMIT $dsirVocab),
+         |tc AS (SELECT token, count(*) AS ct FROM
+         |         (SELECT unnest($toksSql) AS token FROM documents
+         |          WHERE lang = '$dsirTargetLang') GROUP BY 1),
+         |vt AS (SELECT v.token, v.cp, coalesce(c.ct, 0) AS ct
+         |       FROM vocab v LEFT JOIN tc c USING (token)),
+         |st AS (SELECT count(*) AS v, sum(cp) AS tp, sum(ct) AS tt FROM vt),
+         |terms AS (
+         |  SELECT t.doc_id,
+         |         round(ln(CAST(vt.ct + 1 AS DOUBLE) / CAST(st.tt + st.v AS DOUBLE))
+         |             - ln(CAST(vt.cp + 1 AS DOUBLE) / CAST(st.tp + st.v AS DOUBLE)), 9) AS term
+         |  FROM tok t JOIN vt USING (token) CROSS JOIN st),
+         |sc AS (SELECT doc_id, count(*) AS n_vocab_tokens,
+         |              CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE) AS dsir_score
+         |       FROM terms GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS INTEGER) AS rnk,
+         |       doc_id, dsir_score, n_vocab_tokens
+         |FROM (SELECT * FROM sc ORDER BY dsir_score DESC, doc_id LIMIT $dsirK)
+         |ORDER BY rnk""".stripMargin,
 
     // grouping by span text ≡ engine's xxhash64(span) grouping (2^-64
     // collision caveat, as dedup_drop_exact); rn=1 ⇔ min (doc_id, span_idx)

@@ -628,6 +628,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance-resampling data selection (Xie, Santurkar, Ma,
+    * Liang 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by the log likelihood ratio of a
+    * TARGET token distribution (the data you want more of — an eval suite,
+    * a high-quality slice) against the PROPOSAL distribution (the raw
+    * pool), then keep the top-k. Features here are the top-`maxVocab`
+    * proposal unigrams (count desc, token asc — the paper's hashed n-gram
+    * buckets swapped for an explicit vocab so the scoring is exactly
+    * reproducible by any engine); both distributions are add-one smoothed
+    * over that shared vocab, so an unseen-in-target token contributes a
+    * finite negative vote. A doc's score is the SUM over its vocab-token
+    * occurrences of `ln p_tgt(t) − ln p_prop(t)` — the DSIR importance
+    * log-weight (length bias is the method's, documented, not a bug).
+    * Docs with zero vocab-token occurrences have no likelihood-ratio
+    * evidence and are not eligible for selection.
+    *
+    * Scale + determinism shape (the [[bigramLmScore]] discipline): ONE
+    * corpus token explode; vocab and target counts are vocab-bounded
+    * hash-aggs; the vocab frame and the 1-row totals broadcast to the
+    * scoring join; each log term rounds at 9 dp and sums as
+    * `decimal(28,9)` — order-independent, so the selection is
+    * bit-deterministic and oracle-checkable. Top-k is a TakeOrdered,
+    * never a global sort. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int = 100,
+                 maxVocab: Int = 1000,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val occ = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val prop = occ.groupBy("token").agg(count(lit(1)).as("cp"))
+    val vocab = prop.orderBy(col("cp").desc, col("token")).limit(maxVocab)
+    val tgtCounts = docs.where(isTarget)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ct"))
+    val vt = vocab.join(tgtCounts, Seq("token"), "left")
+      .na.fill(0L, Seq("ct"))
+    // smoothing totals over the SHARED vocab feature space: one 1-row
+    // aggregate broadcast to the scoring pass (the bm25/Q22 scalar pattern)
+    val stats = vt.agg(count(lit(1)).as("v"),
+      sum(col("cp")).as("tp"), sum(col("ct")).as("tt"))
+    val term = round(
+      log((col("ct") + lit(1L)).cast("double") / (col("tt") + col("v")).cast("double")) -
+        log((col("cp") + lit(1L)).cast("double") / (col("tp") + col("v")).cast("double")), 9)
+    val scored = occ.join(vt, Seq("token")).crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_vocab_tokens"),
+        sum(term.cast("decimal(28,9)")).cast("double").as("dsir_score"))
+    val top = scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
+    // rnk over the k-row selection: single-partition window on a k-bounded
+    // frame, same as every other top-k ledger here
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("dsir_score"), col("n_vocab_tokens"))
+      .orderBy("rnk")
+  }
+
   /** BM25 retrieval scoring of the corpus against a FIXED query-term list
     * (Okapi BM25, Lucene idf `ln(1 + (N - df + ½)/(df + ½))`) — the lexical
     * half of a hybrid retrieval stack next to the ANN tier. Because the

@@ -34,6 +34,7 @@ class SparkEntryContractSpec extends SparkSpec {
     "hll_daily_users_events", "hybrid_topk_documents", "pmi_top20_bigrams",
     "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents",
     "heavy_hitters_tokens", // crossJoin(broadcast(1-row token total))
+    "select_dsir_documents", // crossJoin(broadcast(1-row smoothing totals))
     // pairwise join over a |sources|-row frame of KB-sized theta sketches:
     // bounded by source cardinality, never by the corpus — correct plan at
     // any data scale

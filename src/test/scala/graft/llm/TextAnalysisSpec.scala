@@ -257,6 +257,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getLong(1) == 0L && d2.isNullAt(2))
   }
 
+  test("dsirSelect: target-distinctive tokens rank target-like docs first; " +
+    "hand-computed log-ratio; deterministic under repartition") {
+    import org.apache.spark.sql.functions.col
+    // proposal pool: 4 "good"-vocab docs (the target slice) + 4 "spam"-vocab
+    // docs; DSIR must score good-vocab docs above spam-vocab ones because
+    // the target distribution concentrates on the good tokens
+    val docs = Seq(
+      (0L, "alpha beta alpha", "t"), (1L, "beta alpha beta", "t"),
+      (2L, "alpha alpha beta", "t"), (3L, "beta beta alpha", "t"),
+      (4L, "spam junk spam", "x"), (5L, "junk spam junk", "x"),
+      (6L, "spam spam junk", "x"), (7L, "junk junk spam", "x")
+    ).toDF("doc_id", "text", "grp")
+    val r = TextAnalysis.dsirSelect(docs, isTarget = col("grp") === "t",
+        k = 4, maxVocab = 10)
+      .select("rnk", "doc_id", "dsir_score", "n_vocab_tokens")
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(r.map(_._2).toSet == Set(0L, 1L, 2L, 3L),
+      s"selection not enriched in target-like docs: $r")
+    // hand check: vocab = {alpha=6, beta=6, junk=6, spam=6}, V=4, Tp=24,
+    // Tt=12 (targets hold all alpha/beta); ct: alpha=6 beta=6 junk=0 spam=0
+    // engine semantics: each term rounds to 9 dp, sums EXACTLY as decimal —
+    // so the expected score is 3x the 9-dp decimal, not a double multiply
+    val t9 = BigDecimal(math.log(7.0 / 16.0) - math.log(7.0 / 28.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (t9 * 3).toDouble
+    assert(r.head == ((1, 0L, expected, 3L)), s"head ${r.head} != $expected")
+    assert(r.forall(_._4 == 3L))
+    // bit-deterministic across partitionings (the oracle contract)
+    val again = TextAnalysis.dsirSelect(docs.repartition(5),
+        isTarget = col("grp") === "t", k = 4, maxVocab = 10)
+      .select("rnk", "doc_id", "dsir_score", "n_vocab_tokens")
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(again == r)
+  }
+
   test("bm25: Okapi scoring with Lucene idf, sorted-term fold order") {
     val docs = Seq(
       (0L, "apple banana apple"),
