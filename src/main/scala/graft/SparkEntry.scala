@@ -1586,7 +1586,7 @@ object SparkEntry {
     // constants into both faces. Planted-direction recovery + partition
     // invariance stay property-tested in SimilaritySpec
     "top_pc_embeddings" -> ((s, d) =>
-      Similarity.topPrincipalComponent(emb(s, d), iters = pcIters, dim = pcDim)),
+      Similarity.topPrincipalComponent(emb(s, d), iters = pcIters, dim = embDim)),
     // one-scan Gram-matrix fast tier: same power iteration run driver-side
     // on the d×d scatter matrix — 1 job vs 2+iters. No oracle — double
     // partial sums; SimilaritySpec pins agreement with the exact tier
@@ -1596,7 +1596,7 @@ object SparkEntry {
     // Oracle-bearing since r11 — the ledger is a fixed expression tree over
     // the (now mirrorable) exact-tier PC; residual⊥PC stays property-tested
     "debias_embeddings" -> ((s, d) =>
-      Similarity.removeDominantPC(emb(s, d), iters = pcIters, dim = pcDim)),
+      Similarity.removeDominantPC(emb(s, d), iters = pcIters, dim = embDim)),
     // the same ledger on the one-scan fast PC: 2 jobs total (no oracle —
     // fast-PC rounding; ledger agreement with exact tier property-tested)
     "debias_fast_embeddings" -> ((s, d) =>
@@ -2088,7 +2088,8 @@ object SparkEntry {
     * iterate is the same 64 bits in both engines. The fast (treeAggregate)
     * tiers stay omitted: their double partial sums ARE combine-order
     * dependent. */
-  private[graft] val pcDim = 64
+  private[graft] val embDim = 64  // fixture embedding dimension — shared by
+                                  // every embedding-table SQL mirror
   private[graft] val pcIters = 5
 
   /** One power iteration as three DuckDB CTEs (s_i: per-row projection
@@ -2097,7 +2098,7 @@ object SparkEntry {
     * Each CTE references its predecessor ONCE (the kCorePeelSql lesson:
     * DuckDB inlines CTEs, so reference counts multiply down the chain). */
   private def powerIterSql(prev: String, i: Int): String = {
-    val r = s"range(1, $pcDim + 1)"
+    val r = s"range(1, $embDim + 1)"
     s"""s$i AS (
        |  SELECT en.v,
        |         list_reduce(list_transform($r,
@@ -2122,18 +2123,18 @@ object SparkEntry {
     * iterate — the engine's nrm>0 guard never fires on the fixtures, same
     * assumption style as the other oracles' fixture-shaped simplifications). */
   private def pcCoreSql: String = {
-    val r = s"range(1, $pcDim + 1)"
+    val r = s"range(1, $embDim + 1)"
     val chain = (1 to pcIters)
       .map(i => powerIterSql(if (i > 1) s"p${i - 1}" else "p0", i))
       .mkString(",\n")
-    s"""en AS (SELECT embedding AS v FROM embeddings WHERE len(embedding) = $pcDim),
+    s"""en AS (SELECT embedding AS v FROM embeddings WHERE len(embedding) = $embDim),
        |pcm AS (
        |  SELECT list(m ORDER BY j) AS ml FROM (
        |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
        |              / count(*) AS m
        |    FROM (SELECT v, unnest([x FOR x IN $r]) AS j FROM en)
        |    GROUP BY j)),
-       |p0 AS (SELECT list_transform($r, j -> 1.0 / sqrt(CAST($pcDim AS DOUBLE))) AS vl,
+       |p0 AS (SELECT list_transform($r, j -> 1.0 / sqrt(CAST($embDim AS DOUBLE))) AS vl,
        |              CAST(0 AS DOUBLE) AS nrm),
        |$chain,
        |kmax AS (
@@ -2158,7 +2159,7 @@ object SparkEntry {
     // the codes/scored assembly below spells out the 4 subspace joins —
     // regenerate it if the subspace count ever changes
     require(seededPqSub == 4, "pqSeededSql is written for 4 subspaces")
-    val dim = pcDim; val subD = dim / seededPqSub
+    val dim = embDim; val subD = dim / seededPqSub
     val rs = s"range(1, $subD + 1)"
     def dot64(a: String, b: String) =
       s"list_reduce(list_transform(range(1, $dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -2262,7 +2263,7 @@ object SparkEntry {
        |  SELECT list(CAST(m AS FLOAT) ORDER BY j) AS qv FROM (
        |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
        |              / count(*) AS m
-       |    FROM (SELECT v, unnest([x FOR x IN range(1, $pcDim + 1)]) AS j FROM en0)
+       |    FROM (SELECT v, unnest([x FOR x IN range(1, $embDim + 1)]) AS j FROM en0)
        |    GROUP BY j)),
        |qn AS (SELECT sqrt(${dotSql("qv", "qv")}) AS qn FROM qc),
        |mbase AS (
@@ -4859,7 +4860,7 @@ ${pageRankIterSql("r9", "r10")}
       s"""WITH $pcCoreSql
          |SELECT CAST(j - 1 AS INTEGER) AS dim_idx, fin.vl[j] AS loading,
          |       fin.nrm / greatest(nn.n, 1) AS eigenvalue
-         |FROM (SELECT unnest([x FOR x IN range(1, $pcDim + 1)]) AS j), fin, nn
+         |FROM (SELECT unnest([x FOR x IN range(1, $embDim + 1)]) AS j), fin, nn
          |ORDER BY dim_idx""".stripMargin,
 
     // MMR greedy diverse top-k unrolled as mmrK chained rounds over a
@@ -4901,11 +4902,11 @@ ${pageRankIterSql("r9", "r10")}
          |SELECT vec_id, round(p, 9) AS proj, round(sqrt(n2), 9) AS norm,
          |       round(sqrt(greatest(n2 - p * p, 0.0)), 9) AS residual_norm
          |FROM (SELECT vec_id,
-         |             list_reduce(list_transform(range(1, $pcDim + 1),
+         |             list_reduce(list_transform(range(1, $embDim + 1),
          |               j -> CAST(embedding[j] AS DOUBLE) * fin.vl[j]),
          |               (a, b) -> a + b) AS p,
          |             ${dotSql("embedding", "embedding")} AS n2
-         |      FROM embeddings, fin WHERE len(embedding) = $pcDim)
+         |      FROM embeddings, fin WHERE len(embedding) = $embDim)
          |ORDER BY vec_id""".stripMargin,
 
     // identical URL synthesis + canonicalization regexes (Java ∩ RE2)
