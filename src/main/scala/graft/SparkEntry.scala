@@ -1098,14 +1098,18 @@ object SparkEntry {
     // bounded, never corpus-bounded). No oracle (iterative, not SQL-
     // expressible); hand-computed merges + determinism + invariants
     // property-tested in TextAnalysisSpec
+    // oracle-bearing since r11: the merge loop unrolls as materialized CTE
+    // rounds (bpeCoreSql); parameters interpolate shared constants
     "bpe_train_documents" -> ((s, d) =>
-      TextAnalysis.bpeTrain(t(s, d, "documents"), numMerges = 40)),
+      TextAnalysis.bpeTrain(t(s, d, "documents"),
+        numMerges = bpeNumMerges, maxWords = bpeMaxWords)),
     // the encode side: learned merges applied map-side by the codegen
-    // BpeEncode expression, corpus reduced to its top-20 BPE symbols.
-    // No oracle (train is iterative); encode invariants (no mergeable pair
-    // survives, training-word parity, hand case) in GraftFunctionsSpec
+    // BpeEncode expression, corpus reduced to its top-k BPE symbols.
+    // Oracle-bearing since r11 via the trained-dict-state equivalence
+    // (training-word parity stays property-tested in GraftFunctionsSpec)
     "bpe_encode_documents" -> ((s, d) =>
-      TextAnalysis.bpeTopSymbols(t(s, d, "documents"), numMerges = 40, k = 20)),
+      TextAnalysis.bpeTopSymbols(t(s, d, "documents"),
+        numMerges = bpeNumMerges, k = bpeTopK, maxWords = bpeMaxWords)),
     "quality_score_documents" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     // decile lift table over the quality score: the calibration view a
     // curator reads before setting keep-rates. ntile is a GLOBAL sort —
@@ -2235,6 +2239,69 @@ object SparkEntry {
        |SELECT qid, rnk, nid, adc_sim FROM r WHERE rnk <= $seededPqK ORDER BY qid, rnk""".stripMargin
   }
 
+  /** BPE parameters, shared by the registrations and the SQL mirrors. */
+  private[graft] val bpeNumMerges = 40
+  private[graft] val bpeMaxWords = 50000
+  private[graft] val bpeTopK = 20
+
+  /** The BPE trainer unrolled as chained CTE rounds — the "iterative, not
+    * SQL-expressible" claim disproven for its hardest case. Every round is
+    * three CTEs: weighted adjacent-pair counts over the word dict, the
+    * argmax pick (count desc, left asc, right asc — exactly the engine's
+    * reversed-string maxBy), and the left-to-right non-overlapping respell.
+    * Three DuckDB realities shape the formulation:
+    *
+    * 1. `AS MATERIALIZED` on every round: each round references its
+    *    predecessor twice (pair counts + respell), so the default inliner
+    *    would expand the chain into a 2^40-leaf tree (the kcore lesson,
+    *    beyond any linearization here — materialization is the lever).
+    * 2. The respell is a pend-at-tail LIST fold: elements pre-wrapped as
+    *    single-element lists so the no-initial-value list_reduce accumulator
+    *    type-checks, the pending symbol carried as the list tail, '#'
+    *    (outside the [a-z</w>] symbol alphabet) marking "no pending" right
+    *    after a merge. Equivalent to the engine's i+=2 scan (proven by the
+    *    standard pend-automaton argument; hash-checked besides).
+    * 3. A STRUCT accumulator with a list field silently loses the list
+    *    across fold steps in DuckDB 1.0 (probed: a pure append-fold kept
+    *    only the last element) — hence the flat-list encoding, not a
+    *    {out, pend} struct.
+    *
+    * Exhaustion parity: if pairs run dry before `bpeNumMerges`, pick CTEs
+    * go empty and later rounds propagate emptiness — the UNION emits
+    * exactly the rows the engine's early-stopping loop emits. */
+  private def bpeCoreSql: String = {
+    val head =
+      s"""wc AS MATERIALIZED (
+         |  SELECT w, count(*) AS cnt FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT $bpeMaxWords),
+         |d0 AS MATERIALIZED (
+         |  SELECT array_append(list_transform(range(1, length(w) + 1), i -> w[i]), '</w>') AS syms,
+         |         cnt
+         |  FROM wc)""".stripMargin
+    val rounds = (1 to bpeNumMerges).map { t =>
+      s"""pc$t AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT syms[i] AS l, syms[i + 1] AS r, cnt FROM (
+         |      SELECT syms, cnt, unnest([x FOR x IN range(1, len(syms))]) AS i FROM d${t - 1}))
+         |  GROUP BY 1, 2),
+         |pk$t AS MATERIALIZED (
+         |  SELECT l, r, l || r AS m, n FROM pc$t ORDER BY n DESC, l, r LIMIT 1),
+         |d$t AS MATERIALIZED (
+         |  SELECT CASE WHEN f[-1] = '#' THEN f[1:len(f) - 1] ELSE f END AS syms, cnt
+         |  FROM (
+         |    SELECT list_reduce(
+         |             list_transform(syms, s -> [s]),
+         |             (a, x) -> CASE
+         |               WHEN a[-1] = '#' THEN array_append(a[1:len(a) - 1], x[1])
+         |               WHEN a[-1] = p.l AND x[1] = p.r
+         |                 THEN array_append(array_append(a[1:len(a) - 1], p.m), '#')
+         |               ELSE array_append(a, x[1]) END) AS f,
+         |           cnt
+         |    FROM d${t - 1}, pk$t p))""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
   /** curate_mmr parameters, shared by the registration and the SQL mirror.
     * The greedy loop mirrors because every pick is a deterministic argmax
     * over round-9 quantities: all candidate↔selected sims precompute ONCE
@@ -3137,6 +3204,30 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.avg_logprob
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the BPE merge table: bpeNumMerges unrolled peel/pick/respell rounds
+    // (see bpeCoreSql); integer counts + string ops only — digit-exact
+    "bpe_train_documents" -> {
+      val picks = (1 to bpeNumMerges).map(t =>
+        s"""SELECT CAST(${t - 1} AS INTEGER) AS rank, l AS "left", r AS "right", m AS merged, n AS pair_count FROM pk$t""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bpeCoreSql
+         |SELECT * FROM (
+         |$picks
+         |) ORDER BY rank""".stripMargin
+    },
+
+    // the encode side reads the TRAINED DICT STATE instead of re-running
+    // the per-word priority encode: encoding a training word reproduces its
+    // final dictionary segmentation (the training-word parity invariant,
+    // property-tested in GraftFunctionsSpec), and here train and encode see
+    // the same corpus with the word cap not binding — so the top-k symbol
+    // census is the dict's symbols weighted by word count
+    "bpe_encode_documents" ->
+      s"""WITH $bpeCoreSql
+         |SELECT sym, CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(syms) AS sym, cnt FROM d$bpeNumMerges)
+         |GROUP BY 1 ORDER BY cnt DESC, sym LIMIT $bpeTopK""".stripMargin,
 
     // DSIR log likelihood ratio, same round-9/DECIMAL(28,9) discipline as
     // lm_bigram; vocab = top-dsirVocab proposal unigrams (count desc,
