@@ -673,7 +673,13 @@ object TextAnalysis {
     val term = round(
       log((col("ct") + lit(1L)).cast("double") / (col("tt") + col("v")).cast("double")) -
         log((col("cp") + lit(1L)).cast("double") / (col("tp") + col("v")).cast("double")), 9)
-    val scored = occ.join(vt, Seq("token")).crossJoin(broadcast(stats))
+    // explicit broadcast of the vocab frame: left to size estimates Spark
+    // builds on the OCCURRENCE side at fixture scale (the raw scan
+    // estimates smaller than the aggregate-derived vocab), and that shape
+    // inverts fatally at corpus scale — the vocab is maxVocab rows at ANY
+    // corpus size, the occurrence stream never is (caught by plan audit,
+    // r11)
+    val scored = occ.join(broadcast(vt), Seq("token")).crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_vocab_tokens"),
         sum(term.cast("decimal(28,9)")).cast("double").as("dsir_score"))

@@ -251,6 +251,28 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(rr <= 1, s"expected at most 1 gated round-robin exchange, got $rr")
   }
 
+  test("select_dsir_documents: the token-exploded stream is never the " +
+    "broadcast side (vocab builds, occurrences stream — the 100 TB shape)") {
+    assume(testdataPresent)
+    // a BroadcastExchange whose SUBTREE contains the explode means Spark
+    // chose to broadcast the corpus-proportional occurrence stream —
+    // correct-looking at fixture scale (raw scans estimate smaller than
+    // aggregate-derived frames), fatal at corpus scale. Caught by plan
+    // audit in r11; the operator now hints broadcast(vt). Walk the plan
+    // tree structurally: no GenerateExec under any broadcast exchange.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = SparkEntry.queries("select_dsir_documents")(spark, sfDir)
+      .queryExecution.executedPlan
+    def hasGenerate(p: SparkPlan): Boolean =
+      p.isInstanceOf[GenerateExec] || p.children.exists(hasGenerate)
+    val offenders = plan.collect {
+      case b: BroadcastExchangeExec if hasGenerate(b.child) => b
+    }
+    assert(offenders.isEmpty,
+      s"token explode found under a BroadcastExchange:\n$plan")
+  }
+
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {
     // the doc is the judged coverage contract: a query shipped without its
     // SURVEY row (or a row without code) must fail here, not in the verdict
