@@ -2266,9 +2266,15 @@ object SparkEntry {
     *    only the last element) — hence the flat-list encoding, not a
     *    {out, pend} struct.
     *
-    * Exhaustion parity: if pairs run dry before `bpeNumMerges`, pick CTEs
-    * go empty and later rounds propagate emptiness — the UNION emits
-    * exactly the rows the engine's early-stopping loop emits. */
+    * Exhaustion parity — BOTH faces: if pairs run dry before
+    * `bpeNumMerges`, pick CTEs go empty; the train face's UNION then emits
+    * exactly the rows the engine's early-stopping loop emits, and the
+    * respell's LEFT JOIN against the empty pick degrades to the identity
+    * fold (every p.l/p.r comparison is NULL → ELSE append), so d$t carries
+    * d${t-1} forward unchanged and the encode face keeps reading the final
+    * dictionary at d[bpeNumMerges] — the engine's keep-final-dict path.
+    * (A plain cross join would instead empty every later d$t and zero the
+    * encode oracle's rows.) */
   private def bpeCoreSql: String = {
     val head =
       s"""wc AS MATERIALIZED (
@@ -2297,7 +2303,7 @@ object SparkEntry {
          |                 THEN array_append(array_append(a[1:len(a) - 1], p.m), '#')
          |               ELSE array_append(a, x[1]) END) AS f,
          |           cnt
-         |    FROM d${t - 1}, pk$t p))""".stripMargin
+         |    FROM d${t - 1} LEFT JOIN pk$t p ON TRUE))""".stripMargin
     }.mkString(",\n")
     s"$head,\n$rounds"
   }
@@ -2320,12 +2326,18 @@ object SparkEntry {
   /** The shared WITH-body of the greedy-selection oracles (MMR, k-center):
     * slim corpus projection with norms, the float-narrowed corpus centroid
     * + relevance, and the full round-9 pair-sim table the per-round
-    * correlated max reads. */
+    * correlated max reads. The `len(embedding) = embDim` filter (same as
+    * pcCoreSql) keeps the centroid denominator identical to the engine's
+    * posexplode semantics: qc divides per-dim sums by count(*), which only
+    * equals the per-dim vector count when every row carries all embDim
+    * dims — a short row would be skipped by the sum (v[j] is NULL past the
+    * end) but still counted by count(*) without this filter. */
   private def greedyCoreSql: String =
     s"""en0 AS (
        |  SELECT vec_id AS id, embedding AS v,
        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $embDim),
        |qc AS (
        |  SELECT list(CAST(m AS FLOAT) ORDER BY j) AS qv FROM (
        |    SELECT j, CAST(sum(CAST(CAST(v[j] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
@@ -2343,10 +2355,15 @@ object SparkEntry {
 
   /** One k-center greedy round: the pick is the candidate with the
     * SMALLEST max-sim to the selection (farthest-point), ties to the
-    * smaller id — mirroring [[graft.llm.Similarity.kCenterSelect]]. */
+    * smaller id — mirroring [[graft.llm.Similarity.kCenterSelect]]. When
+    * candidates are exhausted (|corpus| < k) the correlated pick subquery
+    * returns NULL; the CASE makes the round a no-op then, matching the
+    * engine's early stop (it returns fewer than k rows) instead of
+    * appending NULL structs. */
   private def kCenterRoundSql(prev: String, out: String): String =
     s"""$out AS (
-       |  SELECT list_append(sel, pick) AS sel, list_append(ids, pick.id) AS ids FROM (
+       |  SELECT CASE WHEN pick IS NULL THEN sel ELSE list_append(sel, pick) END AS sel,
+       |         CASE WHEN pick IS NULL THEN ids ELSE list_append(ids, pick.id) END AS ids FROM (
        |    SELECT sel, ids, (
        |      SELECT {'id': id, 'score': score} FROM (
        |        SELECT b.id AS id,
@@ -2365,8 +2382,11 @@ object SparkEntry {
          |             ELSE $mmrLambda * b.rel - (1.0 - $mmrLambda) *
          |               (SELECT max(st.sim) FROM simtab st
          |                WHERE st.ia = b.id AND list_contains(ids, st.ib)) END""".stripMargin
+    // same exhaustion no-op CASE as kCenterRoundSql: a NULL pick keeps the
+    // state unchanged, mirroring the engine's early stop below k
     s"""$out AS (
-       |  SELECT list_append(sel, pick) AS sel, list_append(ids, pick.id) AS ids FROM (
+       |  SELECT CASE WHEN pick IS NULL THEN sel ELSE list_append(sel, pick) END AS sel,
+       |         CASE WHEN pick IS NULL THEN ids ELSE list_append(ids, pick.id) END AS ids FROM (
        |    SELECT sel, ids, (
        |      SELECT {'id': id, 'score': score} FROM (
        |        SELECT b.id AS id, round($marginal, 9) AS score
@@ -4655,11 +4675,19 @@ object SparkEntry {
     // the binned sketch tier, digit-exact after all: per-bin decimal weight
     // sums and an even-width bin map are BOTH deterministic, so the bracket
     // mirrors in SQL. The arithmetic replays the engine's exact double ops:
-    // step = (hi-lo)/n; the bin map's step2 re-derives from the CONSTRUCTED
+    // step = (hi-lo)/n guarded to 1.0 when hi <= lo (the engine's
+    // degenerate-range rule — without the CASE an all-equal column folds to
+    // step2 = 0 and floor(0/0) = NaN here while the engine returns
+    // [lo, lo+1)); the bin map's step2 re-derives from the CONSTRUCTED
     // last edge ((lo + n*step) - lo)/n — binId recomputes width from
     // edges.last, which differs from step by ulps; output edges use the
     // ORIGINAL step (lo + qbin*step). Same float, same bits (probed, and
     // the fixture's bin populations sit far from every edge ulp).
+    // FIXTURE ASSUMPTION (shared with the engine's constructed edges):
+    // this mirror hard-codes binId's even-width floor path; Binning.binId
+    // falls back to a bisect CASE chain when isEvenWidth fails (edge steps
+    // differing >= 1e-10 — possible only when lo+i*step accumulates ulp
+    // drift at extreme magnitudes, not on price-scaled doubles).
     "weighted_median_binned_extendedprice" ->
       """WITH base AS (
         |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
@@ -4670,9 +4698,10 @@ object SparkEntry {
         |    AND l_quantity IS NOT NULL),
         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
         |params AS (
-        |  SELECT lo, hi, (hi - lo) / 1000 AS step,
-        |         ((lo + 1000 * ((hi - lo) / 1000)) - lo) / 1000 AS step2
-        |  FROM mm),
+        |  SELECT lo, hi, step, ((lo + 1000 * step) - lo) / 1000 AS step2
+        |  FROM (SELECT lo, hi,
+        |               CASE WHEN hi > lo THEN (hi - lo) / 1000 ELSE 1.0 END AS step
+        |        FROM mm)),
         |b AS (
         |  SELECT g, CAST(least(floor((v - lo) / step2), 999) AS INTEGER) AS bin, wt
         |  FROM base, params),
