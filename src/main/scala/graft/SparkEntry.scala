@@ -1803,12 +1803,21 @@ object SparkEntry {
     // instead of k (no oracle: iterative + cell-partitioned; nCells=1
     // equivalence to the exact tier property-tested in CurationSpec)
     "curate_mmr_batched_embeddings" -> ((s, d) =>
-      Similarity.mmrSelectBatched(emb(s, d), k = 20, lambda = 0.7, nCells = 8)),
+      Similarity.mmrSelectBatched(emb(s, d), k = mmrK, lambda = mmrLambda,
+        nCells = batchedCells)),
     // greedy k-center (farthest-point) coreset pick — pure-coverage
     // counterpart of MMR (new r11); oracle-bearing via the same unrolled
     // greedy mirror (kCenterRoundSql)
     "curate_kcenter_embeddings" -> ((s, d) =>
       Similarity.kCenterSelect(emb(s, d), k = kcenterK)),
+    // batched scale tier of the coreset picker (new r12, closing the r11
+    // gap): per-cell farthest-point with size-proportional quotas, one job
+    // per round — ~⌈k/nCells⌉ jobs instead of k (no oracle: iterative +
+    // cell-partitioned; nCells=1 equivalence, quota, coverage-ledger
+    // monotonicity, and determinism property-tested in CurationSpec)
+    "curate_kcenter_batched_embeddings" -> ((s, d) =>
+      Similarity.kCenterSelectBatched(emb(s, d), k = kcenterK,
+        nCells = batchedCells)),
 
     // -------- multimodal (real JDK codecs: PNG/JPEG image, WAV audio,
     // MJPEG/AVI video; only interframe codecs like H.264 would need ffmpeg)
@@ -2322,6 +2331,7 @@ object SparkEntry {
   private[graft] val mmrK = 20
   private[graft] val mmrLambda = 0.7
   private[graft] val kcenterK = 20
+  private[graft] val batchedCells = 8 // nCells of both batched greedy faces
 
   /** The shared WITH-body of the greedy-selection oracles (MMR, k-center):
     * slim corpus projection with norms, the float-narrowed corpus centroid

@@ -1459,64 +1459,128 @@ object Similarity {
           .as("sim"))
       .orderBy(s"${groupCol}_a", s"${groupCol}_b")
   }
+  // ------------------------------------------------------------------
+  // Greedy diversity selection (MMR, k-center) — shared cores
+  // ------------------------------------------------------------------
 
-  /** Maximal-Marginal-Relevance diverse top-k: greedily pick the item
-    * maximizing `λ·rel − (1−λ)·max-cosine-to-already-selected`, where
-    * relevance is cosine to `queryVec` (or, by default, to the corpus
-    * centroid). The standard redundancy-aware selection for curation —
-    * top-k-by-relevance returns k near-copies of the same best item; MMR
-    * trades relevance for coverage, with λ=1 degenerating to plain top-k.
+  /** One selected item of a greedy selector: id, vector, norm, and the
+    * score it was elected with (the operator's audit column — MMR's
+    * marginal, k-center's coverage sim, the seed's centroid relevance). */
+  private case class GreedyPick(id: Long, v: Seq[Float], nrm: Double, score: Double)
+
+  /** Corpus centroid narrowed to a float query vector — the shared
+    * default relevance target of the greedy selectors. Centroid
+    * components are double means narrowed to float so the literal query
+    * rides the same codegen'd float-dot as every stored vector; toFloat
+    * narrowing is deterministic, and relevance stays a 9-digit rounded
+    * cosine either way. */
+  private def centroidQuery(emb: DataFrame, vecCol: String): Seq[Float] =
+    groupCentroids(emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)),
+        "__g", vecCol)
+      .orderBy("dim_idx").collect()
+      .map(_.getAs[Double]("centroid").toFloat).toSeq
+
+  /** Cosine columns from the candidate row to each selected vector — the
+    * selected state rides the expression tree as LITERALS (k·dim floats
+    * on the driver, bounded by construction; no join, no shuffle). */
+  private def selSims(sel: Seq[GreedyPick]): Seq[Column] =
+    sel.map(p => cosine9(dot(col("v"), typedLit(p.v)), col("nrm"), lit(p.nrm)))
+
+  /** Shared driver loop of the EXACT greedy selectors ([[mmrSelect]],
+    * [[kCenterSelect]]): compute relevance once over a cached slim
+    * projection, then k rounds of score → TakeOrdered(1) election →
+    * append to the driver-side selection. `roundScore` maps the current
+    * selection to this round's (score expression, ascending?) — the ONLY
+    * thing that differs between the greedy family members (ADVICE r11:
+    * the two selectors previously duplicated this entire scaffolding).
+    * Scores are rounded at 9 digits and ties break by id ascending, so
+    * the selection is reproducible across partitionings. Driver state is
+    * ≤ k vectors; each round is one scan — the right shape for k in the
+    * hundreds over an arbitrarily large corpus. For corpus-sized k use
+    * the per-cell batched tier ([[greedyBatchedCore]]). */
+  private def greedySelectCore(emb: DataFrame, k: Int, queryVec: Option[Seq[Float]],
+      idCol: String, vecCol: String, opName: String, scoreCol: String)(
+      roundScore: Seq[GreedyPick] => (Column, Boolean)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
+    val qn = foldNorm(q)
+    require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .where(col("v").isNotNull && col("nrm") > lit(0.0))
+      .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
+      .persist()
+    try {
+      val sel = scala.collection.mutable.ArrayBuffer.empty[GreedyPick]
+      var exhausted = false
+      while (sel.size < k && !exhausted) {
+        val remaining =
+          if (sel.isEmpty) base
+          else base.where(!col("id").isInCollection(sel.map(_.id)))
+        val (scoreExpr, asc) = roundScore(sel.toSeq)
+        val scored = remaining.select(col("id"), col("v"), col("nrm"),
+          round(scoreExpr, 9).as("score"))
+        val pick = (if (asc) scored.orderBy(col("score").asc, col("id"))
+                    else scored.orderBy(col("score").desc, col("id")))
+          .limit(1).collect()
+        if (pick.isEmpty) exhausted = true
+        else {
+          val r = pick(0)
+          sel += GreedyPick(r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
+            r.getDouble(3))
+        }
+      }
+      sel.toSeq.zipWithIndex
+        .map { case (p, i) => (i + 1, p.id, p.score) }
+        .toDF("rnk", idCol, scoreCol)
+    } finally base.unpersist()
+  }
+
+  /** Shared scaffolding of the BATCHED (per-cell) greedy scale tiers
+    * ([[mmrSelectBatched]], [[kCenterSelectBatched]]): partition the
+    * corpus into `nCells` k-means cells ([[trainCentroids]], the shared
+    * coarse quantizer) and run the SAME greedy selection per-cell in
+    * parallel, with per-cell quotas allocated from cell sizes by largest
+    * remainder (capped at cell size, leftovers redistributed
+    * deterministically by size-proportional remainder, id-ordered). Every
+    * round is ONE job in which every still-filling cell elects its
+    * argmax/argmin simultaneously (`min_by` per cid inside one hash
+    * aggregate), so the job count drops from the exact tier's k to
+    * ~max-cell-quota ≈ ⌈k/nCells⌉ — the lever that makes corpus-sized k
+    * feasible. Scores compare only against SAME-CELL selections:
+    * cross-cell redundancy is what the cell partition itself suppresses
+    * (dissimilar cells by construction) — the declared approximation,
+    * exact when nCells = 1 (equivalence property-tested in CurationSpec;
+    * the exact tiers stay the verifiers).
     *
-    * Distributed shape: relevance is computed ONCE (map-only, cached);
-    * each of the k rounds is one scan — the marginal term is an
-    * `array_max` over ≤k codegen'd [[dot]]s against the selected vectors
-    * as expression LITERALS (selected state is k·dim floats on the driver,
-    * bounded by construction), and the argmax is a TakeOrdered(1), not a
-    * sort. Deterministic: cosines round at 9 digits and ties break by id
-    * ascending, so the selection is reproducible across partitionings.
-    *
-    * Scale: cost is k scans of an id/vec/rel projection — the right shape
-    * for k in the hundreds over an arbitrarily large corpus (driver state
-    * never grows with corpus size). For corpus-sized selections, run MMR
-    * per [[semDedup]]-style centroid cell instead (same greedy, cell-local
-    * literals) and union the cells. */
-  /** Batched MMR — the scale tier of [[mmrSelect]]: partition the corpus
-    * into `nCells` k-means cells ([[trainCentroids]], the shared coarse
-    * quantizer) and run the SAME greedy marginal-relevance selection
-    * per-cell in parallel, with per-cell quotas allocated from cell sizes
-    * by largest remainder (capped at cell size, leftovers redistributed
-    * deterministically). Every round is ONE job in which every
-    * still-filling cell elects its argmax simultaneously (`min_by` per
-    * cid inside one hash aggregate), so the job count drops from the
-    * exact tier's k to ~max-cell-quota ≈ ⌈k/nCells⌉ — the lever that
-    * makes corpus-sized k feasible. The diversity term compares only
-    * against SAME-CELL selections: cross-cell redundancy is what the
-    * cell partition itself suppresses (dissimilar cells by construction)
-    * — the declared approximation, exact when nCells = 1 (equivalence
-    * property-tested in CurationSpec; the exact tier stays the verifier).
+    * Rounds are uniform across cells by construction: round 1 is every
+    * cell's seed election, and a cell that fails to return a row in any
+    * round is deactivated immediately — so from round 2 on every active
+    * cell has a non-empty selection. `roundScore` maps a cell's current
+    * selection to its score expression; `electDesc(seedRound)` picks the
+    * election direction per round (MMR: always max; k-center: max
+    * relevance at the seed, then min max-sim = farthest-point).
     *
     * Scale shape: relevance + assignment are map-only over the cached
-    * slim projection; per-round driver state is ≤ k vectors
-    * (selection literals), and each round's aggregate returns ≤ nCells
-    * rows. Deterministic end-to-end: 9-digit rounded scores, id
-    * tiebreaks, largest-remainder quota with id-ordered redistribution. */
-  def mmrSelectBatched(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
-                       nCells: Int = 8, trainIters: Int = 1,
-                       queryVec: Option[Seq[Float]] = None,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    * slim projection; per-round driver state is ≤ k vectors (selection
+    * literals), and each round's aggregate returns ≤ nCells rows.
+    * Deterministic end-to-end: 9-digit rounded scores, id tiebreaks,
+    * largest-remainder quota with id-ordered redistribution. */
+  private def greedyBatchedCore(emb: DataFrame, k: Int, nCells: Int, trainIters: Int,
+      queryVec: Option[Seq[Float]], idCol: String, vecCol: String,
+      opName: String, scoreCol: String)(
+      roundScore: Seq[GreedyPick] => Column)(
+      electDesc: Boolean => Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     val spark = emb.sparkSession
     import spark.implicits._
-    val q: Seq[Float] = queryVec.getOrElse {
-      groupCentroids(emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)),
-          "__g", vecCol)
-        .orderBy("dim_idx").collect()
-        .map(_.getAs[Double]("centroid").toFloat).toSeq
-    }
+    val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
     val qn = foldNorm(q)
-    require(qn > 0.0, "mmrSelectBatched: query/centroid vector has zero norm")
+    require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
     val cents = trainCentroids(emb.where(col(vecCol).isNotNull),
       nCells, trainIters, idCol, vecCol)
     val base = emb
@@ -1533,7 +1597,7 @@ object Similarity {
       val counts: Seq[(Int, Long)] = base.groupBy("cid").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       val total = counts.map(_._2).sum
-      require(total > 0, "mmrSelectBatched: no candidate vectors")
+      require(total > 0, s"$opName: no candidate vectors")
       val kk = math.min(k.toLong, total).toInt
       val raw = counts.map { case (c, n) => (c, n, kk.toDouble * n / total) }
       var quota = scala.collection.mutable.Map(raw.map { case (c, n, x) =>
@@ -1549,23 +1613,22 @@ object Similarity {
         oi += 1
       }
       val sel = scala.collection.mutable.Map.empty[Int,
-        scala.collection.mutable.ArrayBuffer[(Long, Seq[Float], Double, Double)]]
+        scala.collection.mutable.ArrayBuffer[GreedyPick]]
         .withDefault(_ => scala.collection.mutable.ArrayBuffer.empty)
       var active = quota.filter(_._2 > 0).keySet.toSet
+      var seedRound = true
       while (active.nonEmpty) {
-        val selIds = sel.values.flatten.map(_._1).toSeq
-        val marginal = active.toSeq.sorted.map { c =>
-          val s = sel(c)
-          val m =
-            if (s.isEmpty) col("rel")
-            else lit(lambda) * col("rel") - lit(1.0 - lambda) *
-              array_max(array(s.toSeq.map { case (_, sv, sn, _) =>
-                cosine9(dot(col("v"), typedLit(sv)), col("nrm"), lit(sn))
-              }: _*))
-          (c, m)
-        }.foldRight(lit(Double.NegativeInfinity): Column) {
-          case ((c, m), acc) => when(col("cid") === c, m).otherwise(acc)
-        }
+        val selIds = sel.values.flatten.map(_.id).toSeq
+        val marginal = active.toSeq.sorted.map { c => (c, roundScore(sel(c).toSeq)) }
+          .foldRight(lit(Double.NegativeInfinity): Column) {
+            case ((c, m), acc) => when(col("cid") === c, m).otherwise(acc)
+          }
+        // min_by over (key, id): key = -score elects the max, key = score
+        // elects the min (farthest-point); id breaks ties ascending either way
+        val desc = electDesc(seedRound)
+        val electKey =
+          if (desc) struct((-col("score")).as("s"), col("id"))
+          else struct(col("score").as("s"), col("id"))
         val picks = base
           .where(col("cid").isInCollection(active) &&
             (if (selIds.isEmpty) lit(true) else !col("id").isInCollection(selIds)))
@@ -1573,81 +1636,69 @@ object Similarity {
             round(marginal, 9).as("score"))
           .groupBy("cid")
           .agg(min_by(struct(col("id"), col("v"), col("nrm"), col("score")),
-            struct((-col("score")).as("s"), col("id"))).as("p"))
+            electKey).as("p"))
           .select(col("cid"), col("p.id"), col("p.v"), col("p.nrm"), col("p.score"))
           .collect()
         val picked = picks.map { r =>
           val c = r.getInt(0)
           val buf = sel.getOrElseUpdate(c,
             scala.collection.mutable.ArrayBuffer.empty)
-          buf += ((r.getLong(1), r.getSeq[Float](2), r.getDouble(3), r.getDouble(4)))
+          buf += GreedyPick(r.getLong(1), r.getSeq[Float](2), r.getDouble(3),
+            r.getDouble(4))
           c
         }.toSet
         active = active.filter(c => picked(c) && sel(c).size < quota(c))
+        seedRound = false
       }
       sel.toSeq.sortBy(_._1).flatMap { case (c, buf) =>
-        buf.toSeq.zipWithIndex.map { case ((id, _, _, score), i) =>
-          (c, i + 1, id, score)
-        }
-      }.toDF("cid", "rnk", idCol, "mmr_score")
+        buf.toSeq.zipWithIndex.map { case (p, i) => (c, i + 1, p.id, p.score) }
+      }.toDF("cid", "rnk", idCol, scoreCol)
         .orderBy("cid", "rnk")
     } finally base.unpersist()
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k: greedily pick the item
+    * maximizing `λ·rel − (1−λ)·max-cosine-to-already-selected`, where
+    * relevance is cosine to `queryVec` (or, by default, to the corpus
+    * centroid). The standard redundancy-aware selection for curation —
+    * top-k-by-relevance returns k near-copies of the same best item; MMR
+    * trades relevance for coverage, with λ=1 degenerating to plain top-k.
+    *
+    * Distributed shape = [[greedySelectCore]]: relevance is computed ONCE
+    * (map-only, cached); each of the k rounds is one scan — the marginal
+    * term is an `array_max` over ≤k codegen'd [[dot]]s against the
+    * selected vectors as expression LITERALS (selected state is k·dim
+    * floats on the driver, bounded by construction), and the argmax is a
+    * TakeOrdered(1), not a sort. Deterministic: cosines round at 9 digits
+    * and ties break by id ascending, so the selection is reproducible
+    * across partitionings. For corpus-sized k use [[mmrSelectBatched]]. */
   def mmrSelect(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
                 queryVec: Option[Seq[Float]] = None,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // centroid components are double means narrowed to float so the literal
-    // query rides the same codegen'd float-dot as every stored vector;
-    // toFloat narrowing is deterministic, and relevance stays a 9-digit
-    // rounded cosine either way
-    val q: Seq[Float] = queryVec.getOrElse {
-      groupCentroids(emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)),
-          "__g", vecCol)
-        .orderBy("dim_idx").collect()
-        .map(_.getAs[Double]("centroid").toFloat).toSeq
+    greedySelectCore(emb, k, queryVec, idCol, vecCol, "mmrSelect", "mmr_score") { sel =>
+      if (sel.isEmpty) (col("rel"), false)
+      else (lit(lambda) * col("rel") -
+        lit(1.0 - lambda) * array_max(array(selSims(sel): _*)), false)
     }
-    val qn = foldNorm(q)
-    require(qn > 0.0, "mmrSelect: query/centroid vector has zero norm")
-    val base = emb
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nrm"))
-      .where(col("v").isNotNull && col("nrm") > lit(0.0))
-      .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
-      .persist()
-    try {
-      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Double, Double)]
-      var exhausted = false
-      while (sel.size < k && !exhausted) {
-        val remaining =
-          if (sel.isEmpty) base
-          else base.where(!col("id").isInCollection(sel.map(_._1)))
-        val marginal =
-          if (sel.isEmpty) col("rel")
-          else {
-            val simsToSel = sel.toSeq.map { case (_, sv, sn, _) =>
-              cosine9(dot(col("v"), typedLit(sv)), col("nrm"), lit(sn))
-            }
-            lit(lambda) * col("rel") -
-              lit(1.0 - lambda) * array_max(array(simsToSel: _*))
-          }
-        val pick = remaining.select(col("id"), col("v"), col("nrm"),
-            round(marginal, 9).as("score"))
-          .orderBy(col("score").desc, col("id")).limit(1).collect()
-        if (pick.isEmpty) exhausted = true
-        else {
-          val r = pick(0)
-          sel += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getDouble(3)))
-        }
-      }
-      sel.toSeq.zipWithIndex
-        .map { case ((id, _, _, score), i) => (i + 1, id, score) }
-        .toDF("rnk", idCol, "mmr_score")
-    } finally base.unpersist()
+  }
+
+  /** Batched MMR — the scale tier of [[mmrSelect]] on the
+    * [[greedyBatchedCore]] scaffolding (per-cell parallel greedy, quota'd,
+    * one job per round): the marginal is the same
+    * `λ·rel − (1−λ)·max-same-cell-sim` and every round elects each cell's
+    * MAXIMUM. nCells = 1 is EXACTLY the exact tier (CurationSpec). */
+  def mmrSelectBatched(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
+                       nCells: Int = 8, trainIters: Int = 1,
+                       queryVec: Option[Seq[Float]] = None,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    greedyBatchedCore(emb, k, nCells, trainIters, queryVec, idCol, vecCol,
+      "mmrSelectBatched", "mmr_score") { sel =>
+      if (sel.isEmpty) col("rel")
+      else lit(lambda) * col("rel") -
+        lit(1.0 - lambda) * array_max(array(selSims(sel): _*))
+    }(_ => true) // MMR always elects the max marginal
   }
 
   /** Greedy k-center (farthest-point traversal) diversity selection — the
@@ -1665,60 +1716,36 @@ object Similarity {
     * centroid relevance), so the output doubles as the coverage-radius
     * audit trail.
     *
-    * Distributed shape = [[mmrSelect]]'s: relevance once (map-only,
-    * cached); each round is one scan with the ≤k selected vectors riding
-    * the expression tree as literals and a TakeOrdered(1) election —
-    * driver state k·dim floats, never corpus-sized. Deterministic across
-    * partitionings (round-9 cosines, id tiebreaks). Oracle-bearing: the
-    * greedy unrolls as chained CTEs over a precomputed pair-sim table
-    * (SparkEntry's mirror), exactly like the MMR oracle. */
+    * Distributed shape = [[greedySelectCore]] (shared with [[mmrSelect]]).
+    * Oracle-bearing: the greedy unrolls as chained CTEs over a precomputed
+    * pair-sim table (SparkEntry's mirror), exactly like the MMR oracle.
+    * For corpus-sized k use [[kCenterSelectBatched]]. */
   def kCenterSelect(emb: DataFrame, k: Int = 20,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val q: Seq[Float] = groupCentroids(
-        emb.where(col(vecCol).isNotNull).withColumn("__g", lit(1)), "__g", vecCol)
-      .orderBy("dim_idx").collect()
-      .map(_.getAs[Double]("centroid").toFloat).toSeq
-    val qn = foldNorm(q)
-    require(qn > 0.0, "kCenterSelect: corpus centroid has zero norm")
-    val base = emb
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nrm"))
-      .where(col("v").isNotNull && col("nrm") > lit(0.0))
-      .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
-      .persist()
-    try {
-      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Double, Double)]
-      var exhausted = false
-      while (sel.size < k && !exhausted) {
-        val remaining =
-          if (sel.isEmpty) base
-          else base.where(!col("id").isInCollection(sel.map(_._1)))
-        // seed round scores by centroid relevance (pick the max); later
-        // rounds score by max-sim-to-selected (pick the MIN — farthest)
-        val pick =
-          if (sel.isEmpty)
-            remaining.select(col("id"), col("v"), col("nrm"), col("rel").as("score"))
-              .orderBy(col("score").desc, col("id")).limit(1).collect()
-          else {
-            val simsToSel = sel.toSeq.map { case (_, sv, sn, _) =>
-              cosine9(dot(col("v"), typedLit(sv)), col("nrm"), lit(sn))
-            }
-            remaining.select(col("id"), col("v"), col("nrm"),
-                array_max(array(simsToSel: _*)).as("score"))
-              .orderBy(col("score").asc, col("id")).limit(1).collect()
-          }
-        if (pick.isEmpty) exhausted = true
-        else {
-          val r = pick(0)
-          sel += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getDouble(3)))
-        }
-      }
-      sel.toSeq.zipWithIndex
-        .map { case ((id, _, _, score), i) => (i + 1, id, score) }
-        .toDF("rnk", idCol, "coverage_sim")
-    } finally base.unpersist()
-  }
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    greedySelectCore(emb, k, None, idCol, vecCol, "kCenterSelect", "coverage_sim") { sel =>
+      if (sel.isEmpty) (col("rel"), false)
+      else (array_max(array(selSims(sel): _*)), true) // min max-sim = farthest
+    }
+
+  /** Batched greedy k-center — the scale tier of [[kCenterSelect]] on the
+    * [[greedyBatchedCore]] scaffolding, closing the r11 gap (the coreset
+    * picker is exactly the operator users run with k in the thousands,
+    * and it had no batched face where its sibling MMR did): per-cell
+    * farthest-point traversal with size-proportional quotas, every round
+    * ONE job. Round 1 elects each cell's MAXIMUM relevance (the shared
+    * seed rule); every later round elects each cell's MINIMUM
+    * max-same-cell-sim — the farthest point from that cell's selection.
+    * Coverage radii are cell-local by the same declared approximation as
+    * batched MMR's diversity term: cross-cell coverage is what the cell
+    * partition itself provides. nCells = 1 is EXACTLY [[kCenterSelect]]
+    * (equivalence property-tested in CurationSpec); job count
+    * ~⌈k/nCells⌉ instead of k. */
+  def kCenterSelectBatched(emb: DataFrame, k: Int = 20, nCells: Int = 8,
+                           trainIters: Int = 1,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    greedyBatchedCore(emb, k, nCells, trainIters, None, idCol, vecCol,
+      "kCenterSelectBatched", "coverage_sim") { sel =>
+      if (sel.isEmpty) col("rel")
+      else array_max(array(selSims(sel): _*))
+    }(seedRound => seedRound) // seed: max relevance; then min max-sim
 }

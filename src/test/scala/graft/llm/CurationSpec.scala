@@ -73,6 +73,83 @@ class CurationSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("kCenterSelectBatched with nCells=1 is EXACTLY the exact greedy " +
+    "(the agreement contract that keeps kCenterSelect the verifier tier)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.kCenterSelect(vecs, k = 8)
+      .select("rnk", "vec_id", "coverage_sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    val batched = Similarity.kCenterSelectBatched(vecs, k = 8, nCells = 1)
+      .select("rnk", "vec_id", "coverage_sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(batched == exact)
+  }
+
+  test("kCenterSelectBatched: quotas partition k by cell size, per-cell seed " +
+    "is the cell's relevance argmax, later picks are farthest-point, " +
+    "deterministic under repartition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated clusters of different sizes (40/30/20/10) — same
+    // fixture family as the batched-MMR quota test
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian() * 3))
+    val sizes = Seq(40, 30, 20, 10)
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until sizes(ci)
+    } yield ((ci * 100 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelectBatched(vecs, k = 10, nCells = 4)
+      .select("cid", "rnk", "vec_id", "coverage_sim")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out.length == 10)
+    assert(out.map(_._3).distinct.length == 10)
+    val perCell = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell.size == 4 && perCell.values.forall(n => n >= 1 && n <= 4),
+      s"quota split $perCell")
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.length), s"cell $c ranks")
+      // farthest-point invariant: from rank 2 on the coverage ledger is
+      // NON-DECREASING (the selection only grows — max-sim per candidate
+      // can only rise — and the candidate pool only shrinks), the sim-space
+      // dual of Gonzalez's non-increasing radius sequence
+      val ledger = rows.filter(_._2 > 1).sortBy(_._2).map(_._4)
+      assert(ledger == ledger.sorted, s"cell $c coverage ledger $ledger")
+    }
+    // deterministic under repartition
+    val out2 = Similarity.kCenterSelectBatched(vecs.repartition(7), k = 10,
+      nCells = 4)
+      .select("cid", "rnk", "vec_id", "coverage_sim")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out2 == out)
+  }
+
+  test("kCenterSelectBatched: within-cell picks spread across planted " +
+    "subclusters (coverage), unlike per-cell top-rel") {
+    import org.apache.spark.sql.functions._
+    // ONE k-means cell containing two tight near-orthogonal subclusters:
+    // farthest-point must alternate between them, pure relevance would not.
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val vecs = (for {
+      s <- 0 until 2; m <- 0 until 20
+    } yield {
+      val v = Array.fill(dim)((rnd.nextGaussian() * 0.03).toFloat)
+      v(8 * s) = 1.0f
+      ((s * 100 + m).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelectBatched(vecs, k = 4, nCells = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val subs = out.map(_ / 100).toSet
+    assert(subs == Set(0L, 1L),
+      s"batched k-center failed to cover both subclusters: $out")
+  }
+
   test("kCenterSelect: one pick per planted cluster at k = #clusters, " +
     "seed is the most corpus-central vector, deterministic under repartition") {
     import org.apache.spark.sql.functions._
