@@ -900,19 +900,22 @@ object SparkEntry {
     "dedup_exact_documents" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
     "dedup_drop_exact_documents" -> ((s, d) =>
       Dedup.dropExactDups(t(s, d, "documents")).select("doc_id").orderBy("doc_id")),
-    "dedup_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(t(s, d, "documents"))),
-    "dedup_clean_corpus_minhash" -> ((s, d) => Dedup.cleanCorpusMinHash(t(s, d, "documents"))),
+    "dedup_clean_corpus" -> ((s, d) =>
+      Dedup.cleanCorpus(t(s, d, "documents"), threshold = dedupJaccard)),
+    "dedup_clean_corpus_minhash" -> ((s, d) =>
+      Dedup.cleanCorpusMinHash(t(s, d, "documents"), threshold = dedupJaccard)),
     "dedup_ngram_jaccard_documents" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8)),
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = dedupJaccard)),
     "dedup_near_minhash" -> ((s, d) =>
-      Dedup.minHashNearDup(t(s, d, "documents"), threshold = 0.8)),
+      Dedup.minHashNearDup(t(s, d, "documents"), threshold = dedupJaccard)),
     "dedup_simhash_documents" -> ((s, d) =>
       Dedup.simHashNearDup(t(s, d, "documents"), maxHamming = 3)),
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))
         .orderBy("id")),
-    "dedup_clean_corpus_cc" -> ((s, d) => Dedup.cleanCorpusCC(t(s, d, "documents"))),
+    "dedup_clean_corpus_cc" -> ((s, d) =>
+      Dedup.cleanCorpusCC(t(s, d, "documents"), threshold = dedupJaccard)),
     // near-dup cluster-size distribution: the dedup-policy pre-flight
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.componentSizeDist(
@@ -942,10 +945,10 @@ object SparkEntry {
 
     // asymmetric shingle containment: subset-dups Jaccard structurally misses
     "dedup_containment_documents" -> ((s, d) =>
-      Dedup.containmentPairs(t(s, d, "documents"), threshold = 0.8)),
+      Dedup.containmentPairs(t(s, d, "documents"), threshold = dedupJaccard)),
     // exact k-NN graph (verifier tier of the bucketed/cell graph builders)
     "knn_graph_embeddings" -> ((s, d) =>
-      Similarity.knnGraph(emb(s, d), k = 3)),
+      Similarity.knnGraph(emb(s, d), k = knnK)),
     // the 100 TB tier: SRP-bucketed approximate k-NN graph, same edge
     // schema; recall property-tested vs the exact graph (no oracle —
     // approximate by design)
@@ -962,7 +965,7 @@ object SparkEntry {
       // per-vector cost multiplier once buckets saturate (SCALE §11) —
       // 64 keeps a 21× verification margin at a quarter of the dots
       val e = emb(s, d)
-      Similarity.knnGraphLSH(e, k = 3,
+      Similarity.knnGraphLSH(e, k = knnK,
         nBits = Similarity.autoBits(e.count(), targetBucket = 64),
         nTables = 2)
     }),
@@ -976,8 +979,8 @@ object SparkEntry {
     // Fixed-point/conservation/determinism property tests stay in
     // GraphsSpec, plus the scale-6 model pin the mirror rests on.
     "pagerank_knn_embeddings" -> ((s, d) =>
-      Graphs.pageRank(Similarity.knnGraph(emb(s, d), k = 3),
-        iters = 10)),
+      Graphs.pageRank(Similarity.knnGraph(emb(s, d), k = knnK),
+        iters = pagerankIters)),
     // the 100 TB tier of the same centrality: identical PageRank over the
     // SRP-bucketed kNN edges (same edge schema by design) — no O(n²) stage
     // anywhere in the composition. The exact-edge sibling above stays as
@@ -986,10 +989,10 @@ object SparkEntry {
     "pagerank_lsh_embeddings" -> ((s, d) => {
       val e = emb(s, d)
       Graphs.pageRank(
-        Similarity.knnGraphLSH(e, k = 3,
+        Similarity.knnGraphLSH(e, k = knnK,
           nBits = Similarity.autoBits(e.count(), targetBucket = 64),
           nTables = 2),
-        iters = 10)
+        iters = pagerankIters)
     }),
     // canonical-URL keep-one dedup; the corpus has no URL column, so the
     // declared query injects a deterministic messy URL per doc (case/www/
@@ -1082,15 +1085,16 @@ object SparkEntry {
 
     // -------- text analysis
     "text_stats_documents" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
-    "top20_tokens" -> ((s, d) => TextAnalysis.topTokens(t(s, d, "documents"))),
+    "top20_tokens" -> ((s, d) =>
+      TextAnalysis.topTokens(t(s, d, "documents"), k = topTermsK)),
     // exact heavy hitters (output bounded by 1/support regardless of corpus
     // size); the sketch sibling below is the single-pass scale path
     "heavy_hitters_tokens" -> ((s, d) =>
-      TextAnalysis.heavyHitters(t(s, d, "documents"), support = 0.005)),
+      TextAnalysis.heavyHitters(t(s, d, "documents"), support = heavyHitterSupport)),
     // Karp counter sketch: superset-of-exact guarantee property-tested in
     // TextAnalysisSpec; no oracle by design (sketch internals)
     "heavy_hitters_approx_tokens" -> ((s, d) =>
-      TextAnalysis.frequentItemsApprox(t(s, d, "documents"), support = 0.005)),
+      TextAnalysis.frequentItemsApprox(t(s, d, "documents"), support = heavyHitterSupport)),
     "token_count_documents" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     // BPE tokenizer training: ONE distributed scan to the capped word-
     // frequency dict, then the driver merge loop over word TYPES (the
@@ -1142,11 +1146,12 @@ object SparkEntry {
     "bm25_documents" -> ((s, d) =>
       TextAnalysis.bm25(t(s, d, "documents"), Seq("hash", "join", "scan"))),
     "chunk_documents" -> ((s, d) =>
-      TextAnalysis.chunkDocs(t(s, d, "documents"), chunkTokens = 50, overlap = 10)
+      TextAnalysis.chunkDocs(t(s, d, "documents"),
+        chunkTokens = SparkEntry.chunkTokens, overlap = chunkOverlap)
         .orderBy("doc_id", "chunk_idx")),
     "scrub_documents" -> ((s, d) => TextAnalysis.scrubText(t(s, d, "documents"))),
     "repetition_documents" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"), n = 2)),
-    "top20_bigrams" -> ((s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), n = 2, k = 20)),
+    "top20_bigrams" -> ((s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), n = 2, k = topTermsK)),
     // the dist tier over an llm-tier derived column: histogram of per-doc
     // token counts (the corpus length profile a curation pass starts from)
     "hist_doclen_documents" -> ((s, d) =>
@@ -1157,23 +1162,23 @@ object SparkEntry {
     // per-doc top-3 TF-IDF terms — one (doc_id, token) aggregate feeds tf,
     // doc totals, doc frequency, and the corpus count (exchange reuse)
     "tfidf_top3_documents" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = 3)),
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = tfidfTopK)),
     "normalize_text_documents" -> ((s, d) =>
       TextAnalysis.normalizeText(t(s, d, "documents"))),
     // token -> (n_docs, n_occurrences, first-10 posting sample); hot tokens
     // rank via a sort-based window, never an unbounded collect_list
     "inverted_index_documents" -> ((s, d) =>
-      TextAnalysis.invertedIndex(t(s, d, "documents"), sampleK = 10)),
+      TextAnalysis.invertedIndex(t(s, d, "documents"), sampleK = invIndexSampleK)),
     "pmi_top20_bigrams" -> ((s, d) =>
-      TextAnalysis.pmiTopBigrams(t(s, d, "documents"), k = 20, minCount = 5)),
+      TextAnalysis.pmiTopBigrams(t(s, d, "documents"), k = topTermsK, minCount = pmiMinCount)),
 
     // best-3 exemplar documents per language by composite quality score
     "top3_quality_per_lang" -> ((s, d) =>
-      TextAnalysis.topQualityDocs(t(s, d, "documents"), "lang", k = 3)),
+      TextAnalysis.topQualityDocs(t(s, d, "documents"), "lang", k = qualityTopK)),
     // aggregate tier of the same result: bounded-heap TopKAgg, no window
     // sort — the exchange carries ≤ k·|groups| pairs instead of all rows
     "top3_quality_per_lang_agg" -> ((s, d) =>
-      TextAnalysis.topQualityDocsAgg(t(s, d, "documents"), "lang", k = 3)),
+      TextAnalysis.topQualityDocsAgg(t(s, d, "documents"), "lang", k = qualityTopK)),
 
     // per-domain URL occurrence / document counts. The synthetic corpus
     // contains no URLs, so the declared query injects a deterministic
@@ -1202,7 +1207,8 @@ object SparkEntry {
     // eval split = doc_id < 50 (deterministic); train = the rest
     "decontaminate_documents" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Dedup.decontaminate(docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
+      Dedup.decontaminate(docs.where(col("doc_id") >= decontamEvalSplit),
+        docs.where(col("doc_id") < decontamEvalSplit), n = decontamN)
     }),
     // sketch-tier decontamination preflight: per-source eval-overlap
     // estimates from theta sketches — decides which sources need the exact
@@ -1210,8 +1216,8 @@ object SparkEntry {
     // with the exact join property-tested in DedupSpec)
     "decontam_theta_documents" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Dedup.decontaminateTheta(docs.where(col("doc_id") >= 50),
-        docs.where(col("doc_id") < 50), n = 8)
+      Dedup.decontaminateTheta(docs.where(col("doc_id") >= decontamEvalSplit),
+        docs.where(col("doc_id") < decontamEvalSplit), n = decontamN)
     }),
 
     // -------- deterministic sampling (corpus curation)
@@ -1493,14 +1499,15 @@ object SparkEntry {
       graft.llm.Curation.curate(t(s, d, "documents"))),
 
     // -------- similarity search
-    "cosine_topk_embeddings" -> ((s, d) => Similarity.cosineTopK(emb(s, d), 10)),
+    "cosine_topk_embeddings" -> ((s, d) =>
+      Similarity.cosineTopK(emb(s, d), cosinePairK)),
     "ann_brute_topk_embeddings" -> ((s, d) =>
-      Similarity.annBruteTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+      Similarity.annBruteTopK(emb(s, d), queryIds = 0L until annQueryBound, k = annK)),
     "ann_lsh_topk_embeddings" -> ((s, d) =>
-      Similarity.lshAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5,
+      Similarity.lshAnnTopK(emb(s, d), queryIds = 0L until annQueryBound, k = annK,
         nTables = 2)),
     "ann_ivf_topk_embeddings" -> ((s, d) =>
-      Similarity.ivfAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+      Similarity.ivfAnnTopK(emb(s, d), queryIds = 0L until annQueryBound, k = annK)),
     // ORACLE-BEARING IVF sibling: mirrorable Lloyd cells (smallest-id
     // seeds, round-9 argmax, round-6 double-division means) + round-9
     // probe list + exact round-9 scoring — DuckDB replays the whole
@@ -1513,7 +1520,7 @@ object SparkEntry {
     // ADC scoring via per-query broadcast lookup tables (no oracle:
     // sample-trained codebooks; recall + determinism property-tested)
     "ann_pq_topk_embeddings" -> ((s, d) =>
-      Similarity.pqAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+      Similarity.pqAnnTopK(emb(s, d), queryIds = 0L until annQueryBound, k = annK)),
     // the seeded oracle-bearing PQ face (new r11): smallest-id sample in
     // place of xxhash64 ordering makes train -> encode -> ADC -> rank
     // mirror digit-exact in SQL; parameters interpolate shared constants
@@ -1526,16 +1533,16 @@ object SparkEntry {
     // corpus), PQ codes decide WHAT is scored — the faiss architecture,
     // both levers composed (no oracle: sample-trained; recall-tested)
     "ann_ivfpq_topk_embeddings" -> ((s, d) =>
-      Similarity.ivfPqAnnTopK(emb(s, d), queryIds = 0L until 10L, k = 5)),
+      Similarity.ivfPqAnnTopK(emb(s, d), queryIds = 0L until annQueryBound, k = annK)),
     "emb_cosine_neardup" -> ((s, d) =>
-      Similarity.embCosineNearDup(emb(s, d), threshold = 0.5)),
+      Similarity.embCosineNearDup(emb(s, d), threshold = neardupCosine)),
     // the bucketed 100 TB sibling of emb_cosine_neardup. nBits=3/nTables=8
     // is tuned for this corpus's near-random vectors (top pair sim ≈ 0.51 ⇒
     // per-bit agreement p ≈ 0.67 ⇒ measured recall 13/14 at sf0.1 for half
     // the candidate volume of 16 tables); real near-dup corpora (sims ≥ 0.9)
     // keep the wider default bucketing and prune far harder.
     "emb_cosine_neardup_lsh" -> ((s, d) =>
-      Similarity.embCosineNearDupLSH(emb(s, d), threshold = 0.5,
+      Similarity.embCosineNearDupLSH(emb(s, d), threshold = neardupCosine,
         nTables = 8, nBits = 3)),
     // embedding-space decontamination: training vectors (vec_id >= 100)
     // semantically too close to any eval vector (vec_id < 100). Threshold
@@ -1544,8 +1551,8 @@ object SparkEntry {
     // contamination (sims ≥ 0.9) keeps the production default.
     "decontam_semantic_embeddings" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.semanticDecontam(e.where(col("vec_id") >= 100),
-        e.where(col("vec_id") < 100), threshold = 0.45)
+      Similarity.semanticDecontam(e.where(col("vec_id") >= decontamVecSplit),
+        e.where(col("vec_id") < decontamVecSplit), threshold = decontamCosine)
     }),
 
     // -------- round-3 additions
@@ -2040,6 +2047,29 @@ object SparkEntry {
     * interpolate THESE values, so the two faces cannot drift independently
     * — a one-sided edit previously broke the digit-exact contract silently
     * until an oracle run caught it (r10 ADVICE). */
+  /** Similarity / dedup / text knobs under the same discipline (r11
+    * verdict item #2 closed in r12): every tunable that BOTH a query
+    * registration and its SQL mirror previously hardcoded now reads one
+    * shared val, so an edit to either face edits both. */
+  private[graft] val dedupJaccard = 0.8      // shingle Jaccard / containment cut
+  private[graft] val knnK = 3                // kNN graph degree (exact/LSH/PR)
+  private[graft] val pagerankIters = 10      // damped PageRank iterations
+  private[graft] val cosinePairK = 10        // cosine_topk pair count
+  private[graft] val annQueryBound = 10L     // unseeded ANN: query ids [0, bound)
+  private[graft] val annK = 5                // unseeded ANN: per-query top-k
+  private[graft] val neardupCosine = 0.5     // emb_cosine_neardup threshold
+  private[graft] val decontamCosine = 0.45   // semantic-decontam threshold
+  private[graft] val decontamVecSplit = 100  // embeddings: eval ids < split
+  private[graft] val decontamEvalSplit = 50  // documents: eval ids < split
+  private[graft] val decontamN = 8           // decontamination n-gram width
+  private[graft] val tfidfTopK = 3           // tfidf_top3 per-doc terms
+  private[graft] val topTermsK = 20          // top20 token/bigram/PMI lists
+  private[graft] val pmiMinCount = 5         // PMI bigram count floor
+  private[graft] val heavyHitterSupport = 0.005 // exact + sketch support cut
+  private[graft] val invIndexSampleK = 10    // inverted-index posting sample
+  private[graft] val chunkTokens = 50        // chunker window
+  private[graft] val chunkOverlap = 10       // chunker overlap
+  private[graft] val qualityTopK = 3         // per-lang exemplar count
   private[graft] val seededCells = 8         // Lloyd cell count / seed LIMIT
   private[graft] val seededSemThreshold = 0.45 // semdedup_seeded pair-drop
   private[graft] val seededIvfK = 5          // ann_ivf_seeded top-k
@@ -3507,7 +3537,7 @@ object SparkEntry {
          |SELECT id_a, id_b,
          |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
          |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard
          |ORDER BY id_a, id_b""".stripMargin,
 
     // same shingle sets as the jaccard oracle; directional |∩|/|A| scores
@@ -3528,7 +3558,7 @@ object SparkEntry {
          |       CAST(n_inter AS DOUBLE) / sa.n AS c_ab,
          |       CAST(n_inter AS DOUBLE) / sb.n AS c_ba
          |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE CAST(n_inter AS DOUBLE) / sa.n >= 0.8 OR CAST(n_inter AS DOUBLE) / sb.n >= 0.8
+         |WHERE CAST(n_inter AS DOUBLE) / sa.n >= $dedupJaccard OR CAST(n_inter AS DOUBLE) / sb.n >= $dedupJaccard
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clean_corpus" ->
@@ -3548,7 +3578,7 @@ object SparkEntry {
          |dropped AS (
          |  SELECT DISTINCT id_b
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard)
          |SELECT doc_id FROM exact
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
          |ORDER BY doc_id""".stripMargin,
@@ -3571,7 +3601,7 @@ object SparkEntry {
          |pairs AS (
          |  SELECT id_a, id_b
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8),
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
@@ -3597,7 +3627,7 @@ object SparkEntry {
          |pairs AS (
          |  SELECT id_a, id_b
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8),
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
@@ -3625,7 +3655,7 @@ object SparkEntry {
          |pairs AS (
          |  SELECT id_a, id_b
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8),
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
@@ -3671,7 +3701,7 @@ object SparkEntry {
          |dropped AS (
          |  SELECT DISTINCT id_b
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard)
          |SELECT doc_id FROM exact
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
          |ORDER BY doc_id""".stripMargin
@@ -3684,20 +3714,20 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "top20_tokens" ->
-      """SELECT token, count(*) AS cnt FROM (
+      s"""SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token FROM documents)
-        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT $topTermsK""".stripMargin,
 
     // share = CAST(cnt AS DOUBLE) / total on both engines — one IEEE
     // division of exact integers, bit-deterministic
     "heavy_hitters_tokens" ->
-      """WITH t2 AS (SELECT token FROM (
+      s"""WITH t2 AS (SELECT token FROM (
         |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token FROM documents)
         |  WHERE token <> ''),
         |c AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token),
         |tot AS (SELECT count(*) AS total FROM t2)
         |SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS share
-        |FROM c, tot WHERE cnt > total * 0.005
+        |FROM c, tot WHERE cnt > total * $heavyHitterSupport
         |ORDER BY cnt DESC, token ASC""".stripMargin,
 
     "token_count_documents" ->
@@ -3742,7 +3772,7 @@ object SparkEntry {
          |r AS (SELECT doc_id, token, tfidf,
          |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rnk
          |      FROM scored)
-         |SELECT doc_id, rnk, token, tfidf FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+         |SELECT doc_id, rnk, token, tfidf FROM r WHERE rnk <= $tfidfTopK ORDER BY doc_id, rnk""".stripMargin,
 
     "normalize_text_documents" ->
       """WITH n AS (
@@ -3758,7 +3788,7 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |post AS (SELECT token, doc_id, count(*) AS tfc FROM tok GROUP BY 1, 2)
          |SELECT token, count(*) AS n_docs, CAST(sum(tfc) AS BIGINT) AS n_occurrences,
-         |       array_to_string((list_sort(list(doc_id)))[1:10], ' ') AS sample_docs
+         |       array_to_string((list_sort(list(doc_id)))[1:$invIndexSampleK], ' ') AS sample_docs
          |FROM post GROUP BY token ORDER BY token""".stripMargin,
 
     "pmi_top20_bigrams" ->
@@ -3778,8 +3808,8 @@ object SparkEntry {
          |  FROM bi JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
          |          JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
          |  CROSS JOIN ut CROSS JOIN bt
-         |  WHERE bc >= 5)
-         |SELECT bg AS bigram, bc AS cnt, pmi FROM j ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+         |  WHERE bc >= $pmiMinCount)
+         |SELECT bg AS bigram, bc AS cnt, pmi FROM j ORDER BY pmi DESC, bg LIMIT $topTermsK""".stripMargin,
 
     "top3_quality_per_lang" -> {
       val sw = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -3804,7 +3834,7 @@ object SparkEntry {
          |  SELECT lang, doc_id, quality_score,
          |         CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rnk
          |  FROM q)
-         |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= 3
+         |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= $qualityTopK
          |ORDER BY lang, rnk""".stripMargin
     },
 
@@ -3833,7 +3863,7 @@ object SparkEntry {
          |  SELECT lang, doc_id, quality_score,
          |         CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rnk
          |  FROM q)
-         |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= 3
+         |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= $qualityTopK
          |ORDER BY lang, rnk""".stripMargin
     },
 
@@ -3887,11 +3917,12 @@ object SparkEntry {
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |nz AS (SELECT doc_id, toks, len(toks) AS n FROM tt WHERE len(toks) > 0),
          |ch AS (SELECT doc_id, toks,
-         |              unnest(generate_series(1, greatest(n - 10, 1), 40)) AS st
+         |              unnest(generate_series(1, greatest(n - $chunkOverlap, 1),
+         |                     ${chunkTokens - chunkOverlap})) AS st
          |       FROM nz)
-         |SELECT doc_id, CAST((st - 1) // 40 AS INTEGER) AS chunk_idx,
-         |       array_to_string(toks[st:st+49], ' ') AS chunk_text,
-         |       CAST(len(toks[st:st+49]) AS BIGINT) AS n_tokens
+         |SELECT doc_id, CAST((st - 1) // ${chunkTokens - chunkOverlap} AS INTEGER) AS chunk_idx,
+         |       array_to_string(toks[st:st+${chunkTokens - 1}], ' ') AS chunk_text,
+         |       CAST(len(toks[st:st+${chunkTokens - 1}]) AS BIGINT) AS n_tokens
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "scrub_documents" ->
@@ -4060,7 +4091,7 @@ object SparkEntry {
          |                                    s -> array_to_string(toks[s:s+1], ' '))) AS ngram
          |       FROM tt WHERE len(toks) >= 2)
          |SELECT ngram, count(*) AS cnt FROM ng
-         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT $topTermsK""".stripMargin,
 
     "hist_doclen_documents" ->
       eqWidthSql(s"(SELECT CAST(len($toksSql) AS DOUBLE) AS doclen FROM documents)",
@@ -4799,12 +4830,12 @@ object SparkEntry {
     // mirrors Spark's array_distinct (count = distinct matched eval grams)
     "decontaminate_documents" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 7),
-         |                              s -> array_to_string(toks[s:s+7], ' '))) AS ngram
-         |       FROM tt WHERE doc_id < 50 AND len(toks) >= 8),
-         |tr AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
-         |                             s -> array_to_string(toks[s:s+7], ' ')))) AS ngram
-         |       FROM tt WHERE doc_id >= 50 AND len(toks) >= 8)
+         |ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - ${decontamN - 1}),
+         |                              s -> array_to_string(toks[s:s+${decontamN - 1}], ' '))) AS ngram
+         |       FROM tt WHERE doc_id < $decontamEvalSplit AND len(toks) >= $decontamN),
+         |tr AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - ${decontamN - 1}),
+         |                             s -> array_to_string(toks[s:s+${decontamN - 1}], ' ')))) AS ngram
+         |       FROM tt WHERE doc_id >= $decontamEvalSplit AND len(toks) >= $decontamN)
          |SELECT tr.doc_id, count(*) AS n_eval_ngrams
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
@@ -4941,7 +4972,7 @@ object SparkEntry {
          |r AS (SELECT src, dst, sim,
          |             CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rnk
          |      FROM scored)
-         |SELECT src, rnk, dst, sim FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+         |SELECT src, rnk, dst, sim FROM r WHERE rnk <= $knnK ORDER BY src, rnk""".stripMargin,
 
     // damped PageRank (10 iterations) over the exact kNN edge list,
     // unrolled as 10 chained CTEs: the scale-6 fixed-point model of the
@@ -4959,24 +4990,15 @@ object SparkEntry {
          |  SELECT src, dst FROM (
          |    SELECT src, dst,
          |           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
-         |    FROM scored) WHERE rnk <= 3),
+         |    FROM scored) WHERE rnk <= $knnK),
          |ow AS (SELECT src, count(*) AS d FROM g GROUP BY src),
          |es AS (SELECT g.src, g.dst, (2000000 + ow.d) // (2 * ow.d) AS share6
          |       FROM g JOIN ow ON g.src = ow.src),
          |nodes AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-         |${pageRankIterSql("r0", "r1")},
-${pageRankIterSql("r1", "r2")},
-${pageRankIterSql("r2", "r3")},
-${pageRankIterSql("r3", "r4")},
-${pageRankIterSql("r4", "r5")},
-${pageRankIterSql("r5", "r6")},
-${pageRankIterSql("r6", "r7")},
-${pageRankIterSql("r7", "r8")},
-${pageRankIterSql("r8", "r9")},
-${pageRankIterSql("r9", "r10")}
+         |${(1 to pagerankIters).map(i => pageRankIterSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
          |SELECT id, round(CAST(r AS DOUBLE) / 1000000, 9) AS rank
-         |FROM r10 ORDER BY id""".stripMargin,
+         |FROM r$pagerankIters ORDER BY id""".stripMargin,
 
     // the seeded PQ face: id-ordered Lloyd + PqEncode arithmetic + ADC,
     // all unrolled/mirrored (see pqSeededSql)
@@ -5325,22 +5347,22 @@ ${pageRankIterSql("r9", "r10")}
          |SELECT a.id AS id_a, b.id AS id_b,
          |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
          |FROM e a JOIN e b ON a.id < b.id
-         |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
+         |ORDER BY sim DESC, id_a, id_b LIMIT $cosinePairK""".stripMargin,
 
     "emb_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings)
          |SELECT a.id AS id_a, b.id AS id_b,
          |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
          |FROM e a JOIN e b ON a.id < b.id
-         |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= 0.5
+         |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= $neardupCosine
          |ORDER BY id_a, id_b""".stripMargin,
 
     "decontam_semantic_embeddings" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS v, ${normSql("embedding")} AS nrm FROM embeddings),
-         |tr AS (SELECT * FROM e WHERE id >= 100), ev AS (SELECT * FROM e WHERE id < 100)
+         |tr AS (SELECT * FROM e WHERE id >= $decontamVecSplit), ev AS (SELECT * FROM e WHERE id < $decontamVecSplit)
          |SELECT tr.id AS id, count(*) AS n_eval_hits,
          |       max(round(${dotSql("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 9)) AS max_sim
-         |FROM tr JOIN ev ON round(${dotSql("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 9) >= 0.45
+         |FROM tr JOIN ev ON round(${dotSql("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 9) >= $decontamCosine
          |GROUP BY tr.id ORDER BY id""".stripMargin,
 
     "ann_brute_topk_embeddings" ->
@@ -5348,11 +5370,11 @@ ${pageRankIterSql("r9", "r10")}
          |scored AS (
          |  SELECT q.id AS qid, c.id AS nid,
          |         round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
-         |  FROM e q JOIN e c ON q.id <> c.id WHERE q.id < 10),
+         |  FROM e q JOIN e c ON q.id <> c.id WHERE q.id < $annQueryBound),
          |r AS (SELECT qid, nid, sim,
          |             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk
          |      FROM scored)
-         |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+         |SELECT qid, rnk, nid, sim FROM r WHERE rnk <= $annK ORDER BY qid, rnk""".stripMargin,
 
     // predicts the REAL PNG encode->decode round trip: width/height from the
     // generation formula, luminance stats from the per-row gray levels
