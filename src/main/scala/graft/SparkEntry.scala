@@ -1732,6 +1732,16 @@ object SparkEntry {
     "select_dsir_documents" -> ((s, d) =>
       TextAnalysis.dsirSelect(t(s, d, "documents"),
         isTarget = col("lang") === dsirTargetLang, k = dsirK, maxVocab = dsirVocab)),
+    // the paper's actual feature space — hashed unigram+bigram buckets —
+    // as the 100 TB face (no vocab-election shuffle, every feature
+    // contributes); the explicit-vocab face above stays the oracle-bearing
+    // verifier (no oracle here: xxhash64-seeded bucketing; separable-corpora
+    // agreement with the vocab face + determinism property-tested, the
+    // broadcast contract plan-pinned)
+    "select_dsir_hashed_documents" -> ((s, d) =>
+      TextAnalysis.dsirSelectHashed(t(s, d, "documents"),
+        isTarget = col("lang") === dsirTargetLang, k = dsirK,
+        nBuckets = dsirBuckets)),
     // C4-style cross-document span dedup: rebuilt docs + span survival counts
     "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
     // substring-level exact dedup (Lee et al. 2022 ExactSubstr, Spark-native
@@ -2077,6 +2087,7 @@ object SparkEntry {
   private[graft] val seededQueryBound = 10L  // query ids are [0, bound)
   private[graft] val dsirK = 100             // select_dsir selection size
   private[graft] val dsirVocab = 1000        // select_dsir vocab features
+  private[graft] val dsirBuckets = 10000     // select_dsir_hashed feature buckets
   private[graft] val dsirTargetLang = "en"   // select_dsir target slice
   private[graft] val seededPqK = 5           // ann_pq_seeded top-k
   private[graft] val seededPqSub = 4         // PQ subspaces

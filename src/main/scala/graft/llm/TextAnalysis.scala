@@ -692,6 +692,65 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** DSIR — the paper's ACTUAL feature space (Xie et al. 2023 §2.2): hashed
+    * unigram+bigram buckets instead of [[dsirSelect]]'s explicit top-vocab
+    * (which was chosen for oracle mirrorability — xxhash64-seeded features
+    * are unmirrorable by declared policy). Every token and token-bigram
+    * hashes into one of `nBuckets` buckets (xxhash64 mod, the engine's
+    * standard seeded hash), the per-bucket importance weight is the same
+    * smoothed log-ratio `log((ct+1)/(tt+v)) − log((cp+1)/(tp+v))` with
+    * v = OCCUPIED bucket count (mirroring the vocab face's v = |vocab|
+    * smoothing, so the two faces agree exactly when features coincide),
+    * and each document scores the decimal-exact sum of its feature-
+    * occurrence weights.
+    *
+    * Why this is the 100 TB face: no orderBy-limit vocab election pass
+    * (one less wide shuffle), no arbitrary vocab cut — EVERY feature
+    * contributes through its bucket, exactly the collision-tolerant
+    * estimator the paper validates — and the weight frame is ≤ nBuckets
+    * rows at ANY corpus size, explicitly broadcast to the scoring join
+    * like the vocab face (same fatal-inversion guard, plan-pinned in
+    * TextAnalysisSpec). Declared **omit**: hashed bucketing is not
+    * SQL-mirrorable; agreement-on-separable-corpora vs the vocab face,
+    * determinism, and the broadcast contract are property-tested. */
+  def dsirSelectHashed(docs: DataFrame, isTarget: Column, k: Int = 100,
+                       nBuckets: Int = 10000,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    def feats(c: Column): Column = {
+      val t = tokens(c)
+      concat(t, tokenNgrams(t, 2))
+    }
+    def bkt(tok: Column): Column = pmod(xxhash64(tok), lit(nBuckets.toLong))
+    val occ = docs.select(col(idCol).as("doc_id"),
+      explode(feats(col(textCol))).as("f"))
+      .select(col("doc_id"), bkt(col("f")).as("b"))
+    val prop = occ.groupBy("b").agg(count(lit(1)).as("cp"))
+    val tgtCounts = docs.where(isTarget)
+      .select(explode(feats(col(textCol))).as("f"))
+      .select(bkt(col("f")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val vb = prop.join(tgtCounts, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    val stats = vb.agg(count(lit(1)).as("v"),
+      sum(col("cp")).as("tp"), sum(col("ct")).as("tt"))
+    val term = round(
+      log((col("ct") + lit(1L)).cast("double") / (col("tt") + col("v")).cast("double")) -
+        log((col("cp") + lit(1L)).cast("double") / (col("tp") + col("v")).cast("double")), 9)
+    // same explicit-broadcast contract as the vocab face: the weight frame
+    // is bucket-bounded at any corpus size, the occurrence stream never is
+    val scored = occ.join(broadcast(vb), Seq("b")).crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_vocab_tokens"),
+        sum(term.cast("decimal(28,9)")).cast("double").as("dsir_score"))
+    val top = scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("dsir_score"), col("n_vocab_tokens"))
+      .orderBy("rnk")
+  }
+
   /** BM25 retrieval scoring of the corpus against a FIXED query-term list
     * (Okapi BM25, Lucene idf `ln(1 + (N - df + ½)/(df + ½))`) — the lexical
     * half of a hybrid retrieval stack next to the ANN tier. Because the

@@ -35,6 +35,7 @@ class SparkEntryContractSpec extends SparkSpec {
     "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents",
     "heavy_hitters_tokens", // crossJoin(broadcast(1-row token total))
     "select_dsir_documents", // crossJoin(broadcast(1-row smoothing totals))
+    "select_dsir_hashed_documents", // same 1-row smoothing-totals crossJoin
     // pairwise join over a |sources|-row frame of KB-sized theta sketches:
     // bounded by source cardinality, never by the corpus — correct plan at
     // any data scale
@@ -262,15 +263,19 @@ class SparkEntryContractSpec extends SparkSpec {
     // tree structurally: no GenerateExec under any broadcast exchange.
     import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    val plan = SparkEntry.queries("select_dsir_documents")(spark, sfDir)
-      .queryExecution.executedPlan
     def hasGenerate(p: SparkPlan): Boolean =
       p.isInstanceOf[GenerateExec] || p.children.exists(hasGenerate)
-    val offenders = plan.collect {
-      case b: BroadcastExchangeExec if hasGenerate(b.child) => b
+    // both DSIR faces share the contract: the bounded weight frame (vocab
+    // or hash buckets) broadcasts, the occurrence stream never does
+    for (q <- Seq("select_dsir_documents", "select_dsir_hashed_documents")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan
+      val offenders = plan.collect {
+        case b: BroadcastExchangeExec if hasGenerate(b.child) => b
+      }
+      assert(offenders.isEmpty,
+        s"$q: token explode found under a BroadcastExchange:\n$plan")
     }
-    assert(offenders.isEmpty,
-      s"token explode found under a BroadcastExchange:\n$plan")
   }
 
   test("SURVEY §2.4 query inventory and SparkEntry.queries are 1:1") {

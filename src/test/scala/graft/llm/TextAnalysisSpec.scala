@@ -292,6 +292,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == r)
   }
 
+  test("dsirSelectHashed: agrees with the vocab face on separable corpora; " +
+    "deterministic under repartition; collisions only blur, never invert, " +
+    "a fully separated vocabulary") {
+    import org.apache.spark.sql.functions.col
+    // same separable fixture family as the vocab-face test: target docs
+    // use only alpha/beta, proposal spam uses only spam/junk — every
+    // feature (unigram or bigram) is unambiguously target- or spam-side,
+    // so ANY collision-tolerant hashed estimator must rank the four
+    // target-vocab docs first, exactly as the explicit-vocab face does
+    val docs = Seq(
+      (0L, "alpha beta alpha", "t"), (1L, "beta alpha beta", "t"),
+      (2L, "alpha alpha beta", "t"), (3L, "beta beta alpha", "t"),
+      (4L, "spam junk spam", "x"), (5L, "junk spam junk", "x"),
+      (6L, "spam spam junk", "x"), (7L, "junk junk spam", "x")
+    ).toDF("doc_id", "text", "grp")
+    val vocabTop = TextAnalysis.dsirSelect(docs, isTarget = col("grp") === "t",
+        k = 4, maxVocab = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val hashed = TextAnalysis.dsirSelectHashed(docs,
+        isTarget = col("grp") === "t", k = 8, nBuckets = 1 << 14)
+      .select("rnk", "doc_id", "dsir_score", "n_vocab_tokens")
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(hashed.length == 8)
+    // the top 4 hashed picks are exactly the vocab face's selection
+    assert(hashed.take(4).map(_._2).toSet == vocabTop,
+      s"hashed face top-4 diverged from vocab face on a separable corpus: $hashed")
+    // every target doc outscores every proposal-only doc
+    val (tgt, rest) = hashed.partition(r => r._2 <= 3L)
+    assert(tgt.map(_._3).min > rest.map(_._3).max,
+      s"target/spam score separation violated: $hashed")
+    // unigrams + bigrams: 3 tokens -> 3 + 2 = 5 features per doc
+    assert(hashed.forall(_._4 == 5L), s"feature counts: $hashed")
+    // bit-deterministic across partitionings
+    val again = TextAnalysis.dsirSelectHashed(docs.repartition(5),
+        isTarget = col("grp") === "t", k = 8, nBuckets = 1 << 14)
+      .select("rnk", "doc_id", "dsir_score", "n_vocab_tokens")
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(again == hashed)
+  }
+
   test("bm25: Okapi scoring with Lucene idf, sorted-term fold order") {
     val docs = Seq(
       (0L, "apple banana apple"),
