@@ -162,6 +162,41 @@ object VectorStreams {
       .start()
   }
 
+  /** Streaming k-center coreset per event-time window — the streaming
+    * sibling the batch curation family lacked (r11 verdict item #7:
+    * MMR/k-center were batch-only). Each window's vector stream folds
+    * through [[graft.functions.KCenterAgg]], the doubling-algorithm
+    * k-center (Charikar et al. 1997): bounded state of ≤ k weighted
+    * centers + one radius PER OPEN WINDOW no matter how many vectors
+    * arrive, mergeable across partitions, one pass per vector — where the
+    * batch greedy ([[graft.llm.Similarity.kCenterSelect]]) re-scans the
+    * corpus k times and stays the frozen-window verifier.
+    *
+    * Emission: append mode at watermark close, one row per (window,
+    * center) with the center's representative id, fold weight, unit
+    * vector, and the window's final merge radius (every folded vector is
+    * within 2·radius chordal distance of its center — the coverage audit).
+    * State is watermark-bounded: closed windows evict, the state store
+    * holds exactly the open windows' coresets (probe-tested in
+    * VectorStreamsSpec, the zero-state-rows precedent). */
+  def coresetStream(vectors: DataFrame, k: Int = 8,
+                    windowMinutes: Int = 5, watermark: String = "10 minutes",
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val win = window(col(tsCol), s"$windowMinutes minutes")
+    vectors.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .groupBy(win.as("window"))
+      .agg(graft.functions.KCenterAgg.k_center_agg(col("id"), col("v"), k).as("cs"))
+      .select(col("window"), col("cs.radius").as("radius"),
+        posexplode(col("cs.centers")))
+      .select(col("window").getField("start").as("window_start"),
+        (col("pos") + 1).cast("int").as("center_idx"),
+        col("col.id").as("center_id"), col("col.weight").as("weight"),
+        col("col.center").as("center"), col("radius"))
+  }
+
   /** The per-trigger body of [[annServeRefreshing]], exposed (like
     * [[ScdStream.applyScdBatch]]) so the crash-replay contract is directly
     * testable: re-invoking a batchId OVERWRITES its own `b=<batchId>`

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
 
 case class QueryVec(query_id: Long, embedding: Seq[Float], ts: Timestamp)
+case class StreamVec(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
 
 class VectorStreamsSpec extends SparkSpec {
   import spark.implicits._
@@ -309,5 +310,78 @@ class VectorStreamsSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(batch == win,
       s"refreshing batch core diverged from the windowed face:\n batch=$batch\n win=$win")
+  }
+
+  // 4 well-separated axis clusters x 10 members, 16-dim — the planted
+  // fixture both coreset tests share
+  private def clusterVecs(seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    for {
+      c <- 0 until 4; m <- 0 until 10
+    } yield {
+      val v = Array.fill(16)((rnd.nextGaussian() * 0.03).toFloat)
+      v(4 * c) = 1.0f
+      ((c * 100 + m).toLong, v.toSeq)
+    }
+  }
+
+  test("coresetStream: per-window k-center coreset lands at window close " +
+    "covering every planted cluster; state is one row per open window, " +
+    "not per vector") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamVec]
+    val out = VectorStreams.coresetStream(in.toDF(), k = 8,
+      windowMinutes = 5, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("coresetstream")
+      .outputMode("append").start()
+    try {
+      // 40 vectors, all inside the 10:00 window
+      in.addData(clusterVecs(seed = 3).map { case (id, v) =>
+        StreamVec(id, v, ts("2024-01-01 10:01:00")) }: _*)
+      q.processAllAvailable()
+      // bounded state: 40 vectors folded into ONE open-window coreset row
+      val p = q.lastProgress
+      assert(p.stateOperators.map(_.numRowsTotal).sum == 1L,
+        s"state rows ${p.stateOperators.map(_.numRowsTotal).toSeq} != 1 open window")
+      // window still open -> append emits nothing yet
+      assert(spark.sql("SELECT count(*) FROM coresetstream").as[Long].head() == 0L)
+      // advance the watermark past 10:05 with a later vector
+      in.addData(StreamVec(999L, clusterVecs(3).head._2, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT center_idx, center_id, weight, center, radius FROM coresetstream")
+        .as[(Int, Long, Long, Seq[Float], Double)].collect().toSeq
+      assert(rows.nonEmpty && rows.length <= 8,
+        s"expected <= k centers, got ${rows.length}")
+      // every planted cluster is represented, weights conserved, and the
+      // merge radius never reached the sqrt(2) cross-cluster scale
+      assert(rows.map(_._2 / 100).toSet == Set(0L, 1L, 2L, 3L),
+        s"coreset missed a planted cluster: ${rows.map(_._2)}")
+      assert(rows.map(_._3).sum == 40L, s"fold weights not conserved: $rows")
+      assert(rows.forall(_._5 < 1.0), s"radius reached cross-cluster scale")
+      rows.foreach { case (_, cid, _, u, _) =>
+        assert(u((4 * (cid / 100)).toInt) > 0.9f,
+          s"center $cid drifted off its cluster axis")
+      }
+    } finally q.stop()
+  }
+
+  test("coresetStream batch parity on a frozen window: the same aggregate " +
+    "over the same vectors recovers the same planted-cluster structure") {
+    import org.apache.spark.sql.functions._
+    val vecs = clusterVecs(seed = 3).toDF("vec_id", "embedding")
+    val batch = vecs
+      .agg(graft.functions.KCenterAgg.k_center_agg(
+        col("vec_id"), col("embedding"), 8).as("cs"))
+      .select(col("cs.radius").as("radius"), explode(col("cs.centers")).as("c"))
+      .select(col("c.id"), col("c.weight"), col("radius"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // identical coverage contract as the streaming window (the coreset is
+    // order-dependent by declared design, so parity is structural: cluster
+    // coverage, weight conservation, sub-cross-cluster radius)
+    assert(batch.map(_._1 / 100).toSet == Set(0L, 1L, 2L, 3L))
+    assert(batch.map(_._2).sum == 40L)
+    assert(batch.forall(_._3 < 1.0))
+    assert(batch.length <= 8)
   }
 }
