@@ -2366,9 +2366,9 @@ object SparkEntry {
     * naive "fold the selection list per candidate" formulation does not
     * even bind), and each round's CTE references its predecessor once with
     * the pick chosen by (score DESC, id) LIMIT 1 — exactly the engine's
-    * TakeOrdered(1) contract. The (1-λ) weight is written as the SQL
-    * expression `(1.0 - 0.7)` so both engines compute the same
-    * 0.30000000000000004 double rather than a re-typed 0.3 literal. */
+    * TakeOrdered(1) contract. The (1-λ) weight and the marginal's
+    * quantization follow the float-exactness rules documented at
+    * [[mmrRoundSql]] (r12 sf0.1 sweep finding). */
   private[graft] val mmrK = 20
   private[graft] val mmrLambda = 0.7
   private[graft] val kcenterK = 20
@@ -2426,11 +2426,33 @@ object SparkEntry {
 
   /** One MMR greedy round as a DuckDB CTE: state is (sel: picked
     * (id, score) structs in pick order, ids: plain id list for the
-    * lambda-free membership tests). */
+    * lambda-free membership tests).
+    *
+    * Two float-exactness rules, both caught by the r12 sf0.1 sweep (the
+    * marginal `0.7a − 0.3b` over 9-dp-rounded inputs lands EXACTLY on
+    * 10th-digit midpoints ~1/10 of the time, so any sub-ulp divergence
+    * flips the 9th digit):
+    *  1. the (1−λ) weight interpolates the SCALA-computed double
+    *     (0.30000000000000004) as a literal — writing `(1.0 - 0.7)` in
+    *     SQL yields DECIMAL arithmetic in DuckDB, i.e. exactly 0.3,
+    *     a different double than Spark's;
+    *  2. the marginal quantizes via the VARCHAR route,
+    *     double→VARCHAR→DECIMAL(28,9): Spark's `round` is
+    *     `BigDecimal.valueOf(x)` = HALF_UP on the SHORTEST decimal
+    *     representation, and DuckDB's double→VARCHAR cast produces
+    *     exactly that shortest repr with the varchar→decimal cast
+    *     rounding half-away-from-zero on its digits — whereas BOTH
+    *     DuckDB `round()` AND the direct double→DECIMAL cast go through
+    *     a scaled multiply (`x·1e9`) whose product error misrounds at
+    *     exactly these midpoints (probed both ways at sf0.01/sf0.1: the
+    *     direct cast flipped rnk 14 down at sf0.01, round() flipped
+    *     rnks 4/5/10/18 up at sf0.1). The same strtod trick as the
+    *     moments oracle's r4 DECIMAL→DOUBLE fix, in the other
+    *     direction. */
   private def mmrRoundSql(prev: String, out: String): String = {
     val marginal =
       s"""CASE WHEN len(ids) = 0 THEN b.rel
-         |             ELSE $mmrLambda * b.rel - (1.0 - $mmrLambda) *
+         |             ELSE $mmrLambda * b.rel - CAST(${1.0 - mmrLambda} AS DOUBLE) *
          |               (SELECT max(st.sim) FROM simtab st
          |                WHERE st.ia = b.id AND list_contains(ids, st.ib)) END""".stripMargin
     // same exhaustion no-op CASE as kCenterRoundSql: a NULL pick keeps the
@@ -2440,7 +2462,8 @@ object SparkEntry {
        |         CASE WHEN pick IS NULL THEN ids ELSE list_append(ids, pick.id) END AS ids FROM (
        |    SELECT sel, ids, (
        |      SELECT {'id': id, 'score': score} FROM (
-       |        SELECT b.id AS id, round($marginal, 9) AS score
+       |        SELECT b.id AS id,
+       |               CAST(CAST(CAST(($marginal) AS VARCHAR) AS DECIMAL(28,9)) AS DOUBLE) AS score
        |        FROM mbase b WHERE NOT list_contains(ids, b.id))
        |      ORDER BY score DESC, id LIMIT 1) AS pick
        |    FROM $prev))""".stripMargin
