@@ -735,15 +735,30 @@ object TextAnalysis {
     val vb = prop.join(tgtCounts, Seq("b"), "left").na.fill(0L, Seq("ct"))
     val stats = vb.agg(count(lit(1)).as("v"),
       sum(col("cp")).as("tp"), sum(col("ct")).as("tt"))
-    val term = round(
-      log((col("ct") + lit(1L)).cast("double") / (col("tt") + col("v")).cast("double")) -
-        log((col("cp") + lit(1L)).cast("double") / (col("tp") + col("v")).cast("double")), 9)
-    // same explicit-broadcast contract as the vocab face: the weight frame
-    // is bucket-bounded at any corpus size, the occurrence stream never is
-    val scored = occ.join(broadcast(vb), Seq("b")).crossJoin(broadcast(stats))
+    // Per-bucket weight quantized to a 1e-9-scaled BIGINT, summed as plain
+    // long arithmetic — NOT the vocab face's DECIMAL(28,9) sums. The scale
+    // face scores EVERY feature occurrence (that is its point — no vocab
+    // cut filters the stream), so the scoring aggregate's input is the
+    // full unigram+bigram explode; a BigDecimal-boxed sum there is the
+    // whole operator's hot path (profiled at sf100: the decimal partial
+    // agg was a 17-minute straggler task). Long addition is exact and
+    // commutative, so cross-partitioning bit-determinism — the property
+    // the decimal bought — is preserved at 5-10x less cost; only the
+    // sub-ulp rounding of each term differs from the vocab face, which
+    // has no oracle contract here (declared omit, seeded hashes).
+    val termScaled = rint(
+      (log((col("ct") + lit(1L)).cast("double") / (col("tt") + col("v")).cast("double")) -
+        log((col("cp") + lit(1L)).cast("double") / (col("tp") + col("v")).cast("double"))) * lit(1e9))
+      .cast("long")
+    // weights fold on the BUCKET-BOUNDED frame (two logs per bucket, not
+    // per occurrence row), then the same explicit-broadcast contract as
+    // the vocab face: the slim (b, w) weight table broadcasts, the
+    // occurrence stream never does
+    val wtab = vb.crossJoin(stats).select(col("b"), termScaled.as("w"))
+    val scored = occ.join(broadcast(wtab), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_vocab_tokens"),
-        sum(term.cast("decimal(28,9)")).cast("double").as("dsir_score"))
+        (sum(col("w")).cast("double") / lit(1e9)).as("dsir_score"))
     val top = scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
     top.withColumn("rnk", row_number().over(
         Window.orderBy(col("dsir_score").desc, col("doc_id"))))
