@@ -724,15 +724,17 @@ object TextAnalysis {
       concat(t, tokenNgrams(t, 2))
     }
     def bkt(tok: Column): Column = pmod(xxhash64(tok), lit(nBuckets.toLong))
-    val occ = docs.select(col(idCol).as("doc_id"),
-      explode(feats(col(textCol))).as("f"))
-      .select(col("doc_id"), bkt(col("f")).as("b"))
-    val prop = occ.groupBy("b").agg(count(lit(1)).as("cp"))
-    val tgtCounts = docs.where(isTarget)
-      .select(explode(feats(col(textCol))).as("f"))
-      .select(bkt(col("f")).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val vb = prop.join(tgtCounts, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    // ONE tokenize+explode serves both count passes: the target slice is a
+    // subset of the proposal pool, so cp and ct fold in the same bucket
+    // aggregate (count vs conditional count) — a full corpus read fewer
+    // than the vocab face's separate target pass, which matters when the
+    // regex tokenize IS the scan cost (profiled at sf100)
+    val occT = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        explode(feats(col(textCol))).as("f"))
+      .select(col("doc_id"), col("__t"), bkt(col("f")).as("b"))
+    val occ = occT.select("doc_id", "b")
+    val vb = occT.groupBy("b").agg(count(lit(1)).as("cp"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
     val stats = vb.agg(count(lit(1)).as("v"),
       sum(col("cp")).as("tp"), sum(col("ct")).as("tt"))
     // Per-bucket weight quantized to a 1e-9-scaled BIGINT, summed as plain
