@@ -696,8 +696,8 @@ object TextAnalysis {
     * unigram+bigram buckets instead of [[dsirSelect]]'s explicit top-vocab
     * (which was chosen for oracle mirrorability — xxhash64-seeded features
     * are unmirrorable by declared policy). Every token and token-bigram
-    * hashes into one of `nBuckets` buckets (xxhash64 mod, the engine's
-    * standard seeded hash), the per-bucket importance weight is the same
+    * hashes into one of `nBuckets` buckets (the codegen rolling
+    * xxhash64-polynomial of [[graft.functions.NgramHashes]]), the per-bucket importance weight is the same
     * smoothed log-ratio `log((ct+1)/(tt+v)) − log((cp+1)/(tp+v))` with
     * v = OCCUPIED bucket count (mirroring the vocab face's v = |vocab|
     * smoothing, so the two faces agree exactly when features coincide),
@@ -719,19 +719,30 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // Features are HASHES from the first token pass on — never strings:
+    // [[graft.functions.NgramHashes]] (the codegen rolling-hash shared
+    // with the substring-dedup fast tier) emits per-token xxhash64 at
+    // n=1 and rolling bigram hashes at n=2 in one whole-stage-codegen
+    // pass, where the first cut built bigram STRINGS through interpreted
+    // `transform`+`concat_ws` HOFs and re-hashed them (Spark HOFs don't
+    // codegen — profiled at sf100 as the dominant scan cost after the
+    // decimal fix). Feature identity differs from the string scheme only
+    // inside the declared-omit hash internals; bucket = pmod keeps the
+    // full [0, nBuckets) range on negative hashes.
     def feats(c: Column): Column = {
       val t = tokens(c)
-      concat(t, tokenNgrams(t, 2))
+      concat(graft.functions.functions.ngram_hashes(t, 1),
+        graft.functions.functions.ngram_hashes(t, 2))
     }
-    def bkt(tok: Column): Column = pmod(xxhash64(tok), lit(nBuckets.toLong))
     // ONE tokenize+explode serves both count passes: the target slice is a
     // subset of the proposal pool, so cp and ct fold in the same bucket
     // aggregate (count vs conditional count) — a full corpus read fewer
     // than the vocab face's separate target pass, which matters when the
     // regex tokenize IS the scan cost (profiled at sf100)
     val occT = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
-        explode(feats(col(textCol))).as("f"))
-      .select(col("doc_id"), col("__t"), bkt(col("f")).as("b"))
+        explode(feats(col(textCol))).as("h"))
+      .select(col("doc_id"), col("__t"),
+        pmod(col("h"), lit(nBuckets.toLong)).as("b"))
     val occ = occT.select("doc_id", "b")
     val vb = occT.groupBy("b").agg(count(lit(1)).as("cp"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
