@@ -912,14 +912,14 @@ object SparkEntry {
       Dedup.simHashNearDup(t(s, d, "documents"), maxHamming = 3)),
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = dedupJaccard))
         .orderBy("id")),
     "dedup_clean_corpus_cc" -> ((s, d) =>
       Dedup.cleanCorpusCC(t(s, d, "documents"), threshold = dedupJaccard)),
     // near-dup cluster-size distribution: the dedup-policy pre-flight
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.componentSizeDist(
-        Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.8))),
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = dedupJaccard))),
     // set operations (INTERSECT / EXCEPT plan as hash semi/anti joins):
     // distinct-text overlap accounting between two sources
     "source_set_ops_documents" -> ((s, d) => {
@@ -2382,7 +2382,12 @@ object SparkEntry {
     * posexplode semantics: qc divides per-dim sums by count(*), which only
     * equals the per-dim vector count when every row carries all embDim
     * dims — a short row would be skipped by the sum (v[j] is NULL past the
-    * end) but still counted by count(*) without this filter. */
+    * end) but still counted by count(*) without this filter. FIXTURE
+    * ASSUMPTION (ADVICE r12, same class as the binId note): the engine
+    * (greedySelectCore) keeps ANY non-null nonzero-norm vector as a
+    * candidate and its posexplode centroid averages whatever dims exist,
+    * so on a mixed-length corpus the two faces would diverge — the
+    * fixtures are uniformly embDim-long, which is where they agree. */
   private def greedyCoreSql: String =
     s"""en0 AS (
        |  SELECT vec_id AS id, embedding AS v,

@@ -84,9 +84,17 @@ case class KCenterAgg(
     val i = id.eval(input)
     val v = vec.eval(input)
     if (i != null && v != null) {
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toFloatArray()
-      buf.add(i.asInstanceOf[Long], arr, 1L)
+      val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      // skip vectors containing null elements (ADVICE r12): the input may be
+      // ArrayType(FloatType, containsNull=true), and toFloatArray on such a
+      // row either throws (GenericArrayData) or silently reads 0.0
+      // (UnsafeArrayData) — neither matches the batch tiers' skip-null
+      // contract, so probe element nullability first.
+      var hasNull = false
+      var j = 0
+      val n = ad.numElements()
+      while (j < n && !hasNull) { if (ad.isNullAt(j)) hasNull = true; j += 1 }
+      if (!hasNull) buf.add(i.asInstanceOf[Long], ad.toFloatArray(), 1L)
     }
     buf
   }
@@ -185,6 +193,13 @@ object KCenterAgg {
     }
 
     private def addUnit(id: Long, u: Array[Float], weight: Long): Unit = {
+      // first-seen dim wins (ADVICE r12): serialize() writes every center at
+      // the first center's dim, so a mixed-dim input would either overflow
+      // the buffer (longer) or silently corrupt deserialized state (shorter).
+      // Skipping mismatched vectors extends the declared skip-invalid
+      // contract (null / zero-norm) to malformed dims; the guard sits here
+      // rather than in add() so absorb()'s replay path is covered too.
+      if (centers.nonEmpty && u.length != centers.head.unit.length) return
       val (bi, bd) = nearest(u)
       if (bi >= 0 && bd <= 2.0 * r) centers(bi).weight += weight
       else {

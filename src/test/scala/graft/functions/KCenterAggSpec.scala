@@ -38,6 +38,40 @@ class KCenterAggSpec extends SparkSpec {
     assert(st.centers.length == 1)
   }
 
+  test("mixed-dim vectors are skipped after the first (first-seen dim wins), " +
+    "so serialize/deserialize round-trips cleanly") {
+    val st = new KCenterAgg.State(4)
+    st.add(0L, axis(0, 8).toArray, 1L)
+    st.add(1L, axis(0, 12).toArray, 1L) // longer: would overflow the buffer
+    st.add(2L, axis(1, 4).toArray, 1L)  // shorter: would corrupt the stream
+    st.add(3L, axis(1, 8).toArray, 1L)  // matching dim: kept
+    assert(st.centers.length == 2, s"got ${st.centers.map(_.id)}")
+    assert(st.centers.forall(_.unit.length == 8))
+    val agg = KCenterAgg(
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(0L)),
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(null)), 4)
+    val rt = agg.deserialize(agg.serialize(st))
+    assert(rt.centers.map(_.id).toSeq == Seq(0L, 3L))
+    assert(rt.centers.forall(_.unit.length == 8))
+  }
+
+  test("vectors containing null elements are skipped by update, matching " +
+    "the batch tiers' null contract") {
+    val rows = Seq(
+      (0L, Seq[java.lang.Float](1.0f, 0.0f, 0.0f)),
+      (1L, Seq[java.lang.Float](0.0f, null, 1.0f)), // null element: skipped
+      (2L, Seq[java.lang.Float](0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = rows
+      .agg(KCenterAgg.k_center_agg(col("vec_id"), col("embedding"), 4).as("cs"))
+      .select(explode(col("cs.centers")).as("c"))
+      .select(col("c.id"), col("c.weight"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 2L),
+      s"null-element row leaked into the coreset: ${out.toSeq}")
+    assert(out.map(_.getLong(1)).sum == 2L)
+  }
+
   test("absorb replays weighted centers: merge of disjoint-cluster partials " +
     "keeps both clusters; merged weights are conserved") {
     val a = new KCenterAgg.State(4)
