@@ -191,7 +191,16 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val excludedJson = excluded
       .map { case (n, why) => jstr(n) + ":" + jstr(why) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    // canary-normalized totals (r12 verdict #3): the raw total is
+    // environment-confounded (r12's driver box ran the same code 2.2x
+    // slower by its own canary), so the artifact carries total/calib_s
+    // (CPU-canary units) and total/calib_jobs_s (scheduling-canary units)
+    // as headline fields — a raw-only reader comparing rounds should read
+    // value_norm, not value. Unitless: "canary multiples", comparable
+    // across machines because the canary work is pinned.
+    val valueNormJson = if (calib.isNaN) "null" else s3(total / calib)
+    val valueNormJobsJson = if (calibJobs.isNaN) "null" else s3(total / calibJobs)
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_norm":$valueNormJson,"value_norm_jobs":$valueNormJobsJson,"calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // The full per-query map (~4.4 KB at 145 queries) cannot fit the
     // driver's 2000-char stdout tail, so the LAST printed line is a compact
     // summary that always fits; the full map persists to target/bench.json
@@ -202,7 +211,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":" +
         vs.map(v => if (v.isNaN) "null" else s3(v)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_norm":$valueNormJson,"value_norm_jobs":$valueNormJobsJson,"calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       json.dropRight(1) + s""","passes":$passesJson}""")

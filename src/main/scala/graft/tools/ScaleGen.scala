@@ -20,17 +20,23 @@ import org.apache.spark.sql.functions._
   * 10× corpus of pure dups measures the dedup fast path, not scale);
   * embeddings get a tiny per-replica component shift for the same reason.
   *
-  * Usage: `runMain graft.tools.ScaleGen [srcDir] [outDir] [reps] [tables]`
-  * — `tables` is an optional comma list (e.g. `documents,embeddings`)
-  * restricting output to the named tables, for decade sweeps that only
-  * stress one family (generating an 11 GB lineitem to measure a
-  * documents-only dedup tier is wasted disk and wall). */
+  * Usage: `runMain graft.tools.ScaleGen [srcDir] [outDir] [reps] [tables]
+  * [splits]` — `tables` is an optional comma list (e.g.
+  * `documents,embeddings`) restricting output to the named tables, for
+  * decade sweeps that only stress one family (generating an 11 GB
+  * lineitem to measure a documents-only dedup tier is wasted disk and
+  * wall). `splits` (default 64) is the fact-table output file count:
+  * a replicated table otherwise lands as ONE parquet file / one row
+  * group, so every sf100 scan-heavy measurement ran single-threaded
+  * (r12 verdict #2) — a 100 TB table is thousands of splits, and the
+  * fixture must look like one. Dims stay verbatim single-file. */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scaledata/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val splits = args.lift(4).map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,19 +50,24 @@ object ScaleGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, reps, only)
+    run(spark, src, out, reps, only, splits)
     spark.stop()
   }
 
   /** Session-agnostic body (ScaleGenSpec drives it on the test session;
     * the session must set spark.sql.legacy.parquet.nanosAsLong=true). */
   def run(spark: SparkSession, src: String, out: String, reps: Int,
-          only: Option[Set[String]] = None): Unit = {
+          only: Option[Set[String]] = None, splits: Int = 64): Unit = {
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // fact tables repartition to `splits` files so scans parallelize like a
+    // real multi-split table; dims (5/25 rows) stay verbatim single-file
+    def write(df: DataFrame, name: String): Unit = {
+      val d = if (name == "region" || name == "nation") df
+              else df.repartition(splits)
+      d.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
 
     // strides computed on the SOURCE tables so both sides of an FK agree;
     // cast-to-long tolerates int-typed keys and the require turns an empty
