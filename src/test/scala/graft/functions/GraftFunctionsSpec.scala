@@ -82,6 +82,47 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(short(0) == 20.0)
   }
 
+  test("max_cos_round is bit-identical to the array_max-of-rounded-cosine9 " +
+    "literal tree it replaces; empty selection yields null") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vec(): Seq[Float] = Seq.fill(dim)((rnd.nextGaussian()).toFloat)
+    val selVecs: Seq[Seq[Float]] = Seq.fill(5)(vec())
+    def nrm(v: Seq[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble))
+    val selNrms = selVecs.map(nrm)
+    val df = Seq.tabulate(40)(i => (i.toLong, vec()))
+      .toDF("id", "v")
+      .withColumn("nrm", functions.float_norm(col("v")))
+      .withColumn("sel_vecs", typedLit(selVecs))
+      .withColumn("sel_nrms", typedLit(selNrms))
+    // the literal tree the batched greedy selectors used before r13:
+    // array_max over individually-rounded cosines to each selected vector
+    val tree = array_max(array(selVecs.zip(selNrms).map { case (sv, sn) =>
+      round(functions.float_dot(col("v"), typedLit(sv)) / (col("nrm") * lit(sn)), 9)
+    }: _*))
+    val rows = df.select(
+        functions.max_cos_round(col("v"), col("nrm"), col("sel_vecs"),
+          col("sel_nrms")).as("loop"),
+        tree.as("tree"))
+      .as[(Double, Double)].collect()
+    assert(rows.length == 40)
+    rows.foreach { case (loop, t) => assert(loop == t) } // bitwise, not approx
+    // empty selection → null (callers score seed rounds separately)
+    val empty = df.limit(1).select(functions.max_cos_round(col("v"), col("nrm"),
+      typedLit(Seq.empty[Seq[Float]]), typedLit(Seq.empty[Double]))).collect()
+    assert(empty(0).isNullAt(0))
+    // a null sel entry is skipped, matching array_max's null-skipping
+    val withNull = df.limit(5).select(
+        functions.max_cos_round(col("v"), col("nrm"),
+          typedLit(Seq(Option.empty[Seq[Float]], Some(selVecs.head))),
+          typedLit(Seq(Option.empty[Double], Some(selNrms.head)))).as("loop"),
+        round(functions.float_dot(col("v"), typedLit(selVecs.head)) /
+          (col("nrm") * lit(selNrms.head)), 9).as("one"))
+      .as[(Double, Double)].collect()
+    withNull.foreach { case (loop, one) => assert(loop == one) }
+  }
+
   test("nfc_normalize composes decomposed sequences; ASCII and nulls pass through") {
     import graft.functions.{functions => gf}
     val df = Seq(
