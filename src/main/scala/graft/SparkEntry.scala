@@ -1835,6 +1835,18 @@ object SparkEntry {
     "curate_kcenter_batched_embeddings" -> ((s, d) =>
       Similarity.kCenterSelectBatched(emb(s, d), k = kcenterK,
         nCells = batchedCells)),
+    // ORACLE-BEARING seeded faces of the batched greedy tiers (r13,
+    // graduating the batched-omit class the same way IVF/PQ/SemDeDup
+    // graduated): mirrorable Lloyd cells at FIXED nCells, largest-remainder
+    // quotas and every per-cell greedy round replayed in SQL
+    // (batchedGreedySql); the unseeded tiers above stay the production
+    // faces with corpus-tunable cells
+    "curate_mmr_batched_seeded_embeddings" -> ((s, d) =>
+      Similarity.mmrSelectBatchedSeeded(emb(s, d), k = mmrK, lambda = mmrLambda,
+        nCells = seededBatchedCells)),
+    "curate_kcenter_batched_seeded_embeddings" -> ((s, d) =>
+      Similarity.kCenterSelectBatchedSeeded(emb(s, d), k = kcenterK,
+        nCells = seededBatchedCells)),
 
     // -------- multimodal (real JDK codecs: PNG/JPEG image, WAV audio,
     // MJPEG/AVI video; only interframe codecs like H.264 would need ffmpeg)
@@ -2373,6 +2385,7 @@ object SparkEntry {
   private[graft] val mmrLambda = 0.7
   private[graft] val kcenterK = 20
   private[graft] val batchedCells = 8 // nCells of both batched greedy faces
+  private[graft] val seededBatchedCells = 4 // nCells of the SEEDED batched faces
 
   /** The shared WITH-body of the greedy-selection oracles (MMR, k-center):
     * slim corpus projection with norms, the float-narrowed corpus centroid
@@ -2472,6 +2485,111 @@ object SparkEntry {
        |        FROM mbase b WHERE NOT list_contains(ids, b.id))
        |      ORDER BY score DESC, id LIMIT 1) AS pick
        |    FROM $prev))""".stripMargin
+  }
+
+  /** Full mirror of the SEEDED batched greedy selectors
+    * ([[graft.llm.Similarity.mmrSelectBatchedSeeded]] /
+    * [[kCenterSelectBatchedSeeded]]) — the r13 graduation of the
+    * batched-omit class. Pipeline replayed digit-exact:
+    *
+    *  1. cells: id-ordered seeds + two mirrorable Lloyd rounds
+    *     ([[lloydRoundSql]]) + round-9 argmax assignment, larger-cid ties
+    *     — the identical contract as kmeans_profile_seeded;
+    *  2. quotas: largest remainder over cell sizes. The engine's cyclic
+    *     redistribution is RANK-EXACT in SQL with no loop: leftover =
+    *     kk − Σ⌊raw⌋ = Σfrac (an integer), each frac < 1 strictly, so
+    *     at least leftover+1 cells have frac > 0 — the walk never wraps
+    *     — and frac > 0 implies ⌊raw⌋ < raw ≤ n, so no visited cell is
+    *     at capacity; hence +1 to exactly the top-leftover cells by
+    *     (frac DESC, cid ASC). Double arithmetic (kk·n/total, frac)
+    *     mirrors the engine's IEEE ops term-for-term;
+    *  3. rounds: k unrolled CTEs; round t elects per still-filling cell
+    *     (t ≤ quota) the argmax/argmin over same-cell candidates by
+    *     correlated subquery over the materialized within-cell pair-sim
+    *     table — MMR quantizes the marginal via the VARCHAR route and
+    *     k-center's max-sim needs no requantization (round-9 is
+    *     idempotent), both exactly as the exact-tier mirrors.
+    *
+    * FIXTURE ASSUMPTION (same class as greedyCoreSql's): candidates take
+    * rel from mbase, which len-filters at embDim; the engine's slim frame
+    * does not. Uniform-length fixtures make them equal. */
+  private def batchedGreedySql(mmr: Boolean): String = {
+    val k = if (mmr) mmrK else kcenterK
+    val scoreCol = if (mmr) "mmr_score" else "coverage_sim"
+    val marginal =
+      if (mmr)
+        s"""CAST(CAST(CAST(($mmrLambda * b.rel - CAST(${1.0 - mmrLambda} AS DOUBLE) *
+           |                 (SELECT max(st.sim) FROM bsim st
+           |                  WHERE st.ia = b.id AND list_contains(g.ids, st.ib)))
+           |       AS VARCHAR) AS DECIMAL(28,9)) AS DOUBLE)""".stripMargin
+      else
+        s"""(SELECT max(st.sim) FROM bsim st
+           |                WHERE st.ia = b.id AND list_contains(g.ids, st.ib))""".stripMargin
+    val dir = if (mmr) "DESC" else "ASC"
+    def roundSql(t: Int): String =
+      s"""g$t AS (
+         |  SELECT cid, quota,
+         |         CASE WHEN pick IS NULL THEN sel ELSE list_append(sel, pick) END AS sel,
+         |         CASE WHEN pick IS NULL THEN ids ELSE list_append(ids, pick.id) END AS ids
+         |  FROM (
+         |    SELECT g.cid, g.quota, g.sel, g.ids,
+         |           CASE WHEN $t > g.quota THEN NULL ELSE (
+         |             SELECT {'id': id, 'score': score} FROM (
+         |               SELECT b.id AS id, ($marginal) AS score
+         |               FROM mb b WHERE b.cid = g.cid AND NOT list_contains(g.ids, b.id))
+         |             ORDER BY score $dir, id LIMIT 1) END AS pick
+         |    FROM g${t - 1} g))""".stripMargin
+    val rounds = (2 to k).map(roundSql).mkString(",\n")
+    s"""WITH $greedyCoreSql,
+       |en AS (
+       |  SELECT * FROM (SELECT vec_id AS id, embedding AS v,
+       |                        ${normSql("embedding")} AS nrm FROM embeddings)
+       |  WHERE nrm > 0),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
+       |         v AS cv, nrm AS cn
+       |  FROM (SELECT id, v, nrm FROM en ORDER BY id LIMIT $seededBatchedCells)),
+       |${lloydRoundSql("c0", "ba1", "bm1", "c1")},
+       |${lloydRoundSql("c1", "ba2", "bm2", "c2")},
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT en.id, c.cid,
+       |           row_number() OVER (PARTITION BY en.id
+       |             ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cn), 9) DESC,
+       |                      c.cid DESC) AS rn
+       |    FROM en CROSS JOIN c2 c) WHERE rn = 1),
+       |cnt AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |               least(CAST($k AS BIGINT), CAST(sum(n) AS BIGINT)) AS kk FROM cnt),
+       |q1 AS (
+       |  SELECT cid, n, kk,
+       |         least(n, CAST(floor(raw) AS BIGINT)) AS q, raw - floor(raw) AS frac
+       |  FROM (SELECT cid, n, kk,
+       |               CAST(kk AS DOUBLE) * CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS raw
+       |        FROM cnt, tot)),
+       |quota AS MATERIALIZED (
+       |  SELECT cid, q + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS quota FROM
+       |    (SELECT cid, q, row_number() OVER (ORDER BY frac DESC, cid) AS r FROM q1),
+       |    (SELECT max(kk) - sum(q) AS leftover FROM q1)
+       |  WHERE q + CASE WHEN r <= leftover THEN 1 ELSE 0 END > 0),
+       |mb AS MATERIALIZED (
+       |  SELECT m.id, m.v, m.nrm, m.rel, a.cid
+       |  FROM mbase m JOIN asg a ON m.id = a.id),
+       |bsim AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS sim
+       |  FROM mb a JOIN mb b ON a.cid = b.cid AND a.id <> b.id),
+       |g1 AS (
+       |  SELECT q.cid, q.quota, [{'id': s.id, 'score': s.score}] AS sel, [s.id] AS ids
+       |  FROM quota q JOIN (
+       |    SELECT cid, id, rel AS score FROM (
+       |      SELECT cid, id, rel,
+       |             row_number() OVER (PARTITION BY cid ORDER BY rel DESC, id) AS rn
+       |      FROM mb) WHERE rn = 1) s ON q.cid = s.cid),
+       |$rounds
+       |SELECT cid, CAST(rnk AS INTEGER) AS rnk, e.id AS vec_id, e.score AS $scoreCol
+       |FROM (SELECT cid, unnest(sel) AS e, generate_subscripts(sel, 1) AS rnk FROM g$k)
+       |ORDER BY cid, rnk""".stripMargin
   }
 
   /** kcore_copurchase parameters, shared by the Scala registration and the
@@ -5084,6 +5202,11 @@ object SparkEntry {
          |FROM (SELECT unnest(sel) AS e, generate_subscripts(sel, 1) AS rnk FROM r$kcenterK)
          |ORDER BY rnk""".stripMargin
     },
+
+    // seeded batched greedy faces: mirrorable Lloyd cells, rank-exact
+    // largest-remainder quotas, k unrolled per-cell rounds (batchedGreedySql)
+    "curate_mmr_batched_seeded_embeddings" -> batchedGreedySql(mmr = true),
+    "curate_kcenter_batched_seeded_embeddings" -> batchedGreedySql(mmr = false),
 
     // the per-vector debias ledger over the same PC: projection is the
     // identical left fold the codegen FloatDoubleDot runs, norms mirror

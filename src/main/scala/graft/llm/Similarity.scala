@@ -1583,7 +1583,7 @@ object Similarity {
     * redistribution. */
   private def greedyBatchedCore(emb: DataFrame, k: Int, nCells: Int, trainIters: Int,
       queryVec: Option[Seq[Float]], idCol: String, vecCol: String,
-      opName: String, scoreCol: String)(
+      opName: String, scoreCol: String, seeded: Boolean = false)(
       marginal: Column => Column)(
       electDesc: Boolean => Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1593,14 +1593,27 @@ object Similarity {
     val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
     val qn = foldNorm(q)
     require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
-    val cents = trainCentroids(emb.where(col(vecCol).isNotNull),
-      nCells, trainIters, idCol, vecCol)
-    val base = emb
+    val slim = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("v").isNotNull && col("nrm") > lit(0.0))
-      .withColumn("cid",
-        nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid"))
+    // seeded: the ORACLE-BEARING cell assignment — smallest-id seeds +
+    // mirrorable Lloyd (decimal means, round-6 floats) + round-9 argmax
+    // with larger-cid ties, every ingredient DuckDB replays digit-exact
+    // (the same contract as kMeansProfileSeeded / semDedupSeeded).
+    // unseeded: the production path (xxhash-ordered seeds, un-rounded
+    // argmax), property-tested instead.
+    val assignCid: Column =
+      if (seeded) {
+        val cents = lloydMirrorableCents(slim, nCells, trainIters, seedKey = identity)
+        bestMirror(cents)(col("v"), col("nrm")).getItem(0).getField("cid")
+      } else {
+        val cents = trainCentroids(emb.where(col(vecCol).isNotNull),
+          nCells, trainIters, idCol, vecCol)
+        nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid")
+      }
+    val base = slim
+      .withColumn("cid", assignCid)
       .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
       .persist()
     try {
@@ -1722,6 +1735,28 @@ object Similarity {
     }(_ => true) // MMR always elects the max marginal
   }
 
+  /** ORACLE-BEARING face of [[mmrSelectBatched]] (r13, the same pattern
+    * that graduated IVF/PQ/SemDeDup): identical per-cell greedy, quota
+    * and election machinery, but cells come from the MIRRORABLE seeded
+    * Lloyd ([[lloydMirrorableCents]]: smallest-id seeds, decimal means,
+    * round-9 argmax assignment with larger-cid ties) so DuckDB replays
+    * cell assignment, size-proportional quotas (largest remainder — the
+    * redistribution is rank-exact: the leftover count is strictly less
+    * than the number of cells with positive fractional remainder, so the
+    * engine's cyclic walk never wraps and never reaches a capped cell)
+    * and every unrolled greedy round digit-for-digit. FIXED nCells is the
+    * price of the mirror; [[mmrSelectBatched]] stays the production face. */
+  def mmrSelectBatchedSeeded(emb: DataFrame, k: Int = 20, lambda: Double = 0.7,
+                             nCells: Int = 4, trainIters: Int = 2,
+                             queryVec: Option[Seq[Float]] = None,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    greedyBatchedCore(emb, k, nCells, trainIters, queryVec, idCol, vecCol,
+      "mmrSelectBatchedSeeded", "mmr_score", seeded = true) { maxSim =>
+      lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim
+    }(_ => true)
+  }
+
   /** Greedy k-center (farthest-point traversal) diversity selection — the
     * standard coreset picker (Gonzalez 1985: a 2-approximation of the
     * optimal k-center cover): seed with the most corpus-central vector
@@ -1768,4 +1803,16 @@ object Similarity {
       "kCenterSelectBatched", "coverage_sim") { maxSim =>
       maxSim
     }(seedRound => seedRound) // seed: max relevance; then min max-sim
+
+  /** ORACLE-BEARING face of [[kCenterSelectBatched]] on the seeded
+    * mirrorable Lloyd cells — see [[mmrSelectBatchedSeeded]] for the
+    * contract; election rule unchanged (seed = max relevance, then
+    * farthest-point = min max-same-cell-sim, id ties ascending). */
+  def kCenterSelectBatchedSeeded(emb: DataFrame, k: Int = 20, nCells: Int = 4,
+                                 trainIters: Int = 2,
+                                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    greedyBatchedCore(emb, k, nCells, trainIters, None, idCol, vecCol,
+      "kCenterSelectBatchedSeeded", "coverage_sim", seeded = true) { maxSim =>
+      maxSim
+    }(seedRound => seedRound)
 }

@@ -37,6 +37,40 @@ class CurationSpec extends SparkSpec {
     assert(batched == exact)
   }
 
+  test("seeded batched faces: nCells=1 equals the exact greedy (both ops), " +
+    "and multi-cell output is deterministic under repartition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exactM = Similarity.mmrSelect(vecs, k = 8, lambda = 0.6)
+      .select("rnk", "vec_id", "mmr_score")
+      .as[(Int, Long, Double)].collect().toSeq
+    val seededM = Similarity.mmrSelectBatchedSeeded(vecs, k = 8, lambda = 0.6,
+      nCells = 1)
+      .select("rnk", "vec_id", "mmr_score")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(seededM == exactM)
+    val exactK = Similarity.kCenterSelect(vecs, k = 8)
+      .select("rnk", "vec_id", "coverage_sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    val seededK = Similarity.kCenterSelectBatchedSeeded(vecs, k = 8, nCells = 1)
+      .select("rnk", "vec_id", "coverage_sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(seededK == exactK)
+    // multi-cell: full k, distinct ids, repartition-invariant
+    val out = Similarity.kCenterSelectBatchedSeeded(vecs, k = 10, nCells = 4)
+      .select("cid", "rnk", "vec_id", "coverage_sim")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out.length == 10 && out.map(_._3).distinct.length == 10)
+    val out2 = Similarity.kCenterSelectBatchedSeeded(vecs.repartition(7),
+      k = 10, nCells = 4)
+      .select("cid", "rnk", "vec_id", "coverage_sim")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out2 == out)
+  }
+
   test("mmrSelectBatched: quotas partition k across cells by size, every " +
     "selection is same-cell-diverse, deterministic under repartition") {
     import org.apache.spark.sql.functions._
