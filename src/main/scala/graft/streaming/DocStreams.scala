@@ -84,6 +84,27 @@ object DocStreams {
       .select(col("window.start").as("win_start"), col("n_docs"), col("n_pass"),
         (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
 
+  /** Streaming face of the weighted deterministic sampler
+    * ([[graft.llm.Sampling.weightedSample]]) — the last batch-only family
+    * gap after curation closed in r12: the IDENTICAL map-only keep
+    * predicate (Knuth-hash bucket of the id < weight·100) applied per
+    * arriving row, stamped with its tumbling ingest window. STATELESS by
+    * construction — membership depends only on (id, weight), so the
+    * streamed sample over any window equals the batch sample of exactly
+    * that window's rows (parity property-tested), checkpoint restarts
+    * replay identically, and a document sampled today stays sampled as
+    * the corpus grows (the batch tier's key-stable contract). The
+    * watermark is declared so downstream windowed consumers can aggregate
+    * the sampled feed directly; the sampler itself keeps zero state. */
+  def weightedSampleStream(docs: DataFrame, weightCol: String = "quality",
+                           idCol: String = "doc_id", tsCol: String = "ts",
+                           window: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .where(graft.llm.Sampling.knuthBucket(col(idCol)) < col(weightCol) * lit(100))
+      .withColumn("win_start",
+        org.apache.spark.sql.functions.window(col(tsCol), window).getField("start"))
+
   /** Streaming heavy hitters with BOUNDED state: per tumbling window, the
     * token stream shards by hash into `nShards` space-saving sketches of
     * `capacity` counters each (a plain windowed `groupBy(token)` keeps

@@ -6,6 +6,8 @@ import java.sql.Timestamp
 
 case class Doc(doc_id: Long, text: String, lang: String, ts: Timestamp)
 
+case class WDoc(doc_id: Long, quality: Double, ts: Timestamp)
+
 class DocStreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,6 +55,65 @@ class DocStreamsSpec extends SparkSpec {
     // or orphaned files are invisible to a batch read of the output
     val got = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(0L, 1L, 3L)) // dedup state survived the restart; no replays
+  }
+
+  test("weightedSampleStream: per-window membership equals the batch " +
+    "weightedSample of the same rows (exact parity, both windows)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[WDoc]
+    val q = DocStreams.weightedSampleStream(in.toDF())
+      .writeStream.format("memory").queryName("wsample").outputMode("append").start()
+    val rows = (0 until 200).map { i =>
+      val win = if (i < 100) "2024-01-01 10:30:00" else "2024-01-01 11:30:00"
+      WDoc(i.toLong, (i % 10) / 10.0, ts(win))
+    }
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT win_start, doc_id FROM wsample")
+        .as[(Timestamp, Long)].collect().toSeq
+      // exactly two windows, each matching the batch predicate over its rows
+      Seq("2024-01-01 10:00:00" -> rows.take(100),
+          "2024-01-01 11:00:00" -> rows.drop(100)).foreach { case (w, winRows) =>
+        val batch = graft.llm.Sampling.weightedSample(
+            winRows.toDF(), weightCol = "quality")
+          .select("doc_id").as[Long].collect().toSet
+        val got = streamed.filter(_._1 == ts(w)).map(_._2).toSet
+        assert(got == batch, s"window $w stream/batch mismatch")
+        assert(got.nonEmpty && got.size < winRows.size,
+          s"window $w sample not a strict subset (${got.size}/${winRows.size})")
+      }
+    } finally q.stop()
+  }
+
+  test("weightedSampleStream resumes exactly-once from checkpoint: the " +
+    "post-restart output is the batch sample of ALL input, no replays") {
+    val in = java.nio.file.Files.createTempDirectory("graft_ws_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ws_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ws_chk").toString
+    def start() = DocStreams.weightedSampleStream(
+        spark.readStream
+          .schema("doc_id LONG, quality DOUBLE, ts TIMESTAMP")
+          .parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val phase1 = (0 until 100).map(i => WDoc(i.toLong, (i % 10) / 10.0,
+      ts("2024-01-01 10:00:00")))
+    phase1.toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val phase2 = (100 until 200).map(i => WDoc(i.toLong, (i % 10) / 10.0,
+      ts("2024-01-01 11:00:00")))
+    phase2.toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq
+    val expected = graft.llm.Sampling.weightedSample(
+        (phase1 ++ phase2).toDF(), weightCol = "quality")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.sorted == expected.sorted) // exactly-once: no losses, no dups
+    assert(got.size == got.distinct.size)
   }
 
   test("streaming token counts match the batch tokenizer semantics") {
