@@ -1847,6 +1847,24 @@ object SparkEntry {
     "curate_kcenter_batched_seeded_embeddings" -> ((s, d) =>
       Similarity.kCenterSelectBatchedSeeded(emb(s, d), k = kcenterK,
         nCells = seededBatchedCells)),
+    // one-pass k-center coreset (Charikar doubling) as a BATCH query (r13):
+    // the whole corpus through ONE mergeable aggregate — each vector seen
+    // once, state <= k weighted centers, vs the greedy tiers' k corpus
+    // scans. The batch-vs-greedy coverage comparison face of the streaming
+    // coresetStream. No oracle BY DESIGN: any bounded-state one-pass
+    // k-center is merge-order-dependent; planted-cluster recovery, weight
+    // conservation, dim/null input guards and serialize round-trip are
+    // property-tested (KCenterAggSpec), and the streaming face's
+    // window-parity runs in VectorStreamsSpec.
+    "coreset_kcenter_embeddings" -> ((s, d) =>
+      emb(s, d)
+        .agg(graft.functions.KCenterAgg.k_center_agg(
+          col("vec_id"), col("embedding"), coresetK).as("cs"))
+        .select(col("cs.radius").as("radius"),
+          posexplode(col("cs.centers")).as(Seq("ord", "c")))
+        .select(col("ord").cast("int").as("ord"), col("c.id").as("vec_id"),
+          col("c.weight").as("weight"), round(col("radius"), 9).as("radius"))
+        .orderBy("ord")),
 
     // -------- multimodal (real JDK codecs: PNG/JPEG image, WAV audio,
     // MJPEG/AVI video; only interframe codecs like H.264 would need ffmpeg)
@@ -2386,6 +2404,7 @@ object SparkEntry {
   private[graft] val kcenterK = 20
   private[graft] val batchedCells = 8 // nCells of both batched greedy faces
   private[graft] val seededBatchedCells = 4 // nCells of the SEEDED batched faces
+  private[graft] val coresetK = 32 // one-pass coreset center budget
 
   /** The shared WITH-body of the greedy-selection oracles (MMR, k-center):
     * slim corpus projection with norms, the float-narrowed corpus centroid

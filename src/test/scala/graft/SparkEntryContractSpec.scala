@@ -80,6 +80,47 @@ class SparkEntryContractSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Slim-exchange contract (r12 verdict #8): these five flagship queries
+  // carry explicit "only slim columns cross the exchange" design claims
+  // (text never shuffles in dedup, k-bounded TopK partials in the LSH
+  // graph, map-only predicates in sampling, hash-only rows in packing).
+  // Ceilings are ~4x the ShuffleProbe-measured sf0.001 volume (r13:
+  // 14,985 / 108,526 / 710,640 / 2,048 / 19,625 bytes) — generous against
+  // scheduler jitter, yet orders of magnitude below the failure mode this
+  // guards (a text or vector column crossing an exchange multiplies the
+  // volume ~100x), so a fattening edit fails HERE instead of at the next
+  // sf100 sweep.
+  private val shuffleByteCeilings = Seq(
+    "dedup_drop_exact_documents" -> 60_000L,
+    "decontam_semantic_embeddings" -> 450_000L,
+    "knn_graph_lsh_embeddings" -> 3_000_000L,
+    "sample_hash_documents" -> 16_000L,
+    "pack_documents" -> 80_000L)
+
+  test("flagship slim-exchange queries stay under their shuffle-byte ceilings") {
+    assume(testdataPresent)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val failures = shuffleByteCeilings.flatMap { case (name, ceiling) =>
+      @volatile var bytes = 0L
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) bytes += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        Thread.sleep(1500) // let the listener bus drain task-end events
+      } finally spark.sparkContext.removeSparkListener(listener)
+      if (bytes <= ceiling) None
+      else Some(s"$name shuffled $bytes bytes (ceiling $ceiling) — " +
+        "a slim exchange got fat; check no text/vector column crosses it")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("box_join_lineitem scopes its rewrite confs: no spark.graft residue," +
     " rewritten plan survives the unset") {
     assume(testdataPresent)
