@@ -1480,11 +1480,18 @@ object Similarity {
       .orderBy("dim_idx").collect()
       .map(_.getAs[Double]("centroid").toFloat).toSeq
 
-  /** Cosine columns from the candidate row to each selected vector — the
-    * selected state rides the expression tree as LITERALS (k·dim floats
-    * on the driver, bounded by construction; no join, no shuffle). */
-  private def selSims(sel: Seq[GreedyPick]): Seq[Column] =
-    sel.map(p => cosine9(dot(col("v"), typedLit(p.v)), col("nrm"), lit(p.nrm)))
+  /** Max same-selection cosine for the EXACT greedy tiers: the selection
+    * rides the expression tree as TWO literal arrays (vectors + norms)
+    * through the same fixed-size [[graft.functions.MaxCosRound]] loop the
+    * batched tiers score with — bit-identical to the historical
+    * `array_max(array(round(float_dot(v, lit(sel_i))/(nrm·n_i), 9) × k))`
+    * tree (FloatDot's exact fold per selection; sparkRound is monotone so
+    * round∘max = max∘round), but the plan stays CONSTANT-SIZE as the
+    * selection grows instead of re-codegening k separate literal dots per
+    * round (k·dim floats still bounded driver state; no join, no shuffle). */
+  private def selMaxSim(sel: Seq[GreedyPick]): Column =
+    graft.functions.functions.max_cos_round(col("v"), col("nrm"),
+      typedLit(sel.map(_.v)), typedLit(sel.map(_.nrm)), 9)
 
   /** Shared driver loop of the EXACT greedy selectors ([[mmrSelect]],
     * [[kCenterSelect]]): compute relevance once over a cached slim
@@ -1495,9 +1502,10 @@ object Similarity {
     * the two selectors previously duplicated this entire scaffolding).
     * Scores are rounded at 9 digits and ties break by id ascending, so
     * the selection is reproducible across partitionings. Driver state is
-    * ≤ k vectors; each round is one scan — the right shape for k in the
-    * hundreds over an arbitrarily large corpus. For corpus-sized k use
-    * the per-cell batched tier ([[greedyBatchedCore]]). */
+    * ≤ k vectors; each round is one scan with a constant-size plan
+    * ([[selMaxSim]] + a literal-array id exclusion, r13) — the right
+    * shape for k in the hundreds over an arbitrarily large corpus. For
+    * corpus-sized k use the per-cell batched tier ([[greedyBatchedCore]]). */
   private def greedySelectCore(emb: DataFrame, k: Int, queryVec: Option[Seq[Float]],
       idCol: String, vecCol: String, opName: String, scoreCol: String)(
       roundScore: Seq[GreedyPick] => (Column, Boolean)): DataFrame = {
@@ -1519,7 +1527,7 @@ object Similarity {
       while (sel.size < k && !exhausted) {
         val remaining =
           if (sel.isEmpty) base
-          else base.where(!col("id").isInCollection(sel.map(_.id)))
+          else base.where(!array_contains(typedLit(sel.map(_.id)), col("id")))
         val (scoreExpr, asc) = roundScore(sel.toSeq)
         val scored = remaining.select(col("id"), col("v"), col("nrm"),
           round(scoreExpr, 9).as("score"))
@@ -1714,8 +1722,7 @@ object Similarity {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     greedySelectCore(emb, k, queryVec, idCol, vecCol, "mmrSelect", "mmr_score") { sel =>
       if (sel.isEmpty) (col("rel"), false)
-      else (lit(lambda) * col("rel") -
-        lit(1.0 - lambda) * array_max(array(selSims(sel): _*)), false)
+      else (lit(lambda) * col("rel") - lit(1.0 - lambda) * selMaxSim(sel), false)
     }
   }
 
@@ -1780,7 +1787,7 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     greedySelectCore(emb, k, None, idCol, vecCol, "kCenterSelect", "coverage_sim") { sel =>
       if (sel.isEmpty) (col("rel"), false)
-      else (array_max(array(selSims(sel): _*)), true) // min max-sim = farthest
+      else (selMaxSim(sel), true) // min max-sim = farthest
     }
 
   /** Batched greedy k-center — the scale tier of [[kCenterSelect]] on the
