@@ -1515,7 +1515,12 @@ object Similarity {
     val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
     val qn = foldNorm(q)
     require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
-    val base = emb
+    // starvation-gated spread (r13): base is re-scanned k times — see
+    // greedyBatchedCore for the rationale; repartition-invariance of the
+    // selection is property-tested
+    val starved = emb.rdd.getNumPartitions <
+      emb.sparkSession.sparkContext.defaultParallelism
+    val base = (if (starved) spread(emb) else emb)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("v").isNotNull && col("nrm") > lit(0.0))
@@ -1601,7 +1606,14 @@ object Similarity {
     val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
     val qn = foldNorm(q)
     require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
-    val slim = emb
+    // starvation-gated spread (r13, same probe as trainCentroids): base is
+    // persisted and re-scanned every round, so a single-file corpus would
+    // otherwise run ~⌈k/nCells⌉ rounds on 1-2 cores; one slim exchange
+    // amortizes over all of them. Results are partitioning-invariant
+    // (9-digit rounded scores, id tiebreaks — property-tested).
+    val starved = emb.rdd.getNumPartitions <
+      emb.sparkSession.sparkContext.defaultParallelism
+    val slim = (if (starved) spread(emb) else emb)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("v").isNotNull && col("nrm") > lit(0.0))
