@@ -1480,6 +1480,19 @@ object Similarity {
       .orderBy("dim_idx").collect()
       .map(_.getAs[Double]("centroid").toFloat).toSeq
 
+  /** True when `df` is BOTH starved (fewer partitions than the session's
+    * parallelism) AND big enough that repartitioning pays: past one scan
+    * split's worth of estimated bytes (optimizer stats — no job). Small
+    * frames stay put: a spread cache makes every downstream job pay a
+    * defaultParallelism-task scheduling floor, the wrong trade until
+    * per-round compute dominates (measured both ways at sf0.1/sf100 —
+    * see greedyBatchedCore). */
+  private def bigAndStarved(df: DataFrame): Boolean = {
+    val oneSplit = BigInt(134217728L) // spark.sql.files.maxPartitionBytes default
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > oneSplit &&
+      df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism
+  }
+
   /** Max same-selection cosine for the EXACT greedy tiers: the selection
     * rides the expression tree as TWO literal arrays (vectors + norms)
     * through the same fixed-size [[graft.functions.MaxCosRound]] loop the
@@ -1515,11 +1528,10 @@ object Similarity {
     val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
     val qn = foldNorm(q)
     require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
-    // starvation-gated spread (r13): base is re-scanned k times — see
-    // greedyBatchedCore for the rationale; repartition-invariance of the
-    // selection is property-tested
-    val starved = emb.rdd.getNumPartitions <
-      emb.sparkSession.sparkContext.defaultParallelism
+    // size-and-starvation-gated spread (r13): base is re-scanned k times —
+    // see greedyBatchedCore for the rationale and the two measured gates;
+    // repartition-invariance of the selection is property-tested
+    val starved = bigAndStarved(emb)
     val base = (if (starved) spread(emb) else emb)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
@@ -1606,14 +1618,7 @@ object Similarity {
     val q: Seq[Float] = queryVec.getOrElse(centroidQuery(emb, vecCol))
     val qn = foldNorm(q)
     require(qn > 0.0, s"$opName: query/centroid vector has zero norm")
-    // starvation-gated spread (r13, same probe as trainCentroids): base is
-    // persisted and re-scanned every round, so a single-file corpus would
-    // otherwise run ~⌈k/nCells⌉ rounds on 1-2 cores; one slim exchange
-    // amortizes over all of them. Results are partitioning-invariant
-    // (9-digit rounded scores, id tiebreaks — property-tested).
-    val starved = emb.rdd.getNumPartitions <
-      emb.sparkSession.sparkContext.defaultParallelism
-    val slim = (if (starved) spread(emb) else emb)
+    val slim = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("v").isNotNull && col("nrm") > lit(0.0))
@@ -1632,7 +1637,23 @@ object Similarity {
           nCells, trainIters, idCol, vecCol)
         nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid")
       }
-    val base = slim
+    // starvation-gated spread of the PERSISTED base only (r13): base is
+    // re-scanned every round, so a LARGE single-file corpus would otherwise
+    // run ~⌈k/nCells⌉ rounds on 1-2 cores; the one slim exchange happens
+    // once at persist build and amortizes over all rounds. Two gates, both
+    // measured: (a) only the persisted frame spreads — spreading the
+    // un-persisted centroid-training lineage re-paid the exchange per Lloyd
+    // round (+0.5-1.7 s/query at sf0.1); (b) only inputs past one scan
+    // split's worth of bytes spread — a spread cache makes every small
+    // round pay a defaultParallelism-task scheduling floor (~30 ms/job × k
+    // rounds measured at sf0.1), which is the wrong trade until per-round
+    // compute dominates. Size comes from optimizer stats (no job). Results
+    // are partitioning-invariant (9-digit scores, id ties — property-tested).
+    val starved = bigAndStarved(emb)
+    val base = (if (starved) spread(emb) else emb)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .where(col("v").isNotNull && col("nrm") > lit(0.0))
       .withColumn("cid", assignCid)
       .withColumn("rel", cosine9(dot(col("v"), typedLit(q)), col("nrm"), lit(qn)))
       .persist()
