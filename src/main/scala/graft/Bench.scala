@@ -76,9 +76,10 @@ object Bench {
     // ratios instead of recompiling an old HEAD. Two components, covering
     // the two costs every query pays: a codegen hash-agg over range(5e7)
     // (CPU/whole-stage-codegen speed) and a 2M-row round-trip through a
-    // 32-partition exchange (shuffle write+read machinery). Runs AFTER
-    // warmup (its own codegen is compiled on the first of the two passes;
-    // min-of-2 reports steady state, same discipline as the queries).
+    // 32-partition exchange (shuffle write+read machinery). Since r14 the
+    // probe is sampled INTERLEAVED through every pass (see `sweep`);
+    // calib_s = min over all samples (best-case machine speed — the same
+    // reading as the old min-of-2, now with a mid-run audit trail).
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(50000000L)
@@ -90,9 +91,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val calib = try math.min(calibOnce(), calibOnce())
-                catch { case _: Throwable => Double.NaN }
-    val calibJson = if (calib.isNaN) "null" else s3(calib)
+    // calib_s is now the MIN over the interleaved mid-run samples (below);
+    // same "best-case machine speed" semantics as the old min-of-2, but a
+    // load spike between queries is no longer invisible (r13 verdict #3:
+    // the r13 root artifact claimed a fast box from one up-front sample
+    // while the run itself was load-confounded 1.23x median).
     // ---- second, scheduling-shaped canary (r11): the CPU-shaped probe
     // above over-corrects job-count-bound queries (Lloyd/power-iteration
     // tiers whose wall is per-job scheduler latency, not compute — the
@@ -159,8 +162,35 @@ object Bench {
     val excluded = all.map(_._1).filterNot(sorted.map(_._1).toSet)
       .map(n => n -> exclusionReason.getOrElse(n,
         "out of this sweep subset (overhead-bound at the target SF or covered by a swept sibling; see SCALE.md)"))
-    val pass1 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
-    val pass2 = sorted.map { case (n, f) => n -> once(n, f) }.toMap
+    // ---- interleaved canary sweeps (r13 verdict #3). Each pass samples
+    // the CPU canary at its start, after every `canaryEvery` queries, and
+    // at its end; every query records the nearest PRECEDING sample as its
+    // normalization basis. The artifact then carries (a) calib_series —
+    // a reader can SEE a mid-run load spike instead of trusting one
+    // up-front number — and (b) query_calib, the per-query basis of the
+    // pass that produced each query's reported min, which bench_delta.py
+    // prefers over the global calib_s when both artifacts carry it.
+    // Overhead: ~1.1 s per sample, every 32 queries ≈ 8 samples per full
+    // pass ≈ 3-4% of a full sf0.1 run.
+    val canaryEvery = 32
+    def sweep(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : (Map[String, Double], Map[String, Double], Seq[Double]) = {
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def sample(): Unit =
+        try samples += calibOnce() catch { case _: Throwable => () }
+      sample()
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val basis = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      queries.zipWithIndex.foreach { case ((n, f), i) =>
+        if (i > 0 && i % canaryEvery == 0) sample()
+        basis(n) = if (samples.nonEmpty) samples.last else Double.NaN
+        times(n) = once(n, f)
+      }
+      sample()
+      (times.toMap, basis.toMap, samples.toSeq)
+    }
+    val (pass1, basis1, series1) = sweep(sorted)
+    val (pass2, basis2, series2) = sweep(sorted)
     // iterative multi-job queries (star-contraction rounds, Lloyd/power
     // iterations) jitter run-to-run far more than single-job plans —
     // r3 saw semdedup move 2.55→4.40 s on byte-identical code. A third
@@ -172,9 +202,22 @@ object Bench {
       "debias_embeddings", "debias_fast_embeddings",
       "top_pc_embeddings", "top_pc_fast_embeddings",
       "ann_ivf_topk_embeddings", "ann_ivf_seeded_topk_embeddings")
-    val pass3 = sorted.collect { case (n, f) if iterative(n) => n -> once(n, f) }.toMap
+    val (pass3, basis3, series3) = sweep(sorted.filter { case (n, _) => iterative(n) })
     val passes: Map[String, Seq[Double]] =
       sorted.map { case (n, _) => n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n)) }.toMap
+    // per-query normalization basis: the canary sample preceding the PASS
+    // that produced the reported min (NaN-time passes never win)
+    val passBases: Map[String, Seq[Double]] =
+      sorted.map { case (n, _) =>
+        n -> (Seq(basis1(n), basis2(n)) ++ basis3.get(n)) }.toMap
+    val queryCalib: Map[String, Double] = sorted.flatMap { case (n, _) =>
+      val ts = passes(n)
+      val ok = ts.zip(passBases(n)).filterNot(_._1.isNaN)
+      if (ok.isEmpty) None else Some(n -> ok.minBy(_._1)._2)
+    }.toMap
+    val calibSamples = series1 ++ series2 ++ series3
+    val calib = if (calibSamples.isEmpty) Double.NaN else calibSamples.min
+    val calibJson = if (calib.isNaN) "null" else s3(calib)
     // a query with NO successful pass contributes nothing to the per-query
     // map or the total — a regression must make the bench number scream
     // (missing query + "failed" entry), not whisper (tiny failure time)
@@ -200,7 +243,18 @@ object Bench {
     // across machines because the canary work is pinned.
     val valueNormJson = if (calib.isNaN) "null" else s3(total / calib)
     val valueNormJobsJson = if (calibJobs.isNaN) "null" else s3(total / calibJobs)
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_norm":$valueNormJson,"value_norm_jobs":$valueNormJobsJson,"calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    // mid-run canary audit trail (r13 verdict #3): per-pass sample series
+    // + the per-query basis of each reported min
+    val seriesJson = Seq(series1, series2, series3)
+      .map(_.map(s3).mkString("[", ",", "]")).mkString("[", ",", "]")
+    val queryCalibJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + (queryCalib.get(k) match {
+        case Some(b) if !b.isNaN => s3(b)
+        case _ => "null"
+      }) }.mkString("{", ",", "}")
+    val calibMax = if (calibSamples.isEmpty) Double.NaN else calibSamples.max
+    val calibMaxJson = if (calibMax.isNaN) "null" else s3(calibMax)
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_norm":$valueNormJson,"value_norm_jobs":$valueNormJobsJson,"calib_s":$calibJson,"calib_max_s":$calibMaxJson,"calib_jobs_s":$calibJobsJson,"calib_series":$seriesJson,"query_calib":$queryCalibJson,"queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"excluded":$excludedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // The full per-query map (~4.4 KB at 145 queries) cannot fit the
     // driver's 2000-char stdout tail, so the LAST printed line is a compact
     // summary that always fits; the full map persists to target/bench.json
@@ -211,7 +265,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":" +
         vs.map(v => if (v.isNaN) "null" else s3(v)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_norm":$valueNormJson,"value_norm_jobs":$valueNormJobsJson,"calib_s":$calibJson,"calib_jobs_s":$calibJobsJson,"n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_norm":$valueNormJson,"value_norm_jobs":$valueNormJobsJson,"calib_s":$calibJson,"calib_max_s":$calibMaxJson,"calib_jobs_s":$calibJobsJson,"n_queries":${results.size},"n_excluded":${excluded.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       json.dropRight(1) + s""","passes":$passesJson}""")

@@ -1744,6 +1744,17 @@ object SparkEntry {
         nBuckets = dsirBuckets)),
     // C4-style cross-document span dedup: rebuilt docs + span survival counts
     "dedup_spans_documents" -> ((s, d) => Dedup.spanDedup(t(s, d, "documents"))),
+    // incremental span dedup (r13 verdict #7): clean a new ingest batch
+    // (ids >= 250) against the persisted span-hash REGISTRY of the prior
+    // corpus (ids < 250) — the batch face of DocStreams.spanDedupStream's
+    // per-micro-batch fold; first-arrival-wins across batches, min
+    // (id, span_idx) within the batch, 8-byte hashes on both anti-join sides
+    "dedup_spans_incremental_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.spanDedupAgainstRegistry(
+        docs.where(col("doc_id") >= 250),
+        Dedup.spanRegistry(docs.where(col("doc_id") < 250)))
+    }),
     // substring-level exact dedup (Lee et al. 2022 ExactSubstr, Spark-native
     // sliding-shingle coverage): arbitrary-length duplicated substrings are
     // fully excised at ANY alignment, keep-first; per-doc survival counts,
@@ -1864,6 +1875,39 @@ object SparkEntry {
           posexplode(col("cs.centers")).as(Seq("ord", "c")))
         .select(col("ord").cast("int").as("ord"), col("c.id").as("vec_id"),
           col("c.weight").as("weight"), round(col("radius"), 9).as("radius"))
+        .orderBy("ord")),
+
+    // ORACLE-BEARING seeded coreset face (r13 verdict #5): the doubling
+    // algorithm IS order-dependent, so the seeded face pins the order —
+    // smallest-id sample, ONE partition, sorted by vec_id (EliminateSorts
+    // keeps sorts under non-whitelisted agg functions, so the
+    // sortWithinPartitions survives below the typed aggregate) — and the
+    // mirror unrolls all N update folds + the overflow re-merge + the
+    // final-merge replay as chained CTEs over a precomputed exact-IEEE
+    // pair-distance table (coresetSeededSql). Cluster structure is PLANTED
+    // (ADVICE r13: the isotropic fixture concentrates chordal distances
+    // near sqrt(2) and collapses any k-center to ONE center): vectors are
+    // re-based as 10·e_(id%3) + 0.05·v in double, narrowed to float once —
+    // three tight, well-separated clusters, so n_centers = 3 rides the
+    // hash-verified output and a silent total-collapse regression is
+    // visible cross-engine. Production face above stays unchanged.
+    "coreset_kcenter_seeded_embeddings" -> ((s, d) =>
+      emb(s, d)
+        .where(col("embedding").isNotNull && size(col("embedding")) === embDim)
+        .orderBy("vec_id").limit(coresetSeededN)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x.cast("double") * lit(0.05) +
+              when(j === (col("vec_id") % 3).cast("int"), lit(10.0))
+                .otherwise(lit(0.0))).cast("float")).as("pv"))
+        .repartition(1).sortWithinPartitions("vec_id")
+        .agg(graft.functions.KCenterAgg.k_center_agg(col("vec_id"), col("pv"),
+          coresetSeededK).as("cs"))
+        .select(col("cs.radius").as("r"), size(col("cs.centers")).as("n_centers"),
+          posexplode(col("cs.centers")).as(Seq("ord", "c")))
+        .select(col("ord").cast("int").as("ord"), col("c.id").as("vec_id"),
+          col("c.weight").as("weight"), col("n_centers"),
+          round(col("r"), 9).as("radius"))
         .orderBy("ord")),
 
     // -------- multimodal (real JDK codecs: PNG/JPEG image, WAV audio,
@@ -2405,6 +2449,8 @@ object SparkEntry {
   private[graft] val batchedCells = 8 // nCells of both batched greedy faces
   private[graft] val seededBatchedCells = 4 // nCells of the SEEDED batched faces
   private[graft] val coresetK = 32 // one-pass coreset center budget
+  private[graft] val coresetSeededN = 16 // seeded coreset: smallest-id sample
+  private[graft] val coresetSeededK = 4  // seeded coreset: center budget
 
   /** The shared WITH-body of the greedy-selection oracles (MMR, k-center):
     * slim corpus projection with norms, the float-narrowed corpus centroid
@@ -2609,6 +2655,118 @@ object SparkEntry {
        |SELECT cid, CAST(rnk AS INTEGER) AS rnk, e.id AS vec_id, e.score AS $scoreCol
        |FROM (SELECT cid, unnest(sel) AS e, generate_subscripts(sel, 1) AS rnk FROM g$k)
        |ORDER BY cid, rnk""".stripMargin
+  }
+
+  /** The seeded coreset mirror: KCenterAgg's doubling algorithm
+    * (KCenterAgg.scala State) replayed digit-exact in DuckDB. Structure:
+    *
+    *   - `s0`/`su`: the smallest-`coresetSeededN`-id sample, cluster
+    *     planting (double arithmetic, ONE float narrow) and unit
+    *     normalization (Σraw² left fold → 1/√n2 → per-component narrow),
+    *     term-for-term with the Spark face and State.add.
+    *   - `pd`: exact-IEEE chordal pair distances sqrt(max(0, 2−2·dot))
+    *     over unit vectors — every comparison the fold makes reads THIS
+    *     table, so the sequential state only ever carries (r, ids,
+    *     weights): plain doubles and integer lists, no re-derived floats.
+    *   - `r1..rN`: one CTE per input row = State.add — nearest-center
+    *     lookup (min d, insertion-position tie = Scala's strict-< first
+    *     min), fold at d ≤ 2r or append, and the conditional overflow:
+    *     r' = max(2r, min pairwise d) + the greedy insertion-order
+    *     re-merge at d ≤ r', unrolled as K+1 nested derived tables (the
+    *     while-loop fires at most once per add: the closest pair's later
+    *     element always folds, so k+1 → ≤ k in one pass). Each CTE
+    *     references its predecessor ONCE — linear inlining, no
+    *     exponential CTE expansion (MEMORY.md kcore lesson).
+    *   - `fin`: the FINAL ObjectHashAggregate merge is absorb() into an
+    *     empty buffer — a replay of the ≤ k partial centers through
+    *     addUnit at threshold 2r — K more unrolled steps, not a no-op.
+    *
+    * Probed end-to-end against a pure-Python State reference before
+    * wiring (r14); the planted 3-cluster structure keeps n_centers = 3 in
+    * the hash-verified output. */
+  private def coresetSeededSql: String = {
+    val d2 = "CAST(2.0 AS DOUBLE)"
+    val d0 = "CAST(0.0 AS DOUBLE)"
+    def nearest(pointRn: String, idsCol: String): String =
+      s"""(SELECT {'pos': list_position($idsCol, p.b), 'd': p.d}
+         |  FROM pd p WHERE p.a = $pointRn AND list_contains($idsCol, p.b)
+         |  ORDER BY p.d ASC, list_position($idsCol, p.b) ASC LIMIT 1)""".stripMargin
+    def roundSql(t: Int): String = {
+      val a =
+        s"""SELECT r,
+           |  CASE WHEN nr IS NOT NULL AND nr.d <= $d2 * r THEN ids
+           |       ELSE list_append(ids, CAST($t AS BIGINT)) END AS ids,
+           |  CASE WHEN nr IS NOT NULL AND nr.d <= $d2 * r
+           |       THEN list_transform(ws, (w, i) -> CASE WHEN i = nr.pos THEN w + 1 ELSE w END)
+           |       ELSE list_append(ws, CAST(1 AS BIGINT)) END AS ws
+           |FROM (SELECT s.*, ${nearest(t.toString, "s.ids")} AS nr FROM r${t - 1} s)""".stripMargin
+      val o =
+        s"""SELECT ids, ws, len(ids) > $coresetSeededK AS ov,
+           |  CASE WHEN len(ids) > $coresetSeededK THEN greatest($d2 * r,
+           |    (SELECT min(p.d) FROM pd p WHERE list_contains(ids, p.a)
+           |     AND list_contains(ids, p.b) AND p.a < p.b))
+           |  ELSE r END AS r,
+           |  CAST([] AS BIGINT[]) AS kids, CAST([] AS BIGINT[]) AS kws
+           |FROM ($a)""".stripMargin
+      val merged = (1 to coresetSeededK + 1).foldLeft(o) { (cur, m) =>
+        s"""SELECT ids, ws, ov, r,
+           |  CASE WHEN NOT (ov AND len(ids) >= $m) THEN kids
+           |       WHEN knr IS NOT NULL AND knr.d <= r THEN kids
+           |       ELSE list_append(kids, ids[$m]) END AS kids,
+           |  CASE WHEN NOT (ov AND len(ids) >= $m) THEN kws
+           |       WHEN knr IS NOT NULL AND knr.d <= r
+           |       THEN list_transform(kws, (w, i) -> CASE WHEN i = knr.pos THEN w + ws[$m] ELSE w END)
+           |       ELSE list_append(kws, ws[$m]) END AS kws
+           |FROM (SELECT s.*, CASE WHEN s.ov AND len(s.ids) >= $m THEN
+           |  ${nearest(s"s.ids[$m]", "s.kids")} ELSE NULL END AS knr
+           |FROM ($cur) s)""".stripMargin
+      }
+      s"""r$t AS (SELECT r, CASE WHEN ov THEN kids ELSE ids END AS ids,
+         |  CASE WHEN ov THEN kws ELSE ws END AS ws FROM ($merged))""".stripMargin
+    }
+    val replay = (1 to coresetSeededK).foldLeft(
+      s"""SELECT r, ids, ws, CAST([] AS BIGINT[]) AS fids,
+         |  CAST([] AS BIGINT[]) AS fws FROM r$coresetSeededN""".stripMargin) { (cur, m) =>
+      s"""SELECT r, ids, ws,
+         |  CASE WHEN NOT (len(ids) >= $m) THEN fids
+         |       WHEN fnr IS NOT NULL AND fnr.d <= $d2 * r THEN fids
+         |       ELSE list_append(fids, ids[$m]) END AS fids,
+         |  CASE WHEN NOT (len(ids) >= $m) THEN fws
+         |       WHEN fnr IS NOT NULL AND fnr.d <= $d2 * r
+         |       THEN list_transform(fws, (w, i) -> CASE WHEN i = fnr.pos THEN w + ws[$m] ELSE w END)
+         |       ELSE list_append(fws, ws[$m]) END AS fws
+         |FROM (SELECT s.*, CASE WHEN len(s.ids) >= $m THEN
+         |  ${nearest(s"s.ids[$m]", "s.fids")} ELSE NULL END AS fnr
+         |FROM ($cur) s)""".stripMargin
+    }
+    val rounds = (1 to coresetSeededN).map(roundSql).mkString(",\n")
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, vec_id,
+       |         list_transform(range(1, $embDim + 1), i ->
+       |           CAST(CAST(embedding[i] AS DOUBLE) * CAST(0.05 AS DOUBLE) +
+       |                (CASE WHEN i - 1 = vec_id % 3 THEN CAST(10.0 AS DOUBLE)
+       |                      ELSE $d0 END) AS FLOAT)) AS pv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL AND len(embedding) = $embDim
+       |        ORDER BY vec_id LIMIT $coresetSeededN)),
+       |su AS MATERIALIZED (
+       |  SELECT rn, vec_id, list_transform(pv, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS u
+       |  FROM (SELECT rn, vec_id, pv,
+       |               CAST(1.0 AS DOUBLE) / sqrt(${dotSql("pv", "pv")}) AS inv FROM s0)),
+       |pd AS MATERIALIZED (
+       |  SELECT a.rn AS a, b.rn AS b,
+       |         sqrt(greatest($d0, $d2 - $d2 * ${dotSql("a.u", "b.u")})) AS d
+       |  FROM su a JOIN su b ON a.rn <> b.rn),
+       |r0 AS (SELECT $d0 AS r, CAST([] AS BIGINT[]) AS ids, CAST([] AS BIGINT[]) AS ws),
+       |$rounds,
+       |fin AS ($replay)
+       |SELECT CAST(ord - 1 AS INTEGER) AS ord, s.vec_id AS vec_id, w.weight AS weight,
+       |       CAST(len(w.fids) AS INTEGER) AS n_centers,
+       |       CAST(CAST(CAST(w.r AS VARCHAR) AS DECIMAL(28,9)) AS DOUBLE) AS radius
+       |FROM (SELECT r, fids, unnest(fids) AS crn, unnest(fws) AS weight,
+       |             generate_subscripts(fids, 1) AS ord FROM fin) w
+       |JOIN s0 s ON s.rn = w.crn
+       |ORDER BY ord""".stripMargin
   }
 
   /** kcore_copurchase parameters, shared by the Scala registration and the
@@ -3511,6 +3669,33 @@ object SparkEntry {
          |         string_agg(span, ' ' ORDER BY span_idx) AS text_clean
          |  FROM kept GROUP BY 1),
          |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans, CAST(coalesce(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+         |       coalesce(r.text_clean, '') AS text_clean
+         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // incremental face: spans of the new batch (ids >= 250) minus the old
+    // corpus's distinct-span registry, winners within the batch; grouping
+    // by span text ≡ the engine's xxhash64 registry (2^-64 caveat)
+    "dedup_spans_incremental_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp AS (
+         |  SELECT doc_id, CAST((st - 1) // 10 AS INTEGER) AS span_idx,
+         |         array_to_string(toks[st:st+9], ' ') AS span
+         |  FROM (SELECT doc_id, toks, unnest([x FOR x IN range(1, len(toks) + 1, 10)]) AS st
+         |        FROM tt WHERE len(toks) >= 1)),
+         |old AS (SELECT DISTINCT span FROM sp WHERE doc_id < 250),
+         |newsp AS (SELECT * FROM sp WHERE doc_id >= 250),
+         |k AS (
+         |  SELECT doc_id, span_idx, span,
+         |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+         |  FROM newsp WHERE span NOT IN (SELECT span FROM old)),
+         |kept AS (SELECT * FROM k WHERE rn = 1),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_spans_kept,
+         |         string_agg(span, ' ' ORDER BY span_idx) AS text_clean
+         |  FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM newsp GROUP BY 1)
          |SELECT t.doc_id, t.n_spans, CAST(coalesce(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
          |       coalesce(r.text_clean, '') AS text_clean
          |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
@@ -5226,6 +5411,9 @@ object SparkEntry {
     // largest-remainder quotas, k unrolled per-cell rounds (batchedGreedySql)
     "curate_mmr_batched_seeded_embeddings" -> batchedGreedySql(mmr = true),
     "curate_kcenter_batched_seeded_embeddings" -> batchedGreedySql(mmr = false),
+    // the streaming-coreset family's first cross-engine check (r13 verdict
+    // #5): the full doubling-algorithm fold + final-merge replay, unrolled
+    "coreset_kcenter_seeded_embeddings" -> coresetSeededSql,
 
     // the per-vector debias ledger over the same PC: projection is the
     // identical left fold the codegen FloatDoubleDot runs, norms mirror

@@ -46,22 +46,10 @@ object Binning {
   def tuneSession(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // ObjectHashAggregate (every TypedImperativeAggregate here: TopKAgg,
-    // HistogramAgg, KCenterAgg, the DataSketches aggs) falls back to
-    // SORT-BASED aggregation after only 128 in-memory keys per partition —
-    // which externally SORTS the aggregate's whole input. For the k-bounded
-    // TopK partials that is catastrophic at scale: the LSH graph's
-    // map-side combine is supposed to ship <= k rows per (src) group, but
-    // past 128 sources per partition the fallback sorted the FULL candidate
-    // pair stream instead (measured r13 at sf100: ~70 GB of concurrent sort
-    // spill -> ENOSPC on a 64-split input; the single-file r12 fixture had
-    // hidden it behind 1-2 concurrent tasks). Every object agg this engine
-    // plans carries BOUNDED per-group state (k-heaps, fixed bins, <=4 KB
-    // sketches) over bounded group cardinality per query, so 2^22 keys
-    // (~4M) keeps the hash path at worst-case ~100s of MB while restoring
-    // the designed map-side combine.
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 22).toString)
+    // ObjectHashAggregate sort-fallback fix — shared, consumer-path-complete
+    // delivery since r14 (see graft.functions.SessionTuning for the full
+    // r13 sf100 ENOSPC story and the checked bounded-state contract)
+    graft.functions.SessionTuning.ensureObjectAggHashPath(spark)
     // the engine's rewrite rules, for sessions built without
     // spark.sql.extensions=graft.functions.GraftExtensions; each is a
     // no-op unless its spark.graft.*.cellWidth conf is set (idempotent add)

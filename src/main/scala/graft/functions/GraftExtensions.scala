@@ -18,7 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     // no-ops unless their spark.graft.*.cellWidth confs are set
-    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule { session =>
+      // rule BUILDERS run once, when the session assembles its optimizer —
+      // the extensions path's only per-session hook, so the load-bearing
+      // ObjectHashAggregate fallback-threshold fix rides here (r13 verdict
+      // #1: tuneSession-only delivery left library consumers on the 128-key
+      // external-sort pathology). Idempotent; user-set values respected.
+      SessionTuning.ensureObjectAggHashPath(session)
+      graft.plans.RangeJoinRewrite
+    }
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.BoxJoinRewrite)
   }
@@ -94,9 +102,13 @@ object GraftFunctions {
       })
   )
 
-  /** Register into an existing session's function registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session's function registry (idempotent).
+    * Also applies the load-bearing object-agg session tuning — the
+    * imperative sibling of the extensions path (see [[SessionTuning]]). */
+  def register(spark: SparkSession): Unit = {
+    SessionTuning.ensureObjectAggHashPath(spark)
     descriptors.foreach { case (id, fi, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
     }
+  }
 }

@@ -107,6 +107,9 @@ object HistogramAgg {
     * counts (aggregate function). */
   def hist_counts(x: Column, edges: Seq[Double]): Column = {
     graft.dist.Binning.validateEdges(edges)
+    // consumer-path tuning (r13 verdict #1): keep the hash-agg path on
+    // untuned sessions — see SessionTuning
+    SessionTuning.ensureActiveSession()
     Bridge.column(HistogramAgg(Bridge.expression(x), edges).toAggregateExpression())
   }
 }

@@ -251,7 +251,11 @@ object KCenterAgg {
 
   /** Column facade: `k_center_agg(id, vec, k)` →
     * `struct(radius, centers array<struct<id, weight, center>>)`. */
-  def k_center_agg(id: Column, vec: Column, k: Int): Column =
+  def k_center_agg(id: Column, vec: Column, k: Int): Column = {
+    // consumer-path tuning (r13 verdict #1): keep the hash-agg path on
+    // untuned sessions — see SessionTuning
+    SessionTuning.ensureActiveSession()
     Bridge.column(KCenterAgg(Bridge.expression(id), Bridge.expression(vec), k)
       .toAggregateExpression())
+  }
 }

@@ -130,7 +130,11 @@ case class TopKAgg(
 object TopKAgg {
   /** Column facade: `top_k_by(ord, id, k)` → `array<struct<ord, id>>` of the
     * k best (ord desc, id asc) pairs in the group (aggregate function). */
-  def top_k_by(ord: Column, id: Column, k: Int): Column =
+  def top_k_by(ord: Column, id: Column, k: Int): Column = {
+    // consumer-path tuning (r13 verdict #1): an untuned session planning
+    // this agg past 128 keys/partition would external-sort its whole input
+    SessionTuning.ensureActiveSession()
     Bridge.column(TopKAgg(Bridge.expression(ord), Bridge.expression(id), k)
       .toAggregateExpression())
+  }
 }

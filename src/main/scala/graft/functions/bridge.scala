@@ -20,4 +20,13 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Deterministic listener-bus drain: blocks until every queued
+    * SparkListener event has been delivered. `SparkContext.listenerBus` is
+    * `private[spark]`; tests that accumulate task metrics through a
+    * listener (e.g. shuffle-byte ceilings) need this instead of a sleep —
+    * a fixed sleep fails OPEN exactly when the box is loaded and events
+    * flush late (ADVICE r13). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -559,7 +559,11 @@ case class LitTopCents(left: Expression, right: Expression,
   * the max of individually-rounded sims (`array_max ∘ round == round ∘
   * max`). A sel entry whose dot folds over a null element is skipped,
   * matching `array_max`'s null-skipping; an empty/all-null selection
-  * yields null (callers score seed rounds separately). */
+  * yields null (callers score seed rounds separately). The running max
+  * compares via `java.lang.Double.compare` — the same total order
+  * `array_max` ranks by (NaN greatest, -0.0 < 0.0) — so parity holds even
+  * for NaN sims, which the callers' nrm > 0 filters make unreachable but
+  * the contract no longer depends on that (ADVICE r13). */
 case class MaxCosRound(first: Expression, second: Expression,
                        third: Expression, fourth: Expression, roundScale: Int)
     extends QuaternaryExpression {
@@ -602,7 +606,11 @@ case class MaxCosRound(first: Expression, second: Expression,
         }
         if (!hitNull) {
           val sim = acc / (n * nrms.getDouble(j))
-          if (!has || sim > best) { best = sim; has = true }
+          // Double.compare, not `>`: array_max ranks via the total order
+          // where NaN is GREATEST and -0.0 < 0.0; a plain `>` would drop a
+          // later-arriving NaN (ADVICE r13). Unreachable NaN under the
+          // callers' nrm > 0 filters, but the parity contract is total.
+          if (!has || java.lang.Double.compare(sim, best) > 0) { best = sim; has = true }
         }
       }
       j += 1
@@ -633,7 +641,9 @@ case class MaxCosRound(first: Expression, second: Expression,
          |  }
          |  if ($hitNull) continue;
          |  double $sim = $acc / ($nrm * $sn.getDouble($j));
-         |  if (!$has || $sim > $best) { $best = $sim; $has = true; }
+         |  if (!$has || java.lang.Double.compare($sim, $best) > 0) {
+         |    $best = $sim; $has = true;
+         |  }
          |}
          |if (!$has) { ${ev.isNull} = true; }
          |else { ${ev.value} = graft.functions.LitTopCents$$.MODULE$$.sparkRound(

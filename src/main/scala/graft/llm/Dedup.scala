@@ -750,7 +750,50 @@ object Dedup {
     * doc rebuild is a bounded per-doc `sort_array(collect_list)` (list size
     * ≤ spans per doc — document-bounded, not corpus-bounded). */
   def spanDedup(docs: DataFrame, spanTokens: Int = 10,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    spanDedupImpl(docs, None, spanTokens, textCol, idCol)
+
+  /** Distinct span-hash REGISTRY of a corpus — the persistable artifact the
+    * incremental/streaming span dedup cleans new batches against (the span
+    * sibling of [[hashIndex]]; same pattern as [[sourceSketches]]' daily
+    * folds). Slim by construction: one 8-byte hash per distinct span.
+    * Registries FOLD: union-distinct of two registries equals the registry
+    * of the concatenated corpora (merge ≡ rescan, property-tested in
+    * DedupSpec) — at 100 TB a new ingest batch extends the registry
+    * without rescanning any prior corpus. */
+  def spanRegistry(docs: DataFrame, spanTokens: Int = 10,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 1)
+    val starts = sequence(lit(1), size(col("toks")), lit(spanTokens))
+    val spanArr = transform(starts, st => concat_ws(" ", slice(col("toks"), st, lit(spanTokens))))
+    toks.select(explode(spanArr).as("span"))
+      .select(xxhash64(col("span")).as("h")).distinct()
+  }
+
+  /** Fold two span registries (yesterday's registry + today's batch):
+    * union-distinct — associative, commutative, and rescan-equivalent. */
+  def mergeSpanRegistries(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Incremental face of [[spanDedup]]: clean a NEW batch against a
+    * [[spanRegistry]] of everything already ingested. A span occurrence
+    * survives iff its span is NOT in the registry AND it is the winner
+    * (min (id, span_idx)) within the batch — with an empty registry this
+    * IS `spanDedup(batch)` (the anti-join drops nothing), which anchors
+    * the streaming face's batch-parity test. Arrival order decides
+    * cross-batch winners (first batch claims the span), the same
+    * first-wins contract as [[dedupAgainstIndex]] and every streaming
+    * dedup here. The registry side of the anti-join is hashes only. */
+  def spanDedupAgainstRegistry(newDocs: DataFrame, registry: DataFrame,
+                               spanTokens: Int = 10, textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame =
+    spanDedupImpl(newDocs, Some(registry), spanTokens, textCol, idCol)
+
+  private def spanDedupImpl(docs: DataFrame, registry: Option[DataFrame],
+                            spanTokens: Int, textCol: String,
+                            idCol: String): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 1)
@@ -762,10 +805,14 @@ object Dedup {
     // dedup signal reduces to one hash-agg whose shuffle carries only
     // (8-byte hash, partial-min (id, idx)) — span text never crosses an
     // exchange (plan-asserted in DedupSpec). No occurrence join-back exists.
-    val winners = toks
+    val occ = toks
       .select(posexplode(spanArr).as(Seq("span_idx", "span")), col("id"))
       .select(xxhash64(col("span")).as("h"), struct(col("id"), col("span_idx")).as("occ"))
-      .groupBy("h").agg(min(col("occ")).as("keep"))
+    // incremental face: registry spans are already claimed by a prior
+    // batch — the anti-join carries 8-byte hashes on both sides
+    val fresh = registry.fold(occ)(reg =>
+      occ.join(reg.select(col("h")).distinct(), Seq("h"), "left_anti"))
+    val winners = fresh.groupBy("h").agg(min(col("occ")).as("keep"))
     val keepIdxs = winners
       .groupBy(col("keep.id").as("id"))
       .agg(sort_array(collect_list(col("keep.span_idx"))).as("keep_idxs"))

@@ -45,7 +45,7 @@ object Similarity {
     * final top-k is a TakeOrdered, not a full sort. */
   def cosineTopK(emb: DataFrame, k: Int = 10,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = e.toDF("id_a", "va", "na")
     val b = e.toDF("id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
@@ -93,7 +93,7 @@ object Similarity {
   def knnGraph(emb: DataFrame, k: Int = 3,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = e.toDF("src", "va", "na")
     val b = e.toDF("dst", "vb", "nb")
     val scored = a.join(b, col("src") =!= col("dst"))
@@ -137,7 +137,7 @@ object Similarity {
     // recall compounds as 1-(1-p_table)^nTables while candidate volume
     // grows only linearly in nTables. Bucket keys are (table, bucket) so
     // tables never cross-pollinate candidates.
-    val base = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     val e = bucketedTables(base, nBits, dim, seed, nTables)
     val src = e.select(col("id").as("src"), col("v").as("va"),
@@ -215,7 +215,7 @@ object Similarity {
     * ([[srpBucket]]) so only same-bucket (± multiprobe) vectors ever meet. */
   def embCosineNearDup(emb: DataFrame, threshold: Double = 0.9,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = e.toDF("id_a", "va", "na")
     val b = e.toDF("id_b", "vb", "nb")
     val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
@@ -285,21 +285,20 @@ object Similarity {
     * anti-join, exactly like the n-gram pass. */
   def semanticDecontam(train: DataFrame, eval: DataFrame, threshold: Double = 0.9,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Starvation-gated rebalance: the operator is exchange-free by design,
-    // so its parallelism equals its scan split count — correct at corpus
-    // scale (thousands of files saturate every core; no exchange is added
-    // and the zero-training-shuffle contract holds structurally), but a
-    // single-file fixture arrives as 1-4 splits and pins the n·|eval|·d
-    // scoring loop to as many cores (SCALE.md §13 measured sf100 starved
-    // at 88.5 s vs 50.4 s with 8 MB splits). When — and only when — the
-    // planned scan has fewer partitions than the cluster's parallelism,
-    // one round-robin exchange of the training frame costs less than the
-    // starved scan it prevents; at scale the gate never fires, so this
-    // replaces the harness-side SPARK_GRAFT_MAXPB workaround without
-    // trading away the at-scale plan shape.
-    val starved = train.rdd.getNumPartitions <
-      train.sparkSession.sparkContext.defaultParallelism
-    val t = (if (starved) spread(train) else train)
+    // Gated rebalance (shared spreadGated policy since r14): the operator
+    // is exchange-free by design, so its parallelism equals its scan split
+    // count — correct at corpus scale (thousands of files saturate every
+    // core; no exchange is added and the zero-training-shuffle contract
+    // holds structurally), but a big single-file fixture arrives as 1-4
+    // splits and pins the n·|eval|·d scoring loop to as many cores (the
+    // r10 sweep measured sf100 starved at 88.5 s vs 50.4 s rebalanced; on
+    // r13's honest 64-split fixtures the gate no longer fires at sf100 and
+    // the query runs 7.34 s — SCALE.md §16). The size gate matters on the
+    // SMALL end: this site was starvation-only until r13's measurement
+    // that a spread cache charges every downstream job a
+    // defaultParallelism-task scheduling floor, the wrong trade for
+    // sub-split inputs (r13 verdict #6).
+    val t = spreadGated(train)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
     val e = eval.select(col(idCol).as("eid"), col(vecCol).as("ev"),
@@ -359,7 +358,7 @@ object Similarity {
     // dim-exploded mean agg); a single-file input would run every round on
     // 1-2 cores. Results are partitioning-invariant (TakeOrdered seeds,
     // decimal-exact order-independent means) — determinism-tested.
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     // Deterministic pseudo-random seed sample: order by a hash of the id
     // (id tiebreak) and take the first C. Id-distribution-agnostic (a modulo
     // scheme returns ZERO centroids when no id hits the stride) and one
@@ -485,7 +484,7 @@ object Similarity {
                                      seedKey: Column => Column): DataFrame = {
     // spread: every Lloyd round + the final profile re-scan the corpus;
     // results are partitioning-invariant (key-ordered seeds, decimal sums)
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
     val cents = lloydMirrorableCents(e, k, iters, seedKey)
     val b = bestMirror(cents)(col("v"), col("nrm")).getItem(0)
@@ -524,7 +523,7 @@ object Similarity {
     * face of [[kMeansProfile]], exposed for tests and downstream joins. */
   def kMeansAssign(emb: DataFrame, cents: Centroids,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     val best = nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0)
     e.select(col("id"), best.getField("cid").as("cid"),
@@ -559,7 +558,7 @@ object Similarity {
         explode(transform(nearest(col("v"), col("nrm"), nprobe), s => s.getField("cid"))).as("cid"))
     // candidate side spread: a single-file corpus otherwise arrives as 1-2
     // partitions and the whole per-row assignment scan runs on 1-2 cores
-    val cand = spread(e).select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+    val cand = spreadGated(e, minBytes = 0).select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
       nearest(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
     val scored = broadcast(q).join(cand, Seq("cid")).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -592,14 +591,14 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val raw = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
-    val cents = lloydMirrorableCents(spread(raw), nCells, trainIters, seedKey = identity)
+    val cents = lloydMirrorableCents(spreadGated(raw, minBytes = 0), nCells, trainIters, seedKey = identity)
     // q side from the RAW frame: the tiny id filter pushes down to the scan
     val q = raw.where(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(bestMirror(cents)(col("v"), col("nrm"), take = nprobe),
           s => s.getField("cid"))).as("cid"))
     // candidate side spread: the per-row assignment scan needs all cores
-    val cand = spread(raw).select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+    val cand = spreadGated(raw, minBytes = 0).select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
       bestMirror(cents)(col("v"), col("nrm")).getItem(0).getField("cid").as("cid"))
     // no dropDuplicates needed: each candidate lives in exactly ONE cell and
     // the probe list holds distinct cells, so a (qid, nid) pair is unique
@@ -742,7 +741,7 @@ object Similarity {
     // spread: the encode scan visits every corpus row; a single-file input
     // would run it on 1-2 cores (q-side lookups below stay on the raw
     // frame so their id filters push down to the scan)
-    val codes = spread(e).withColumn("__codes", codesArr)
+    val codes = spreadGated(e, minBytes = 0).withColumn("__codes", codesArr)
       .select(col("id") +:
         (0 until nSub).map(m => element_at(col("__codes"), m + 1).as(s"code_$m")): _*)
     // --- query: per-query ADC tables as a broadcast literal frame
@@ -884,7 +883,7 @@ object Similarity {
         nCells, nSub, nCodes, subDim)
       else graft.functions.functions.pq_encode(
         col("v"), col("nrm"), cbFlat, halves, nSub, nCodes, subDim)
-    val index = spread(e).withColumn("__codes", codesCol)
+    val index = spreadGated(e, minBytes = 0).withColumn("__codes", codesCol)
       .select(
         col("id") +:
           cidCol.as("cid") +:
@@ -977,7 +976,7 @@ object Similarity {
     val cents = trainCentroids(emb, c, trainIters, idCol, vecCol)
     // spread: the C·d-per-row assignment scan must not run on the 1-2
     // partitions a single-file corpus arrives as
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val assigned = e.select(col("id"), col("v"), col("nrm"),
       nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
     val a = assigned.toDF("id_a", "va", "na", "cid")
@@ -1013,7 +1012,7 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // spread: Lloyd rounds + the assignment scan must not run on the 1-2
     // partitions a single-file corpus arrives as
-    val e = spread(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+    val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
     val cents = lloydMirrorableCents(e, k, iters, seedKey = identity)
@@ -1480,19 +1479,6 @@ object Similarity {
       .orderBy("dim_idx").collect()
       .map(_.getAs[Double]("centroid").toFloat).toSeq
 
-  /** True when `df` is BOTH starved (fewer partitions than the session's
-    * parallelism) AND big enough that repartitioning pays: past one scan
-    * split's worth of estimated bytes (optimizer stats — no job). Small
-    * frames stay put: a spread cache makes every downstream job pay a
-    * defaultParallelism-task scheduling floor, the wrong trade until
-    * per-round compute dominates (measured both ways at sf0.1/sf100 —
-    * see greedyBatchedCore). */
-  private def bigAndStarved(df: DataFrame): Boolean = {
-    val oneSplit = BigInt(134217728L) // spark.sql.files.maxPartitionBytes default
-    df.queryExecution.optimizedPlan.stats.sizeInBytes > oneSplit &&
-      df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism
-  }
-
   /** Max same-selection cosine for the EXACT greedy tiers: the selection
     * rides the expression tree as TWO literal arrays (vectors + norms)
     * through the same fixed-size [[graft.functions.MaxCosRound]] loop the
@@ -1531,8 +1517,7 @@ object Similarity {
     // size-and-starvation-gated spread (r13): base is re-scanned k times —
     // see greedyBatchedCore for the rationale and the two measured gates;
     // repartition-invariance of the selection is property-tested
-    val starved = bigAndStarved(emb)
-    val base = (if (starved) spread(emb) else emb)
+    val base = spreadGated(emb)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("v").isNotNull && col("nrm") > lit(0.0))
@@ -1649,8 +1634,7 @@ object Similarity {
     // rounds measured at sf0.1), which is the wrong trade until per-round
     // compute dominates. Size comes from optimizer stats (no job). Results
     // are partitioning-invariant (9-digit scores, id ties — property-tested).
-    val starved = bigAndStarved(emb)
-    val base = (if (starved) spread(emb) else emb)
+    val base = spreadGated(emb)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .where(col("v").isNotNull && col("nrm") > lit(0.0))

@@ -4,20 +4,43 @@ import org.apache.spark.sql.DataFrame
 
 package object llm {
 
-  /** Spread a frame entering an O(n²) pair pipeline (cosineTopK,
-    * embCosineNearDup) across the session's default parallelism. A
-    * single-file parquet table otherwise arrives as ONE partition and the
-    * whole pair join runs as a single task on one core — measured 3× on the
-    * bench embeddings pair join.
-    *
-    * Unconditional repartition, deliberately: the callers are the exact
-    * all-pairs tier, only sane at driver-enumerable n, where one extra
-    * exchange of the raw input rows is noise next to the n² compute it
-    * parallelizes. (A conditional `df.rdd.getNumPartitions` probe would
-    * build the frame's RDD lineage just to count partitions — plan-freezing
-    * work on every call — and the 100 TB bucketed operators never call
-    * this helper at all.)
-    */
+  /** Unconditional rebalance to the session's default parallelism — the
+    * internal core of [[spreadGated]], which owns the gating policy. A
+    * single-file parquet table otherwise arrives as ONE partition and a
+    * whole pair join runs as a single task on one core — measured 3× on
+    * the bench embeddings pair join. Not called directly by operators
+    * since r14: every call site routes through the gate. */
   private[llm] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** One scan split's worth of bytes (`spark.sql.files.maxPartitionBytes`
+    * default) — the measured size threshold below which a rebalance costs
+    * more than the starvation it cures. */
+  private[llm] val oneScanSplitBytes: Long = 134217728L
+
+  /** THE shared gated rebalance (r13 verdict: three divergent spread gates
+    * had grown — unconditional, starvation-only, size-and-starvation; this
+    * is now the single policy). Spreads `df` iff BOTH measured thresholds
+    * hold:
+    *
+    *   1. size: optimizer-stats estimated bytes > `minBytes` (default one
+    *      scan split; stats-only — no job). Small frames stay put: a
+    *      spread cache makes EVERY downstream job pay a
+    *      defaultParallelism-task scheduling floor (~30 ms/job on the
+    *      bench box), the wrong trade until per-round compute dominates
+    *      (measured both ways at sf0.1/sf100, SCALE.md §16).
+    *   2. starvation: the planned frame arrives in fewer partitions than
+    *      the cluster's parallelism — at corpus scale thousands of scan
+    *      splits saturate every core and the gate never fires, so the
+    *      at-scale plan shape is untouched.
+    *
+    * Exact all-pairs verifier tiers pass `minBytes = 0`: their n² compute
+    * dwarfs one exchange of the raw rows at ANY input size (only sane at
+    * driver-enumerable n anyway), so for them starvation alone decides. */
+  private[llm] def spreadGated(df: DataFrame, minBytes: Long = oneScanSplitBytes): DataFrame = {
+    val gated =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes) &&
+        df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism
+    if (gated) spread(df) else df
+  }
 }

@@ -238,4 +238,68 @@ object DocStreams {
           }
       }
   }
+
+  /** Streaming face of the SPAN dedup tier (r13 verdict #7) — the C4-style
+    * operator production pipelines run CONTINUOUSLY on incoming crawl —
+    * against a PERSISTED span-hash registry, the [[graft.llm.Dedup.sourceSketches]]
+    * daily-fold pattern rather than in-executor state: one winner per
+    * distinct span EVER SEEN can't be watermark-bounded (the whole point is
+    * remembering last month's spans), so the registry lives as parquet
+    * next to the ingest batches and each micro-batch folds into it.
+    *
+    * Per micro-batch: clean the batch against the registry of all PRIOR
+    * batches ([[graft.llm.Dedup.spanDedupAgainstRegistry]] — within-batch
+    * winners are min (id, span_idx), cross-batch first-arrival wins), write
+    * the cleaned docs to `outDir/batch=<id>` and the batch's new span
+    * hashes to `registryDir/batch=<id>`. Both writes OVERWRITE their own
+    * batch partition and the registry read filters to `batch < current`,
+    * so a checkpoint-replayed batch reproduces byte-identical output
+    * instead of double-counting itself (restart-idempotence is the test
+    * contract). Registry fold ≡ rescan is [[graft.llm.Dedup.mergeSpanRegistries]]'
+    * property. Scale shape: the anti-join ships 8-byte hashes both sides;
+    * batch text never crosses an exchange (same plan as the batch tier). */
+  def spanDedupStream(docs: DataFrame, outDir: String, registryDir: String,
+                      checkpointDir: String, spanTokens: Int = 10,
+                      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = priorRegistry(spark, registryDir, batchId)
+        val clean = graft.llm.Dedup.spanDedupAgainstRegistry(
+          batch, prior, spanTokens, textCol, idCol)
+        clean.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // persist only the hashes this batch ADDS: re-ingested spans are
+        // common day over day, and an append-only registry of per-batch
+        // deltas stays proportional to the distinct-span universe, not to
+        // ingest volume (the anti-join is hashes-vs-hashes)
+        graft.llm.Dedup.spanRegistry(batch, spanTokens, textCol, idCol)
+          .join(prior, Seq("h"), "left_anti")
+          .write.mode("overwrite").parquet(s"$registryDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Union of the registry partitions written by batches BEFORE `batchId` —
+    * the replay guard: a restarted batch must not see its own (possibly
+    * partially written) registry partition as "prior corpus". */
+  private def priorRegistry(spark: org.apache.spark.sql.SparkSession,
+                            registryDir: String, batchId: Long): DataFrame = {
+    import spark.implicits._
+    // Hadoop FS, not java.io — the registry lives wherever the ingest
+    // batches do (HDFS/S3 at scale, local in tests)
+    val root = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath.toString))
+        .filter(_._1 < batchId)
+        .map(_._2)
+    if (dirs.isEmpty) Seq.empty[Long].toDF("h")
+    else spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
 }

@@ -112,13 +112,127 @@ class SparkEntryContractSpec extends SparkSpec {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        Thread.sleep(1500) // let the listener bus drain task-end events
+        // deterministic drain: a fixed sleep under-counts (fails open) on a
+        // loaded box where task-end events flush late (ADVICE r13)
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(listener)
       if (bytes <= ceiling) None
       else Some(s"$name shuffled $bytes bytes (ceiling $ceiling) — " +
         "a slim exchange got fat; check no text/vector column crosses it")
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // ObjectHashAggregate state contract (ADVICE r13): graft's SessionTuning
+  // raises the sort-based fallback threshold to 2^22 keys SESSION-WIDE.
+  // That is only safe under an invariant this sweep turns from a comment
+  // into a checked contract. The risk shape is (keys per partition beyond
+  // the old 128) × (per-group state bytes): the hash path holds EVERY
+  // group's buffer at once, the sort fallback one group at a time. So:
+  //   tier 1 — bounded-state agg classes are safe at ANY cardinality;
+  //   tier 2 — unbounded-state classes (collect_*, exact Percentile) are
+  //   safe only where the QUERY bounds the exposure, and each such site
+  //   must be enrolled below with its bound. A new collect_list over
+  //   corpus-proportional fat groups fails HERE, before it can trade
+  //   Spark's graceful sort-spill for executor OOM.
+  private val boundedStateObjectAggs = Set(
+    "TopKAgg",             // k-bounded heap (k ≤ a few hundred by contract)
+    "HistogramAgg",        // fixed edges → fixed-size long[] bins
+    "KCenterAgg",          // ≤ k centers × dim floats + one double
+    "HllSketchAgg",        // DataSketches HLL: ≤ ~KB at lgK ≤ 14
+    "HllUnionAgg",         // union of the above, same bound
+    "KllSketchAggDouble",  // KLL: ≤ ~4 KB at default k
+    "ThetaSketchAgg",      // theta: bounded by nominal entries (4 KB default)
+    "ThetaUnionAgg",
+    "ApproximatePercentile", // GK summary: bounded by 1/accuracy
+    "CollectFrequentItems",  // Karp et al. map capped at ~1/support entries
+    "BloomFilterAggregate",  // fixed-size bit array from expectedNumItems
+    // scalar-state builtins that ride in the SAME node as a typed agg
+    "Sum", "Count", "Max", "Min", "Average", "First", "Last")
+
+  // Tier-2 enrollment: query → the unbounded-state agg classes it plans,
+  // each safe for a stated reason. Two failure modes are guarded: a NEW
+  // unenrolled site (offender check) and a STALE entry whose agg vanished
+  // (staleness check) — the table is a live inventory, not a suppression.
+  // Bounds, by family:
+  //   • tiny-key-domain groups — the hash map never approaches even the
+  //     OLD 128-key threshold, so the raised threshold changes nothing:
+  //     global aggs (1 key), event_type (~5), lang/source (dozens),
+  //     lang×source (hundreds): exact-Percentile verifier tiers and the
+  //     distribution/contingency collect_lists.
+  //   • slim bounded payloads over corpus-keyed groups — per-group bytes
+  //     are capped by construction (LSH maxBucket caps, k-bounded
+  //     neighbor lists, per-order/per-session line caps, CC adjacency =
+  //     degree after star contraction), so hash-path memory ≈ the slim
+  //     partition input it already holds — the exact shape the r13 sf100
+  //     LSH measurements exercised at 15 GB shuffle without spill.
+  private val justifiedUnboundedStateAggs: Map[String, Set[String]] = Map(
+    // -- tiny key domain (global / event_type / lang / source keys) --
+    "clip_outliers_lineitem" -> Set("Percentile"),      // global: 1 group
+    "quantiles_extendedprice" -> Set("Percentile"),     // global: 1 group
+    "quantiles_by_type_events" -> Set("Percentile"),    // ~5 event types
+    "interarrival_stats_events" -> Set("Percentile"),   // ~5 event types
+    "mad_outliers_events" -> Set("Percentile"),         // ~5 event types
+    "chi2_lang_source" -> Set("CollectList"),     // lang×source contingency
+    "mi_lang_source" -> Set("CollectList"),       // lang×source contingency
+    "lang_entropy_by_source" -> Set("CollectList"),     // per-source langs
+    "entropy_documents" -> Set("CollectList"),    // per-lang char classes
+    "dist_tvd_events" -> Set("CollectList"),      // per-type value buckets
+    "psi_drift_events" -> Set("CollectList"),     // fixed decile buckets
+    "gini_doclen_documents" -> Set("CollectList"),      // fixed buckets
+    "centroid_sim_embeddings" -> Set("CollectList"),    // one row per GROUP
+    "curate_corpus_documents" -> Set("CollectList"),    // per-source stats
+    "source_overlap_documents" -> Set("CollectSet"),    // ≤|sources| per doc
+    "hll_daily_users_events" -> Set("Count"),     // distinct-day count only
+    // -- slim bounded per-group payloads over corpus-keyed groups --
+    "assoc_rules_events" -> Set("CollectSet"),    // per-session type set ≤ 5
+    "top_session_paths" -> Set("CollectList"),    // per-session path, capped
+    "clustering_coeff_copurchase" -> Set("CollectSet"), // adjacency ≤ degree
+    "copurchase_triangles_lineitem" -> Set("CollectSet"),
+    "dedup_components" -> Set("CollectList"),     // star-contraction adjacency
+    "dedup_cluster_sizes" -> Set("CollectList"),
+    "dedup_clean_corpus" -> Set("CollectList"),
+    "dedup_clean_corpus_minhash" -> Set("CollectList"),
+    "dedup_near_minhash" -> Set("CollectList"),   // banded sigs, maxBucket cap
+    "dedup_simhash_documents" -> Set("CollectList"),
+    "dedup_ngram_jaccard_documents" -> Set("CollectList"),
+    "dedup_containment_documents" -> Set("CollectList"),
+    "dedup_editdist_documents" -> Set("CollectList"),   // blocked pairs
+    "dedup_spans_documents" -> Set("CollectList"),      // per-doc dup spans
+    "dedup_spans_incremental_documents" -> Set("CollectList"), // same rebuild
+    "dedup_substrings_documents" -> Set("CollectSet"),  // per-doc cut offsets
+    "dedup_substrings_fast_documents" -> Set("CollectSet"),
+    "emb_cosine_neardup_lsh" -> Set("CollectList"),     // maxBucket-capped
+    "mm_phash_neardup_documents" -> Set("CollectList"), // hamming-band buckets
+    "inverted_index_documents" -> Set("CollectList")) // per-term postings,
+    // df-capped by the stopword/min-df filters upstream
+
+  test("ObjectHashAggregate state contract: every object agg across ALL " +
+    "declared queries is bounded-state or enrolled with a bound") {
+    assume(testdataPresent)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    def objectAggFns(p: SparkPlan): Seq[String] = {
+      val here = p.collect { case o: ObjectHashAggregateExec =>
+        o.aggregateExpressions.map(_.aggregateFunction.getClass.getSimpleName)
+      }.flatten
+      here ++ p.subqueries.flatMap(objectAggFns)
+    }
+    val observed: Map[String, Set[String]] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // sparkPlan (pre-AQE): plan-only, no execution, no QueryStage wrappers
+        name -> objectAggFns(fn(spark, sfDir).queryExecution.sparkPlan).toSet
+      }.toMap
+    val offenders = observed.toSeq.sortBy(_._1).flatMap { case (name, fns) =>
+      (fns -- boundedStateObjectAggs -- justifiedUnboundedStateAggs.getOrElse(name, Set.empty))
+        .map(f => s"$name plans ObjectHashAggregate over unenrolled unbounded-state $f")
+    }
+    val stale = justifiedUnboundedStateAggs.toSeq.sortBy(_._1).flatMap { case (name, fns) =>
+      (fns -- observed.getOrElse(name, Set.empty))
+        .map(f => s"$name enrolled for $f but no longer plans it — prune the entry")
+    }
+    assert(offenders.isEmpty && stale.isEmpty, (offenders ++ stale).mkString("\n") +
+      "\nEnroll new unbounded-state sites with their bound, or bound the state.")
   }
 
   test("box_join_lineitem scopes its rewrite confs: no spark.graft residue," +
@@ -135,6 +249,18 @@ class SparkEntryContractSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "rewrite did not survive conf unset")
     assert(df.count() == 4) // all four zones match rows at sf0.001
+  }
+
+  test("coreset_kcenter_seeded_embeddings recovers the planted 3-cluster " +
+    "structure — a silent total-collapse (ADVICE r13) fails here") {
+    assume(testdataPresent)
+    val rows = SparkEntry.queries("coreset_kcenter_seeded_embeddings")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3 && rows.head.getAs[Int]("n_centers") == 3,
+      s"expected 3 planted clusters, got ${rows.length} centers — the " +
+        "doubling algorithm collapsed (or over-split) on planted structure")
+    // weight conservation: every sampled vector folded somewhere
+    assert(rows.map(_.getAs[Long]("weight")).sum == SparkEntry.coresetSeededN)
   }
 
   test("tpch_q6 pushes every predicate into the parquet scan") {

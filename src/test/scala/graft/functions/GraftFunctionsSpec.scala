@@ -121,6 +121,24 @@ class GraftFunctionsSpec extends SparkSpec {
           (col("nrm") * lit(selNrms.head)), 9).as("one"))
       .as[(Double, Double)].collect()
     withNull.foreach { case (loop, one) => assert(loop == one) }
+    // total-order parity (ADVICE r13): a LATER-arriving NaN sim must win,
+    // exactly as array_max ranks doubles (NaN greatest — Spark's
+    // TypeUtils ordering). sel entry #1 scores a normal 1.0, entry #2 has
+    // sel_nrm = 0.0 with an orthogonal vector so sim = 0/0 = NaN inside
+    // the loop's raw Java division; the plain `>` this loop used before
+    // silently kept the 1.0. (No literal-tree comparison here: a
+    // `lit(0)`-divisor Column is an ANSI-mode DIVIDE_BY_ZERO error — the
+    // expression's internal arithmetic is deliberately non-ANSI Java,
+    // like FloatDot's.)
+    val nanRows = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+      .select(
+        functions.max_cos_round(col("v"), lit(1.0),
+          typedLit(Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+          typedLit(Seq(1.0, 0.0))).as("loop"))
+      .as[Double].collect()
+    nanRows.foreach { loop =>
+      assert(loop.isNaN, s"expected the later-arriving NaN to win, got $loop")
+    }
   }
 
   test("nfc_normalize composes decomposed sequences; ASCII and nulls pass through") {

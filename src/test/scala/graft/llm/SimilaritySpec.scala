@@ -409,8 +409,9 @@ class SimilaritySpec extends SparkSpec {
     assert(r == expect)
   }
 
-  test("semanticDecontam starvation gate: a well-split corpus plans ZERO " +
-    "training exchanges; a starved one gets exactly one round-robin") {
+  test("semanticDecontam spread gate (r14, shared spreadGated policy): " +
+    "neither a well-split corpus NOR a starved-but-small one pays a " +
+    "rebalance exchange, and results are exchange-invariant") {
     val n = spark.sparkContext.defaultParallelism
     val vecs = (0L until 200L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
@@ -424,17 +425,37 @@ class SimilaritySpec extends SparkSpec {
     val spreadTrain = vecs.toDF("vec_id", "embedding").repartition(n)
     assert(rr(Similarity.semanticDecontam(spreadTrain, evalDf, 0.5)) == 1,
       "gate fired on a well-split corpus (added a second round-robin)")
-    // starved: a single-partition input (the single-file fixture shape)
-    // gets exactly one rebalance exchange
+    // starved AND small: the r13-measured size gate keeps the frame put —
+    // a spread cache would charge every downstream job a
+    // defaultParallelism-task scheduling floor for sub-split inputs (this
+    // site was starvation-only until r13 verdict #6)
     val starvedTrain = vecs.toDF("vec_id", "embedding").coalesce(1)
-    assert(rr(Similarity.semanticDecontam(starvedTrain, evalDf, 0.5)) == 1,
-      "starved corpus did not get its rebalance")
+    assert(rr(Similarity.semanticDecontam(starvedTrain, evalDf, 0.5)) == 0,
+      "size gate failed: a sub-split starved input paid the rebalance")
     // and the results are identical either way (exchange-invariant)
     val a = Similarity.semanticDecontam(spreadTrain, evalDf, 0.5)
       .as[(Long, Long, Double)].collect().toSeq
     val b = Similarity.semanticDecontam(starvedTrain, evalDf, 0.5)
       .as[(Long, Long, Double)].collect().toSeq
     assert(a == b)
+  }
+
+  test("spreadGated: the shared two-threshold policy — minBytes=0 (all-pairs " +
+    "tiers) spreads exactly the starved inputs; the default size gate " +
+    "blocks sub-split frames; well-split frames never re-exchange") {
+    val n = spark.sparkContext.defaultParallelism
+    val df = (0L until 64L).toDF("id")
+    def rr(d: org.apache.spark.sql.DataFrame): Int =
+      "(?i)Exchange roundrobinpartitioning".r.findAllIn(
+        d.queryExecution.executedPlan.toString.split("== Initial Plan ==").head).length
+    val starved = df.coalesce(1)
+    assert(rr(graft.llm.spreadGated(starved, minBytes = 0)) == 1,
+      "all-pairs policy must rebalance a starved input at any size")
+    assert(rr(graft.llm.spreadGated(starved)) == 0,
+      "default size gate must keep a sub-split starved frame put")
+    val split = df.repartition(n)
+    assert(rr(graft.llm.spreadGated(split, minBytes = 0)) == 1, // setup only
+      "well-split frame re-exchanged (the setup repartition is the one rr)")
   }
 
   test("centroidSimMatrix: pairwise cosine between group centroids") {

@@ -339,4 +339,90 @@ class DocStreamsSpec extends SparkSpec {
     assert(got == Seq((5L, 0L)))
   }
 
+  // ---- spanDedupStream (r13 verdict #7) ----
+
+  // 10-token "spans" the operator windows on; sN are distinct spans.
+  // Letters only: TextAnalysis.tokens splits on [^a-z]+, so a digit in a
+  // word would shatter it.
+  private def span(n: Int): String = {
+    def alpha(i: Int) = ('a' + i).toChar
+    (0 until 10).map(j => s"s${alpha(n)}w${alpha(j)}").mkString(" ")
+  }
+
+  test("spanDedupStream: an empty-registry batch equals the batch spanDedup " +
+    "(MemoryStream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_span_out").toString
+    val reg = java.nio.file.Files.createTempDirectory("graft_span_reg").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_span_chk").toString
+    val in = MemoryStream[Doc]
+    val batch = Seq(
+      Doc(0, span(1) + " " + span(2), "en", ts("2024-01-01 10:00:00")),
+      Doc(1, span(1) + " " + span(3), "en", ts("2024-01-01 10:00:05")), // dup span 1
+      Doc(2, span(3), "en", ts("2024-01-01 10:00:10")))                 // dup span 3
+    val q = DocStreams.spanDedupStream(in.toDF(), out, reg, chk)
+    try { in.addData(batch: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_spans", "n_spans_kept", "text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val expected = graft.llm.Dedup.spanDedup(batch.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // the registry partition carries the batch's distinct span hashes
+    assert(spark.read.parquet(reg).count() == 3L) // spans 1, 2, 3
+  }
+
+  test("spanDedupStream: a later batch is cleaned against the persisted " +
+    "registry across a restart; a no-op restart changes nothing") {
+    val in = java.nio.file.Files.createTempDirectory("graft_spanr_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_spanr_out").toString
+    val reg = java.nio.file.Files.createTempDirectory("graft_spanr_reg").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_spanr_chk").toString
+    def start() = DocStreams.spanDedupStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, ts TIMESTAMP")
+        .parquet(in), out, reg, chk)
+    val phase1 = Seq(
+      Doc(0, span(1) + " " + span(2), "en", ts("2024-01-01 10:00:00")),
+      Doc(1, span(3), "en", ts("2024-01-01 10:00:05")))
+    phase1.toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // doc 2 repeats spans 1 and 3 from LAST MONTH's ingest (the registry,
+    // not executor state, remembers them across the stop) + fresh span 4
+    val phase2 = Seq(
+      Doc(2, span(1) + " " + span(4) + " " + span(3), "en", ts("2024-01-02 10:00:00")))
+    phase2.toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batch2 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id", "n_spans", "n_spans_kept", "text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(batch2 == Seq((2L, 3L, 1L, span(4)))) // spans 1+3 excised, 4 kept
+    // and the per-batch fold equals the batch-tier incremental operator
+    val viaBatchTier = graft.llm.Dedup.spanDedupAgainstRegistry(
+        phase2.toDF(), graft.llm.Dedup.spanRegistry(phase1.toDF()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(batch2 == viaBatchTier)
+    // no-op restart: no new batch partitions, outputs untouched
+    val before = spark.read.parquet(out).count()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(out).count() == before)
+    assert(spark.read.parquet(reg).count() == 4L) // spans 1..4, once each
+  }
+
+  test("span registry fold ≡ rescan (mergeSpanRegistries property)") {
+    val a = Seq(Doc(0, span(1) + " " + span(2), "en", ts("2024-01-01 10:00:00"))).toDF()
+    val b = Seq(Doc(1, span(2) + " " + span(3), "en", ts("2024-01-01 11:00:00"))).toDF()
+    val folded = graft.llm.Dedup.mergeSpanRegistries(
+        graft.llm.Dedup.spanRegistry(a), graft.llm.Dedup.spanRegistry(b))
+      .as[Long].collect().sorted.toSeq
+    val rescan = graft.llm.Dedup.spanRegistry(a.unionByName(b))
+      .as[Long].collect().sorted.toSeq
+    assert(folded == rescan && folded.size == 3)
+  }
+
 }

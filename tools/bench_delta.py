@@ -25,19 +25,41 @@ def main():
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     oc, nc = old.get("calib_s"), new.get("calib_s")
     oq, nq = old["queries"], new["queries"]
+    # per-query canary bases (r14): the sample nearest each query's winning
+    # pass — preferred over the global min when BOTH sides carry it, so a
+    # mid-run load spike normalizes the queries it actually hit
+    oqc, nqc = old.get("query_calib") or {}, new.get("query_calib") or {}
     shared = sorted(set(oq) & set(nq))
     print(f"old: {sys.argv[1]} total={old['value']} calib_s={oc}")
     print(f"new: {sys.argv[2]} total={new['value']} calib_s={nc}")
+    for side, art in (("old", old), ("new", new)):
+        series = art.get("calib_series")
+        if series:
+            flat = [s for p in series for s in p]
+            if flat:
+                print(f"{side} mid-run canary swing: min={min(flat):.3f} "
+                      f"max={max(flat):.3f} ({max(flat) / min(flat):.2f}x, "
+                      f"{len(flat)} samples)")
     norm = oc is not None and nc is not None
+    per_query_norm = bool(oqc) and bool(nqc)
     if not norm:
         print("NOTE: calib_s missing on one side — raw ratios only "
               "(machine drift not separable)")
+    elif per_query_norm:
+        print("normalization basis: PER-QUERY canary samples (both sides)")
     rows = []
     for q in shared:
         if oq[q] <= 0:
             continue
         raw = nq[q] / oq[q]
-        nrm = (nq[q] / nc) / (oq[q] / oc) if norm else None
+        nrm = None
+        if norm:
+            ob = oqc.get(q) if per_query_norm else None
+            nb = nqc.get(q) if per_query_norm else None
+            if ob and nb:
+                nrm = (nq[q] / nb) / (oq[q] / ob)
+            else:
+                nrm = (nq[q] / nc) / (oq[q] / oc)
         rows.append((q, oq[q], nq[q], raw, nrm))
     if not rows:
         print("no comparable queries (no shared names with positive old "
