@@ -1766,6 +1766,17 @@ object SparkEntry {
     // DedupSpec)
     "dedup_substrings_fast_documents" -> ((s, d) =>
       Dedup.substringDedupFast(t(s, d, "documents"))),
+    // incremental substring dedup (r13 verdict #7, substring leg): clean a
+    // new ingest batch (ids >= 250) against the persisted shingle-hash
+    // registry of the prior corpus (ids < 250) — any region duplicated
+    // against ANY prior batch is excised at any alignment; the batch face
+    // of DocStreams.substringDedupStream's per-micro-batch fold
+    "dedup_substrings_incremental_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.substringDedupAgainstRegistry(
+        docs.where(col("doc_id") >= 250),
+        Dedup.substringRegistry(docs.where(col("doc_id") < 250)))
+    }),
 
     // symmetric per-vector int8 quantization (storage/serving tier). The
     // declared query emits the array as CSV: arrow list FIELD NAMES differ
@@ -3719,6 +3730,52 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY sh ORDER BY doc_id, st) AS rn
          |  FROM occ),
          |d AS (SELECT doc_id, st FROM m WHERE n_occ > 1 AND rn > 1),
+         |cov AS (SELECT doc_id, list_sort(list(DISTINCT st)) AS ds FROM d GROUP BY doc_id),
+         |runs AS (
+         |  SELECT doc_id,
+         |         count(*) FILTER (WHERE prev IS NULL OR st - prev > 10) AS n_dup_runs
+         |  FROM (SELECT doc_id, st,
+         |               lag(st) OVER (PARTITION BY doc_id ORDER BY st) AS prev FROM d)
+         |  GROUP BY doc_id),
+         |j AS (
+         |  SELECT t.doc_id, t.toks, t.n,
+         |         coalesce(c.ds, []) AS ds,
+         |         coalesce(r.n_dup_runs, 0) AS n_dup_runs
+         |  FROM tl t LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |            LEFT JOIN runs r ON t.doc_id = r.doc_id),
+         |kk AS (
+         |  SELECT doc_id, n, n_dup_runs, toks,
+         |         list_filter(range(1, n + 1), i -> NOT list_contains(
+         |           flatten(list_transform(ds, s -> range(s, s + 10))), i)) AS kept
+         |  FROM j)
+         |SELECT doc_id, n AS n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+         |       CAST(n_dup_runs AS BIGINT) AS n_dup_runs,
+         |       coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '), '') AS text_clean
+         |FROM kk ORDER BY doc_id""".stripMargin,
+
+    // incremental face: an occurrence is covered iff its shingle is in the
+    // old corpus's registry (prior batch owns the canonical copy) OR it
+    // repeats within the new batch and is not the batch winner; grouping by
+    // shingle text ≡ the engine's xxhash64 registry (2^-64 caveat)
+    "dedup_substrings_incremental_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tl0 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tt),
+         |occ0 AS (
+         |  SELECT doc_id, st, array_to_string(toks[st:st+9], ' ') AS sh
+         |  FROM (SELECT doc_id, toks, unnest([x FOR x IN range(1, n - 8)]) AS st
+         |        FROM tl0 WHERE n >= 10)),
+         |old AS (SELECT DISTINCT sh FROM occ0 WHERE doc_id < 250),
+         |occ AS (SELECT * FROM occ0 WHERE doc_id >= 250),
+         |reghit AS (SELECT doc_id, st FROM occ WHERE sh IN (SELECT sh FROM old)),
+         |m AS (
+         |  SELECT doc_id, st,
+         |         count(*) OVER (PARTITION BY sh) AS n_occ,
+         |         row_number() OVER (PARTITION BY sh ORDER BY doc_id, st) AS rn
+         |  FROM occ WHERE sh NOT IN (SELECT sh FROM old)),
+         |d AS (SELECT doc_id, st FROM reghit
+         |      UNION SELECT doc_id, st FROM m WHERE n_occ > 1 AND rn > 1),
+         |tl AS (SELECT * FROM tl0 WHERE doc_id >= 250),
          |cov AS (SELECT doc_id, list_sort(list(DISTINCT st)) AS ds FROM d GROUP BY doc_id),
          |runs AS (
          |  SELECT doc_id,

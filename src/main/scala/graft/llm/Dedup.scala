@@ -881,15 +881,21 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     substringDedupImpl(docs, minTokens, textCol, idCol, rollingHash = true)
 
-  private def substringDedupImpl(docs: DataFrame, minTokens: Int,
-                                 textCol: String, idCol: String,
-                                 rollingHash: Boolean): DataFrame = {
-    require(minTokens >= 2, "minTokens must be >= 2")
-    val k = minTokens
+  /** Gram-hash version stamped into substring registries: 1 = the oracle
+    * tier's `xxhash64(window string)`, 2 = the fast tier's rolling
+    * [[graft.functions.NgramHashes]] values — DISJOINT hash universes
+    * (same rule as [[GramHashVersion]]), so the consumer refuses a
+    * mismatched registry loudly instead of silently excising nothing. */
+  private def substringHashV(rollingHash: Boolean): Int = if (rollingHash) 2 else 1
+
+  /** The stride-1 k-shingle occurrence stream (h, id, st) both substring
+    * tiers and the registry builder share. */
+  private def substringOcc(docs: DataFrame, k: Int, textCol: String,
+                           idCol: String, rollingHash: Boolean): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
-    val occ = if (rollingHash) {
+    if (rollingHash) {
       // O(L) per doc: token hashes computed once, window keys rolled —
       // no window-string materialization. posexplode's 0-based pos p is
       // the window at token start p+1 (1-based), same alignment as below.
@@ -906,16 +912,80 @@ object Dedup {
         .select(xxhash64(col("shingle")).as("h"), col("id"),
           (col("p") + 1).as("st"))
     }
-    val winners = occ.groupBy("h")
+  }
+
+  /** Distinct stride-1 shingle-hash REGISTRY of a corpus — the substring
+    * sibling of [[spanRegistry]] (and the ExactSubstr family's persisted
+    * artifact at 100 TB: n_tokens-proportional, but 8 bytes per distinct
+    * shingle and mergeable by union-distinct). `hash_v` stamps which hash
+    * universe built it; [[substringDedupAgainstRegistry]] refuses a
+    * mismatch loudly at execution. */
+  def substringRegistry(docs: DataFrame, minTokens: Int = 10,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        rollingHash: Boolean = false): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    substringOcc(docs, minTokens, textCol, idCol, rollingHash)
+      .select(col("h")).distinct()
+      .withColumn("hash_v", lit(substringHashV(rollingHash)))
+  }
+
+  /** Fold two substring registries: union-distinct over (h, hash_v) —
+    * rescan-equivalent (property-tested). A cross-version fold is not
+    * checked HERE (a hash set has no single row to anchor an assertion);
+    * it surfaces loudly at the next [[substringDedupAgainstRegistry]],
+    * which pins every registry row to its own mode. */
+  def mergeSubstringRegistries(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Incremental face of [[substringDedup]]: clean a NEW batch against a
+    * [[substringRegistry]] of everything already ingested. A shingle
+    * occurrence is covered (excised) iff its hash is in the registry — the
+    * prior corpus holds the canonical copy — OR it repeats within the
+    * batch and is not the batch's min (id, st) occurrence. With an empty
+    * registry this IS `substringDedup(batch)`. Coverage-merge semantics
+    * (union of [st, st+k-1], run counting) are the shared rebuild. */
+  def substringDedupAgainstRegistry(newDocs: DataFrame, registry: DataFrame,
+                                    minTokens: Int = 10, textCol: String = "text",
+                                    idCol: String = "doc_id",
+                                    rollingHash: Boolean = false): DataFrame =
+    substringDedupImpl(newDocs, minTokens, textCol, idCol, rollingHash,
+      registry = Some(registry))
+
+  private def substringDedupImpl(docs: DataFrame, minTokens: Int,
+                                 textCol: String, idCol: String,
+                                 rollingHash: Boolean,
+                                 registry: Option[DataFrame] = None): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    val k = minTokens
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val occ = substringOcc(docs, k, textCol, idCol, rollingHash)
+    // incremental face: registry-held shingles are covered WHOLESALE (the
+    // prior corpus owns the canonical copy); within-batch winner election
+    // runs over the fresh occurrences only. The hash_v pin fails loudly on
+    // a registry built under the other hash universe (assert_true is null
+    // on pass) — same discipline as mergeSourceSketches.
+    val hv = substringHashV(rollingHash)
+    val regH = registry.map(_.select(
+      when(isnull(assert_true(col("hash_v") === lit(hv),
+        format_string("substring registry hash_v %s does not match this " +
+          "tier's hash universe %s — rebuild the registry", col("hash_v"),
+          lit(hv)))), col("h")).as("h")).distinct())
+    val regCovered = regH.map(r =>
+      occ.join(r, Seq("h"), "left_semi").select(col("id"), col("st")))
+    val fresh = regH.fold(occ)(r => occ.join(r, Seq("h"), "left_anti"))
+    val winners = fresh.groupBy("h")
       .agg(min(struct(col("id"), col("st"))).as("keep"),
         count(lit(1)).as("n_occ"))
     // an occurrence is excised iff its shingle repeats and it is not the
     // canonical first occurrence (2^-64 xxhash64 collision caveat shared
     // with dropExactDups/spanDedup)
-    val dups = occ.join(winners, "h")
+    val freshDups = fresh.join(winners, "h")
       .where(col("n_occ") > 1 &&
         !(col("id") === col("keep.id") && col("st") === col("keep.st")))
       .select(col("id"), col("st"))
+    val dups = regCovered.fold(freshDups)(_.unionByName(freshDups))
     val covered = dups.groupBy("id")
       .agg(sort_array(collect_set(col("st"))).as("ds"))
     toks.join(covered, Seq("id"), "left")

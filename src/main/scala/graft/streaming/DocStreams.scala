@@ -262,21 +262,57 @@ object DocStreams {
                       checkpointDir: String, spanTokens: Int = 10,
                       textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery =
+    registryFoldStream(docs, outDir, registryDir, checkpointDir,
+      empty = s => { import s.implicits._; Seq.empty[Long].toDF("h") },
+      clean = (batch, prior) => graft.llm.Dedup.spanDedupAgainstRegistry(
+        batch, prior, spanTokens, textCol, idCol),
+      newHashes = batch =>
+        graft.llm.Dedup.spanRegistry(batch, spanTokens, textCol, idCol))
+
+  /** Streaming face of the SUBSTRING dedup tier (ExactSubstr) — the same
+    * persisted-registry fold as [[spanDedupStream]] over the stride-1
+    * shingle-hash registry: a duplicated region shared with ANY prior
+    * batch is excised at any alignment, keep-first across arrival order.
+    * `rollingHash = true` runs the O(L) NgramHashes tier (registry stamped
+    * with its hash universe; a mismatched registry fails loudly). */
+  def substringDedupStream(docs: DataFrame, outDir: String, registryDir: String,
+                           checkpointDir: String, minTokens: Int = 10,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           rollingHash: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    registryFoldStream(docs, outDir, registryDir, checkpointDir,
+      empty = s => { import s.implicits._
+        Seq.empty[(Long, Int)].toDF("h", "hash_v") },
+      clean = (batch, prior) => graft.llm.Dedup.substringDedupAgainstRegistry(
+        batch, prior, minTokens, textCol, idCol, rollingHash),
+      newHashes = batch => graft.llm.Dedup.substringRegistry(
+        batch, minTokens, textCol, idCol, rollingHash))
+
+  /** The shared persisted-registry micro-batch fold (span + substring
+    * tiers): per batch, clean against the registry of all PRIOR batches,
+    * write cleaned docs to `outDir/batch=<id>` and the hashes this batch
+    * ADDS to `registryDir/batch=<id>`. Both writes OVERWRITE their own
+    * batch partition and the registry read filters to `batch < current`,
+    * so a checkpoint-replayed batch reproduces byte-identical output
+    * instead of double-counting itself. Persisting only the DELTA keeps
+    * the registry proportional to the distinct-hash universe, not to
+    * ingest volume (re-ingested content is common day over day); the
+    * anti-join ships 8-byte hashes on both sides. */
+  private def registryFoldStream(docs: DataFrame, outDir: String,
+                                 registryDir: String, checkpointDir: String,
+                                 empty: org.apache.spark.sql.SparkSession => DataFrame,
+                                 clean: (DataFrame, DataFrame) => DataFrame,
+                                 newHashes: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val prior = priorRegistry(spark, registryDir, batchId)
-        val clean = graft.llm.Dedup.spanDedupAgainstRegistry(
-          batch, prior, spanTokens, textCol, idCol)
-        clean.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        // persist only the hashes this batch ADDS: re-ingested spans are
-        // common day over day, and an append-only registry of per-batch
-        // deltas stays proportional to the distinct-span universe, not to
-        // ingest volume (the anti-join is hashes-vs-hashes)
-        graft.llm.Dedup.spanRegistry(batch, spanTokens, textCol, idCol)
-          .join(prior, Seq("h"), "left_anti")
+        val prior = priorRegistry(spark, registryDir, batchId, empty)
+        clean(batch, prior).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        newHashes(batch)
+          .join(prior.select("h"), Seq("h"), "left_anti")
           .write.mode("overwrite").parquet(s"$registryDir/batch=$batchId")
         ()
       }
@@ -286,8 +322,9 @@ object DocStreams {
     * the replay guard: a restarted batch must not see its own (possibly
     * partially written) registry partition as "prior corpus". */
   private def priorRegistry(spark: org.apache.spark.sql.SparkSession,
-                            registryDir: String, batchId: Long): DataFrame = {
-    import spark.implicits._
+                            registryDir: String, batchId: Long,
+                            empty: org.apache.spark.sql.SparkSession => DataFrame)
+      : DataFrame = {
     // Hadoop FS, not java.io — the registry lives wherever the ingest
     // batches do (HDFS/S3 at scale, local in tests)
     val root = new org.apache.hadoop.fs.Path(registryDir)
@@ -299,7 +336,7 @@ object DocStreams {
         .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath.toString))
         .filter(_._1 < batchId)
         .map(_._2)
-    if (dirs.isEmpty) Seq.empty[Long].toDF("h")
+    if (dirs.isEmpty) empty(spark)
     else spark.read.parquet(dirs.toIndexedSeq: _*)
   }
 }

@@ -202,6 +202,7 @@ class SparkEntryContractSpec extends SparkSpec {
     "dedup_spans_incremental_documents" -> Set("CollectList"), // same rebuild
     "dedup_substrings_documents" -> Set("CollectSet"),  // per-doc cut offsets
     "dedup_substrings_fast_documents" -> Set("CollectSet"),
+    "dedup_substrings_incremental_documents" -> Set("CollectSet"),
     "emb_cosine_neardup_lsh" -> Set("CollectList"),     // maxBucket-capped
     "mm_phash_neardup_documents" -> Set("CollectList"), // hamming-band buckets
     "inverted_index_documents" -> Set("CollectList")) // per-term postings,

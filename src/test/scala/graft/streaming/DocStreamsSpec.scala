@@ -414,6 +414,62 @@ class DocStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(reg).count() == 4L) // spans 1..4, once each
   }
 
+  test("substringDedupStream: cross-batch duplicated REGIONS are excised at " +
+    "shifted alignments via the persisted registry") {
+    val in = java.nio.file.Files.createTempDirectory("graft_subr_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_subr_out").toString
+    val reg = java.nio.file.Files.createTempDirectory("graft_subr_reg").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_subr_chk").toString
+    def start() = DocStreams.substringDedupStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, ts TIMESTAMP")
+        .parquet(in), out, reg, chk)
+    // batch 0 establishes a 12-token document
+    val phase1 = Seq(Doc(0, span(1) + " ya yb", "en", ts("2024-01-01 10:00:00")))
+    phase1.toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 1 repeats doc 0's 12 tokens at a SHIFTED alignment (2 fresh
+    // lead-in tokens) — the span tier would miss this; stride-1 shingles
+    // cover all 12 duplicated positions, leaving only the lead-in
+    val phase2 = Seq(
+      Doc(1, "za zb " + span(1) + " ya yb", "en", ts("2024-01-02 10:00:00")))
+    phase2.toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batch2 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id", "n_tokens", "n_tokens_kept", "n_dup_runs", "text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(batch2 == Seq((1L, 14L, 2L, 1L, "za zb")),
+      s"shifted cross-batch region not excised: $batch2")
+    // equals the batch-tier incremental operator on the same split
+    val viaBatchTier = graft.llm.Dedup.substringDedupAgainstRegistry(
+        phase2.toDF(), graft.llm.Dedup.substringRegistry(phase1.toDF()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(batch2 == viaBatchTier)
+  }
+
+  test("substring registry: fold ≡ rescan, and a cross-hash-universe " +
+    "registry fails LOUDLY at the consumer") {
+    val a = Seq(Doc(0, span(1) + " " + span(2), "en", ts("2024-01-01 10:00:00"))).toDF()
+    val b = Seq(Doc(1, span(2) + " " + span(3), "en", ts("2024-01-01 11:00:00"))).toDF()
+    val folded = graft.llm.Dedup.mergeSubstringRegistries(
+        graft.llm.Dedup.substringRegistry(a), graft.llm.Dedup.substringRegistry(b))
+      .select("h").as[Long].collect().sorted.toSeq
+    val rescan = graft.llm.Dedup.substringRegistry(a.unionByName(b))
+      .select("h").as[Long].collect().sorted.toSeq
+    assert(folded == rescan && folded.nonEmpty)
+    // a rolling-hash registry consumed by the string-hash tier must throw,
+    // not silently excise nothing (disjoint hash universes)
+    val wrongUniverse = graft.llm.Dedup.substringRegistry(a, rollingHash = true)
+    val ex = intercept[Exception] {
+      graft.llm.Dedup.substringDedupAgainstRegistry(b, wrongUniverse).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("span registry fold ≡ rescan (mergeSpanRegistries property)") {
     val a = Seq(Doc(0, span(1) + " " + span(2), "en", ts("2024-01-01 10:00:00"))).toDF()
     val b = Seq(Doc(1, span(2) + " " + span(3), "en", ts("2024-01-01 11:00:00"))).toDF()
