@@ -967,10 +967,30 @@ object Similarity {
     * dominates; past that the hierarchy in [[ivfPqAnnTopK]] — coarse
     * cells over PQ codes — is the documented next tier, as in the
     * SemDeDup paper's own large-k GPU posture). One count() job prices
-    * the auto tier; pass an explicit C to skip it. */
+    * the auto tier; pass an explicit C to skip it.
+    *
+    * Hot-cell sub-blocking (`subBlockCap` > 0; r14, measured and
+    * DECLINED as the local default — the r12 probe-row-width pattern):
+    * cells past the cap split into g = ⌈m/cap⌉ hash blocks — the probe
+    * side keeps its own block, the build side replicates to ALL g
+    * blocks, so every ordered pair meets exactly once (in the probe
+    * row's block): the SAME pair semantics (equality property-tested)
+    * with the hot cell's pair space in g parallel tasks. When it
+    * matters: at CLUSTER partition counts (shuffle partitions ≳ cells,
+    * the 1000-executor shape) one cell's whole pair space is one task,
+    * so the sf100 max cell (16,405 rows, 8× the mean) is ~2.7e8
+    * pair-dots of tail latency — set subBlockCap ≈ 2-4× the mean cell
+    * there. Why NOT here: at local[32]'s 32 shuffle partitions a task
+    * already averages ~31 cells, so the hot cell only ~2×'s one
+    * partition while blocking pays its build-side replication
+    * everywhere — measured at sf100 (SCALE §17): unblocked min 241.2 s
+    * / 705 MB shuffle vs cap=4096 min 267.7 s / 1.55 GB and cap=8192
+    * min 291.2 s / 1.35 GB. Default 0 = off: the exact pre-r14 plan. */
   def semDedup(emb: DataFrame, threshold: Double = 0.95, nCentroids: Int = 0,
                trainIters: Int = 2,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               subBlockCap: Int = 0): DataFrame = {
+    require(subBlockCap >= 0, "subBlockCap must be >= 0 (0 = off)")
     val c = if (nCentroids > 0) nCentroids
             else math.max(16, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
     val cents = trainCentroids(emb, c, trainIters, idCol, vecCol)
@@ -979,10 +999,26 @@ object Similarity {
     val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val assigned = e.select(col("id"), col("v"), col("nrm"),
       nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
-    val a = assigned.toDF("id_a", "va", "na", "cid")
-    val b = assigned.toDF("id_b", "vb", "nb", "cid")
     val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
-    val dropped = a.join(b, Seq("cid"))
+    val pairs = if (subBlockCap == 0) {
+      val a = assigned.toDF("id_a", "va", "na", "cid")
+      val b = assigned.toDF("id_b", "vb", "nb", "cid")
+      a.join(b, Seq("cid"))
+    } else {
+      // per-cell block counts: C rows, broadcast onto both pair sides
+      val blocks = assigned.groupBy("cid")
+        .agg(greatest(lit(1), ceil(count(lit(1)).cast("double") / lit(subBlockCap)))
+          .cast("int").as("g"))
+      val sized = assigned.join(broadcast(blocks), Seq("cid"))
+      val a = sized.select(col("cid"),
+        pmod(xxhash64(col("id")), col("g").cast("long")).cast("int").as("blk"),
+        col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = sized.select(col("cid"),
+        explode(sequence(lit(0), col("g") - 1)).as("blk"),
+        col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cid", "blk"))
+    }
+    val dropped = pairs
       .where(col("id_a") < col("id_b") && sim >= threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("dropped", lit(true))

@@ -95,7 +95,11 @@ class SparkEntryContractSpec extends SparkSpec {
     "decontam_semantic_embeddings" -> 450_000L,
     "knn_graph_lsh_embeddings" -> 3_000_000L,
     "sample_hash_documents" -> 16_000L,
-    "pack_documents" -> 80_000L)
+    "pack_documents" -> 80_000L,
+    // r14 incremental dedup faces: the registry anti-join claims 8-byte
+    // hashes on BOTH sides (ShuffleProbe sf0.001: 112,563 / 402,500 B)
+    "dedup_spans_incremental_documents" -> 450_000L,
+    "dedup_substrings_incremental_documents" -> 1_600_000L)
 
   test("flagship slim-exchange queries stay under their shuffle-byte ceilings") {
     assume(testdataPresent)

@@ -98,6 +98,13 @@ class SimilaritySpec extends SparkSpec {
     // bit-deterministic rerun
     val r2 = Similarity.semDedup(vecs, threshold = th, nCentroids = 8, trainIters = 1)
     assert(r.collect().toSeq == r2.collect().toSeq)
+    // hot-cell sub-blocking (r14): cap=2 forces EVERY cell through the
+    // g-block pair grid (4-row cells -> g=2); verdicts must be identical —
+    // every ordered pair meets exactly once, in the probe row's block
+    val blocked = Similarity.semDedup(vecs, threshold = th, nCentroids = 8,
+      trainIters = 1, subBlockCap = 2)
+    assert(blocked.collect().toSeq == r.collect().toSeq,
+      "sub-blocked pair grid changed the drop set")
   }
 
   test("semDedupSeeded: verdicts complement same-cell near-dup pairs; " +
