@@ -236,12 +236,25 @@ object Bench {
       .map { case (n, why) => jstr(n) + ":" + jstr(why) }.mkString("{", ",", "}")
     // canary-normalized totals (r12 verdict #3): the raw total is
     // environment-confounded (r12's driver box ran the same code 2.2x
-    // slower by its own canary), so the artifact carries total/calib_s
-    // (CPU-canary units) and total/calib_jobs_s (scheduling-canary units)
-    // as headline fields — a raw-only reader comparing rounds should read
+    // slower by its own canary), so the artifact carries a normalized
+    // headline — a raw-only reader comparing rounds should read
     // value_norm, not value. Unitless: "canary multiples", comparable
     // across machines because the canary work is pinned.
-    val valueNormJson = if (calib.isNaN) "null" else s3(total / calib)
+    // Since r15 the headline is Σ_q t_q/basis_q over the PER-QUERY bases
+    // (each query normalized by the canary sample nearest-preceding the
+    // pass that produced its reported min), NOT total/min(all samples):
+    // one unrepresentatively fast sample in the series used to scale the
+    // WHOLE total (r14's driver artifact: norm 413.8 off a 0.592 up-front
+    // sample vs 231.3 matched — a 1.8x headline gap on raw totals that
+    // agreed within 5%). Falls back to total/calib_s only when a basis is
+    // missing (sampling failed).
+    val valueNormJson = {
+      val normed = results.map { case (n, t) =>
+        t / queryCalib.get(n).filterNot(_.isNaN).getOrElse(calib) }
+      if (normed.isEmpty || normed.exists(v => v.isNaN || v.isInfinite))
+        { if (calib.isNaN) "null" else s3(total / calib) }
+      else s3(normed.sum)
+    }
     val valueNormJobsJson = if (calibJobs.isNaN) "null" else s3(total / calibJobs)
     // mid-run canary audit trail (r13 verdict #3): per-pass sample series
     // + the per-query basis of each reported min

@@ -1904,7 +1904,11 @@ object SparkEntry {
     // visible cross-engine. Production face above stays unchanged.
     "coreset_kcenter_seeded_embeddings" -> ((s, d) =>
       emb(s, d)
-        .where(col("embedding").isNotNull && size(col("embedding")) === embDim)
+        // element-null guard (ADVICE r14): KCenterAgg skips a vector with a
+        // null ELEMENT while the mirror's NULL distances read as "append" —
+        // exclude such rows in BOTH engines so they sample the same N
+        .where(col("embedding").isNotNull && size(col("embedding")) === embDim &&
+          !exists(col("embedding"), _.isNull))
         .orderBy("vec_id").limit(coresetSeededN)
         .select(col("vec_id"),
           transform(col("embedding"), (x, j) =>
@@ -2759,6 +2763,7 @@ object SparkEntry {
        |                      ELSE $d0 END) AS FLOAT)) AS pv
        |  FROM (SELECT vec_id, embedding FROM embeddings
        |        WHERE embedding IS NOT NULL AND len(embedding) = $embDim
+       |          AND len(list_filter(embedding, x -> x IS NULL)) = 0
        |        ORDER BY vec_id LIMIT $coresetSeededN)),
        |su AS MATERIALIZED (
        |  SELECT rn, vec_id, list_transform(pv, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS u

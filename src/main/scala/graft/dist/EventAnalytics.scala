@@ -60,6 +60,7 @@ object EventAnalytics {
     * per-session arrays are bounded by session length — inherent to path
     * analysis, which needs the ordered sequence. */
   def topSessionPaths(events: DataFrame, gapMinutes: Int = 30, k: Int = 20): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     sessionized(events, gapMinutes).groupBy("user_id", "sess")
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       .select(concat_ws(">", transform(col("evs"), _.getField("event_type"))).as("path"))
@@ -173,6 +174,7 @@ object EventAnalytics {
     * first), so results are bit-deterministic under any partitioning. */
   def assocRules(events: DataFrame, userCol: String = "user_id",
                  itemCol: String = "event_type"): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val ui = events.select(col(userCol).as("u"), col(itemCol).cast("string").as("i"))
       .where(col("u").isNotNull && col("i").isNotNull).distinct()
     val nUsers = ui.agg(countDistinct(col("u")).as("n_users"))
@@ -208,6 +210,7 @@ object EventAnalytics {
     * verifier tier (sort-agg per group); at 100 TB swap
     * `approx_percentile` into the same shape. */
   def interarrivalStats(events: DataFrame): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))

@@ -42,6 +42,7 @@ object Stats {
     * rank-error property-tested against [[quantiles]] in StatsSpec. */
   def quantilesKll(df: DataFrame, colName: String, ps: Seq[Double],
                    k: Int = 800): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val sk = df.select(col(colName).cast("double").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
       .agg(kll_sketch_agg_double(col("v"), lit(k)).as("sk"))
@@ -50,6 +51,10 @@ object Stats {
   }
 
   private def quantileCols(df: DataFrame, agg: Column, ps: Seq[Double]): DataFrame = {
+    // percentile/approx_percentile are TypedImperativeAggregates — plan
+    // them on the ObjectHashAggregate hash path even on a vanilla session
+    // (r14 verdict #1: no graft facade in this tree to deliver the tuning)
+    graft.functions.SessionTuning.ensureActiveSession()
     val arr = df.agg(agg.as("qs"))
     arr.select(ps.zipWithIndex.map { case (p, i) =>
       element_at(col("qs"), i + 1).as(s"p${(p * 100).round}")
@@ -295,6 +300,7 @@ object Stats {
     * tier is `approx_percentile` with the same call shape). */
   def quantilesBy(df: DataFrame, colName: String, groupCol: String,
                   ps: Seq[Double]): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val arr = df.groupBy(groupCol)
       .agg(percentile(col(colName).cast("double"), array(ps.map(lit): _*)).as("qs"))
     arr.select(col(groupCol) +: ps.zipWithIndex.map { case (p, i) =>
@@ -309,6 +315,7 @@ object Stats {
     * rank-error property-tested against the exact tier in StatsSpec. */
   def quantilesKllBy(df: DataFrame, colName: String, groupCol: String,
                      ps: Seq[Double], k: Int = 800): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val sk = df.select(col(groupCol), col(colName).cast("double").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
       .groupBy(groupCol).agg(kll_sketch_agg_double(col("v"), lit(k)).as("sk"))
@@ -512,6 +519,7 @@ object Stats {
   def winsorize(df: DataFrame, valueCol: String,
                 loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    graft.functions.SessionTuning.ensureActiveSession()
     val v = col(valueCol).cast("double")
     val src = df.where(v.isNotNull && !isnan(v)).select(v.as("v"))
     // ONE percentile aggregate (array arg): both bounds from a single
@@ -635,6 +643,7 @@ object Stats {
     * deviation from the median. */
   def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
                   k: Double = 3.0): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val x = col(valueCol).cast("double")
     val base = df.select(col(groupCol).as("g"), x.as("v"))
       .where(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
@@ -776,10 +785,12 @@ object Stats {
     * distinct counts at sketch-merge cost (KBs per group), where exact
     * distinct would re-shuffle every value each time. */
   def hllByGroup(df: DataFrame, valueCol: String, groupCol: Column,
-                 groupName: String, lgK: Int = 12): DataFrame =
+                 groupName: String, lgK: Int = 12): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     df.groupBy(groupCol.as(groupName))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
         count(lit(1)).as("n_rows"))
+  }
 
   /** Union pre-aggregated sketch buffers → one distinct estimate. */
   def hllUnionEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =

@@ -199,6 +199,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxBucket: Int = 200): DataFrame = {
+    // the bucket gather is a high-cardinality grouped object agg — keep it
+    // on the hash path on vanilla sessions (r14 verdict #1)
+    graft.functions.SessionTuning.ensureActiveSession()
     val sh = shingleDF(docs, idCol, textCol, w)
     val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     val buckets = ex.groupBy("h")
@@ -238,6 +241,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text",
                        maxBucket: Int = 200): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val sh = shingleDF(docs, idCol, textCol, w)
     val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     val buckets = ex.groupBy("h")
@@ -447,6 +451,7 @@ object Dedup {
                      bands: Int = 16, seed: Long = 42L, maxBucket: Int = 200,
                      idCol: String = "doc_id", textCol: String = "text", w: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    graft.functions.SessionTuning.ensureActiveSession()
     val r = k / bands
     // The shingle frame is referenced 3x in this plan (signature pipeline +
     // both sides of the verification join); persist so the tokenize+shingle
@@ -459,11 +464,7 @@ object Dedup {
     // unpersist would defeat the reuse the persist exists for.
     val sh = shingleDF(docs, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("id"), minHashSignature(col("sh"), k, seed).as("sig"))
-    val bandStructs = (0 until bands).map(bIdx =>
-      struct(lit(bIdx).as("band"), xxhash64(slice(col("sig"), bIdx * r + 1, r)).as("bh")))
-    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandedMinHash(sh, k, bands, seed)
     val buckets = banded.groupBy("band", "bh").agg(collect_list("id").as("ids"))
       .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
     val pairs = buckets.select(explode(flatten(transform(col("ids"),
@@ -492,6 +493,178 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** (id, band, bh) LSH bucket keys of every document: k-hash MinHash
+    * signature sliced into `bands` bands, each band hashed to one 64-bit
+    * bucket key — the shared banding stage of [[minHashNearDup]],
+    * [[minHashBucketRegistry]] and the streaming
+    * `DocStreams.nearDupStream` (identical expressions, so all three
+    * bucket identically). */
+  private def bandedMinHash(sh: DataFrame, k: Int, bands: Int, seed: Long): DataFrame = {
+    val r = k / bands
+    val sig = sh.select(col("id"), minHashSignature(col("sh"), k, seed).as("sig"))
+    val bandStructs = (0 until bands).map(bIdx =>
+      struct(lit(bIdx).as("band"), xxhash64(slice(col("sig"), bIdx * r + 1, r)).as("bh")))
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Persistable MinHash-LSH bucket-representative REGISTRY of a corpus —
+    * the batch artifact of `DocStreams.nearDupStream`'s in-executor state
+    * (r14 verdict #2): one (band, bh, rep_id) row per occupied LSH bucket,
+    * rep = min doc id (the deterministic batch analog of the stream's
+    * first-arrival representative; identical whenever ids are
+    * arrival-ordered). Slim by construction — ~20 bytes per bucket,
+    * independent of bucket popularity and document length: texts, shingle
+    * sets and signatures never enter the artifact, so the registry a daily
+    * near-dedup job carries across days is bucket-count-sized, not
+    * corpus-sized. Registries FOLD ([[mergeMinHashRegistries]]). */
+  def minHashBucketRegistry(docs: DataFrame, k: Int = 128, bands: Int = 16,
+                            seed: Long = 42L, idCol: String = "doc_id",
+                            textCol: String = "text", w: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    graft.functions.SessionTuning.ensureActiveSession()
+    bandedMinHash(shingleDF(docs, idCol, textCol, w), k, bands, seed)
+      .groupBy("band", "bh").agg(min(col("id")).as("rep_id"))
+  }
+
+  /** Fold two bucket registries (yesterday's registry + today's batch) into
+    * one: per-bucket min rep id. Merge ≡ rescan (a fold of per-batch
+    * registries equals [[minHashBucketRegistry]] of the concatenated
+    * corpus) whenever ids are assigned batch-monotonically — the id-order
+    * analog of the stream's first-arrival-wins; property-tested in
+    * DedupSpec. */
+  def mergeMinHashRegistries(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("band", "bh").agg(min(col("rep_id")).as("rep_id"))
+
+  /** Batch-incremental MinHash-LSH near-dedup (r14 verdict #2): clean a new
+    * ingest batch against the persisted bucket registry of the prior
+    * corpus — the steady-state daily job (near-dedup today's crawl against
+    * yesterday's corpus) that re-running [[minHashNearDup]] over the union
+    * would pay a full-corpus rescan for.
+    *
+    * Candidates, stream-parity by design:
+    *   - cross-batch: a batch doc colliding with a registry bucket pairs
+    *     with that bucket's REPRESENTATIVE (the only state the streaming
+    *     face holds, so recall is rep-relative on both faces);
+    *   - within-batch: every non-min member of a batch bucket pairs with
+    *     the bucket min — the id-ordered fold the stream runs per
+    *     micro-batch. One `min` aggregate, NO collect_list and NO
+    *     `maxBucket` cap needed: a boilerplate bucket costs one row here.
+    * Every candidate is verified with EXACT shingle Jaccard; the prior
+    * corpus is tokenized only for the candidate reps (semi-join pushdown)
+    * — prior text never shuffles, and all pre-verify exchanges carry slim
+    * (band, bh, id) rows.
+    *
+    * Output: one row per batch doc — (idCol, dup_of, jaccard) with
+    * dup_of = min verified match (NULL ⇒ the doc survives). Requires
+    * globally unique ids across `newDocs` and `priorDocs`.
+    *
+    * Seeded-hash tier (xxhash64 signatures — no SQL mirror, declared
+    * **omit**); [[nearDupCleanAgainstPrior]] is the oracle-bearing exact
+    * verifier of the same incremental clean, and this face's drops are a
+    * subset of that face's drops (property-tested in DedupSpec). */
+  def minHashDedupAgainstRegistry(newDocs: DataFrame, registry: DataFrame,
+                                  priorDocs: DataFrame, threshold: Double = 0.8,
+                                  k: Int = 128, bands: Int = 16, seed: Long = 42L,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  w: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    graft.functions.SessionTuning.ensureActiveSession()
+    // the batch shingle frame feeds banding + both verify sides: one
+    // tokenize pass, not three (same lifecycle note as minHashNearDup)
+    val sh = shingleDF(newDocs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedMinHash(sh, k, bands, seed)
+    val cross = banded
+      .join(registry.select(col("band"), col("bh"), col("rep_id")), Seq("band", "bh"))
+      .select(col("id"), col("rep_id").as("cand"))
+    val bmin = banded.groupBy("band", "bh").agg(min(col("id")).as("cand"))
+    val within = banded.join(bmin, Seq("band", "bh"))
+      .select(col("id"), col("cand")).where(col("id") =!= col("cand"))
+    val cand = cross.unionByName(within).distinct()
+    // exact-Jaccard verify: candidate side = batch shingles ∪ shingles of
+    // ONLY the prior docs some candidate names (left_semi pushes the id
+    // filter into the prior scan)
+    val candIds = cand.select(col("cand")).distinct()
+    val priorSh = shingleDF(
+      priorDocs.join(candIds.select(col("cand").as(idCol)), Seq(idCol), "left_semi"),
+      idCol, textCol, w)
+    val candSide = sh.unionByName(priorSh)
+      .join(candIds.select(col("cand").as("id")), Seq("id"), "left_semi")
+    val verified = cand
+      .join(sh.select(col("id"), col("sh").as("sh_a")), Seq("id"))
+      .join(candSide.select(col("id").as("cand"), col("sh").as("sh_b")), Seq("cand"))
+      .select(col("id"), col("cand"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    val best = verified.groupBy("id").agg(min(col("cand")).as("dup_of"))
+      .join(verified.withColumnRenamed("cand", "dup_of"), Seq("id", "dup_of"))
+    newDocs.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("dup_of"), col("jaccard"))
+      .orderBy(idCol)
+  }
+
+  /** Exact verifier tier of [[minHashDedupAgainstRegistry]]: the same
+    * incremental clean of a new batch against a prior corpus, with
+    * candidates from the exact shared-shingle index instead of LSH bucket
+    * collisions — complete recall below the `maxBucket` boilerplate cap,
+    * so the LSH face's drops are a subset of this face's drops
+    * (property-tested), and every output value is cross-engine mirrorable
+    * (the oracle rebuilds the shingle sets from n-gram STRINGS; equal to
+    * the engine's xxhash64 shingle keys as long as the hash is injective
+    * on the corpus — the same equivalence the [[ngramJaccardPairs]] oracle
+    * rides). Candidate pairs: (batch doc, prior doc) and (batch doc,
+    * smaller-id batch doc) sharing ≥1 shingle whose doc frequency over
+    * prior ∪ batch is ≤ `maxBucket`. Output schema matches the LSH face:
+    * (idCol, dup_of, jaccard), dup_of = min verified match, NULL ⇒
+    * survives. */
+  def nearDupCleanAgainstPrior(newDocs: DataFrame, priorDocs: DataFrame,
+                               threshold: Double = 0.8, w: Int = 3,
+                               maxBucket: Int = 200, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
+    val ex = shingleDF(newDocs, idCol, textCol, w)
+      .select(col("id"), lit(true).as("isNew"), size(col("sh")).as("n"),
+        explode(col("sh")).as("h"))
+      .unionByName(shingleDF(priorDocs, idCol, textCol, w)
+        .select(col("id"), lit(false).as("isNew"), size(col("sh")).as("n"),
+          explode(col("sh")).as("h")))
+    val buckets = ex.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("n"), col("isNew"))).as("ms"))
+      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val eps = lit(1e-9)
+    // a = batch member, b = its candidates (prior, or batch with smaller
+    // id); the size-ratio prefilter is Jaccard-implied (see
+    // ngramJaccardPairs) so the threshold filter below sees the same pairs
+    val pairs = buckets.select(explode(flatten(transform(
+        filter(col("ms"), a => a.getField("isNew")), a =>
+        transform(
+          filter(col("ms"), b =>
+            (!b.getField("isNew") || b.getField("id") < a.getField("id")) &&
+              !(b.getField("id") === a.getField("id")) &&
+              a.getField("n") * lit(threshold) <= b.getField("n") + eps &&
+              b.getField("n") * lit(threshold) <= a.getField("n") + eps),
+          b => struct(a.getField("id").as("id"), b.getField("id").as("cand"),
+            a.getField("n").as("n_a"), b.getField("n").as("n_b")))))).as("p"))
+      .select(col("p.id").as("id"), col("p.cand").as("cand"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    val verified = pairs.groupBy("id", "cand")
+      .agg(count(lit(1)).as("n_inter"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .select(col("id"), col("cand"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    val best = verified.groupBy("id").agg(min(col("cand")).as("dup_of"))
+      .join(verified.withColumnRenamed("cand", "dup_of"), Seq("id", "dup_of"))
+    newDocs.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("dup_of"), col("jaccard"))
+      .orderBy(idCol)
+  }
+
   /** 64-bit SimHash over the token multiset: for each bit j, sum +1/−1 by bit
     * j of xxhash64(token); the sign vector packs into one long
     * ([[graft.functions.SimHashPack]] — one codegen'd 64×n loop, map-only).
@@ -515,6 +688,7 @@ object Dedup {
     * [[Multimodal.phashNearDup]] (perceptual image hashes). */
   def hammingNearDup(withSig: DataFrame, maxHamming: Int = 3,
                      maxBucket: Int = 200): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"),
       shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
     val chunked = withSig.select(col("id"), col("sig"), explode(array(chunkStructs: _*)).as("cc"))
@@ -630,6 +804,7 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
     require(keyLen >= 1, "keyLen must be >= 1")
+    graft.functions.SessionTuning.ensureActiveSession()
     val keyed = docs.select(col(idCol).as("id"),
       substring(lower(col(textCol)), 1, keyLen).as("k"))
     val d1 = del1(col("k"))
@@ -698,6 +873,9 @@ object Dedup {
     * above. Property-tested against the exact join in DedupSpec. */
   def decontaminateTheta(train: DataFrame, eval: DataFrame, n: Int = 8,
                          lgK: Int = 12, textCol: String = "text"): DataFrame = {
+    // theta_sketch_agg is a built-in TypedImperativeAggregate with NO graft
+    // facade in the tree — deliver the hash-path tuning here (r14 verdict #1)
+    graft.functions.SessionTuning.ensureActiveSession()
     // grams as rolling window hashes (codegen NgramHashes): the sketch only
     // needs each distinct gram as an opaque 64-bit key, so the O(L·n)
     // slice+concat_ws+xxhash64 string tree the exact tier keeps for oracle
@@ -795,6 +973,7 @@ object Dedup {
                             spanTokens: Int, textCol: String,
                             idCol: String): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
+    graft.functions.SessionTuning.ensureActiveSession()
     val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 1)
     // span starts 1, 1+k, 1+2k, ... (1-based for slice)
@@ -956,6 +1135,7 @@ object Dedup {
                                  rollingHash: Boolean,
                                  registry: Option[DataFrame] = None): DataFrame = {
     require(minTokens >= 2, "minTokens must be >= 2")
+    graft.functions.SessionTuning.ensureActiveSession()
     val k = minTokens
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -1017,7 +1197,8 @@ object Dedup {
       .orderBy(idCol)
   }
 
-  def sourceOverlap(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame =
+  def sourceOverlap(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     docs.select(col("source"),
         explode(array_distinct(
           TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
@@ -1030,6 +1211,7 @@ object Dedup {
       .groupBy(col("p").getField("a").as("source_a"), col("p").getField("b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy("source_a", "source_b")
+  }
 
   /** Sketch tier of [[sourceOverlap]]: pairwise source overlap estimated
     * from per-source theta sketches (DataSketches, built into Spark 4) of
@@ -1081,7 +1263,8 @@ object Dedup {
     * change (a v1 registry predating the column fails loudly at analysis
     * when folded — unionByName requires it). */
   def sourceSketches(docs: DataFrame, n: Int = 8, lgK: Int = 12,
-                     textCol: String = "text"): DataFrame =
+                     textCol: String = "text"): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     // rolling window hashes, not concat strings — see decontaminateTheta
     docs.select(col("source"),
         explode(array_distinct(
@@ -1089,6 +1272,7 @@ object Dedup {
             TextAnalysis.tokens(col(textCol)), n))).as("ng"))
       .groupBy("source").agg(theta_sketch_agg(col("ng"), lgK).as("sk"))
       .withColumn("hash_v", lit(GramHashVersion))
+  }
 
   /** Fold two sketch registries (e.g. yesterday's registry + today's
     * batch) into one: theta unions are associative and commutative, so
@@ -1098,7 +1282,8 @@ object Dedup {
     * execution) if the two registries carry different `hash_v` stamps —
     * their sketches live in disjoint hash universes and the union would
     * be silently meaningless. */
-  def mergeSourceSketches(a: DataFrame, b: DataFrame, lgK: Int = 12): DataFrame =
+  def mergeSourceSketches(a: DataFrame, b: DataFrame, lgK: Int = 12): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     a.unionByName(b).groupBy("source")
       .agg(theta_union_agg(col("sk"), lgK).as("sk"),
         min(col("hash_v")).as("vmin"), max(col("hash_v")).as("vmax"))
@@ -1108,6 +1293,7 @@ object Dedup {
           format_string("mergeSourceSketches: cross-version sketch fold " +
             "(hash_v %s vs %s) — rebuild the older registry", col("vmin"),
             col("vmax")))), col("vmin")).as("hash_v"))
+  }
 
   /** Pairwise overlap/Jaccard estimates off a sketch registry alone —
     * no corpus access; see [[sourceOverlapTheta]] for semantics. Refuses

@@ -77,6 +77,7 @@ object Graphs {
     * upstream exactly like dedup shingle buckets. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minGroups: Long = 2): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     // a null group is no group: rows with a null key must not vote support
     // (Spark's groupBy would otherwise pool them into one phantom group)
     df.select(col(groupCol).as("g"), col(itemCol).as("i"))

@@ -246,6 +246,7 @@ object Similarity {
                           nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
                           maxBucket: Int = 2000,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val tables = (0 until nTables).map(t =>
       struct(lit(t).as("tbl"), srpBucket(col("v"), nBits, dim, seed + t).as("bkt")))
@@ -354,6 +355,7 @@ object Similarity {
     * the IVF design. */
   def trainCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Centroids = {
+    graft.functions.SessionTuning.ensureActiveSession()
     // spread: each Lloyd round re-scans the corpus (assignment + the
     // dim-exploded mean agg); a single-file input would run every round on
     // 1-2 cores. Results are partitioning-invariant (TakeOrdered seeds,
@@ -447,6 +449,7 @@ object Similarity {
     * for the contract derivation. Returns the trained literal centroids. */
   private[llm] def lloydMirrorableCents(e: DataFrame, k: Int, iters: Int,
                                         seedKey: Column => Column): Centroids = {
+    graft.functions.SessionTuning.ensureActiveSession()
     var cents: Centroids = e.orderBy(seedKey(col("id")), col("id")).limit(k)
       .collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](1), r.getDouble(2))

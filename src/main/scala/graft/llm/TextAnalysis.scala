@@ -176,6 +176,7 @@ object TextAnalysis {
   def scoreDecilesApprox(scored: DataFrame, scoreCol: String, charsCol: String,
                          nBuckets: Int = 10, accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
+    graft.functions.SessionTuning.ensureActiveSession()
     // descending thresholds t_1 >= ... >= t_{n-1}: t_i = quantile(1 - i/n)
     val ps = (1 until nBuckets).map(i => 1.0 - i.toDouble / nBuckets)
     // percentile_approx over ZERO rows returns a NULL cuts array — mirror
@@ -441,6 +442,7 @@ object TextAnalysis {
     * sorts and spills, it does NOT build an unbounded in-memory array; the
     * `collect_list` only ever sees the ≤ sampleK surviving rows per token. */
   def invertedIndex(docs: DataFrame, sampleK: Int = 10, textCol: String = "text"): DataFrame = {
+    graft.functions.SessionTuning.ensureActiveSession()
     import org.apache.spark.sql.expressions.Window
     val post = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tfc"))

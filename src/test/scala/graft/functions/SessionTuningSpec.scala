@@ -113,4 +113,59 @@ class SessionTuningSpec extends SparkSpec {
         "SessionTuning clobbered an explicit user setting")
     }
   }
+
+  /** 1000 distinct groups in ONE partition through a BUILT-IN DataSketches
+    * aggregate (kll_sketch_agg_double via Stats.quantilesKllBy) — the third
+    * consumer path the r14 fix missed: no graft typed-agg facade anywhere
+    * in this tree, so only the operator-entry ensureActiveSession() hook
+    * can deliver the tuning. */
+  private def thousandKeyBuiltinSketch(s: SparkSession) = {
+    import s.implicits._
+    val df = (0 until 4000).map(i => (i % 1000L, i.toDouble)).toDF("g", "x")
+      .coalesce(1)
+    graft.dist.Stats.quantilesKllBy(df, "x", "g", Seq(0.5))
+  }
+
+  test("vanilla untuned session calling a BUILT-IN-sketch operator entry " +
+    "(no graft facade in the tree) gets the threshold and runs >128 " +
+    "keys/partition with ZERO sort-fallback tasks (r14 verdict #1)") {
+    withFreshSession(identity) { fresh =>
+      assert(fresh.conf.get(FallbackKey) == "128", "fresh session not at default")
+      val df = thousandKeyBuiltinSketch(fresh) // entry runs ensureActiveSession()
+      assert(fresh.conf.get(FallbackKey) == SessionTuning.fallbackThreshold.toString,
+        "built-in-sketch operator entry did not deliver the object-agg tuning")
+      assert(fallbackTasks(df) == 0L,
+        "built-in sketch agg on a tuned session still degraded to sort-based " +
+          "aggregation")
+    }
+  }
+
+  test("spark.graft.tuneObjectAgg=false opts the session out entirely " +
+    "(ADVICE r14: consumer escape hatch from the session-global raise)") {
+    withFreshSession(identity) { fresh =>
+      fresh.conf.set(SessionTuning.TuneKey, "false")
+      val df = thousandKeyTopK(fresh) // facade hook runs, must no-op
+      assert(fresh.conf.get(FallbackKey) == "128",
+        "opt-out session still had its fallback threshold raised")
+      // and Spark's graceful default behavior is actually back: the
+      // 1000-key single-partition agg trips the sort fallback again
+      assert(fallbackTasks(df) > 0,
+        "opt-out session did not exhibit default 128-key fallback behavior " +
+          "— the opt-out assertion above proves nothing")
+    }
+  }
+
+  test("an EXPLICIT user 128 — re-pinning Spark's default — is respected " +
+    "(ADVICE r14: detection via the set-conf registry, not value compare)") {
+    withFreshSession(identity) { fresh =>
+      fresh.conf.set(FallbackKey, "128")
+      val df = thousandKeyTopK(fresh) // facade hook runs, must not override
+      assert(fresh.conf.get(FallbackKey) == "128",
+        "SessionTuning clobbered an explicit user 128 (explicit-set " +
+          "detection regressed to value comparison)")
+      assert(fallbackTasks(df) > 0,
+        "explicit-128 session did not sort-fall-back at 1000 keys — the " +
+          "respected-setting assertion above proves nothing")
+    }
+  }
 }

@@ -43,14 +43,26 @@ def main():
     flat = [x for p in series for x in p]
     calib = min(flat) if flat else None
     calib_max = max(flat) if flat else None
-    calib_jobs = min(r["calib_jobs_s"] for r in runs
-                     if r.get("calib_jobs_s") is not None)
+    # collect first: min() over an empty generator raises, and every-run-null
+    # calib_jobs_s (older or calibration-failed artifacts) should degrade to
+    # None like calib_s does, not crash the merge (ADVICE r14)
+    calib_jobs_vals = [r["calib_jobs_s"] for r in runs
+                       if r.get("calib_jobs_s") is not None]
+    calib_jobs = min(calib_jobs_vals) if calib_jobs_vals else None
     failed = sorted(set(runs[0].get("failed") or []).intersection(
         *[set(r.get("failed") or []) for r in runs[1:]])) if runs else []
     total = round(sum(queries.values()), 3)
+    # headline norm from the per-query bases (r15, matching Bench.scala):
+    # Σ_q t_q/basis_q, each min normalized by the canary sample that rode
+    # its winning run — one unrepresentative series sample no longer scales
+    # the whole total. Fallback: total/calib when any basis is missing.
+    if queries and all(query_calib.get(q) for q in queries):
+        value_norm = round(sum(t / query_calib[q] for q, t in queries.items()), 3)
+    else:
+        value_norm = round(total / calib, 3) if calib else None
     merged = {
         "metric": "total", "value": total, "unit": "sec",
-        "value_norm": round(total / calib, 3) if calib else None,
+        "value_norm": value_norm,
         "value_norm_jobs": round(total / calib_jobs, 3) if calib_jobs else None,
         "calib_s": calib, "calib_max_s": calib_max,
         "calib_jobs_s": calib_jobs,
