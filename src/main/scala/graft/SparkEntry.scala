@@ -1018,6 +1018,30 @@ object SparkEntry {
         docs.where(col("doc_id") >= 250),
         Dedup.hashIndex(docs.where(col("doc_id") < 250)))
     }),
+    // batch-incremental MinHash-LSH near-dedup (r14 verdict #2): clean the
+    // new batch against the persisted bucket-representative registry of the
+    // prior corpus — candidates from registry-bucket collisions (vs the
+    // bucket rep, stream parity) + within-batch bucket minima, exact-Jaccard
+    // verified. Seeded-hash tier → no SQL mirror (**omit**); the exact face
+    // below is the oracle-bearing verifier, and LSH drops ⊆ exact drops is
+    // property-tested in DedupSpec.
+    "dedup_near_incremental_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minHashDedupAgainstRegistry(
+        docs.where(col("doc_id") >= 250),
+        Dedup.minHashBucketRegistry(docs.where(col("doc_id") < 250)),
+        docs.where(col("doc_id") < 250),
+        threshold = dedupJaccard)
+    }),
+    // exact verifier tier of the incremental near-dedup: same clean, with
+    // candidates from the exact shared-shingle index (complete recall below
+    // the maxBucket cap) — fully mirrorable via string shingles
+    "dedup_near_incremental_exact_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.nearDupCleanAgainstPrior(
+        docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+        threshold = dedupJaccard)
+    }),
     // CDC snapshot delta: snapshot B is derived from A deterministically
     // (drop id%7==3, append " v2" to text when id%5==0, add id%11==0 docs
     // under shifted ids), then classified added/removed/changed on 16-byte
@@ -3271,6 +3295,41 @@ object SparkEntry {
         |SELECT measure, count(*) AS n_rows,
         |       CAST(sum(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+
+    // hash-free mirror of the exact incremental NEAR-dedup: shingle sets
+    // rebuilt from n-gram STRINGS (hash-injective equivalence, same as the
+    // dedup_ngram_jaccard mirror); candidates = (batch doc, prior doc) and
+    // (batch doc, smaller-id batch doc) sharing a ≤200-doc shingle;
+    // dup_of = min verified match, NULL ⇒ survives
+    "dedup_near_incremental_exact_documents" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+         |  FROM tt WHERE len(toks) >= 3),
+         |e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, s FROM e0 WHERE s IN (
+         |  SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= 200)),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+         |inter AS (
+         |  SELECT a.doc_id AS id, b.doc_id AS cand, count(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s
+         |  WHERE a.doc_id >= 250 AND (b.doc_id < 250 OR b.doc_id < a.doc_id)
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT id, cand,
+         |         CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = id JOIN sz sb ON sb.doc_id = cand
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $dedupJaccard),
+         |best AS (
+         |  SELECT v.id, v.cand AS dup_of, v.jaccard
+         |  FROM verified v
+         |  JOIN (SELECT id, min(cand) AS mc FROM verified GROUP BY id) m
+         |    ON m.id = v.id AND m.mc = v.cand)
+         |SELECT n.doc_id AS doc_id, b.dup_of AS dup_of, b.jaccard AS jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) n
+         |LEFT JOIN best b ON b.id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // hash-free mirror: same keep-one-and-anti semantics on raw text
     "dedup_incremental_documents" ->

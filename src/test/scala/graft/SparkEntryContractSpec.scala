@@ -99,7 +99,12 @@ class SparkEntryContractSpec extends SparkSpec {
     // r14 incremental dedup faces: the registry anti-join claims 8-byte
     // hashes on BOTH sides (ShuffleProbe sf0.001: 112,563 / 402,500 B)
     "dedup_spans_incremental_documents" -> 450_000L,
-    "dedup_substrings_incremental_documents" -> 1_600_000L)
+    "dedup_substrings_incremental_documents" -> 1_600_000L,
+    // r15 incremental LSH near-dedup: banding/candidate exchanges carry
+    // (band, bh, id) rows and the verify join shingle-hash ARRAYS of the
+    // batch + candidate reps only — text never crosses (ShuffleProbe
+    // sf0.001: 613,658 B)
+    "dedup_near_incremental_documents" -> 2_500_000L)
 
   test("flagship slim-exchange queries stay under their shuffle-byte ceilings") {
     assume(testdataPresent)
@@ -200,6 +205,9 @@ class SparkEntryContractSpec extends SparkSpec {
     "dedup_near_minhash" -> Set("CollectList"),   // banded sigs, maxBucket cap
     "dedup_simhash_documents" -> Set("CollectList"),
     "dedup_ngram_jaccard_documents" -> Set("CollectList"),
+    "dedup_near_incremental_exact_documents" -> Set("CollectList"), // maxBucket cap
+    // (the LSH sibling dedup_near_incremental_documents plans NO collect:
+    // its within-batch gather is a min aggregate — bucket state is one id)
     "dedup_containment_documents" -> Set("CollectList"),
     "dedup_editdist_documents" -> Set("CollectList"),   // blocked pairs
     "dedup_spans_documents" -> Set("CollectList"),      // per-doc dup spans

@@ -523,6 +523,98 @@ class DedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r == Seq(11L, 13L))
   }
 
+  // ---- batch-incremental MinHash-LSH near-dedup (r14 verdict #2) ----
+
+  // prior corpus: four mutually-distinct long texts (each doc is its own
+  // bucket representative); batch: an exact copy, a one-token near-dup
+  // (J = 17/19 ≈ 0.895), a within-batch copy of that near-dup, a fresh
+  // doc, and a shingle-less doc
+  private def nearIncPrior = Seq(
+    (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"),
+    (1L, "zero wun too tree fower fife six seven eight niner " +
+      "decimal point stop over out correction say again radio check"),
+    (2L, "red orange yellow green blue indigo violet crimson amber teal " +
+      "maroon olive navy aqua coral ivory khaki plum salmon tan"),
+    (3L, "spark engine executes distributed dataflow graphs quickly across " +
+      "many machines with columnar memory and lazy optimized query plans")
+  ).toDF("doc_id", "text")
+
+  private def nearIncBatch = Seq(
+    (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"), // = doc 0
+    (11L, "zero wun too tree fower fife six seven eight niner " +
+      "decimal point stop over out correction say again radio uniform"), // ~ doc 1
+    (12L, "zero wun too tree fower fife six seven eight niner " +
+      "decimal point stop over out correction say again radio uniform"), // = 11
+    (13L, "completely fresh material about nothing previously archived " +
+      "discussing entirely novel topics in unprecedented combinations today"),
+    (14L, "short")
+  ).toDF("doc_id", "text")
+
+  test("minHashBucketRegistry fold: merging per-batch registries equals the " +
+    "registry of the concatenated corpus (id-ordered batches)") {
+    val merged = Dedup.mergeMinHashRegistries(
+        Dedup.minHashBucketRegistry(nearIncPrior),
+        Dedup.minHashBucketRegistry(nearIncBatch))
+      .as[(Int, Long, Long)].collect().toSet
+    val rescan = Dedup.minHashBucketRegistry(nearIncPrior.unionByName(nearIncBatch))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == rescan)
+  }
+
+  test("minHashDedupAgainstRegistry: planted copy and near-dup drop against " +
+    "the registry, within-batch copy drops, fresh and shingle-less docs survive") {
+    val r = Dedup.minHashDedupAgainstRegistry(
+        nearIncBatch, Dedup.minHashBucketRegistry(nearIncPrior), nearIncPrior)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(r == Seq(
+      10L -> Some(0L),  // exact copy of prior doc 0 (J = 1.0)
+      11L -> Some(1L),  // one-token near-dup of prior doc 1 (J ≈ 0.895)
+      12L -> Some(1L),  // min verified match is the PRIOR doc, not batch 11
+      13L -> None, 14L -> None))
+    // and the exact-copy jaccard is exactly 1.0
+    val j10 = Dedup.minHashDedupAgainstRegistry(
+        nearIncBatch, Dedup.minHashBucketRegistry(nearIncPrior), nearIncPrior)
+      .where(col("doc_id") === 10L).select("jaccard").as[Double].head()
+    assert(j10 == 1.0)
+  }
+
+  test("incremental near-dedup: LSH-face drops are a subset of the exact " +
+    "face's drops, with identical (dup_of, jaccard) on the common set") {
+    val docs = docsMini.drop("source").unionByName(
+      nearIncPrior.where(col("doc_id") > 3)) // reuse small+long mix as prior
+    val batch = nearIncBatch
+    val lsh = Dedup.minHashDedupAgainstRegistry(
+        batch, Dedup.minHashBucketRegistry(docs), docs)
+      .where(col("dup_of").isNotNull)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.nearDupCleanAgainstPrior(batch, docs)
+      .where(col("dup_of").isNotNull)
+      .as[(Long, Long, Double)].collect().toSet
+    val exactById = exact.map(t => t._1 -> ((t._2, t._3))).toMap
+    lsh.foreach { case (id, dup, j) =>
+      assert(exactById.contains(id),
+        s"LSH dropped $id but the exact tier kept it (precision breach)")
+      assert(exactById(id) == ((dup, j)),
+        s"faces disagree on $id: lsh=($dup,$j) exact=${exactById(id)}")
+    }
+  }
+
+  test("minHashDedupAgainstRegistry: no shuffle exchange carries document text") {
+    val df = Dedup.minHashDedupAgainstRegistry(
+      nearIncBatch, Dedup.minHashBucketRegistry(nearIncPrior), nearIncPrior)
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty)
+    val textCarriers = shuffles.filter(_.output.exists(_.name == "text"))
+    assert(textCarriers.isEmpty,
+      "document text crossed a shuffle exchange in the incremental LSH face")
+  }
+
   test("editDistanceNearDup: SymSpell blocking finds all pairs within maxDist, none beyond") {
     val docs = Seq(
       (0L, "hello world"),   // 1 sub from 1
