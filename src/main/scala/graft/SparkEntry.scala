@@ -1853,6 +1853,23 @@ object SparkEntry {
     "semdedup_seeded_embeddings" -> ((s, d) =>
       Similarity.semDedupSeeded(emb(s, d), threshold = seededSemThreshold,
         k = seededCells)),
+    // batch-incremental SemDeDup (r14 verdict #3): clean the new embedding
+    // batch (vec_id >= 250) against frozen state of the prior corpus —
+    // centroids trained ONCE on the prior slice (no retrain) + the prior
+    // clean's own (id, cid) output as the registry. Completes the
+    // incremental family across all four dedup tiers. No oracle
+    // (centroid-dependent, like semdedup_embeddings); frozen-cell parity
+    // vs the union clean is property-tested in SimilaritySpec.
+    "semdedup_incremental_embeddings" -> ((s, d) => {
+      val e = emb(s, d)
+      val prior = e.where(col("vec_id") < 250)
+      val batch = e.where(col("vec_id") >= 250)
+      val cents = Similarity.trainCentroids(prior, nCentroids = 16, iters = 2)
+      Similarity.semDedupAgainstState(batch, cents,
+        Similarity.semDedupWithCents(prior, cents, 0.45)
+          .select(col("vec_id"), col("cid")),
+        prior, threshold = 0.45)
+    }),
 
     // MMR diverse selection: 20 picks balancing centroid-relevance against
     // redundancy. No oracle (iterative greedy — not SQL-expressible);

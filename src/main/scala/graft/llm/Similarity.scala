@@ -993,10 +993,23 @@ object Similarity {
                trainIters: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding",
                subBlockCap: Int = 0): DataFrame = {
-    require(subBlockCap >= 0, "subBlockCap must be >= 0 (0 = off)")
     val c = if (nCentroids > 0) nCentroids
             else math.max(16, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
     val cents = trainCentroids(emb, c, trainIters, idCol, vecCol)
+    semDedupWithCents(emb, cents, threshold, idCol, vecCol, subBlockCap)
+  }
+
+  /** [[semDedup]]'s assignment + pair-drop with an EXTERNALLY supplied
+    * frozen centroid matrix (no training) — the building block the
+    * incremental face ([[semDedupAgainstState]]) and registry-refresh
+    * pipelines share with the self-training tier: persist the trained
+    * centroids once ([[centroidsToDF]]), then clean any corpus slice
+    * against the SAME cell geometry. Plan identical to the post-training
+    * portion of [[semDedup]]. */
+  def semDedupWithCents(emb: DataFrame, cents: Centroids, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        subBlockCap: Int = 0): DataFrame = {
+    require(subBlockCap >= 0, "subBlockCap must be >= 0 (0 = off)")
     // spread: the C·d-per-row assignment scan must not run on the 1-2
     // partitions a single-file corpus arrives as
     val e = spreadGated(emb, minBytes = 0).select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
@@ -1024,6 +1037,81 @@ object Similarity {
     val dropped = pairs
       .where(col("id_a") < col("id_b") && sim >= threshold)
       .select(col("id_b").as("id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+      .orderBy(idCol)
+  }
+
+  /** Frozen centroids as a persistable frame — (cid, centroid, nrm), one
+    * row per cell. With [[centroidsFromDF]] this is the parquet round-trip
+    * for the semantic-dedup registry's geometry half (k-bounded: a few
+    * hundred rows at any corpus size). */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+                    cents: Centroids): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "centroid", "nrm")
+  }
+
+  /** Load a persisted centroid frame back into the literal-matrix form the
+    * codegen assignment loop consumes. Driver-side collect is k-bounded by
+    * construction. */
+  def centroidsFromDF(df: DataFrame): Centroids =
+    df.select(col("cid"), col("centroid"), col("nrm"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Batch-incremental SemDeDup (r14 verdict #3) — clean a new embedding
+    * batch against FROZEN semantic-dedup state, completing the incremental
+    * family across all four dedup tiers (exact/span/substring hashes,
+    * MinHash-LSH buckets, and now semantic cells):
+    *
+    *   - state = the frozen centroid matrix (train once, persist via
+    *     [[centroidsToDF]]) + the prior corpus's cell assignments —
+    *     exactly [[semDedup]]'s own output frame (id, cid), so yesterday's
+    *     clean IS today's registry;
+    *   - batch vectors assign to the frozen cells with the same map-only
+    *     literal-centroid argmax (NO retraining — cell geometry stays
+    *     comparable across batches until a scheduled refresh);
+    *   - pair-drop: batch vs ALL prior vectors in the same cell (prior
+    *     embeddings fetched by semi-join on the registry ids — the greedy
+    *     pair semantics where even a dropped prior vector still kills its
+    *     near-dups, which is what makes frozen-cell parity exact) plus
+    *     within-batch pairs (smaller id wins).
+    *
+    * With batch ids above prior ids, the output equals
+    * [[semDedupWithCents]] over the union corpus restricted to the batch —
+    * frozen-cell parity, property-tested in SimilaritySpec. Unlike the
+    * hash registries, the prior side costs a per-batch rescan of prior
+    * embeddings (semantic state cannot compress to 8-byte keys); the
+    * assignment itself and the slim drop-set application stay map-only.
+    * Refresh policy notes live in SCALE.md §18. */
+  def semDedupAgainstState(newEmb: DataFrame, cents: Centroids,
+                           priorAssigned: DataFrame, priorEmb: DataFrame,
+                           threshold: Double = 0.95,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val e = spreadGated(newEmb, minBytes = 0)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = e.select(col("id"), col("v"), col("nrm"),
+      nearestCents(cents)(col("v"), col("nrm"), 1).getItem(0).getField("cid").as("cid"))
+    // prior side: registry supplies (id, cid); vectors come from the
+    // embedding store — cells were frozen when the registry was written,
+    // so no reassignment happens here
+    val prior = priorEmb
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+      .join(priorAssigned.select(col(idCol).as("id_a"), col("cid")), Seq("id_a"))
+    val sim = cosine9(dot(col("va"), col("vb")), col("na"), col("nb"))
+    val b = assigned.toDF("id_b", "vb", "nb", "cid")
+    val crossDropped = prior.join(b, Seq("cid"))
+      .where(sim >= threshold)
+      .select(col("id_b").as("id"))
+    val a = assigned.toDF("id_a", "va", "na", "cid")
+    val withinDropped = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_b").as("id"))
+    val dropped = crossDropped.unionByName(withinDropped).distinct()
       .withColumn("dropped", lit(true))
     assigned.join(dropped, Seq("id"), "left")
       .select(col("id").as(idCol), col("cid"),

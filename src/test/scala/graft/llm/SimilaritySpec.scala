@@ -107,6 +107,40 @@ class SimilaritySpec extends SparkSpec {
       "sub-blocked pair grid changed the drop set")
   }
 
+  test("semDedupAgainstState: frozen-cell parity — incremental clean of a " +
+    "batch equals the union clean restricted to the batch; centroid frame " +
+    "round-trips") {
+    val rnd = new scala.util.Random(78)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))).toDF("vec_id", "embedding")
+    val th = 0.95
+    val prior = vecs.where(col("vec_id") < 20)
+    val batch = vecs.where(col("vec_id") >= 20)
+    val cents = Similarity.trainCentroids(prior, nCentroids = 8, iters = 1)
+    // the registry is literally the prior clean's own output
+    val priorClean = Similarity.semDedupWithCents(prior, cents, th)
+    val incr = Similarity.semDedupAgainstState(batch, cents,
+        priorClean.select(col("vec_id"), col("cid")), prior, th)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    val union = Similarity.semDedupWithCents(vecs, cents, th)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .filter(_._1 >= 20).toSeq
+    assert(incr == union, "frozen-cell parity breach")
+    assert(incr.exists(!_._3), "planted cross-batch dups must actually drop")
+    // geometry half of the registry survives the parquet-shaped round-trip
+    val roundTripped = Similarity.centroidsFromDF(
+      Similarity.centroidsToDF(spark, cents))
+    assert(roundTripped.toSeq == cents.toSeq)
+    val incr2 = Similarity.semDedupAgainstState(batch, roundTripped,
+        priorClean.select(col("vec_id"), col("cid")), prior, th)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    assert(incr2 == incr)
+  }
+
   test("semDedupSeeded: verdicts complement same-cell near-dup pairs; " +
     "deterministic under repartition") {
     // same planted-cluster corpus shape as the production-tier test; the
