@@ -231,8 +231,18 @@ object SparkEntry {
     // marker for multi-aggregate scan efficiency
     "tpch_q1_lineitem" -> ((s, d) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
-      t(s, d, "lineitem")
-        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      // starvation-gated spread of the slim projection (r15, guide §2.5):
+      // Q1's partial aggregate is 128-bit decimal arithmetic over nearly
+      // every row, and a one-row-group fixture arrives as ONE scan split —
+      // measured 2.6-6.3 s of task time on 1 of 32 cores. Decimal sums are
+      // exact under any partitioning (results bit-identical); the gate never
+      // fires on multi-split inputs, so the canonical at-scale plan (scan →
+      // map-side partial agg → 6-group exchange) is untouched.
+      graft.functions.Rebalance.spreadGated(
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"), 0)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -736,10 +746,11 @@ object SparkEntry {
     "bfs_hops_copurchase" -> ((s, d) => {
       // checkpoint: the min-src scalar and the BFS adjacency build are
       // separate actions that would otherwise rebuild the co-occurrence
-      // aggregation from raw lineitem twice
+      // aggregation from raw lineitem twice. LAZY: the min aggregate right
+      // below is a full pass, so it materializes the blocks in its own job
       val e = graft.llm.Graphs.coOccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minGroups = 2)
-        .localCheckpoint()
+        .localCheckpoint(false)
       // the smallest node id always appears on the canonical src side
       // (it is smaller than every neighbor) — one bounded driver scalar;
       // null ⟺ empty graph, where BFS has no source and the answer is

@@ -411,7 +411,11 @@ object Binning {
   def histogramEquiDepth(df: DataFrame, colName: String, n: Int = 10): DataFrame = {
     require(n >= 1, "bins must be >= 1")
     val ps = (0 to n).map(_.toDouble / n)
-    val row = cleaned(df, colName)
+    // starvation-gated spread (r15, guide §2.5): the exact percentile
+    // buffers every row map-side; a one-row-group fixture is ONE scan split,
+    // so the buffer build ran on 1 of N cores. Multiset-exact — edges are
+    // identical under any partitioning; gate off on multi-split inputs.
+    val row = graft.functions.Rebalance.spreadGated(cleaned(df, colName), 0)
       .agg(percentile(col("x"), array(ps.map(lit): _*)).as("es")).head()
     if (row.isNullAt(0))
       throw new IllegalArgumentException("can not generate buckets from empty RDD")

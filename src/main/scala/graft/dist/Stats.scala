@@ -19,7 +19,14 @@ object Stats {
     * per group, so this is the verifier tier; use [[quantilesApprox]] at
     * scale. */
   def quantiles(df: DataFrame, colName: String, ps: Seq[Double]): DataFrame =
-    quantileCols(df, percentile(col(colName).cast("double"), array(ps.map(lit): _*)), ps)
+    // starvation-gated spread of the single value column (r15, guide §2.5):
+    // percentile buffers every row map-side, and a one-row-group fixture
+    // arrives as ONE scan split, so without this the whole buffer build ran
+    // on 1 of N cores. Gate never fires on multi-split inputs; percentile
+    // over the full multiset is partitioning-invariant, results unchanged.
+    quantileCols(
+      graft.functions.Rebalance.spreadGated(df.select(col(colName)), 0),
+      percentile(col(colName).cast("double"), array(ps.map(lit): _*)), ps)
 
   /** Approximate quantiles (Greenwald-Khanna sketch): single pass, mergeable
     * partials, worst-case rank error n/accuracy — the scale tier. Results
@@ -344,7 +351,17 @@ object Stats {
       cols.zip(xs).flatMap { case (a, x) =>
         cols.zip(xs).collect { case (b, y) if a < b => sum((x * y).cast(dec)).as(s"sp_${a}_$b") }
       }
-    val aggRow = clean.agg(moments.head, moments.tail: _*)
+    // starvation-gated spread of the slim projection (r15, guide §2.5): the
+    // k + k² DECIMAL(38,8) power sums are 128-bit arithmetic per row running
+    // map-side, and a one-row-group fixture arrives as ONE scan split — the
+    // whole pass ran on 1 of 32 cores. Decimal sums are exact and
+    // order-independent, so results are bit-identical under any
+    // partitioning; the gate never fires on multi-split inputs. (The float
+    // fast tier stays unspread: ~10x cheaper per row, and its double sums
+    // are deliberately partitioning-sensitive — declared omit.)
+    val aggRow = graft.functions.Rebalance
+      .spreadGated(clean.select(cols.map(col): _*), 0)
+      .agg(moments.head, moments.tail: _*)
     val n = col("n").cast("double")
     def s(c: String) = col(s"s_$c").cast("double")
     def ss(c: String) = col(s"ss_$c").cast("double")
@@ -409,7 +426,17 @@ object Stats {
     * columns yield null skewness/kurtosis. Skew/kurtosis are rounded to 9 dp
     * (O(1) magnitudes); mean/variance are raw doubles from the fixed tree. */
   def moments(df: DataFrame, cols: Seq[String]): DataFrame =
-    momentsFromPowerSums(df, cols, _.cast("decimal(38,8)"))
+    // starvation-gated spread of the slim projection (r15, guide §2.5): the
+    // DECIMAL(38,8) power sums are 128-bit arithmetic per row map-side, and
+    // a one-row-group fixture arrives as ONE scan split — measured 9.6 s of
+    // task time on 1 of 32 cores. Decimal sums are exact and
+    // order-independent, so results are bit-identical under any
+    // partitioning; the gate never fires on multi-split inputs. The float
+    // fast tier stays unspread — its per-row cost is ~10x lower and double
+    // sums are deliberately partitioning-sensitive there (declared omit).
+    momentsFromPowerSums(
+      graft.functions.Rebalance.spreadGated(df.select(cols.map(col): _*), 0),
+      cols, _.cast("decimal(38,8)"))
 
   /** Float fast tier of [[moments]]: identical schema and algebra, but the
     * four power sums accumulate as plain doubles. ~an order of magnitude
@@ -521,7 +548,14 @@ object Stats {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
     graft.functions.SessionTuning.ensureActiveSession()
     val v = col(valueCol).cast("double")
-    val src = df.where(v.isNotNull && !isnan(v)).select(v.as("v"))
+    // starvation-gated spread (r15, guide §2.5): BOTH consumers — the
+    // percentile bounds agg and the clip-and-summarize pass (decimal mean
+    // sums) — are per-row-heavy map work that a one-row-group fixture ran
+    // on a single core; the two subtrees share the one exchange via reuse.
+    // percentile is multiset-exact and the clip sums are decimal — results
+    // identical under any partitioning; gate off on multi-split inputs.
+    val src = graft.functions.Rebalance.spreadGated(
+      df.where(v.isNotNull && !isnan(v)).select(v.as("v")), 0)
     // ONE percentile aggregate (array arg): both bounds from a single
     // sorted buffer instead of two independent sort-aggs over the column
     val bounds = src.agg(expr(s"percentile(v, array($loQ, $hiQ))").as("pcts"))
@@ -673,7 +707,15 @@ object Stats {
     * profile is unchanged. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val pairs = df.select(explode(array(cols.map(c =>
+    // starvation-gated spread of the slim projection (r15, guide §2.5): the
+    // |cols|× explode AND count_distinct's map-side partial-distinct both
+    // run in the scan stage, which a one-row-group fixture serves as ONE
+    // split. Counts/min/max/distinct are multiset-exact and the mean is a
+    // decimal sum — results identical under any partitioning; the gate
+    // never fires on multi-split inputs.
+    val pairs = graft.functions.Rebalance
+      .spreadGated(df.select(cols.map(col): _*), 0)
+      .select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("p"))
       .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
     pairs.groupBy("col_name").agg(

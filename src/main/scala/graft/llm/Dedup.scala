@@ -300,9 +300,10 @@ object Dedup {
     * vs ~10 here — and the per-round group keys stay balanced as hubs
     * contract, where label propagation keeps re-shuffling every hot
     * component onto one key. Shuffle rows are slim (id, id) pairs
-    * throughout; each round's result truncates lineage via eager
-    * localCheckpoint so the plan cannot grow with the iteration count; on a
-    * real cluster prefer reliable `checkpoint` (survives executor loss
+    * throughout; each round's result truncates lineage via LAZY
+    * localCheckpoint — the round's convergence fingerprint is a full pass,
+    * so it materializes the blocks in the same job (1 job/round, not 2); on
+    * a real cluster prefer reliable `checkpoint` (survives executor loss
     * between rounds). Convergence is detected on an order-free edge-set
     * fingerprint (count + Σ xxhash64 as decimal — one tiny agg, no
     * set-difference join). */
@@ -312,15 +313,28 @@ object Dedup {
   /** [[connectedComponents]] plus the number of large+small-star rounds it
     * took to converge — exposed for the O(log n) convergence property test. */
   private[llm] def ccWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+    // LAZY checkpoint of the slim (id_a, id_b) projection: the pair
+    // generation upstream (shingle explode + bucket gather + Jaccard) is
+    // the expensive part, and BOTH the vertex labels and the edge set read
+    // it — without this the final label action re-ran the whole pair
+    // pipeline a second time just to enumerate vertices (r15, guide §2.4:
+    // remove redundant passes). Lazy (eager = false) so materialization
+    // rides the first fingerprint job instead of costing its own.
+    val pairs0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
     // every endpoint gets a label row, including vertices whose only pairs
     // are reflexive (id_a == id_b) — those carry no edge but are still "in
     // a pair" per the contract, and must come out labeled with themselves
-    val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val verts = pairs0.select(col("id_a").as("id"))
+      .union(pairs0.select(col("id_b").as("id"))).distinct()
     // star edges (u, v): u currently hooks onto v (v < u after small-star)
-    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var edges = pairs0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
 
+    // (r15 note: an explicit repartition("u") per star — so the aggregate
+    // and the rehook join share one exchange — was built and MEASURED
+    // WORSE under AQE: AQE coalesces the non-pinned exchange, the
+    // downstream consumers stop being co-partitioned, and the job count
+    // ROSE 33 → 41. Rejected; the implicit per-consumer exchanges stay.)
     // large-star: every vertex points its LARGER neighbors at the min of
     // its closed neighborhood; connectivity is preserved, long chains fold
     def largeStar(e: DataFrame): DataFrame = {
@@ -361,7 +375,12 @@ object Dedup {
     var rounds = 0
     var done = fp._1 == 0L
     while (!done && rounds < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // lazy checkpoint: the fingerprint aggregate is a FULL pass over the
+      // round's edge set, so it both materializes the checkpoint blocks and
+      // answers convergence in ONE job — the old eager checkpoint paid a
+      // separate materialization job plus a second scan of the stored
+      // blocks every round (2 jobs/round → 1; r15, guide §2.6)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
       done = nfp == fp
       edges = next
@@ -574,7 +593,13 @@ object Dedup {
     // tokenize pass, not three (same lifecycle note as minHashNearDup)
     val sh = shingleDF(newDocs, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the slim (id, band, bh) banding too (r15, guide §1.2 step 2):
+    // three consumers read it (registry-collision probe, bucket-min agg,
+    // within-batch probe), and without this each re-ran the k-permutation
+    // MinHash signature loop — the query's single most expensive expression
+    // — from the persisted shingles. ~20 B/row, batch-sized.
     val banded = bandedMinHash(sh, k, bands, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = banded
       .join(registry.select(col("band"), col("bh"), col("rep_id")), Seq("band", "bh"))
       .select(col("id"), col("rep_id").as("cand"))
@@ -598,8 +623,14 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    val best = verified.groupBy("id").agg(min(col("cand")).as("dup_of"))
-      .join(verified.withColumnRenamed("cand", "dup_of"), Seq("id", "dup_of"))
+    // one-pass winner election (r15, guide §2.4): verified is unique per
+    // (id, cand), so min_by elects (min cand, its jaccard) in a single
+    // aggregate — the previous min + join-back referenced `verified` twice,
+    // which re-executed the whole candidate/verify subtree (and everything
+    // under it) a second time. Identical output: ties are impossible.
+    val best = verified.groupBy("id")
+      .agg(min_by(struct(col("cand"), col("jaccard")), col("cand")).as("m"))
+      .select(col("id"), col("m.cand").as("dup_of"), col("m.jaccard").as("jaccard"))
     newDocs.select(col(idCol).as("id"))
       .join(best, Seq("id"), "left")
       .select(col("id").as(idCol), col("dup_of"), col("jaccard"))
@@ -657,8 +688,12 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    val best = verified.groupBy("id").agg(min(col("cand")).as("dup_of"))
-      .join(verified.withColumnRenamed("cand", "dup_of"), Seq("id", "dup_of"))
+    // one-pass winner election, same argument as the LSH face (r15): one
+    // row per (id, cand) upstream ⇒ min_by is tie-free and elects exactly
+    // the min + join-back pair, without executing `verified` twice
+    val best = verified.groupBy("id")
+      .agg(min_by(struct(col("cand"), col("jaccard")), col("cand")).as("m"))
+      .select(col("id"), col("m.cand").as("dup_of"), col("m.jaccard").as("jaccard"))
     newDocs.select(col(idCol).as("id"))
       .join(best, Seq("id"), "left")
       .select(col("id").as(idCol), col("dup_of"), col("jaccard"))

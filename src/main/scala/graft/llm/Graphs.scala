@@ -41,11 +41,22 @@ object Graphs {
       .where(col("w") > 0)
     // per-edge vote share, precomputed once: w / W_out(src)
     val outW = e0.groupBy("esrc").agg(sum(col("w")).as("ow"))
+    // lazy checkpoints: these existed to truncate the logical plan so the
+    // 10-iteration loop cannot compound planning cost — eager=false keeps
+    // exactly that truncation (the returned frame wraps a LogicalRDD at
+    // build time) without paying a separate materialization job each; the
+    // blocks persist on first use and every later iteration reads them
+    // (r15, guide §2.6: fewer scheduling barriers, same lineage cut).
+    // (r15 note: repartition("esrc") before this checkpoint — so each
+    // iteration's edge-side join consumes the preserved partitioning — was
+    // built and measured NEUTRAL-to-worse under AQE: the ranks side's
+    // coalesced exchanges never co-partition with it, so the join
+    // re-exchanges anyway. Rejected.)
     val e = e0.join(outW, "esrc")
       .select(col("esrc"), col("edst"), (col("w") / col("ow")).cast(dec).as("share"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = e.select(col("esrc").as("id"))
-      .union(e.select(col("edst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("edst").as("id"))).distinct().localCheckpoint(false)
     var ranks = nodes.select(col("id"), lit(1).cast(dec).as("rank"))
     for (i <- 1 to iters) {
       val contribs = e.join(ranks, e("esrc") === ranks("id"))
@@ -56,7 +67,7 @@ object Graphs {
             lit(damping).cast(dec) * coalesce(col("s"), lit(0).cast(dec))).cast(dec).as("rank"))
       // truncate lineage every few rounds; final iteration stays lazy so
       // callers keep a declarative plan to compose further
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("id"), round(col("rank").cast("double"), 9).as("rank"))
       .orderBy("id")
@@ -198,10 +209,14 @@ object Graphs {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var (e, deg) = canonical(edges, srcCol, dstCol)
-    // materialize the canonical edges once: the fixpoint check, the
+    // checkpoint the canonical edges once: the fixpoint check, the
     // semi-joins, and the degree recompute are separate actions that would
-    // otherwise each rebuild the (possibly expensive) upstream edge lineage
-    e = e.localCheckpoint()
+    // otherwise each rebuild the (possibly expensive) upstream edge lineage.
+    // LAZY: the first fixpoint check's degree aggregate is a full pass over
+    // e (the agg's map side computes every partition), so it materializes
+    // the blocks in its own job — the eager version paid one extra job per
+    // checkpoint for the same state (r15, guide §2.6)
+    e = e.localCheckpoint(false)
     deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     var round = 0
@@ -218,7 +233,7 @@ object Graphs {
         e = e
           .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint(false)
         deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("deg"))
       }
@@ -240,7 +255,7 @@ object Graphs {
     // undirected adjacency: both directions of each canonical edge
     val adj = e.select(col("a").as("from"), col("b").as("to"))
       .union(e.select(col("b").as("from"), col("a").as("to")))
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by round 1's count, reused after
     val spark = edges.sparkSession
     import spark.implicits._
     var visited = Seq((source, 0)).toDF("id", "hops")
@@ -248,14 +263,19 @@ object Graphs {
     var hop = 0
     while (hop < maxHops) {
       hop += 1
+      // ONE job per round (r15, guide §2.6): the count is a full pass, so
+      // it materializes the lazy checkpoint AND answers the empty-frontier
+      // stop in the same job — the old eager-checkpoint + isEmpty pair paid
+      // two scheduling barriers per hop (and isEmpty's take(1) would leave
+      // partitions unmaterialized, costing a fill-in job at job end)
       val next = adj.join(frontier, adj("from") === frontier("id"))
         .select(col("to").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint() // also materializes: an empty frontier ends early
-      if (next.isEmpty) { hop = maxHops }
+        .localCheckpoint(false)
+      if (next.count() == 0L) { hop = maxHops }
       else {
         visited = visited.union(next.select(col("id"), lit(hop).as("hops")))
-          .localCheckpoint()
+          .localCheckpoint(false) // blocks persist inside the next round's job
         frontier = next
       }
     }

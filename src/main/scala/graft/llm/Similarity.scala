@@ -1331,12 +1331,15 @@ object Similarity {
     require(iters >= 1 && dim >= 1)
     val x = emb.select(col(vecCol).as("v")).where(size(col("v")) === dim)
     val sumDec = (c: Column) => sum(c.cast("decimal(28,8)")).cast("double")
-    // center once: exact per-dim means (dim rows to the driver)
+    // center once: exact per-dim means (dim rows to the driver). The row
+    // count rides the same aggregate (every size-dim row contributes one
+    // value per dim, so any dim's count IS n) — one job instead of two
     val meanRows = x.select(posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy("j").agg((sumDec(col("xj").cast("double")) / count(lit(1))).as("m"))
+      .groupBy("j").agg((sumDec(col("xj").cast("double")) / count(lit(1))).as("m"),
+        count(lit(1)).as("cnt"))
       .orderBy("j").collect()
     val mean = meanRows.map(_.getDouble(1))
-    val n = x.count()
+    val n = if (meanRows.isEmpty) 0L else meanRows.head.getLong(2)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     for (_ <- 0 until iters) {

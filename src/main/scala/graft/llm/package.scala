@@ -16,7 +16,8 @@ package object llm {
   /** One scan split's worth of bytes (`spark.sql.files.maxPartitionBytes`
     * default) — the measured size threshold below which a rebalance costs
     * more than the starvation it cures. */
-  private[llm] val oneScanSplitBytes: Long = 134217728L
+  private[llm] val oneScanSplitBytes: Long =
+    graft.functions.Rebalance.oneScanSplitBytes
 
   /** THE shared gated rebalance (r13 verdict: three divergent spread gates
     * had grown — unconditional, starvation-only, size-and-starvation; this
@@ -37,10 +38,6 @@ package object llm {
     * Exact all-pairs verifier tiers pass `minBytes = 0`: their n² compute
     * dwarfs one exchange of the raw rows at ANY input size (only sane at
     * driver-enumerable n anyway), so for them starvation alone decides. */
-  private[llm] def spreadGated(df: DataFrame, minBytes: Long = oneScanSplitBytes): DataFrame = {
-    val gated =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes) &&
-        df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism
-    if (gated) spread(df) else df
-  }
+  private[llm] def spreadGated(df: DataFrame, minBytes: Long = oneScanSplitBytes): DataFrame =
+    graft.functions.Rebalance.spreadGated(df, minBytes) // shared policy (r15)
 }

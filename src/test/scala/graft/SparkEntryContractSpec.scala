@@ -198,8 +198,11 @@ class SparkEntryContractSpec extends SparkSpec {
     "top_session_paths" -> Set("CollectList"),    // per-session path, capped
     "clustering_coeff_copurchase" -> Set("CollectSet"), // adjacency ≤ degree
     "copurchase_triangles_lineitem" -> Set("CollectSet"),
-    "dedup_components" -> Set("CollectList"),     // star-contraction adjacency
-    "dedup_cluster_sizes" -> Set("CollectList"),
+    // dedup_components / dedup_cluster_sizes pruned r15: their pair-pipeline
+    // CollectList (maxBucket-capped, still covered by the standalone
+    // dedup_ngram_jaccard_documents enrollment) now materializes behind the
+    // CC loop's lazy localCheckpoint, so it no longer appears in the final
+    // declared plan this sweep inspects
     "dedup_clean_corpus" -> Set("CollectList"),
     "dedup_clean_corpus_minhash" -> Set("CollectList"),
     "dedup_near_minhash" -> Set("CollectList"),   // banded sigs, maxBucket cap
