@@ -1234,7 +1234,16 @@ object Dedup {
 
   def sourceOverlap(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame = {
     graft.functions.SessionTuning.ensureActiveSession()
-    docs.select(col("source"),
+    // starvation-gated spread (r15, guide §2.5): tokenize + n-gram +
+    // distinct + hash all run map-side, and a one-row-group fixture is ONE
+    // scan split. This IS a text exchange, acceptable here and only here
+    // because this tier is the declared small-N VERIFIER (sourceOverlapTheta
+    // is the 100 TB face) and no slim-exchange contract pins it; the gate
+    // never fires on multi-split inputs. Counts are multiset-exact —
+    // results identical under any partitioning.
+    graft.functions.Rebalance
+      .spreadGated(docs.select(col("source"), col(textCol)), 0)
+      .select(col("source"),
         explode(array_distinct(
           TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
       .select(col("source"), xxhash64(col("ngs")).as("ng"))

@@ -1331,28 +1331,30 @@ object Similarity {
     require(iters >= 1 && dim >= 1)
     val x = emb.select(col(vecCol).as("v")).where(size(col("v")) === dim)
     val sumDec = (c: Column) => sum(c.cast("decimal(28,8)")).cast("double")
-    // center once: exact per-dim means (dim rows to the driver). The row
-    // count rides the same aggregate (every size-dim row contributes one
-    // value per dim, so any dim's count IS n) — one job instead of two
-    val meanRows = x.select(posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy("j").agg((sumDec(col("xj").cast("double")) / count(lit(1))).as("m"),
-        count(lit(1)).as("cnt"))
-      .orderBy("j").collect()
-    val mean = meanRows.map(_.getDouble(1))
-    val n = if (meanRows.isEmpty) 0L else meanRows.head.getLong(2)
+    // center once: exact per-dim means. r15 (guide §2.3/§4): the per-dim
+    // sums run as dim DIRECT sum aggregates over one 1-row group instead of
+    // a posexplode (dim× row inflation) + dim-key shuffle — the decimal
+    // terms are identical (same per-element cast chain), decimal addition
+    // is order-free, and the mean division is the same IEEE sum/count, so
+    // every digit matches the previous formulation. The row count rides the
+    // same aggregate (every size-dim row contributes one value per dim).
+    val meanAggs = (0 until dim).map(j =>
+      sumDec(col("v").getItem(j).cast("double")).as(s"s$j")) :+ count(lit(1)).as("cnt")
+    val mr = x.agg(meanAggs.head, meanAggs.tail: _*).head()
+    val n = mr.getLong(dim)
+    val mean = Array.tabulate(dim)(j => mr.getDouble(j) / n)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     for (_ <- 0 until iters) {
       val s = (0 until dim).map(j =>
         (col("v").getItem(j).cast("double") - lit(mean(j))) * lit(v(j)))
         .reduce(_ + _)
-      val u = x.select(col("v"), s.as("s"))
-        .select(posexplode(col("v")).as(Seq("j", "xj")), col("s"))
-        .select(col("j"),
-          ((col("xj").cast("double") -
-            element_at(typedLit(mean.toSeq), col("j") + 1)) * col("s")).as("t"))
-        .groupBy("j").agg(sumDec(col("t")).as("u"))
-        .orderBy("j").collect().map(_.getDouble(1))
+      // same direct-sum shape for the matvec: u_j = Σ (x_j − m_j)·s as one
+      // decimal aggregate per dim, no row inflation, one 1-row exchange
+      val uAggs = (0 until dim).map(j =>
+        sumDec((col("v").getItem(j).cast("double") - lit(mean(j))) * col("s")).as(s"u$j"))
+      val ur = x.select(col("v"), s.as("s")).agg(uAggs.head, uAggs.tail: _*).head()
+      val u = Array.tabulate(dim)(j => ur.getDouble(j))
       val nrm = math.sqrt(u.map(c => c * c).sum)
       lambda = nrm / math.max(n, 1L)
       if (nrm > 0) v = u.map(_ / nrm)
