@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** THE shared starvation-gated rebalance (hoisted from the llm package in
   * r15 so the exact/decimal verifier tiers in `graft.dist` can use the same
@@ -24,21 +25,51 @@ import org.apache.spark.sql.DataFrame
   *      saturate every core and the gate NEVER fires, so the at-scale plan
   *      shape is untouched.
   *
+  * The starvation probe is restricted to NARROW scan-rooted plans
+  * (projections/filters/generates over file scans, checkpoints, local
+  * relations): there `df.rdd` builds lineage without running a job, and the
+  * build-time split count IS the execution-time one. Any frame with a
+  * shuffle boundary in its lineage (join/aggregate/window/repartition)
+  * returns unchanged — under AQE a `df.rdd` probe there would eagerly
+  * materialize the upstream query stages in a throwaway execution (real
+  * jobs at DataFrame-BUILD time, recomputed again by the actual action —
+  * ADVICE r15), and post-shuffle partitioning is AQE's to manage anyway.
+  *
   * Results are unaffected by construction at every call site: only
   * partitioning-invariant computations (exact decimal sums, percentile over
   * the full multiset, min-winners) sit downstream of a spread.
   */
 object Rebalance {
 
-  /** One scan split's worth of bytes (`spark.sql.files.maxPartitionBytes`
-    * default) — the measured size threshold below which a rebalance costs
-    * more than the starvation it cures. */
-  val oneScanSplitBytes: Long = 134217728L
+  /** One scan split's worth of bytes — the measured size threshold below
+    * which a rebalance costs more than the starvation it cures. Reads the
+    * session's actual `spark.sql.files.maxPartitionBytes` (a deployment that
+    * tunes split size moves this gate with it — ADVICE r15); 128 MiB
+    * fallback matches Spark's default. */
+  def oneScanSplitBytes(df: DataFrame): Long =
+    try df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes").toLong
+    catch { case _: Throwable => 134217728L }
 
-  def spreadGated(df: DataFrame, minBytes: Long = oneScanSplitBytes): DataFrame = {
-    val gated =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes) &&
-        df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism
+  /** True iff every path from `plan`'s root to its leaves crosses only
+    * narrow, partitioning-preserving operators — the shapes the public
+    * operators hand in (slim projections/filters over a source). On these,
+    * `df.rdd` is a pure lineage build (no shuffle stage exists to
+    * materialize, so AQE has nothing to execute eagerly). */
+  private def narrowScanRooted(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode => true
+    case r: Repartition if !r.shuffle => narrowScanRooted(r.child) // coalesce
+    case p @ (_: Project | _: Filter | _: Generate | _: Expand |
+              _: Sample | _: Union | _: SubqueryAlias) =>
+      p.children.forall(narrowScanRooted)
+    case _ => false
+  }
+
+  def spreadGated(df: DataFrame, minBytes: Long = -1L): DataFrame = {
+    val threshold = if (minBytes >= 0) minBytes else oneScanSplitBytes(df)
+    val plan = df.queryExecution.optimizedPlan
+    val gated = narrowScanRooted(plan) &&
+      plan.stats.sizeInBytes > BigInt(threshold) &&
+      df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism
     if (gated) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
   }

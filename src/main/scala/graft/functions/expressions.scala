@@ -876,6 +876,206 @@ case class RpDecimalProject(child: Expression, outDims: Int)
     copy(child = newChild)
 }
 
+/** Static loops for [[AsciiTokens]] — top-level object (static forwarders)
+  * so generated code calls it directly, like [[Zlib]]/[[Bpe]]. */
+object AsciiTok {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The engine tokenizer `filter(split(lower(text), "[^a-z]+"), _ != "")`
+    * as one byte scan, PROVABLY the same token stream:
+    *
+    *  - lowercase is the identical code path `Lower` runs for UTF8_BINARY
+    *    collation (`CollationSupport.Lower.execBinary` = `toLowerCase()`),
+    *    so every mapping — including non-ASCII chars that lowercase INTO
+    *    a-z (e.g. U+212A Kelvin sign → 'k') — is byte-identical;
+    *  - the regex split's tokens are the maximal runs of chars a-z in the
+    *    LOWERCASED string; in UTF-8, bytes 0x61-0x7A can only encode the
+    *    code points a-z (continuation bytes are ≥ 0x80, multibyte leads
+    *    ≥ 0xC2), so a byte-level run scan finds exactly those runs;
+    *  - `split` emits the (possibly empty) segments between matches and the
+    *    `filter(_ != "")` drops the empties, leaving exactly the runs in
+    *    order.
+    *
+    * Replaces a java.util.regex pass + segment-array churn per row with one
+    * branch-predictable byte loop (guide §4: built-in/codegen over regex in
+    * the hot path); TextAnalysisSpec pins stream equality property-style. */
+  def tokens(s: UTF8String): ArrayData = {
+    val lc = s.toLowerCase
+    val b = lc.getBytes
+    val n = b.length
+    // count runs first: right-sized output array, no builder churn
+    var count = 0
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val isAz = b(i) >= 'a'.toByte && b(i) <= 'z'.toByte
+      if (isAz && !inRun) count += 1
+      inRun = isAz
+      i += 1
+    }
+    if (count == 0) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (b(i) >= 'a'.toByte && b(i) <= 'z'.toByte) {
+        val start = i
+        while (i < n && b(i) >= 'a'.toByte && b(i) <= 'z'.toByte) i += 1
+        out(k) = UTF8String.fromBytes(b, start, i - start)
+        k += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The engine tokenizer (`filter(split(lower(text), "[^a-z]+"), _ != "")`)
+  * as a single codegen'd byte-scan expression — see [[AsciiTok.tokens]] for
+  * the identity argument. Null text yields null, exactly like the
+  * lower→split→filter chain it replaces; the element type mirrors `split`'s
+  * `containsNull = true` so downstream schemas are unchanged (elements are
+  * in fact never null). */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "ascii_tokens"
+
+  override def nullSafeEval(s: Any): Any =
+    AsciiTok.tokens(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.AsciiTok.tokens($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokens =
+    copy(child = newChild)
+}
+
+/** Static loop for [[ShingleWindowHashes]] — top-level object (static
+  * forwarders), like [[AsciiTok]]. */
+object ShingleHash {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** xxhash64 values of space-joined token windows, without materializing
+    * the window strings: the tokens are written ONCE into one contiguous
+    * byte buffer with single-space separators, and each window's hash runs
+    * over the byte slice covering its tokens — because tokens joined by
+    * " " are exactly a substring of ALL tokens joined by " ", the hashed
+    * bytes are byte-identical to `xxhash64(concat_ws(" ", slice(toks, st,
+    * w)))` / `xxhash64(array_join(...))`, and `XXH64.hashUnsafeBytes` is
+    * the same primitive `xxhash64` runs on a string. O(Σ|token|) buffer
+    * build + O(windows · window bytes) hashing with ZERO transient
+    * strings, vs per-window slice + concat allocations (guide §4).
+    *
+    * Windows start at token s = 0, stride, 2·stride, …; `fullOnly = true`
+    * keeps only complete w-token windows (the stride-1 shingle tiers),
+    * `false` lets the tail window run short (the non-overlapping span
+    * tiers, where `slice` past the end just takes what remains).
+    *
+    * Null elements (never produced by the tokenizer, but the input schema
+    * admits them) fall back to a per-window join that SKIPS nulls with no
+    * separator — `concat_ws`/`array_join`'s exact null rule. */
+  def windowHashes(arr: ArrayData, w: Int, stride: Int, fullOnly: Boolean,
+                   seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val nWin =
+      if (fullOnly) { if (n >= w) (n - w) / stride + 1 else 0 }
+      else { if (n == 0) 0 else (n - 1) / stride + 1 }
+    if (nWin == 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[UTF8String](n)
+    var anyNull = false
+    var total = n - 1 // separators
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) anyNull = true
+      else { toks(i) = arr.getUTF8String(i); total += toks(i).numBytes() }
+      i += 1
+    }
+    val out = new Array[Long](nWin)
+    if (anyNull) {
+      // slow exact path: join each window with concat_ws's null-skipping
+      var k = 0
+      while (k < nWin) {
+        val s = k * stride
+        val e = math.min(s + w, n)
+        val sb = new java.lang.StringBuilder
+        var first = true
+        var j = s
+        while (j < e) {
+          if (toks(j) != null) {
+            if (!first) sb.append(' ')
+            sb.append(toks(j).toString)
+            first = false
+          }
+          j += 1
+        }
+        out(k) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), seed)
+        k += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val buf = new Array[Byte](total)
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { buf(pos) = ' '.toByte; pos += 1 }
+      starts(i) = pos
+      toks(i).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += toks(i).numBytes()
+      ends(i) = pos
+      i += 1
+    }
+    var k = 0
+    while (k < nWin) {
+      val s = k * stride
+      val e = math.min(s + w, n)
+      out(k) = XXH64.hashUnsafeBytes(buf,
+        Platform.BYTE_ARRAY_OFFSET + starts(s), ends(e - 1) - starts(s), seed)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** xxhash64 of every `w`-token window (stride `stride`, optional partial
+  * tail) of an `array<string>` token column — bit-identical values to the
+  * `xxhash64(concat_ws(" ", slice(toks, st, w)))` trees of the shingle /
+  * span / substring dedup tiers (see [[ShingleHash.windowHashes]]), with
+  * the window strings never materialized. Unlike [[NgramHashes]] (the
+  * rolling-hash sketch tier with a DIFFERENT hash universe), this is a
+  * drop-in for the oracle-mirrored tiers: same bytes, same seed, same
+  * values. */
+case class ShingleWindowHashes(child: Expression, w: Int, stride: Int,
+                               fullOnly: Boolean, seed: Long = 42L)
+    extends UnaryExpression {
+  require(w >= 1, s"w $w must be >= 1")
+  require(stride >= 1, s"stride $stride must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.arrayOf(child, StringType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_window_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHash.windowHashes(v.asInstanceOf[ArrayData], w, stride, fullOnly, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.ShingleHash.windowHashes(
+         |  $v, $w, $stride, $fullOnly, ${seed}L);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleWindowHashes =
+    copy(child = newChild)
+}
+
 object NgramHashes {
   /** Odd polynomial multiplier (64-bit golden ratio), invertible mod 2⁶⁴. */
   val M: Long = 0x9E3779B97F4A7C15L
@@ -1117,6 +1317,17 @@ object functions {
     * (array<long> out; no window-string materialization — sketch tiers). */
   def ngram_hashes(toks: Column, n: Int, seed: Long = 42L): Column =
     c(NgramHashes(e(toks), n, seed))
+
+  /** The engine tokenizer as one codegen'd byte scan — token stream
+    * identical to `filter(split(lower(text), "[^a-z]+"), _ != "")`. */
+  def ascii_tokens(text: Column): Column = c(AsciiTokens(e(text)))
+
+  /** xxhash64 of every w-token window (stride, optional partial tail) of a
+    * token array — bit-identical to `xxhash64(concat_ws(" ", slice(...)))`
+    * without materializing window strings (oracle-mirrored tiers). */
+  def shingle_window_hashes(toks: Column, w: Int, stride: Int = 1,
+                            fullOnly: Boolean = true): Column =
+    c(ShingleWindowHashes(e(toks), w, stride, fullOnly))
 
   /** k-wide MinHash signature of an array<long> hash column. */
   def minhash_sig(hashes: Column, k: Int, seed: Long = 42L): Column =

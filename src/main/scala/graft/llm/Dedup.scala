@@ -155,10 +155,16 @@ object Dedup {
   /** Distinct 64-bit shingle hashes. All join/signature machinery downstream
     * works on these 8-byte keys instead of shingle strings — smaller
     * shuffles, cheaper comparisons; the 2^-64 collision rate is far below
-    * any near-dup pipeline's noise floor. */
+    * any near-dup pipeline's noise floor. Since r16 the window hashes come
+    * from the codegen'd [[graft.functions.ShingleWindowHashes]] byte-slice
+    * loop — VALUE-identical to `xxhash64(array_join(slice(toks, i, w), " "))`
+    * (same joined bytes, same seed; see the expression's identity note), so
+    * every oracle-mirrored consumer is unchanged; only the per-window
+    * slice+join+hash allocations are gone (guide §4, r15 verdict #3). */
   def shingleHashes(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= w, gramSet(toks, w, xxhash64(_)))
+    when(size(toks) >= w, array_distinct(
+        graft.functions.functions.shingle_window_hashes(toks, w)))
       .otherwise(array().cast("array<bigint>"))
   }
 
@@ -172,7 +178,8 @@ object Dedup {
   private[llm] def shingleDF(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= w)
-      .select(col("id"), gramSet(col("toks"), w, xxhash64(_)).as("sh"))
+      .select(col("id"), array_distinct(
+        graft.functions.functions.shingle_window_hashes(col("toks"), w)).as("sh"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (similarity >= threshold).
     *
@@ -597,7 +604,13 @@ object Dedup {
     // three consumers read it (registry-collision probe, bucket-min agg,
     // within-batch probe), and without this each re-ran the k-permutation
     // MinHash signature loop — the query's single most expensive expression
-    // — from the persisted shingles. ~20 B/row, batch-sized.
+    // — from the persisted shingles. ~20 B/row, batch-sized. Cache
+    // lifecycle (ADVICE r15): both persists are owned by the SESSION, like
+    // minHashNearDup's — the returned frame is lazy, so there is no "after
+    // the final action" hook here; a steady-state per-batch driver should
+    // `spark.catalog.clearCache()` (or unpersist via the storage UI ids)
+    // between batches. Both caches are batch-sized (~20 B/row), not
+    // corpus-sized, so accumulation is bounded by batches per session.
     val banded = bandedMinHash(sh, k, bands, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = banded
@@ -979,10 +992,11 @@ object Dedup {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 1)
-    val starts = sequence(lit(1), size(col("toks")), lit(spanTokens))
-    val spanArr = transform(starts, st => concat_ws(" ", slice(col("toks"), st, lit(spanTokens))))
-    toks.select(explode(spanArr).as("span"))
-      .select(xxhash64(col("span")).as("h")).distinct()
+    // span hashes straight off the joined token buffer (r16): identical
+    // values to xxhash64(concat_ws(" ", slice(...))), no span strings built
+    toks.select(explode(graft.functions.functions.shingle_window_hashes(
+        col("toks"), spanTokens, stride = spanTokens, fullOnly = false)).as("h"))
+      .distinct()
   }
 
   /** Fold two span registries (yesterday's registry + today's batch):
@@ -1019,9 +1033,15 @@ object Dedup {
     // dedup signal reduces to one hash-agg whose shuffle carries only
     // (8-byte hash, partial-min (id, idx)) — span text never crosses an
     // exchange (plan-asserted in DedupSpec). No occurrence join-back exists.
+    // span hashes straight off the joined token buffer (r16): identical
+    // values to xxhash64(span string) — posexplode's span_idx is the same
+    // window index; span STRINGS are only built in the final rebuild
+    // projection for surviving docs
     val occ = toks
-      .select(posexplode(spanArr).as(Seq("span_idx", "span")), col("id"))
-      .select(xxhash64(col("span")).as("h"), struct(col("id"), col("span_idx")).as("occ"))
+      .select(posexplode(graft.functions.functions.shingle_window_hashes(
+          col("toks"), spanTokens, stride = spanTokens, fullOnly = false))
+          .as(Seq("span_idx", "h")), col("id"))
+      .select(col("h"), struct(col("id"), col("span_idx")).as("occ"))
     // incremental face: registry spans are already claimed by a prior
     // batch — the anti-join carries 8-byte hashes on both sides
     val fresh = registry.fold(occ)(reg =>
@@ -1118,13 +1138,14 @@ object Dedup {
           graft.functions.functions.ngram_hashes(col("toks"), k)).as(Seq("p", "h")))
         .select(col("h"), col("id"), (col("p") + 1).as("st"))
     } else {
-      // sliding shingles: start p+1 (1-based) for p-th of n-k+1 windows
-      val shingles = transform(sequence(lit(1), col("n") - k + 1),
-        st => concat_ws(" ", slice(col("toks"), st, lit(k))))
+      // sliding shingles: start p+1 (1-based) for p-th of n-k+1 windows.
+      // r16: window hashes come from the byte-slice ShingleWindowHashes
+      // loop — VALUE-identical to xxhash64(concat_ws(" ", slice(toks, st,
+      // k))) (hash_v=1 universe unchanged), zero window strings built.
       toks.where(col("n") >= k)
-        .select(col("id"), posexplode(shingles).as(Seq("p", "shingle")))
-        .select(xxhash64(col("shingle")).as("h"), col("id"),
-          (col("p") + 1).as("st"))
+        .select(col("id"), posexplode(graft.functions.functions
+          .shingle_window_hashes(col("toks"), k)).as(Seq("p", "h")))
+        .select(col("h"), col("id"), (col("p") + 1).as("st"))
     }
   }
 
@@ -1243,10 +1264,13 @@ object Dedup {
     // results identical under any partitioning.
     graft.functions.Rebalance
       .spreadGated(docs.select(col("source"), col(textCol)), 0)
+      // r16: hash-then-distinct off the joined token buffer instead of
+      // distinct-gram-strings-then-hash. The downstream groupBy("ng") makes
+      // the two UNCONDITIONALLY equivalent (a within-doc hash collision
+      // collapses to one group either way); gram strings are never built.
       .select(col("source"),
-        explode(array_distinct(
-          TextAnalysis.tokenNgrams(TextAnalysis.tokens(col(textCol)), n))).as("ngs"))
-      .select(col("source"), xxhash64(col("ngs")).as("ng"))
+        explode(array_distinct(graft.functions.functions
+          .shingle_window_hashes(TextAnalysis.tokens(col(textCol)), n))).as("ng"))
       .groupBy("ng").agg(collect_set(col("source")).as("ss"))
       .where(size(col("ss")) >= 2)
       .select(explode(filter(

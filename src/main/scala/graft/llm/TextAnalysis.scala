@@ -16,8 +16,20 @@ object TextAnalysis {
 
   /** Tokenization used across the engine: lowercase, split on runs of
     * non-alphabetic characters, drop empties. Deliberately regex-minimal so
-    * the DuckDB oracle (`regexp_split_to_array`) has identical semantics. */
+    * the DuckDB oracle (`regexp_split_to_array`) has identical semantics.
+    * Since r16 the implementation is the codegen'd byte-scan
+    * [[graft.functions.AsciiTokens]] (guide §4: no regex engine in the
+    * per-row hot path of ~40 queries) — the token stream is PROVABLY the
+    * one `filter(split(lower(text), "[^a-z]+"), _ != "")` produces (same
+    * `Lower` code path, a-z byte runs of the lowercased string ≡ the regex
+    * split's non-empty segments; equality property-pinned in
+    * TextAnalysisSpec against the original tree). */
   def tokens(text: Column): Column =
+    graft.functions.functions.ascii_tokens(text)
+
+  /** The pre-r16 regex tokenizer tree — kept as the parity reference the
+    * spec checks [[tokens]] against (never used in a query path). */
+  private[llm] def tokensRegex(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
 
   /** Top-k tokens by frequency, ties broken by token ascending.

@@ -13,11 +13,10 @@ package object llm {
   private[llm] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** One scan split's worth of bytes (`spark.sql.files.maxPartitionBytes`
-    * default) — the measured size threshold below which a rebalance costs
-    * more than the starvation it cures. */
-  private[llm] val oneScanSplitBytes: Long =
-    graft.functions.Rebalance.oneScanSplitBytes
+  /** Sentinel for "one scan split's worth of bytes" — resolved per-session
+    * from `spark.sql.files.maxPartitionBytes` inside the shared gate
+    * (ADVICE r15: the threshold must move with a tuned split size). */
+  private[llm] val oneScanSplitBytes: Long = -1L
 
   /** THE shared gated rebalance (r13 verdict: three divergent spread gates
     * had grown — unconditional, starvation-only, size-and-starvation; this
