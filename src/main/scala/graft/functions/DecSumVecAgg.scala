@@ -1,0 +1,230 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Mutable buffer of [[DecSumVecAgg]]: per-dim exact decimal sums at scale 8
+  * (unscaled values), a per-dim seen flag (SQL `sum` of zero non-null terms
+  * is NULL, not 0), and the row count. Longs carry the unscaled sums until
+  * an addition would overflow, then that dim escalates to BigInteger — the
+  * magnitudes that need it (|Σ| > 9.2·10¹⁸ at scale 8, i.e. ~10¹⁰ unit-scale
+  * rows) never occur at the verifier tier this aggregate serves, but the
+  * escalation keeps the math exact instead of silently wrapping. */
+private[functions] final class DecSumBuf(val dim: Int) {
+  val sums = new Array[Long](dim)
+  var big: Array[java.math.BigInteger] = null // lazily allocated on overflow
+  val seen = new Array[Boolean](dim)
+  var count = 0L
+
+  def add(j: Int, unscaled: java.math.BigInteger): Unit = {
+    seen(j) = true
+    if (big == null && unscaled.bitLength < 63) {
+      val l = unscaled.longValue
+      val s = sums(j) + l
+      // overflow check (Math.addExact without the throw)
+      if (((sums(j) ^ s) & (l ^ s)) < 0) escalate()
+      else { sums(j) = s; return }
+    } else if (big == null) escalate()
+    big(j) = big(j).add(unscaled)
+  }
+
+  private def escalate(): Unit = {
+    big = Array.tabulate(dim)(i => java.math.BigInteger.valueOf(sums(i)))
+  }
+
+  def unscaledAt(j: Int): java.math.BigInteger =
+    if (big != null) big(j) else java.math.BigInteger.valueOf(sums(j))
+
+  def mergeIn(o: DecSumBuf): Unit = {
+    count += o.count
+    var j = 0
+    while (j < dim) {
+      if (o.seen(j)) add(j, o.unscaledAt(j))
+      j += 1
+    }
+  }
+}
+
+/** All per-dim decimal matvec sums of the power-iteration tier in ONE
+  * aggregate buffer — the r15-watchlist fix for `top_pc_embeddings` /
+  * `debias_embeddings`, whose per-iteration cost was DRIVER-side: a
+  * 64-aggregate plan (64 independent `sum(cast(((v[j] as double) − m_j) ·
+  * s as decimal(28,8)))` columns) analyzed, optimized and codegen'd anew
+  * every iteration because the iterate vector rode the tree as 64 changing
+  * literals. Here the mean and iterate vectors are constructor arguments
+  * (plan-constant reference objects), so each iteration plans ONE
+  * imperative aggregate over one buffer, and the generated
+  * ObjectHashAggregate code is identical across iterations — the codegen
+  * cache hits instead of recompiling (guide §1.2 step 2: per-task work,
+  * after the job shape is already minimal at 1 job/iteration).
+  *
+  * Value-identical to the 64-aggregate tree it replaces, term by term:
+  *
+  *  - `w == null` (mean pass): dim-j term is `cast(cast(v[j] as double) as
+  *    decimal(28,8))` — float→double widening is exact, and the
+  *    double→decimal conversion below is Spark's own canonical-string path
+  *    (`Double.toString` → `BigDecimal` → `setScale(8, HALF_UP)`, null when
+  *    precision exceeds 28 — same as [[RpDecimal.project]]'s terms, proved
+  *    oracle-identical in r15). A null ELEMENT nulls only dim j's term
+  *    (that dim skips the row), exactly like the per-dim `sum`.
+  *  - `w != null` (matvec pass): `s = Σ_j (v[j] − mean_j)·w_j` is the same
+  *    left-to-right IEEE double fold as the `reduce(_ + _)` chain it
+  *    replaces, and dim-j's term is `cast((v[j] − mean_j) · s as
+  *    decimal(28,8))`. A null element anywhere nulls `s`, which nulls
+  *    EVERY dim's term for that row — mirrored by skipping the row.
+  *  - Decimal addition at a common scale is exact integer addition —
+  *    order-free, so partitioning cannot change a digit. SQL `sum` over
+  *    zero non-null terms is NULL: mirrored by the per-dim seen flag.
+  *  - eval emits `cast(sum as double)` per dim: `BigDecimal(unscaled,
+  *    8).doubleValue()`, Spark's `Decimal.toDouble`. The 38-digit
+  *    accumulator overflow that nulls the built-in sum is unreachable for
+  *    this tier's magnitudes and is deliberately not modeled (the long →
+  *    BigInteger escalation keeps the sum exact instead).
+  *
+  * Returns `array<double>` of length dim (null entries where no term
+  * contributed) plus the row count as the last element's companion — the
+  * count rides a separate `count(lit(1))` in the same .agg call. */
+case class DecSumVecAgg(
+    child: Expression,
+    dim: Int,
+    mean: Array[Double],
+    w: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DecSumBuf] {
+
+  require(dim >= 1, s"dim $dim must be >= 1")
+  require(mean == null || mean.length == dim, "mean length mismatch")
+  require(w == null || w.length == dim, "w length mismatch")
+  require(w == null || mean != null, "matvec mode needs a mean vector")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArgCheck.arrayOf(child, FloatType, prettyName)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "dec_sum_vec"
+
+  override def createAggregationBuffer(): DecSumBuf = new DecSumBuf(dim)
+
+  /** Spark's Cast(double → decimal(28,8)) under non-ANSI: canonical string
+    * → BigDecimal → setScale(8, HALF_UP); precision > 28 → null. */
+  private def toDec28(x: Double): java.math.BigInteger = {
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+    if (bd.precision > 28) null else bd.unscaledValue()
+  }
+
+  override def update(buf: DecSumBuf, input: InternalRow): DecSumBuf = {
+    val v = child.eval(input)
+    buf.count += 1L // count(lit(1)) counts the row whatever the elements hold
+    if (v == null) return buf // a null vector nulls every term (sum skips)
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    if (w == null) {
+      // mean pass: dim-j term is cast(v[j] as decimal(28,8)); a null
+      // element skips ONLY dim j
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val t = toDec28(arr.getFloat(j).toDouble)
+          if (t != null) buf.add(j, t)
+        }
+        j += 1
+      }
+    } else {
+      // matvec pass: s = Σ (v_j − m_j)·w_j (left-to-right double fold);
+      // a null element nulls s, which nulls every dim's term for the row
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        if (arr.isNullAt(j)) return buf
+        s += (arr.getFloat(j).toDouble - mean(j)) * w(j)
+        j += 1
+      }
+      j = 0
+      while (j < n) {
+        val t = toDec28((arr.getFloat(j).toDouble - mean(j)) * s)
+        if (t != null) buf.add(j, t)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: DecSumBuf, b: DecSumBuf): DecSumBuf = { a.mergeIn(b); a }
+
+  override def eval(buf: DecSumBuf): Any = {
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < dim) {
+      if (buf.seen(j))
+        out(j) = new java.math.BigDecimal(buf.unscaledAt(j), 8).doubleValue()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: DecSumBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.writeInt(buf.dim)
+    o.writeLong(buf.count)
+    var j = 0
+    while (j < buf.dim) {
+      o.writeBoolean(buf.seen(j))
+      val bytes = buf.unscaledAt(j).toByteArray
+      o.writeInt(bytes.length)
+      o.write(bytes)
+      j += 1
+    }
+    o.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): DecSumBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val d = in.readInt()
+    val buf = new DecSumBuf(d)
+    buf.count = in.readLong()
+    var j = 0
+    while (j < d) {
+      val s = in.readBoolean()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      if (s) buf.add(j, new java.math.BigInteger(b))
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecSumVecAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecSumVecAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): DecSumVecAgg =
+    copy(child = newChildren.head)
+}
+
+object DecSumVecAgg {
+  /** Per-dim exact decimal(28,8) sums of an array<float> column: mean pass
+    * (`w = null`, terms `cast(v[j] as decimal(28,8))`) or centered matvec
+    * pass (terms `cast((v[j]−mean_j)·((v−mean)·w) as decimal(28,8))`).
+    * One ObjectHashAggregate buffer instead of dim independent sums. */
+  def dec_sum_vec(vec: Column, dim: Int, mean: Array[Double],
+                  w: Array[Double]): Column = {
+    SessionTuning.ensureActiveSession()
+    Bridge.column(
+      DecSumVecAgg(Bridge.expression(vec), dim, mean, w).toAggregateExpression())
+  }
+}

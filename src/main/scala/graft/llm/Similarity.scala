@@ -1330,31 +1330,32 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1 && dim >= 1)
     val x = emb.select(col(vecCol).as("v")).where(size(col("v")) === dim)
-    val sumDec = (c: Column) => sum(c.cast("decimal(28,8)")).cast("double")
-    // center once: exact per-dim means. r15 (guide §2.3/§4): the per-dim
-    // sums run as dim DIRECT sum aggregates over one 1-row group instead of
-    // a posexplode (dim× row inflation) + dim-key shuffle — the decimal
-    // terms are identical (same per-element cast chain), decimal addition
-    // is order-free, and the mean division is the same IEEE sum/count, so
-    // every digit matches the previous formulation. The row count rides the
-    // same aggregate (every size-dim row contributes one value per dim).
-    val meanAggs = (0 until dim).map(j =>
-      sumDec(col("v").getItem(j).cast("double")).as(s"s$j")) :+ count(lit(1)).as("cnt")
-    val mr = x.agg(meanAggs.head, meanAggs.tail: _*).head()
-    val n = mr.getLong(dim)
-    val mean = Array.tabulate(dim)(j => mr.getDouble(j) / n)
+    // center once: exact per-dim means. r16 (guide §1.2 step 2, r15
+    // watchlist): the dim direct decimal sums now ride ONE imperative
+    // aggregate buffer ([[graft.functions.DecSumVecAgg]]) instead of dim
+    // independent `sum(cast(...))` columns — term-identical by construction
+    // (same canonical double→decimal(28,8) conversion, exact order-free
+    // decimal addition, same null semantics; see the aggregate's doc), so
+    // every digit matches the previous formulation, but each pass plans ONE
+    // aggregate expression and — because mean/iterate vectors are reference
+    // objects, not 64 changing literals — the generated code is identical
+    // across iterations, so the codegen cache hits instead of recompiling.
+    // The row count rides the same job as before.
+    val mr = x.agg(
+      graft.functions.DecSumVecAgg.dec_sum_vec(col("v"), dim, null, null).as("s"),
+      count(lit(1)).as("cnt")).head()
+    val n = mr.getLong(1)
+    val sums = mr.getSeq[Any](0)
+    val mean = Array.tabulate(dim)(j => sums(j).asInstanceOf[Double] / n)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     for (_ <- 0 until iters) {
-      val s = (0 until dim).map(j =>
-        (col("v").getItem(j).cast("double") - lit(mean(j))) * lit(v(j)))
-        .reduce(_ + _)
-      // same direct-sum shape for the matvec: u_j = Σ (x_j − m_j)·s as one
-      // decimal aggregate per dim, no row inflation, one 1-row exchange
-      val uAggs = (0 until dim).map(j =>
-        sumDec((col("v").getItem(j).cast("double") - lit(mean(j))) * col("s")).as(s"u$j"))
-      val ur = x.select(col("v"), s.as("s")).agg(uAggs.head, uAggs.tail: _*).head()
-      val u = Array.tabulate(dim)(j => ur.getDouble(j))
+      // matvec u_j = Σ (x_j − m_j)·s with s = (x − m)·v folded inside the
+      // same one-buffer aggregate — 1 job, 1 planned aggregate per iteration
+      val ur = x.agg(
+        graft.functions.DecSumVecAgg.dec_sum_vec(col("v"), dim, mean, v).as("u")).head()
+      val us = ur.getSeq[Any](0)
+      val u = Array.tabulate(dim)(j => us(j).asInstanceOf[Double])
       val nrm = math.sqrt(u.map(c => c * c).sum)
       lambda = nrm / math.max(n, 1L)
       if (nrm > 0) v = u.map(_ / nrm)

@@ -148,6 +148,7 @@ class SparkEntryContractSpec extends SparkSpec {
     "TopKAgg",             // k-bounded heap (k ≤ a few hundred by contract)
     "HistogramAgg",        // fixed edges → fixed-size long[] bins
     "KCenterAgg",          // ≤ k centers × dim floats + one double
+    "DecSumVecAgg",        // fixed dim-length decimal sum buffer
     "HllSketchAgg",        // DataSketches HLL: ≤ ~KB at lgK ≤ 14
     "HllUnionAgg",         // union of the above, same bound
     "KllSketchAggDouble",  // KLL: ≤ ~4 KB at default k
