@@ -343,13 +343,14 @@ object Stats {
     require(cols.size >= 2, "need at least two columns")
     val xs = cols.map(c => col(c).cast("double"))
     val clean = df.where(xs.map(x => x.isNotNull && !isnan(x)).reduce(_ && _))
-    val dec = "decimal(38,8)"
-    val moments =
-      Seq(count(lit(1)).as("n")) ++
-      cols.zip(xs).map { case (c, x) => sum(x.cast(dec)).as(s"s_$c") } ++
-      cols.zip(xs).map { case (c, x) => sum((x * x).cast(dec)).as(s"ss_$c") } ++
+    // term list (name → codegen'd double expression): Σx per column, Σx²
+    // per column, Σxy per pair — the same products, in the same slots, as
+    // the previous one-sum-aggregate-per-moment formulation
+    val terms: Seq[(String, Column)] =
+      cols.zip(xs).map { case (c, x) => s"s_$c" -> x } ++
+      cols.zip(xs).map { case (c, x) => s"ss_$c" -> (x * x) } ++
       cols.zip(xs).flatMap { case (a, x) =>
-        cols.zip(xs).collect { case (b, y) if a < b => sum((x * y).cast(dec)).as(s"sp_${a}_$b") }
+        cols.zip(xs).collect { case (b, y) if a < b => s"sp_${a}_$b" -> (x * y) }
       }
     // starvation-gated spread of the slim projection (r15, guide §2.5): the
     // k + k² DECIMAL(38,8) power sums are 128-bit arithmetic per row running
@@ -359,9 +360,20 @@ object Stats {
     // partitioning; the gate never fires on multi-split inputs. (The float
     // fast tier stays unspread: ~10x cheaper per row, and its double sums
     // are deliberately partitioning-sensitive — declared omit.)
-    val aggRow = graft.functions.Rebalance
+    //
+    // r16 (guide §1.2 step 2): the k+k+k(k−1)/2 independent
+    // `sum(cast(... as decimal(38,8)))` aggregates now ride ONE
+    // shared-buffer aggregate over one codegen'd term array —
+    // term-identical conversion and exact order-free addition (see
+    // graft.functions.DecTermSumsAgg), so every digit is unchanged, but the
+    // per-row cost drops from 10 boxed decimal Sum updates to 10 long adds.
+    val sumsRow = graft.functions.Rebalance
       .spreadGated(clean.select(cols.map(col): _*), 0)
-      .agg(moments.head, moments.tail: _*)
+      .select(array(terms.map(_._2): _*).as("_t"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.DecTermSumsAgg.dec_term_sums(col("_t"), terms.size, 38).as("_s"))
+    val aggRow = sumsRow.select(col("n") +: terms.zipWithIndex.map {
+      case ((nm, _), i) => element_at(col("_s"), i + 1).as(nm) }: _*)
     val n = col("n").cast("double")
     def s(c: String) = col(s"s_$c").cast("double")
     def ss(c: String) = col(s"ss_$c").cast("double")
@@ -436,7 +448,7 @@ object Stats {
     // sums are deliberately partitioning-sensitive there (declared omit).
     momentsFromPowerSums(
       graft.functions.Rebalance.spreadGated(df.select(cols.map(col): _*), 0),
-      cols, _.cast("decimal(38,8)"))
+      cols, exactDecimal = true)
 
   /** Float fast tier of [[moments]]: identical schema and algebra, but the
     * four power sums accumulate as plain doubles. ~an order of magnitude
@@ -447,28 +459,56 @@ object Stats {
     * reproducibility; the exact tier remains the oracle-checkable sibling
     * (SimilaritySpec/StatsSpec pin agreement to a relative tolerance). */
   def momentsFast(df: DataFrame, cols: Seq[String]): DataFrame =
-    momentsFromPowerSums(df, cols, identity)
+    momentsFromPowerSums(df, cols, exactDecimal = false)
 
   /** The shared shape of both moment tiers: the tiers differ ONLY in the
-    * accumulator the power sums ride (`decimal(38,8)` vs plain double) —
-    * the null/NaN filter, the central-moment algebra, and the output
+    * accumulator the power sums ride (exact decimal(38,8) vs plain double)
+    * — the null/NaN filter, the central-moment algebra, and the output
     * schema are this one function, so a formula fix cannot drift between
     * them. The `.cast("double")` on each sum is what reads the decimal
-    * accumulator back; for double sums Catalyst folds it away. */
+    * accumulator back; for double sums Catalyst folds it away.
+    *
+    * r16 (guide §1.2 step 2): the exact tier's 4k independent
+    * `sum(cast(when(ok, xᵏ) as decimal(38,8)))` aggregates now ride ONE
+    * shared-buffer aggregate ([[graft.functions.DecTermSumsAgg]]) over one
+    * codegen'd term array — identical per-term conversion and exact
+    * order-free decimal addition, so every digit is unchanged, but the
+    * per-row cost drops from 4k boxed decimal Sum updates (probe: ~40 s of
+    * task time on the 3-column lineitem entry) to 4k primitive long adds.
+    * The fast tier keeps the built-in codegen'd double sums. */
   private def momentsFromPowerSums(df: DataFrame, cols: Seq[String],
-                                   accum: Column => Column): DataFrame = {
+                                   exactDecimal: Boolean): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val aggs = cols.flatMap { c =>
+    def okOf(c: String) = {
       val x = col(c).cast("double")
-      val ok = x.isNotNull && !isnan(x)
-      Seq(
-        count(when(ok, 1)).as(s"n_$c"),
-        sum(accum(when(ok, x))).as(s"s1_$c"),
-        sum(accum(when(ok, x * x))).as(s"s2_$c"),
-        sum(accum(when(ok, x * x * x))).as(s"s3_$c"),
-        sum(accum(when(ok, x * x * x * x))).as(s"s4_$c"))
+      x.isNotNull && !isnan(x)
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    def powers(c: String): Seq[Column] = {
+      val x = col(c).cast("double")
+      val ok = okOf(c)
+      Seq(when(ok, x), when(ok, x * x), when(ok, x * x * x),
+        when(ok, x * x * x * x))
+    }
+    val row =
+      if (exactDecimal) {
+        val terms = cols.flatMap(powers)
+        val counts = cols.map(c => count(when(okOf(c), 1)).as(s"n_$c"))
+        val agg = df.select(cols.map(col) :+ array(terms: _*).as("_t"): _*)
+          .agg(counts.head, counts.tail :+
+            graft.functions.DecTermSumsAgg
+              .dec_term_sums(col("_t"), terms.size, 38).as("_s"): _*)
+        agg.select(cols.map(c => col(s"n_$c")) ++
+          cols.zipWithIndex.flatMap { case (c, ci) =>
+            (1 to 4).map(k =>
+              element_at(col("_s"), 4 * ci + k).as(s"s${k}_$c")) }: _*)
+      } else {
+        val aggs = cols.flatMap { c =>
+          val ps = powers(c)
+          count(when(okOf(c), 1)).as(s"n_$c") +:
+            (1 to 4).map(k => sum(ps(k - 1)).as(s"s${k}_$c"))
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+      }
     val stats = cols.map { c =>
       val n = col(s"n_$c").cast("double")
       val e1 = col(s"s1_$c").cast("double") / n
@@ -495,14 +535,20 @@ object Stats {
     * tree, so grouped results are bit-deterministic and oracle-checkable.
     * Null groups are dropped with the null/NaN values. */
   def momentsBy(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
-    val dec = "decimal(38,8)"
     val x = col("x")
     val clean = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
       .where(col("grp").isNotNull && x.isNotNull && !isnan(x))
-    val agg = clean.groupBy("grp").agg(
-      count(lit(1)).as("n"),
-      sum(x.cast(dec)).as("s1"), sum((x * x).cast(dec)).as("s2"),
-      sum((x * x * x).cast(dec)).as("s3"), sum((x * x * x * x).cast(dec)).as("s4"))
+    // same shared-buffer decimal sums as the ungrouped exact tier (r16):
+    // one buffer of 4 exact scale-8 sums per group, term-identical to the
+    // four sum(cast(... as decimal(38,8))) aggregates it replaces
+    val agg = clean
+      .select(col("grp"), array(x, x * x, x * x * x, x * x * x * x).as("_t"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        graft.functions.DecTermSumsAgg.dec_term_sums(col("_t"), 4, 38).as("_s"))
+      .select(col("grp"), col("n"),
+        element_at(col("_s"), 1).as("s1"), element_at(col("_s"), 2).as("s2"),
+        element_at(col("_s"), 3).as("s3"), element_at(col("_s"), 4).as("s4"))
     val n = col("n").cast("double")
     val e1 = col("s1").cast("double") / n
     val e2 = col("s2").cast("double") / n

@@ -117,8 +117,12 @@ case class DecSumVecAgg(
   override def createAggregationBuffer(): DecSumBuf = new DecSumBuf(dim)
 
   /** Spark's Cast(double → decimal(28,8)) under non-ANSI: canonical string
-    * → BigDecimal → setScale(8, HALF_UP); precision > 28 → null. */
+    * → BigDecimal → setScale(8, HALF_UP); precision > 28 → null. NaN and
+    * ±Infinity have no decimal value — null (the non-ANSI cast's NULL; the
+    * ANSI tree this replaces throws there, so representable data is
+    * unaffected). */
   private def toDec28(x: Double): java.math.BigInteger = {
+    if (x.isNaN || x.isInfinite) return null
     val bd = new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(8, java.math.RoundingMode.HALF_UP)
     if (bd.precision > 28) null else bd.unscaledValue()
@@ -174,7 +178,124 @@ case class DecSumVecAgg(
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: DecSumBuf): Array[Byte] = {
+  override def serialize(buf: DecSumBuf): Array[Byte] =
+    DecSumVecAgg.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): DecSumBuf =
+    DecSumVecAgg.deserializeBuf(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecSumVecAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecSumVecAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): DecSumVecAgg =
+    copy(child = newChildren.head)
+}
+
+/** N independent exact decimal(prec,8) sums in ONE aggregate buffer — the
+  * shared-buffer form of `sum(cast(term_i as decimal(prec,8)))` × N that the
+  * exact stats tiers plan (moments: 4 power sums × k columns; correlation:
+  * k + k + k(k−1)/2 moment sums). The terms arrive as ONE codegen'd
+  * `array(...)` projection (so the double arithmetic stays in whole-stage
+  * codegen) and each slot accumulates its unscaled scale-8 value in a
+  * primitive long (BigInteger escalation on overflow) instead of driving an
+  * independent built-in decimal Sum with its per-row Decimal boxing and
+  * 16-byte UnsafeRow buffer write per slot — the probe measured the
+  * 15-aggregate moments plan at ~40 s of task time at sf0.1 for ~7 M
+  * double→decimal conversions' worth of actual work (guide §1.2 step 2).
+  *
+  * Term-identical to the tree it replaces: the conversion below is Spark's
+  * canonical double→decimal cast (`Double.toString` → `BigDecimal` →
+  * `setScale(8, HALF_UP)`, null when precision exceeds `prec` — the exact
+  * [[RpDecimal.project]] / [[DecSumVecAgg]] discipline), a null term skips
+  * only its slot (SQL sum), a slot with zero non-null terms is NULL, and
+  * decimal addition at a fixed scale is exact integer addition — order-free
+  * under any partitioning. eval emits `cast(sum as double)` per slot
+  * (`BigDecimal(unscaled, 8).doubleValue`, Spark's `Decimal.toDouble`) —
+  * the consumers only ever read the sums back through that cast. */
+case class DecTermSumsAgg(
+    child: Expression,
+    n: Int,
+    prec: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DecSumBuf] {
+
+  require(n >= 1, s"n $n must be >= 1")
+  require(prec >= 9 && prec <= 38, s"prec $prec out of range")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.simpleString}")
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "dec_term_sums"
+
+  override def createAggregationBuffer(): DecSumBuf = new DecSumBuf(n)
+
+  override def update(buf: DecSumBuf, input: InternalRow): DecSumBuf = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val m = math.min(arr.numElements(), n)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getDouble(i)
+        // NaN/±Inf have no decimal value — skip the slot (the non-ANSI
+        // cast's NULL; the ANSI tree this replaces throws there)
+        if (!x.isNaN && !x.isInfinite) {
+          val bd = new java.math.BigDecimal(java.lang.Double.toString(x))
+            .setScale(8, java.math.RoundingMode.HALF_UP)
+          if (bd.precision <= prec) buf.add(i, bd.unscaledValue())
+        }
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: DecSumBuf, b: DecSumBuf): DecSumBuf = { a.mergeIn(b); a }
+
+  override def eval(buf: DecSumBuf): Any = {
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (buf.seen(i))
+        out(i) = new java.math.BigDecimal(buf.unscaledAt(i), 8).doubleValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: DecSumBuf): Array[Byte] =
+    DecSumVecAgg.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): DecSumBuf =
+    DecSumVecAgg.deserializeBuf(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecTermSumsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecTermSumsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): DecTermSumsAgg =
+    copy(child = newChildren.head)
+}
+
+object DecTermSumsAgg {
+  /** N-slot exact decimal(prec,8) sums over a codegen'd `array<double>`
+    * term column: slot i sums `cast(terms[i] as decimal(prec,8))` exactly. */
+  def dec_term_sums(terms: Column, n: Int, prec: Int): Column = {
+    SessionTuning.ensureActiveSession()
+    Bridge.column(
+      DecTermSumsAgg(Bridge.expression(terms), n, prec).toAggregateExpression())
+  }
+}
+
+object DecSumVecAgg {
+  private[functions] def serializeBuf(buf: DecSumBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
     o.writeInt(buf.dim)
@@ -191,7 +312,7 @@ case class DecSumVecAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): DecSumBuf = {
+  private[functions] def deserializeBuf(bytes: Array[Byte]): DecSumBuf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val d = in.readInt()
     val buf = new DecSumBuf(d)
@@ -208,15 +329,6 @@ case class DecSumVecAgg(
     buf
   }
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): DecSumVecAgg =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): DecSumVecAgg =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): DecSumVecAgg =
-    copy(child = newChildren.head)
-}
-
-object DecSumVecAgg {
   /** Per-dim exact decimal(28,8) sums of an array<float> column: mean pass
     * (`w = null`, terms `cast(v[j] as decimal(28,8))`) or centered matvec
     * pass (terms `cast((v[j]−mean_j)·((v−mean)·w) as decimal(28,8))`).

@@ -628,12 +628,19 @@ object TextAnalysis {
     val bgCounts = occ.groupBy("bigram").agg(count(lit(1)).as("cb"))
     val uni = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cu"))
-    val vocabSize = uni.agg(count(lit(1))).head().getLong(0)
+    // vocab size as a 1-row broadcast (the bm25/Q22 scalar pattern, r16):
+    // the previous `uni.agg(count).head()` was a DataFrame-BUILD-time action
+    // that re-ran the whole tokenize+explode+unigram-agg pipeline once just
+    // to inline the count as a literal — one full extra pass per call. The
+    // crossJoin keeps the identical Long-addition term (cu + |V|) inside
+    // one DAG, where the unigram exchange is shared with the w1 join.
+    val vocabN = uni.agg(count(lit(1)).as("vocab_n"))
     val term = round(log((col("cb") + lit(1L)).cast("double") /
-      (col("cu") + lit(vocabSize)).cast("double")), 9)
+      (col("cu") + col("vocab_n")).cast("double")), 9)
     val scored = occ
       .join(bgCounts, Seq("bigram"))
       .join(uni.withColumnRenamed("token", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocabN))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
         (sum(term.cast("decimal(28,9)")).cast("double") / count(lit(1))).as("avg_logprob"))

@@ -34,6 +34,7 @@ class SparkEntryContractSpec extends SparkSpec {
     "hll_daily_users_events", "hybrid_topk_documents", "pmi_top20_bigrams",
     "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents",
     "heavy_hitters_tokens", // crossJoin(broadcast(1-row token total))
+    "lm_bigram_score_documents", // crossJoin(broadcast(1-row vocab count))
     "select_dsir_documents", // crossJoin(broadcast(1-row smoothing totals))
     "select_dsir_hashed_documents", // same 1-row smoothing-totals crossJoin
     // pairwise join over a |sources|-row frame of KB-sized theta sketches:
@@ -58,10 +59,31 @@ class SparkEntryContractSpec extends SparkSpec {
     // corpus scale, and the training side streams map-only
     "decontam_semantic_embeddings")
 
+  /** Run `work` for every declared query on a small thread pool (guide
+    * §2.6: actions are only sequential because the caller calls them
+    * sequentially — 231 INDEPENDENT read-only queries on one session
+    * back-fill each other's scheduling gaps). 6 threads measured ~4x on
+    * the two full-inventory sweeps below (each query is mostly driver
+    * planning + a few tiny jobs); results come back sorted by name so
+    * failure output stays deterministic. */
+  private def forEveryQuery[T](work: ((String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)) => T): Seq[T] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = SparkEntry.queries.toSeq.sortBy(_._1).map { q =>
+        Future(work(q))
+      }
+      Await.result(Future.sequence(futs), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   test("every declared query executes end-to-end at sf0.001; no undeclared" +
     " nested-loop or cartesian plans") {
     assume(testdataPresent)
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val failures = forEveryQuery { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         assert(df.schema.nonEmpty)
@@ -76,7 +98,7 @@ class SparkEntryContractSpec extends SparkSpec {
         df.limit(5).collect()
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
-    }
+    }.flatten
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
@@ -149,6 +171,7 @@ class SparkEntryContractSpec extends SparkSpec {
     "HistogramAgg",        // fixed edges → fixed-size long[] bins
     "KCenterAgg",          // ≤ k centers × dim floats + one double
     "DecSumVecAgg",        // fixed dim-length decimal sum buffer
+    "DecTermSumsAgg",      // fixed n-slot decimal sum buffer
     "HllSketchAgg",        // DataSketches HLL: ≤ ~KB at lgK ≤ 14
     "HllUnionAgg",         // union of the above, same bound
     "KllSketchAggDouble",  // KLL: ≤ ~4 KB at default k
@@ -236,7 +259,7 @@ class SparkEntryContractSpec extends SparkSpec {
       here ++ p.subqueries.flatMap(objectAggFns)
     }
     val observed: Map[String, Set[String]] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      forEveryQuery { case (name, fn) =>
         // sparkPlan (pre-AQE): plan-only, no execution, no QueryStage wrappers
         name -> objectAggFns(fn(spark, sfDir).queryExecution.sparkPlan).toSet
       }.toMap

@@ -108,6 +108,42 @@ class DecSumVecAggSpec extends SparkSpec {
     assert(newSums(df1, null, null)._1.toSeq === newSums(df7, null, null)._1.toSeq)
   }
 
+  test("dec_term_sums matches sum(cast(term as decimal(38,8))) per slot") {
+    val rnd = new scala.util.Random(7L)
+    val rows = Seq.fill(800)((rnd.nextDouble() * 2e6 - 1e6,
+      rnd.nextDouble() * 1e-4, rnd.nextGaussian()))
+    val df = rows.toDF("a", "b", "c").repartition(5)
+    val terms = Seq(col("a"), col("a") * col("a"), col("b") * col("c"),
+      col("c") * col("c") * col("c"))
+    val old = df.agg(
+      sum(terms(0).cast("decimal(38,8)")).cast("double").as("t0"),
+      sum(terms(1).cast("decimal(38,8)")).cast("double").as("t1"),
+      sum(terms(2).cast("decimal(38,8)")).cast("double").as("t2"),
+      sum(terms(3).cast("decimal(38,8)")).cast("double").as("t3")).head()
+    val got = df.select(array(terms: _*).as("_t"))
+      .agg(DecTermSumsAgg.dec_term_sums(col("_t"), 4, 38).as("s"))
+      .head().getSeq[Any](0)
+    assert((0 until 4).map(got(_)) === (0 until 4).map(old.get(_)))
+  }
+
+  test("dec_term_sums null terms skip their slot only; empty slot is NULL") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.5, null), (2.25, null), (null, null)).toDF("a", "b")
+    val got = df.select(array(col("a"), col("b")).as("_t"))
+      .agg(DecTermSumsAgg.dec_term_sums(col("_t"), 2, 38).as("s"))
+      .head().getSeq[Any](0)
+    assert(got(0) === 3.75 && got(1) == null)
+    // precision-28 tier: a term over 20 integer digits is unrepresentable
+    // in decimal(28,8) — the slot skips it (the non-ANSI cast's NULL; the
+    // ANSI tree this replaces would have thrown there, so the behavior is
+    // only MORE defined, never a different value on representable data)
+    val big = Seq((1e25, 2.0)).toDF("a", "b")
+    val got28 = big.select(array(col("a"), col("b")).as("_t"))
+      .agg(DecTermSumsAgg.dec_term_sums(col("_t"), 2, 28).as("s"))
+      .head().getSeq[Any](0)
+    assert(got28(0) == null && got28(1) === 2.0)
+  }
+
   test("long-overflow escalation stays exact (serialize/merge roundtrip)") {
     // magnitudes near the long cap at scale 8: 9.2e10 per term
     val big = Seq.fill(40)(Seq.fill(dim)(java.lang.Float.valueOf(3.0e10f)))

@@ -59,70 +59,70 @@ class BenchScaleRecallSpec extends SparkSpec {
       .union(twins.toDF("vec_id", "embedding"))
   }
 
+  // Shared fixtures (r16, suite-wall item): the four ANN tests assert four
+  // DIFFERENT approximate tiers against the SAME deterministic corpus
+  // (full embeddings + 5 planted twins for qids 0-9) and the SAME exact
+  // brute-force baseline, and the three kNN-graph tests share one exact
+  // all-pairs ground truth over one deterministic 8000-vector corpus.
+  // Computing each once is a pure wall cut — every assertion, operating
+  // point and threshold is unchanged (the ground truths are deterministic:
+  // exact dots, round-9, seeded twins).
+  private val annQids = 0L until 10L
+  private def top(df: DataFrame) =
+    df.select("qid", "nid").as[(Long, Long)].collect().toSet
+  private lazy val annCorpus: DataFrame =
+    withTwins(spark.read.parquet(s"$sfDir/embeddings.parquet"), annQids, nTwins = 5)
+  private lazy val annBrute: Set[(Long, Long)] =
+    top(Similarity.annBruteTopK(annCorpus, annQids, k = 5))
+
   test("ann_lsh_topk recall >= 0.8 on sf0.1 embeddings with planted neighbors", Slow) {
     assume(present)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qids = 0L until 10L
-    val corpus = withTwins(emb, qids, nTwins = 5)
-    def top(df: DataFrame) = df.select("qid", "nid").as[(Long, Long)].collect().toSet
-    val brute = top(Similarity.annBruteTopK(corpus, qids, k = 5))
     // declared-query parameters (k=5, nBits=8, nTables=2)
-    val lsh = top(Similarity.lshAnnTopK(corpus, qids, k = 5, nTables = 2))
-    val recall = (brute intersect lsh).size.toDouble / brute.size
+    val lsh = top(Similarity.lshAnnTopK(annCorpus, annQids, k = 5, nTables = 2))
+    val recall = (annBrute intersect lsh).size.toDouble / annBrute.size
     assert(recall >= 0.8, s"planted-neighbor ANN-LSH recall $recall < 0.8")
   }
 
   test("ann_ivf_topk recall >= 0.8 on sf0.1 embeddings with planted neighbors", Slow) {
     assume(present)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qids = 0L until 10L
-    val corpus = withTwins(emb, qids, nTwins = 5)
-    def top(df: DataFrame) = df.select("qid", "nid").as[(Long, Long)].collect().toSet
-    val brute = top(Similarity.annBruteTopK(corpus, qids, k = 5))
-    val ivf = top(Similarity.ivfAnnTopK(corpus, qids, k = 5))
-    val recall = (brute intersect ivf).size.toDouble / brute.size
+    val ivf = top(Similarity.ivfAnnTopK(annCorpus, annQids, k = 5))
+    val recall = (annBrute intersect ivf).size.toDouble / annBrute.size
     assert(recall >= 0.8, s"planted-neighbor ANN-IVF recall $recall < 0.8")
   }
 
   test("ann_pq_topk recall >= 0.8 on sf0.1 embeddings with planted neighbors", Slow) {
     assume(present)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qids = 0L until 10L
-    val corpus = withTwins(emb, qids, nTwins = 5)
-    def top(df: DataFrame) = df.select("qid", "nid").as[(Long, Long)].collect().toSet
-    val brute = top(Similarity.annBruteTopK(corpus, qids, k = 5))
     // declared-query parameters (k=5, nSub=4, nCodes=16)
-    val pq = top(Similarity.pqAnnTopK(corpus, qids, k = 5))
-    val recall = (brute intersect pq).size.toDouble / brute.size
+    val pq = top(Similarity.pqAnnTopK(annCorpus, annQids, k = 5))
+    val recall = (annBrute intersect pq).size.toDouble / annBrute.size
     assert(recall >= 0.8, s"planted-neighbor ANN-PQ recall $recall < 0.8")
   }
 
   test("ann_ivfpq_topk recall >= 0.8 on sf0.1 embeddings with planted neighbors", Slow) {
     assume(present)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qids = 0L until 10L
-    val corpus = withTwins(emb, qids, nTwins = 5)
-    def top(df: DataFrame) = df.select("qid", "nid").as[(Long, Long)].collect().toSet
-    val brute = top(Similarity.annBruteTopK(corpus, qids, k = 5))
     // declared-query parameters (k=5, nCells=16, nprobe=4, nSub=4, nCodes=16)
-    val ivfpq = top(Similarity.ivfPqAnnTopK(corpus, qids, k = 5))
-    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    val ivfpq = top(Similarity.ivfPqAnnTopK(annCorpus, annQids, k = 5))
+    val recall = (annBrute intersect ivfpq).size.toDouble / annBrute.size
     assert(recall >= 0.8, s"planted-neighbor ANN-IVFPQ recall $recall < 0.8")
   }
 
+  // shared 8000-vector kNN-graph fixture + exact ground truth (see note
+  // above): 2000 real base vectors x (1 + 3 twins), the same scale the
+  // declared query runs at, with knowable top-3 ground truth
+  private def edges(df: DataFrame) =
+    df.select("src", "dst").as[(Long, Long)].collect().toSet
+  private lazy val knnCorpus: DataFrame = withTwins(
+    spark.read.parquet(s"$sfDir/embeddings.parquet").where(col("vec_id") < 2000),
+    0L until 2000L, nTwins = 3)
+  private lazy val knnExact: Set[(Long, Long)] =
+    edges(Similarity.knnGraph(knnCorpus, k = 3))
+
   test("knn_graph_lsh edge recall >= 0.8 at bench scale with planted neighbors", Slow) {
     assume(present)
-    // 2000 real base vectors x (1 + 3 twins) = 8000 vectors — the same
-    // scale the declared query runs at, with knowable top-3 ground truth
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .where(col("vec_id") < 2000)
-    val corpus = withTwins(emb, 0L until 2000L, nTwins = 3)
-    def edges(df: DataFrame) = df.select("src", "dst").as[(Long, Long)].collect().toSet
-    val exact = edges(Similarity.knnGraph(corpus, k = 3))
     // declared-query parameters (k=3, nBits=autoBits(n, 64), nTables=2)
-    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3,
+    val lsh = edges(Similarity.knnGraphLSH(knnCorpus, k = 3,
       nBits = Similarity.autoBits(8000, targetBucket = 64), nTables = 2))
-    val recall = (exact intersect lsh).size.toDouble / exact.size
+    val recall = (knnExact intersect lsh).size.toDouble / knnExact.size
     assert(recall >= 0.8, s"planted-neighbor kNN-graph-LSH recall $recall < 0.8")
   }
 
@@ -140,15 +140,10 @@ class BenchScaleRecallSpec extends SparkSpec {
     // stays in the test above). Measured: 0.750 at maxBucket=64; dropping
     // the cap further to 32 measured 0.614 (the cap binds on hot cells at
     // this occupancy) — rejected as the declared point for that reason.
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .where(col("vec_id") < 2000)
-    val corpus = withTwins(emb, 0L until 2000L, nTwins = 3)
-    def edges(df: DataFrame) = df.select("src", "dst").as[(Long, Long)].collect().toSet
-    val exact = edges(Similarity.knnGraph(corpus, k = 3))
-    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3,
+    val lsh = edges(Similarity.knnGraphLSH(knnCorpus, k = 3,
       nBits = Similarity.autoBits(8000, targetBucket = 64),
       nTables = 1, maxBucket = 64))
-    val recall = (exact intersect lsh).size.toDouble / exact.size
+    val recall = (knnExact intersect lsh).size.toDouble / knnExact.size
     info(f"reduced-operating-point recall = $recall%.3f")
     assert(recall >= 0.7, s"reduced-point kNN-graph-LSH recall $recall < 0.7")
   }
@@ -163,15 +158,10 @@ class BenchScaleRecallSpec extends SparkSpec {
     // while keeping the elided-dedupe shape (probe keys stay distinct
     // buckets) and shuffle at O(n·probes) — no merge stage, no second
     // table's bucketing scan.
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .where(col("vec_id") < 2000)
-    val corpus = withTwins(emb, 0L until 2000L, nTwins = 3)
-    def edges(df: DataFrame) = df.select("src", "dst").as[(Long, Long)].collect().toSet
-    val exact = edges(Similarity.knnGraph(corpus, k = 3))
-    val lsh = edges(Similarity.knnGraphLSH(corpus, k = 3,
+    val lsh = edges(Similarity.knnGraphLSH(knnCorpus, k = 3,
       nBits = Similarity.autoBits(8000, targetBucket = 64),
       nTables = 1, maxBucket = 64, probeDepth = 2))
-    val recall = (exact intersect lsh).size.toDouble / exact.size
+    val recall = (knnExact intersect lsh).size.toDouble / knnExact.size
     info(f"reduced-point depth-2 recall = $recall%.3f")
     assert(recall >= 0.8, s"depth-2 reduced-point recall $recall < 0.8")
   }
