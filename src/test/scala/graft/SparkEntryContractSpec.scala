@@ -275,6 +275,88 @@ class SparkEntryContractSpec extends SparkSpec {
       "\nEnroll new unbounded-state sites with their bound, or bound the state.")
   }
 
+  // ADVICE r15: lazy localCheckpoint wraps upstream plans in LogicalRDD at
+  // DataFrame-build time, so the sweep above is permanently blind to any
+  // subtree behind a checkpoint. This companion sweep rebuilds each
+  // checkpoint-hidden subtree EXACTLY as its query does (same public
+  // builder, same declared constants) and runs the same bounded-state
+  // check on the un-checkpointed plan — if a CC/graph query's hidden
+  // pipeline grows a new unbounded-state agg, it fails HERE instead of
+  // silently escaping both sweeps.
+  test("pre-checkpoint subtrees: object aggs hidden behind lazy " +
+    "localCheckpoint stay bounded-state or enrolled") {
+    assume(testdataPresent)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.functions.col
+    def objectAggFns(p: SparkPlan): Seq[String] = {
+      val here = p.collect { case o: ObjectHashAggregateExec =>
+        o.aggregateExpressions.map(_.aggregateFunction.getClass.getSimpleName)
+      }.flatten
+      here ++ p.subqueries.flatMap(objectAggFns)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // every subtree the declared queries hide behind a localCheckpoint,
+    // with the bound its visible sibling is enrolled under
+    val hidden: Map[(String, Set[String]), org.apache.spark.sql.DataFrame] = Map(
+      // dedup_components / dedup_cluster_sizes / dedup_clean_corpus_cc:
+      // the CC loop checkpoints the pair pipeline — the same
+      // ngramJaccardPairs the standalone enrolled query plans visibly
+      // (CollectList, maxBucket-capped shingle buckets)
+      ("cc pair pipeline (ngramJaccardPairs)", Set("CollectList")) ->
+        graft.llm.Dedup.ngramJaccardPairs(docs, threshold = SparkEntry.dedupJaccard),
+      // bfs_hops / kcore: the round loops checkpoint the co-occurrence
+      // edge list — the same builder clustering_coeff / triangles plan
+      // visibly (CollectSet, per-order line-count cap)
+      ("copurchase edge pipeline (coOccurrenceEdges)", Set("CollectSet")) ->
+        graft.llm.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey", minGroups = 2))
+    val offenders = hidden.toSeq.flatMap { case ((name, allowed), df) =>
+      (objectAggFns(df.queryExecution.sparkPlan).toSet
+        -- boundedStateObjectAggs -- allowed)
+        .map(f => s"$name plans unenrolled unbounded-state $f")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  // r15 verdict #3 / r16 pin: source_overlap_documents is the ONE declared
+  // query allowed to move text through an exchange — its spreadGated call
+  // is the starvation cure for the single-split verifier fixture, and the
+  // at-scale face is source_overlap_theta (sketches; text never shuffles).
+  // This pins the exception's ceiling: the spread fires ONLY on a narrow
+  // scan-rooted input with fewer splits than cores — any multi-split or
+  // shuffle-rooted corpus (every real at-scale shape) plans NO round-robin
+  // text exchange. Three-sided so the pin can't go vacuous.
+  test("source_overlap text-spread exception: fires on the single-split " +
+    "verifier shape ONLY; multi-split and shuffle-rooted inputs never " +
+    "round-robin text") {
+    assume(testdataPresent)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    def hasRoundRobin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning")
+    // (a) the declared verifier shape: one parquet file = one split < cores
+    //     — the spread MUST fire (otherwise the pin is testing nothing)
+    assert(hasRoundRobin(graft.llm.Dedup.sourceOverlap(docs)),
+      "single-split verifier input no longer spreads — gate broke or fixture grew")
+    // (b) multi-split scan-rooted input (>= defaultParallelism files):
+    //     never spreads, text stays put
+    val many = java.nio.file.Files.createTempDirectory("graft_so_pin").toString
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(many)
+    val multiSplit = spark.read.parquet(many).select("doc_id", "source", "text")
+    assert(!hasRoundRobin(graft.llm.Dedup.sourceOverlap(multiSplit)),
+      "multi-split input planned a round-robin text exchange — the " +
+        "verifier-tier exception leaked to an at-scale shape")
+    // (c) shuffle-rooted input (hash repartition, so the input itself adds
+    //     no round-robin node): the plan-shape gate (ADVICE r15) must
+    //     refuse to probe — no eager AQE materialization, no spread
+    assert(!hasRoundRobin(graft.llm.Dedup.sourceOverlap(
+        docs.repartition(2, org.apache.spark.sql.functions.col("doc_id")))),
+      "shuffle-rooted input planned a round-robin text exchange — the " +
+        "narrow-scan-rooted gate regressed")
+  }
+
   test("box_join_lineitem scopes its rewrite confs: no spark.graft residue," +
     " rewritten plan survives the unset") {
     assume(testdataPresent)
