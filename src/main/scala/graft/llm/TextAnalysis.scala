@@ -626,21 +626,25 @@ object TextAnalysis {
     val occ = toks.select(col("doc_id"), explode(tokenNgrams(col("toks"), 2)).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val bgCounts = occ.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    // persist the vocab-bounded unigram table (r16): the vocab-size scalar
+    // below is a DataFrame-BUILD-time action, and without the persist it
+    // re-ran the whole tokenize+explode+unigram-agg pipeline once for the
+    // count and AGAIN for the w1 scoring join. The cache is |vocab|-sized
+    // (two columns), the scalar's head() materializes it, and the scoring
+    // join reads it back — one corpus tokenize pass for the unigram side
+    // instead of two. (A crossJoin(broadcast(1-row count)) variant was
+    // measured SLOWER here — it re-plans the full unigram subtree into the
+    // count branch, 14 → 20 exchanges — and was rejected; guide §1.)
+    // Intra-query persist, session-owned like the dedup banding caches.
     val uni = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cu"))
-    // vocab size as a 1-row broadcast (the bm25/Q22 scalar pattern, r16):
-    // the previous `uni.agg(count).head()` was a DataFrame-BUILD-time action
-    // that re-ran the whole tokenize+explode+unigram-agg pipeline once just
-    // to inline the count as a literal — one full extra pass per call. The
-    // crossJoin keeps the identical Long-addition term (cu + |V|) inside
-    // one DAG, where the unigram exchange is shared with the w1 join.
-    val vocabN = uni.agg(count(lit(1)).as("vocab_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = uni.agg(count(lit(1))).head().getLong(0)
     val term = round(log((col("cb") + lit(1L)).cast("double") /
-      (col("cu") + col("vocab_n")).cast("double")), 9)
+      (col("cu") + lit(vocabSize)).cast("double")), 9)
     val scored = occ
       .join(bgCounts, Seq("bigram"))
       .join(uni.withColumnRenamed("token", "w1"), Seq("w1"))
-      .crossJoin(broadcast(vocabN))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
         (sum(term.cast("decimal(28,9)")).cast("double") / count(lit(1))).as("avg_logprob"))

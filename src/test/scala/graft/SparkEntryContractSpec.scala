@@ -34,7 +34,6 @@ class SparkEntryContractSpec extends SparkSpec {
     "hll_daily_users_events", "hybrid_topk_documents", "pmi_top20_bigrams",
     "tfidf_top3_documents", "assoc_rules_events", "source_set_ops_documents",
     "heavy_hitters_tokens", // crossJoin(broadcast(1-row token total))
-    "lm_bigram_score_documents", // crossJoin(broadcast(1-row vocab count))
     "select_dsir_documents", // crossJoin(broadcast(1-row smoothing totals))
     "select_dsir_hashed_documents", // same 1-row smoothing-totals crossJoin
     // pairwise join over a |sources|-row frame of KB-sized theta sketches:
