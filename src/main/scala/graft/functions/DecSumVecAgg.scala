@@ -11,6 +11,92 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
+/** Fast path for the engine's canonical double→decimal(·,8) conversion:
+  * the exact unscaled scale-8 value of
+  * `new BigDecimal(Double.toString(x)).setScale(8, HALF_UP)` computed with
+  * integer arithmetic directly from the `Double.toString` output, when it
+  * fits a long. `Double.toString` (the shortest-repr anchor that DEFINES
+  * the engine's conversion semantics — see [[RpDecimal.project]]) emits at
+  * most 17 significant digits as `-?d(.d+)(E-?d+)?`, so the digits always
+  * accumulate into a long; only results needing > ~19 digits at scale 8
+  * (|x| ≳ 10¹⁰ era magnitudes) fall back to the BigDecimal path, which is
+  * also where every precision-overflow null lives. A scale-8 digit-parity
+  * property spec pins fast == BigDecimal across magnitude sweeps and the
+  * exact HALF_UP boundaries. */
+private[functions] object Dec8 {
+  /** Sentinel: take the BigDecimal path (never a legal result — every
+    * fast-path value is magnitude-guarded below Long.MaxValue). */
+  final val Fallback = Long.MinValue
+  private final val MaxBeforeShift = (Long.MaxValue - 9) / 10
+
+  def scaled8(s: String): Long = {
+    val n = s.length
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-') { neg = true; i = 1 }
+    var u = 0L
+    var frac = 0
+    var seenDot = false
+    var exp = 0
+    var done = false
+    while (i < n && !done) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        if (u > MaxBeforeShift) return Fallback
+        u = u * 10 + (c - '0')
+        if (seenDot) frac += 1
+        i += 1
+      } else if (c == '.') { seenDot = true; i += 1 }
+      else if (c == 'E' || c == 'e') {
+        i += 1
+        var esign = 1
+        if (i < n && s.charAt(i) == '-') { esign = -1; i += 1 }
+        else if (i < n && s.charAt(i) == '+') i += 1
+        var e = 0
+        while (i < n) {
+          val d = s.charAt(i)
+          if (d < '0' || d > '9') return Fallback
+          if (e > 100000) return Fallback // absurd exponent: not from toString
+          e = e * 10 + (d - '0')
+          i += 1
+        }
+        exp = esign * e
+        done = true
+      } else return Fallback // "Infinity"/"NaN" — guarded upstream anyway
+    }
+    val k = frac.toLong - exp // scale of the parsed decimal
+    if (k <= 8) {
+      val shift = 8 - k
+      if (u == 0) return 0L
+      if (shift > 18) return Fallback
+      var r = u
+      var j = 0L
+      while (j < shift) {
+        if (r > Long.MaxValue / 10) return Fallback
+        r *= 10
+        j += 1
+      }
+      if (neg) -r else r
+    } else {
+      val d = k - 8 // HALF_UP division by 10^d
+      if (d >= 20) 0L
+      else if (d == 19) {
+        // divisor 10^19 exceeds Long.MaxValue; u < 10^19 always, so the
+        // quotient is 0 and HALF_UP rounds to ±1 iff u >= 5·10^18
+        if (u >= 5000000000000000000L) { if (neg) -1L else 1L } else 0L
+      } else {
+        var div = 1L
+        var j = 0L
+        while (j < d) { div *= 10; j += 1 }
+        var q = u / div
+        val r = u % div
+        if (r >= div - r) q += 1 // 2r >= div, overflow-safe form
+        if (neg) -q else q
+      }
+    }
+  }
+}
+
 /** Mutable buffer of [[DecSumVecAgg]]: per-dim exact decimal sums at scale 8
   * (unscaled values), a per-dim seen flag (SQL `sum` of zero non-null terms
   * is NULL, not 0), and the row count. Longs carry the unscaled sums until
@@ -34,6 +120,18 @@ private[functions] final class DecSumBuf(val dim: Int) {
       else { sums(j) = s; return }
     } else if (big == null) escalate()
     big(j) = big(j).add(unscaled)
+  }
+
+  /** Primitive-lane add for the [[Dec8]] fast path: no BigInteger boxing
+    * until an addition actually overflows. */
+  def addLong(j: Int, l: Long): Unit = {
+    seen(j) = true
+    if (big == null) {
+      val s = sums(j) + l
+      if (((sums(j) ^ s) & (l ^ s)) >= 0) { sums(j) = s; return }
+      escalate()
+    }
+    big(j) = big(j).add(java.math.BigInteger.valueOf(l))
   }
 
   private def escalate(): Unit = {
@@ -121,11 +219,17 @@ case class DecSumVecAgg(
     * ±Infinity have no decimal value — null (the non-ANSI cast's NULL; the
     * ANSI tree this replaces throws there, so representable data is
     * unaffected). */
-  private def toDec28(x: Double): java.math.BigInteger = {
-    if (x.isNaN || x.isInfinite) return null
-    val bd = new java.math.BigDecimal(java.lang.Double.toString(x))
+  private def addTerm(buf: DecSumBuf, j: Int, x: Double): Unit = {
+    if (x.isNaN || x.isInfinite) return // no decimal value: non-ANSI NULL
+    val s = java.lang.Double.toString(x)
+    // scale-8 long fast path (identical digits — Dec8ParitySpec): ≤ 19
+    // digits by construction, so the precision-28 null is only reachable
+    // on the BigDecimal fallback
+    val f = Dec8.scaled8(s)
+    if (f != Dec8.Fallback) { buf.addLong(j, f); return }
+    val bd = new java.math.BigDecimal(s)
       .setScale(8, java.math.RoundingMode.HALF_UP)
-    if (bd.precision > 28) null else bd.unscaledValue()
+    if (bd.precision <= 28) buf.add(j, bd.unscaledValue())
   }
 
   override def update(buf: DecSumBuf, input: InternalRow): DecSumBuf = {
@@ -139,10 +243,7 @@ case class DecSumVecAgg(
       // element skips ONLY dim j
       var j = 0
       while (j < n) {
-        if (!arr.isNullAt(j)) {
-          val t = toDec28(arr.getFloat(j).toDouble)
-          if (t != null) buf.add(j, t)
-        }
+        if (!arr.isNullAt(j)) addTerm(buf, j, arr.getFloat(j).toDouble)
         j += 1
       }
     } else {
@@ -157,8 +258,7 @@ case class DecSumVecAgg(
       }
       j = 0
       while (j < n) {
-        val t = toDec28((arr.getFloat(j).toDouble - mean(j)) * s)
-        if (t != null) buf.add(j, t)
+        addTerm(buf, j, (arr.getFloat(j).toDouble - mean(j)) * s)
         j += 1
       }
     }
@@ -223,6 +323,12 @@ case class DecTermSumsAgg(
   require(n >= 1, s"n $n must be >= 1")
   require(prec >= 9 && prec <= 38, s"prec $prec out of range")
 
+  /** Fast-path precision gate: a scale-8 long can carry up to 19 digits,
+    * so below prec 19 a fast-path value of |v| >= 10^prec must null its
+    * slot exactly like the cast; 0 = no gate needed (prec >= 19). */
+  private val precCap: Long =
+    if (prec >= 19) 0L else { var c = 1L; var i = 0; while (i < prec) { c *= 10; i += 1 }; c }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -248,9 +354,18 @@ case class DecTermSumsAgg(
         // NaN/±Inf have no decimal value — skip the slot (the non-ANSI
         // cast's NULL; the ANSI tree this replaces throws there)
         if (!x.isNaN && !x.isInfinite) {
-          val bd = new java.math.BigDecimal(java.lang.Double.toString(x))
-            .setScale(8, java.math.RoundingMode.HALF_UP)
-          if (bd.precision <= prec) buf.add(i, bd.unscaledValue())
+          val s = java.lang.Double.toString(x)
+          // scale-8 long fast path (identical digits — Dec8ParitySpec);
+          // a fast-path value can carry up to 19 digits, so the
+          // precision gate still applies below prec 19
+          val f = Dec8.scaled8(s)
+          if (f != Dec8.Fallback) {
+            if (precCap == 0L || (f < precCap && f > -precCap)) buf.addLong(i, f)
+          } else {
+            val bd = new java.math.BigDecimal(s)
+              .setScale(8, java.math.RoundingMode.HALF_UP)
+            if (bd.precision <= prec) buf.add(i, bd.unscaledValue())
+          }
         }
       }
       i += 1
